@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-helper library: the reference's composed-built-in "UDF library"
+  * (reference: listings/mls_listings_transform.py:16-51) re-expressed as pure
+  * `Column => Column` Scala functions. Everything here stays inside Catalyst
+  * whole-stage codegen — no Scala UDFs, no serialization boundary — so the
+  * helpers cost the same as hand-written SQL at any scale.
+  */
+object ColumnLib {
+
+  /** Horizontal (row-wise) sum of numeric flag columns.
+    * Reference: mls_listings_transform.py:16-18 (`sum_columns`). */
+  def sumColumns(cols: Seq[Column]): Column = cols.reduce(_ + _)
+
+  /** Validity check with an explicit null-allowed switch; never returns null
+    * (three-valued logic collapsed to boolean).
+    * Reference: mls_listings_transform.py:20-25 (`check_valid_value`). */
+  def checkValidValue(c: Column, valid: Seq[String], nullAllowed: Boolean): Column =
+    when(c.isNull, lit(nullAllowed)).otherwise(c.isin(valid: _*))
+
+  /** Empty-or-blank string to typed null.
+    * Reference: mls_listings_transform.py:36-37 (`change_blank_to_null`). */
+  def changeBlankToNull(c: Column): Column =
+    when(trim(c) === lit(""), lit(null).cast(StringType)).otherwise(c)
+
+  /** Full-string regex match. The reference's `regexp_like_with_expr`
+    * (mls_listings_transform.py:49-51) is a FULL match (replace-whole-string
+    * trick), while Spark's `rlike` is a contains-test — so the pattern is
+    * anchored in a non-capturing group to preserve exact semantics. */
+  def regexpLike(c: Column, pattern: String): Column =
+    c.rlike("^(?:" + pattern + ")$")
+
+  /** OR-chain of substring containment tests.
+    * Reference: mls_listings_transform.py:31-34 (`instr_with_expr` usage). */
+  def containsAny(c: Column, values: Seq[String]): Column =
+    values.map(v => instr(c, v) > 0).reduce(_ || _)
+
+  /** Strip phone punctuation and keep only plausible 10-digit numbers.
+    * Reference: mls_listings_transform.py:39-47 (`clean_phone_number`). */
+  def cleanPhoneNumber(c: Column): Column = {
+    val digits = regexp_replace(c, "[^0-9]", "")
+    when(length(digits) === 10, digits).otherwise(lit(null).cast(StringType))
+  }
+
+  /** Collapse runs of spaces to a single space — equivalent of the
+    * reference's `replace(' ','<>')/replace('><','')/replace('<>',' ')`
+    * squeeze trick (mls_listings_transform.py:313-314). */
+  def squeezeSpaces(c: Column): Column = regexp_replace(c, " +", " ")
+
+  // --------------------------------------------------------------------------
+  // Projection machinery (SURVEY §2.2 P1-P5) — column-name-driven generic
+  // transforms over a dynamic 133-col schema; all resolve to a single `select`
+  // so Catalyst prunes/pushes through them freely.
+  // --------------------------------------------------------------------------
+
+  /** Alias every column with a prefix (join disambiguation).
+    * Reference: mls_listings_transform.py:58-62. */
+  def prefixColumns(df: DataFrame, prefix: String): DataFrame =
+    df.select(df.columns.map(c => col(c).as(prefix + c)).toIndexedSeq: _*)
+
+  /** Bulk-strip a prefix from all column names.
+    * Reference: mls_listings_transform.py:124,395 (`toDF` rename). */
+  def stripPrefix(df: DataFrame, prefix: String): DataFrame =
+    df.toDF(df.columns.map(c => if (c.startsWith(prefix)) c.drop(prefix.length) else c).toIndexedSeq: _*)
+
+  /** Keep only columns whose name satisfies a predicate.
+    * Reference: mls_listings_transform.py:122-123. */
+  def keepColumns(df: DataFrame, p: String => Boolean): DataFrame =
+    df.select(df.columns.filter(p).map(col).toIndexedSeq: _*)
+
+  /** `_x` replaces `x`; `_tmp_*` columns are discarded. One `select`.
+    * Reference: mls_listings_transform.py:403-409. */
+  def applyUnderscoreReplacements(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val replacements = cols.filter(c => c.startsWith("_") && !c.startsWith("_tmp_")).map(c => c.drop(1) -> c).toMap
+    val keep = cols.filter(c => !c.startsWith("_")).map { c =>
+      replacements.get(c) match {
+        case Some(underscored) => col(underscored).as(c)
+        case None              => col(c)
+      }
+    }
+    df.select(keep.toIndexedSeq: _*)
+  }
+
+  /** Final schema projection — order + pruning enforcement.
+    * Reference: mls_listings_transform.py:412. */
+  def projectToSchema(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** Native versioned-table layer replacing the reference's Delta Lake surface
+  * (SURVEY §2.1 S3-S6: delta scan / init / MERGE / VACUUM — reference:
+  * mls_listings_curated.py:124,321-368; mls_listings_hist_curated.py:171-223;
+  * mls_listings_curated_propid_backfill.py:75-234). No Delta jars exist in
+  * this environment, so the table is a directory of immutable parquet version
+  * dirs plus an atomically-swapped pointer file:
+  *
+  * {{{
+  *   <root>/v0/ v1/ ...   immutable parquet snapshots
+  *   <root>/_latest       text file holding the live version number
+  * }}}
+  *
+  * Readers resolve `_latest` then scan one immutable snapshot — writers never
+  * mutate a published dir, so concurrent readers are safe. The pointer swap is
+  * a filesystem atomic-move; on object storage this would be a conditional-put
+  * on the pointer object (same protocol Delta/Iceberg use for their log tip).
+  *
+  * Scale notes (100 TB): `merge` is one shuffle of each side on the merge key
+  * — the cost floor for a generic keyed upsert. The snapshot rewrite is
+  * proportional to the full table; at 100 TB the production refinement is
+  * key-range/bucket partitioning of each snapshot so a merge only rewrites
+  * buckets containing source keys (the source is typically a small daily
+  * delta). The MERGE semantics below are independent of that layout choice.
+  */
+object MergeClauses {
+  /** Delta-MERGE-equivalent clause set. Conditions see the matched pair as
+    * aliases `t` (target) and `s` (source), e.g.
+    * `col("t.x") <=> col("s.x")`. Precedence on a matched row:
+    * update-condition first, then delete-condition, then keep-target —
+    * mirroring the clause order of the reference's MERGE statements
+    * (mls_listings_hist_curated.py:184-210: update when changed, delete when
+    * no driving change, insert when not matched and changed). */
+  final case class Spec(
+      updateWhen: Option[Column] = None,   // None = unconditional update-set-*
+      deleteWhen: Option[Column] = None,   // None = no delete clause
+      insertWhen: Option[Column] = None)   // None = unconditional insert-*
+}
+
+object ManagedTable {
+  private def latestFile(root: String): Path = Paths.get(root, "_latest")
+
+  def exists(root: String): Boolean = Files.exists(latestFile(root))
+
+  def currentVersion(root: String): Int =
+    Files.readString(latestFile(root)).trim.toInt
+
+  /** Read the live snapshot. Reference: delta scan at mls_listings_curated.py:124. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/v${currentVersion(root)}")
+
+  /** Create an empty table carrying only the schema, like the reference's
+    * `limit(0).write.format("delta")` init (mls_listings_curated.py:325). */
+  def createEmpty(spark: SparkSession, root: String, like: DataFrame): Unit =
+    overwrite(root, like.limit(0))
+
+  /** Publish `df` as the next immutable version, then swap the pointer. */
+  def overwrite(root: String, df: DataFrame): Unit = {
+    val next = if (exists(root)) currentVersion(root) + 1 else 0
+    df.write.mode("overwrite").parquet(s"$root/v$next")
+    val tmp = Paths.get(root, s"_latest.tmp$next")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Keyed MERGE (upsert with optional conditions and matched-delete),
+    * replacing the reference's `spark.sql("merge into ...")`
+    * (mls_listings_curated.py:329-353). Implemented as ONE full-outer
+    * shuffle join on the key plus a single projected select — no driver-side
+    * row handling, fully whole-stage-codegen.
+    *
+    * Target and source must share the target's column set; key columns are
+    * assumed non-null (true in the reference: merge keys are the table PK).
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            keys: Seq[String],
+            clauses: MergeClauses.Spec = MergeClauses.Spec()): Unit = {
+    val target = read(spark, root)
+    val resolved = graft.operators.Merge.mergeFrames(target, source, keys, clauses)
+    // The resolver's plan still reads the live snapshot lazily; materialize
+    // the next version before the pointer swap so readers never see a
+    // half-written state.
+    overwrite(root, resolved)
+  }
+
+  /** Drop all but the newest `keep` published versions.
+    * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
+  def vacuum(root: String, keep: Int = 1): Unit = {
+    val live = currentVersion(root)
+    val dir = Paths.get(root)
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .filter(p => p.getFileName.toString.drop(1).toInt <= live - keep)
+      .foreach { p =>
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
+  }
+}

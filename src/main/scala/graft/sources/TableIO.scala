@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers and sinks for the engine (SURVEY §2.1 S1-S2, S7-S8).
+  *
+  * Scale notes (100 TB): every reader here produces a plain scan node, so
+  * Catalyst predicate-pushdown and column-pruning reach the file format
+  * (verify with `.explain`: `PushedFilters` / `ReadSchema`). The multi-dir
+  * union is positional by design, matching the reference's
+  * `reduce(DataFrame.unionAll, dfs)` (mls_listings_curated.py:71-77).
+  */
+object TableIO {
+
+  /** Read one testdata table (`<dir>/<name>.parquet`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Multi-directory scan + positional union, each dir filtered before the
+    * union so the predicate pushes into every individual scan.
+    * Reference: mls_listings_curated.py:71-77 (ORC dirs + load_date filter). */
+  def readUnion(spark: SparkSession, format: String, dirs: Seq[String],
+                filterSql: Option[String] = None): DataFrame = {
+    require(dirs.nonEmpty, "readUnion needs at least one input dir")
+    val dfs = dirs.map { d =>
+      val df = spark.read.format(format).load(d)
+      filterSql.fold(df)(f => df.filter(f))
+    }
+    dfs.reduce(_ unionAll _)
+  }
+
+  /** ORC sink with zlib compression and explicit output-file-count control.
+    * Reference: mls_listings_curated.py:359-363 (Delta→ORC mirror).
+    * `repartition(n)` is RoundRobin — correct for file-count control because
+    * no downstream op depends on the partitioning. */
+  def writeOrcZlib(df: DataFrame, path: String, numFiles: Int): Unit =
+    df.repartition(numFiles).write.mode("overwrite")
+      .option("compression", "zlib").orc(path)
+
+  /** JSON-lines text sink for rejected/outdated rows:
+    * `to_json(struct(*))` → one JSON object per line.
+    * Reference: mls_listings_curated.py:293-308. */
+  def writeJsonLines(df: DataFrame, path: String, append: Boolean = false): Unit =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .write.mode(if (append) "append" else "overwrite").text(path)
+}
