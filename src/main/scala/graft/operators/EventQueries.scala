@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.sources.TableIO.table
+
+/** Event-stream operators over the `events` table, batch form. The same
+  * transforms run under Structured Streaming (see graft.streaming) — the
+  * reference itself is batch-only (SURVEY §2.9), so batch is the parity
+  * surface and streaming is the scale-path extension.
+  */
+object EventQueries {
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4's
+    * TimestampType (micros) rejects outright. Read nanos as long and convert
+    * explicitly — `div 1000` truncation matches DuckDB's `epoch_us` on a
+    * TIMESTAMP_NS value, keeping the oracle exact. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Tumbling-window aggregation: events per (hour, type) with exact sums.
+    * Streaming equivalent: `groupBy(window($"ts", "1 hour"), $"event_type")`
+    * with a watermark; identical results on a closed input. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+
+  /** Sessionization: a new session starts after a >30-minute inactivity gap;
+    * session ids via running sum of gap flags. One shuffle on user_id; at
+    * 100 TB this is the standard sessionize shape (skew-safe because the
+    * per-user window is processed within a partition after hash exchange). */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("us", col("ts_us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+  }
+
+  /** Semi-structured extraction from the JSON `props` column. */
+  def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_hourly" -> (eventsHourly _),
+    "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_json_extract" -> (eventsJsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM x)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM y""".stripMargin,
+    "q_events_json_extract" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events""".stripMargin)
+}

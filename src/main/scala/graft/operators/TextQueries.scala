@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TableIO.table
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the large-scale training-data-pipeline extension surface (BASELINE.json
+  * north star; not present in the reference, which is pure MLS ETL).
+  *
+  * All token machinery uses native array expressions (`split`, `transform`,
+  * `filter`, `aggregate`) — whole-stage-codegen'd, no UDFs — so per-document
+  * cost is pure columnar compute and scales linearly with corpus size.
+  */
+object TextQueries {
+
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Token counting: whitespace tokens + distinct types + char stats. */
+  def txtTokens(s: SparkSession, dir: String): DataFrame =
+    withTokens(table(s, dir, "documents")).select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_types"),
+      length(col("text")).as("n_chars_text"),
+      col("n_chars"))
+
+  /** Quality scoring: stopword ratio, type-token ratio, mean word length,
+    * and a small integer quality score — all integer-derived so the doubles
+    * are single-division deterministic across engines. */
+  def txtQuality(s: SparkSession, dir: String): DataFrame =
+    withTokens(table(s, dir, "documents"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_types", size(array_distinct(col("toks"))))
+      .withColumn("stop_cnt",
+        expr("size(filter(toks, x -> x IN ('the','a','of','to','and','in')))"))
+      .withColumn("ttr",
+        col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("stop_ratio",
+        col("stop_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("mean_word_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .withColumn("quality_score",
+        when(col("n_tokens") >= 30, 2).otherwise(1)
+          + when(col("ttr") >= lit(0.4), 1).otherwise(0)
+          + when(col("stop_ratio") <= lit(0.2), 1).otherwise(0))
+      .select("doc_id", "n_tokens", "n_types", "stop_cnt", "ttr",
+        "stop_ratio", "mean_word_len", "quality_score")
+
+  /** Language identification, stopword-profile heuristic: score each
+    * candidate language by hits against its function-word list, argmax with
+    * a fixed precedence tiebreak (en > es > fr). */
+  def txtLangId(s: SparkSession, dir: String): DataFrame =
+    withTokens(table(s, dir, "documents"))
+      .withColumn("en_hits",
+        expr("size(filter(toks, x -> x IN ('the','a','and','of','in')))"))
+      .withColumn("es_hits",
+        expr("size(filter(toks, x -> x IN ('el','la','de','y','en')))"))
+      .withColumn("fr_hits",
+        expr("size(filter(toks, x -> x IN ('le','les','de','et','un')))"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("en_hits"), col("es_hits"), col("fr_hits"),
+        col("predicted_lang"),
+        (col("predicted_lang") === col("lang")).as("label_agrees"))
+
+  /** Document fingerprinting: exact (md5 of raw text) + order-insensitive
+    * bag fingerprint (md5 of sorted distinct tokens). */
+  def txtFingerprint(s: SparkSession, dir: String): DataFrame =
+    withTokens(table(s, dir, "documents")).select(
+      col("doc_id"),
+      md5(col("text")).as("exact_fp"),
+      md5(concat_ws(" ", sort_array(array_distinct(col("toks"))))).as("bag_fp"))
+
+  /** Exact deduplication: hash-groupBy on the text fingerprint, electing
+    * the minimum doc_id as the canonical representative of each group.
+    * At 100 TB this is one shuffle on a 128-bit key with map-side partial
+    * aggregation — the cheapest possible dedup. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+
+  /** Near-duplicate pairs by word-3-gram shingle Jaccard, computed with an
+    * inverted shingle index (explode → self-equi-join on shingle → pair
+    * counts) instead of a quadratic cross join. Cost is sum over shingles of
+    * (docs-per-shingle)², so at 100 TB the production guard is dropping
+    * ultra-frequent shingles (stop-shingles) before the join and/or the
+    * MinHash-LSH variant (q_dedup_minhash) which bounds candidates per band
+    * bucket; semantics of surviving pairs are identical. */
+  def dedupJaccardShingle(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = withTokens(table(s, dir, "documents"))
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    inv.alias("a")
+      .join(inv.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_tokens" -> (txtTokens _),
+    "q_txt_quality" -> (txtQuality _),
+    "q_txt_langid" -> (txtLangId _),
+    "q_txt_fingerprint" -> (txtFingerprint _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccardShingle(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q_txt_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
+        |  CAST(length(text) AS INTEGER) AS n_chars_text,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "q_txt_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in'))) AS INTEGER) AS stop_cnt
+        |FROM t)
+        |SELECT doc_id, n_tokens, n_types, stop_cnt,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        |  CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_word_len,
+        |  (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
+        |   + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4 THEN 1 ELSE 0 END
+        |   + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2 THEN 1 ELSE 0 END)
+        |  AS quality_score
+        |FROM c""".stripMargin,
+    "q_txt_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','in'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en'))) AS INTEGER) AS es_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','les','de','et','un'))) AS INTEGER) AS fr_hits
+        |FROM t)
+        |SELECT doc_id, en_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted_lang,
+        |  (CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |        WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END) = lang AS label_agrees
+        |FROM h""".stripMargin,
+    "q_txt_fingerprint" ->
+      """SELECT doc_id, md5(text) AS exact_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+        |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin)
+}
