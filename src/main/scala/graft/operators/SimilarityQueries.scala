@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TableIO.table
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Scale shape: queries are broadcast (small side), the corpus is scanned
+  * once — brute force is O(|corpus| × |queries| × dim) with NO shuffle of
+  * the corpus, so it parallelizes perfectly across executors; the LSH
+  * variant cuts the per-query candidate set by bucketing on random
+  * hyperplane signs, trading recall for compute exactly like an IVF probe.
+  *
+  * Float discipline: elementwise products of two float32 values are exact
+  * in float64 (24+24 < 53 mantissa bits), and both Spark's `aggregate` and
+  * DuckDB's `list_sum` fold arrays left-to-right in float64 — giving
+  * bit-identical cosines for the oracle compare.
+  */
+object SimilarityQueries {
+
+  /** In-order float64 dot product of two float-array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Float64 L2 norm of a float-array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .withColumn("norm", l2Norm(col("embedding")))
+
+  /** Brute-force cosine top-k: every query vector against the full corpus,
+    * ranked per query with a unique-id tiebreak. */
+  def simCosineTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+                    k: Int = 5): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** LSH-bucketed ANN: sign-bit bucket from `nPlanes` fixed pseudo-random
+    * hyperplanes (±1 entries, fixed seed — deterministic across executors),
+    * candidates = corpus vectors in the query's bucket, then exact cosine
+    * top-k within candidates. The scale path: bucket count grows 2^planes,
+    * per-query work drops proportionally; recall is tunable via multiprobe
+    * (not needed at this corpus size). */
+  def simLshTopK(s: SparkSession, dir: String, nPlanes: Int = 4,
+                 nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val planes: IndexedSeq[IndexedSeq[Double]] =
+      IndexedSeq.fill(nPlanes)(IndexedSeq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    def bucketOf(e: Column): Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(
+          zip_with(e, array(p.map(lit): _*), (x, w) => x.cast(DoubleType) * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val c = corpus(s, dir).withColumn("bucket", bucketOf(col("embedding")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+    val scored = c.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
+    * threshold, via the same broadcast scan (corpus × corpus at test scale;
+    * at 100 TB this is the LSH-bucketed join instead). */
+  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val c = corpus(s, dir)
+    val a = c.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+      col("norm").as("n_a"))
+    val b = c.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+      col("norm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        dotProduct(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_cosine_topk" -> ((s: SparkSession, d: String) => simCosineTopK(s, d)),
+    "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
+
+  // q_sim_lsh_topk has no oracle (bucket membership depends on seeded
+  // hyperplanes) → rows-only check.
+  val oracles: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+        |      FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (q.q_norm * c.norm) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.norm * b.norm) AS cos_sim
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, 65),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.norm * b.norm) >= 0.35""".stripMargin)
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.TableIO.table
+
+/** Sketch-based near-duplicate detection: MinHash+LSH and SimHash.
+  * These are the 100 TB scale path for dedup — candidate generation is a
+  * single shuffle on (band, bucket) whose fan-in is bounded by bucket size,
+  * instead of the inverted-index join whose cost grows with shingle
+  * document-frequency squared.
+  *
+  * Everything is built from deterministic, codegen'd expressions:
+  * `hash()` (Murmur3-x86-32) and `xxhash64` are stable across runs, JVMs,
+  * and executors, and the permutation coefficients come from a fixed-seed
+  * generator at plan-build time — so results are reproducible cluster-wide.
+  */
+object Sketches {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime for (a*x+b) mod p
+
+  /** Fixed-seed universal-hash coefficients: k pairs (a odd, b). */
+  private def coeffs(k: Int, seed: Long): IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong * 2 + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word-3-gram shingle array for a `text` column already split to `toks`. */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(0, size(toks)-3), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+
+  /** MinHash signature column: for each of k permutations, the minimum of
+    * (a_i * murmur3(shingle) + b_i) mod p over the shingle set. Computed
+    * entirely inside one array expression — no explode, no shuffle. */
+  def minhashSignature(shingles: Column, k: Int, seed: Long): Column = {
+    val cs = coeffs(k, seed)
+    array(cs.map { case (a, b) =>
+      array_min(transform(shingles,
+        sh => pmod(hash(sh).cast(LongType) * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding dedup:
+    *  1. signature per doc (k hashes, no shuffle);
+    *  2. explode into `bands` buckets keyed by a hash of each band slice;
+    *  3. candidate pairs = docs sharing any (band, bucket) — one shuffle;
+    *  4. verify candidates with exact shingle Jaccard (small set).
+    * With k=64, bands=16 (r=4), a pair at J=0.9 is missed with probability
+    * (1-0.9^4)^16 ≈ 4e-8 — at the dataset's bimodal similarity split
+    * (J≥0.9 or J<0.1) the verified output equals exact all-pairs Jaccard,
+    * which is what the oracle checks. */
+  def dedupMinhashLsh(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val docs = table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("sig", minhashSignature(col("shingles"), k, seed = 42L))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"), col("sig"))
+
+    val banded = docs.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> hash(b, slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bucket")))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sh = docs.select(col("doc_id"), col("shingles"), col("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash signature from token xxhash64 bit votes: bit j of the
+    * signature is 1 iff more tokens have bit j set than unset. Pure array
+    * expressions (one SQL expr — the Scala `shiftleft`/`shiftright` wrappers
+    * only take literal shift amounts); one pass over tokens per document. */
+  def simhash(toksCol: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    transform(sequence(0, 63),
+       |      j -> aggregate($toksCol, 0L,
+       |             (acc, t) -> acc + CASE WHEN shiftright(xxhash64(t), j) & 1 = 1
+       |                                    THEN 1L ELSE -1L END)),
+       |    sequence(0, 63),
+       |    (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
+       |  0L, (acc, x) -> acc | x)""".stripMargin)
+
+  /** SimHash near-dup pairs: band the 64-bit signature into eight 8-bit
+    * chunks (any pair within Hamming distance 7 must agree on ≥1 chunk),
+    * join candidates per chunk, then filter by exact Hamming distance. */
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("simhash", simhash("toks"))
+      .select("doc_id", "simhash")
+    val banded = docs.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 7), " +
+        "b -> (simhash >> (b * 8)) & 255)")).as(Seq("band", "chunk")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)))
+
+  /** The MinHash+LSH pipeline (verified candidates) must reproduce exact
+    * all-pairs shingle Jaccard at this dataset's similarity split — same
+    * oracle as q_dedup_jaccard. SimHash has no SQL-expressible oracle
+    * (xxhash64 bit votes) → rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> TextQueries.oracles("q_dedup_jaccard"))
+}
