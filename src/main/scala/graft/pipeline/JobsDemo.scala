@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.ManagedTable
+
+/** Runnable end-to-end demo of the three job drivers over the testdata
+  * `orders` table, treated as listing snapshots keyed by o_orderkey with
+  * o_orderdate as the version axis:
+  *
+  * {{{ sbt "runMain graft.pipeline.JobsDemo /root/testdata/sf0.001 /tmp/graft_demo" }}}
+  *
+  * Run 1 ingests an early date window, run 2 a later overlapping one —
+  * demonstrating validation quarantine, incremental latest-wins merge,
+  * change-history capture, and enrichment backfill on the managed table.
+  */
+object JobsDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val rules = Seq(
+      Validation.Rule("status", "invalid_status",
+        !col("o_orderstatus").isin("F", "O", "P")),
+      Validation.Rule("price", "nonpositive_price", col("o_totalprice") <= 0))
+    val curatedCfg = Jobs.CuratedConfig(
+      tableRoot = s"$outDir/curated", keys = Seq("o_custkey"),
+      ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+      rejectedDir = Some(s"$outDir/quarantine"),
+      orcMirrorDir = Some(s"$outDir/curated_orc"), numOutputFiles = 4)
+
+    def batch(from: String, to: String) =
+      orders.filter(col("o_orderdate") >= from && col("o_orderdate") < to)
+
+    Jobs.runCurated(spark, batch("1995-01-01", "1997-01-01"), rules, curatedCfg)
+    val afterRun1 = ManagedTable.read(spark, curatedCfg.tableRoot).count()
+    Jobs.runCurated(spark, batch("1996-06-01", "1999-01-01"), rules, curatedCfg)
+    val afterRun2 = ManagedTable.read(spark, curatedCfg.tableRoot).count()
+
+    val histCfg = Jobs.HistoryConfig(
+      tableRoot = s"$outDir/hist", keys = Seq("o_custkey", "o_orderdate"),
+      versionOrder = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+      entityKeys = Seq("o_custkey"), tracked = Seq("o_totalprice", "o_orderstatus"))
+    Jobs.runHistory(spark, batch("1995-01-01", "1997-01-01"), histCfg)
+    Jobs.runHistory(spark, batch("1996-06-01", "1999-01-01"), histCfg)
+    val histRows = ManagedTable.read(spark, histCfg.tableRoot).count()
+
+    val backfillCfg = Jobs.BackfillConfig(
+      tableRoot = curatedCfg.tableRoot, keys = Seq("o_custkey"),
+      candidateFilter = col("o_orderstatus") === "O",
+      priority = Seq(col("o_totalprice").desc_nulls_last), budget = Some(100),
+      enrichedCols = Seq("o_orderpriority"))
+    Jobs.runBackfill(spark,
+      enrich = df => df.withColumn("o_orderpriority", lit("0-BACKFILLED")),
+      backfillCfg)
+    val backfilled = ManagedTable.read(spark, curatedCfg.tableRoot)
+      .filter(col("o_orderpriority") === "0-BACKFILLED").count()
+
+    println(s"""{"curated_run1":$afterRun1,"curated_run2":$afterRun2,""" +
+      s""""hist_rows":$histRows,"backfilled":$backfilled}""")
+    spark.stop()
+  }
+}

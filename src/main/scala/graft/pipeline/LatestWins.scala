@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SCD-1 "latest record wins" dedup + SCD-2-style change history — the
+  * windowed heart of the reference's curated and hist jobs.
+  */
+object LatestWins {
+
+  final case class Deduped(latest: DataFrame, outdated: DataFrame)
+
+  /** Union the incoming batch with the current table, tag provenance, and
+    * keep one winner per key (reference: mls_listings_curated.py:132-189).
+    * Ordering is the caller's priority columns followed by `desc(_from)` —
+    * 'new' beats 'curated' on ties because of the tag values' lexicographic
+    * order, exactly as the reference relies on.
+    *
+    * `recomputeMin`/`recomputeMax` re-derive bookkeeping columns across ALL
+    * versions of a key before the winner is chosen (reference :144-159,
+    * e.g. create_timestamp = min over versions).
+    *
+    * Scale: one shuffle on `keys` shared by the window and the min/max
+    * recompute (same partitioning, Catalyst plans a single exchange). */
+  def dedupe(fresh: DataFrame, curated: DataFrame, keys: Seq[String],
+             ordering: Seq[Column],
+             recomputeMin: Seq[String] = Nil,
+             recomputeMax: Seq[String] = Nil): Deduped = {
+    val tagged = fresh.withColumn("_from", lit("new"))
+      .unionByName(curated.withColumn("_from", lit("curated")))
+    val keyWindow = Window.partitionBy(keys.map(col): _*)
+    val ranked0 = tagged.withColumn("_rownum",
+      row_number().over(keyWindow.orderBy(ordering :+ col("_from").desc: _*)))
+    val ranked1 = recomputeMin.foldLeft(ranked0)((d, c) =>
+      d.withColumn(c, min(col(c)).over(keyWindow)))
+    val ranked = recomputeMax.foldLeft(ranked1)((d, c) =>
+      d.withColumn(c, max(col(c)).over(keyWindow)))
+    Deduped(
+      latest = ranked.filter(col("_rownum") === 1 && col("_from") === "new")
+        .drop("_rownum", "_from"),
+      outdated = ranked.filter(col("_rownum") > 1).drop("_rownum", "_from"))
+  }
+
+  /** Like `dedupe` but keeps the per-key winner regardless of provenance —
+    * the hist-job grain (reference: mls_listings_hist_curated.py:129-137
+    * keeps rownum=1 across new ∪ curated; 'new' still wins exact ties via
+    * the desc(_from) tiebreak). */
+  def dedupeAll(fresh: DataFrame, curated: DataFrame, keys: Seq[String],
+                ordering: Seq[Column]): DataFrame = {
+    val tagged = fresh.withColumn("_from", lit("new"))
+      .unionByName(curated.withColumn("_from", lit("curated")))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering :+ col("_from").desc: _*)
+    tagged.withColumn("_rownum", row_number().over(w))
+      .filter(col("_rownum") === 1)
+      .drop("_rownum", "_from")
+  }
+
+  final case class ChangeRow(oldSuffix: String = "_old", flagSuffix: String = "_changed_flag")
+
+  /** Change-history derivation (reference: mls_listings_hist_curated.py:139-159):
+    * for each tracked column, `lead(col, 1)` over versions ordered newest-
+    * first gives the previous version's value (`*_old`), and the changed
+    * flag is the negated null-safe equality; `_insert_update_flag` ORs all
+    * per-column flags (true for brand-new keys too, since lead is null and
+    * `<=>` against null value differs). */
+  def changeFlags(df: DataFrame, keys: Seq[String], versionOrder: Seq[Column],
+                  tracked: Seq[String],
+                  naming: ChangeRow = ChangeRow()): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(versionOrder: _*)
+    val withOld = tracked.foldLeft(df)((d, c) =>
+      d.withColumn(c + naming.oldSuffix, lead(col(c), 1).over(w)))
+    val withFlags = tracked.foldLeft(withOld)((d, c) =>
+      d.withColumn(c + naming.flagSuffix,
+        !(col(c) <=> col(c + naming.oldSuffix))))
+    withFlags.withColumn("_insert_update_flag",
+      tracked.map(c => col(c + naming.flagSuffix)).reduce(_ || _))
+  }
+}

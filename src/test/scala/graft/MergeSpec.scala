@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Merge
+import graft.sources.MergeClauses
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def target = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n")
+
+  test("unconditional merge: update matched, insert new, keep untouched") {
+    val source = Seq((2, "B", 99), (4, "d", 40)).toDF("k", "v", "n")
+    val out = Merge.mergeFrames(target, source, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)))
+  }
+
+  test("conditional update: only rows where values differ (null-safe)") {
+    val source = Seq((1, "a", 10), (2, "CHANGED", 20)).toDF("k", "v", "n")
+    val changed = !(col("t.v") <=> col("s.v")) || !(col("t.n") <=> col("s.n"))
+    val out = Merge.mergeFrames(target, source, Seq("k"),
+      MergeClauses.Spec(updateWhen = Some(changed)))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1, "a"), (2, "CHANGED"), (3, "c")))
+  }
+
+  test("matched-delete clause removes no-change rows (hist-job shape)") {
+    val source = Seq((1, "a", 10), (2, "B2", 20)).toDF("k", "v", "n")
+    val changed = !(col("t.v") <=> col("s.v"))
+    val out = Merge.mergeFrames(target, source, Seq("k"),
+      MergeClauses.Spec(
+        updateWhen = Some(changed),
+        deleteWhen = Some(lit(true)),       // fires only when update didn't
+        insertWhen = Some(lit(true))))
+      .collect().map(_.getInt(0)).sorted
+    // k=1 matched+unchanged → deleted; k=2 matched+changed → updated; k=3 kept
+    assert(out.toSeq == Seq(2, 3))
+  }
+
+  test("insert condition gates new keys") {
+    val source = Seq((4, "d", 40), (5, "e", 50)).toDF("k", "v", "n")
+    val out = Merge.mergeFrames(target, source, Seq("k"),
+      MergeClauses.Spec(insertWhen = Some(col("s.n") > 45)))
+      .collect().map(_.getInt(0)).sorted
+    assert(out.toSeq == Seq(1, 2, 3, 5))
+  }
+
+  test("merge is idempotent on replayed batches") {
+    val source = Seq((2, "B", 99), (4, "d", 40)).toDF("k", "v", "n")
+    val once = Merge.mergeFrames(target, source, Seq("k"))
+    val twice = Merge.mergeFrames(once, source, Seq("k"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+}
