@@ -21,15 +21,15 @@ import graft.sources.TableIO.table
   */
 object SimilarityQueries {
 
-  /** In-order float64 dot product of two float-array columns. */
+  /** In-order float64 dot product of two float-array columns — native
+    * Catalyst expression (the HOF form `aggregate(zip_with(...))` runs
+    * interpreted per element and was 10-100× slower; results bit-identical). */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.arrayDot(a, b)
 
-  /** Float64 L2 norm of a float-array column. */
+  /** Float64 L2 norm of a float-array column (native expression). */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorExpressions.arrayL2Norm(a)
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")

@@ -33,15 +33,14 @@ object Sketches {
       "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
 
   /** MinHash signature column: for each of k permutations, the minimum of
-    * (a_i * murmur3(shingle) + b_i) mod p over the shingle set. Computed
-    * entirely inside one array expression — no explode, no shuffle. */
-  def minhashSignature(shingles: Column, k: Int, seed: Long): Column = {
-    val cs = coeffs(k, seed)
-    array(cs.map { case (a, b) =>
-      array_min(transform(shingles,
-        sh => pmod(hash(sh).cast(LongType) * lit(a) + lit(b), lit(P))))
-    }: _*)
-  }
+    * (a_i * murmur3(shingle) + b_i) mod p over the shingle set. The shingle
+    * set is murmur3-hashed once via the built-in `hash`, then the k minima
+    * are computed in a single native-expression pass (no explode, no
+    * shuffle; the earlier k×array_min HOF form re-hashed every shingle per
+    * permutation, interpreted). */
+  def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
+    graft.functions.VectorExpressions.minhashSig(
+      transform(shingles, sh => hash(sh)), k, seed)
 
   /** MinHash + LSH banding dedup:
     *  1. signature per doc (k hashes, no shuffle);
@@ -55,11 +54,15 @@ object Sketches {
   def dedupMinhashLsh(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
     val r = k / bands
+    // Persisted: the frame feeds banding once and candidate verification
+    // twice; without the cache the shingle + signature expressions would be
+    // recomputed on all three paths.
     val docs = table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(shingleExpr))
       .withColumn("sig", minhashSignature(col("shingles"), k, seed = 42L))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"), col("sig"))
+      .persist()
 
     val banded = docs.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
@@ -85,19 +88,13 @@ object Sketches {
   }
 
   /** 64-bit SimHash signature from token xxhash64 bit votes: bit j of the
-    * signature is 1 iff more tokens have bit j set than unset. Pure array
-    * expressions (one SQL expr — the Scala `shiftleft`/`shiftright` wrappers
-    * only take literal shift amounts); one pass over tokens per document. */
-  def simhash(toksCol: String): Column = expr(
-    s"""aggregate(
-       |  zip_with(
-       |    transform(sequence(0, 63),
-       |      j -> aggregate($toksCol, 0L,
-       |             (acc, t) -> acc + CASE WHEN shiftright(xxhash64(t), j) & 1 = 1
-       |                                    THEN 1L ELSE -1L END)),
-       |    sequence(0, 63),
-       |    (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),
-       |  0L, (acc, x) -> acc | x)""".stripMargin)
+    * signature is 1 iff more tokens have bit j set than unset. Tokens are
+    * xxhash64'd once, then the 64 bit-votes and sign-packing happen in one
+    * native-expression pass (the earlier 64-aggregate SQL form re-hashed
+    * every token per bit, interpreted — ~4000 lambda evals per doc). */
+  def simhash(toksCol: String): Column =
+    graft.functions.VectorExpressions.simhash64(
+      transform(col(toksCol), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: band the 64-bit signature into eight 8-bit
     * chunks (any pair within Hamming distance 7 must agree on ≥1 chunk),

@@ -99,13 +99,24 @@ object TextQueries {
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    // Hash each shingle once (64-bit — collision odds ~1e-11 at this shingle
+    // cardinality, far below any oracle-visible effect): the pair join then
+    // shuffles (long, long) rows instead of shingle strings — the
+    // intermediate is sum-of-df² pair-rows, so row width dominates shuffle
+    // cost. Set sizes are attached after pair-counting via two slim
+    // broadcast joins.
+    val inv = sh.select(col("doc_id"),
+      explode(expr("transform(shingles, x -> xxhash64(x))")).as("sh"))
+    val sizes = sh.select(col("doc_id"), col("n_sh"))
     inv.alias("a")
       .join(inv.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "nb")), "doc_b")
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event operators. The reference is
+  * batch-only (SURVEY §2.9) — batch is the parity surface — but the engine's
+  * scale path for a continuously-arriving event feed is `readStream` over
+  * the same transforms: identical logical plans, incremental execution.
+  */
+object EventStream {
+
+  /** Event row as read from the events table (ts already converted from
+    * nanos — see graft.operators.EventQueries). */
+  final case class Event(event_id: Long, user_id: Long, ts_us: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionizedEvent(user_id: Long, event_id: Long,
+                                    session_seq: Long)
+
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class SessionState(sessionSeq: Long, lastTsUs: Long)
+
+  /** Watermarked tumbling-hour aggregation — the streaming twin of
+    * EventQueries.eventsHourly. Works unchanged on a batch frame (the
+    * watermark is a no-op there), which is how the spec cross-checks it. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful sessionization with `flatMapGroupsWithState`: per-user state
+    * carries (current session seq, last event time); a >`gapMinutes` gap
+    * opens a new session. Production would use EventTimeTimeout to expire
+    * idle users' state behind the watermark; NoTimeout keeps the demo free
+    * of watermark plumbing and is safe for bounded inputs. */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30)
+                (implicit spark: SparkSession): Dataset[SessionizedEvent] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // Micro-batch iterators are unordered within the group: sort by
+          // event time before applying the gap rule.
+          val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = batch.map { e =>
+            val newSession = st.sessionSeq == 0L || e.ts_us - st.lastTsUs > gapUs
+            st = SessionState(if (newSession) st.sessionSeq + 1 else st.sessionSeq,
+              e.ts_us)
+            SessionizedEvent(userId, e.event_id, st.sessionSeq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming hourly aggregation equals the batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream source needs a directory of its own
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val streamIn = shape(spark.readStream.schema(schema).parquet(dir.toString))
+    val q = EventStream.hourlyCounts(streamIn).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val batchIn = shape(spark.read.schema(schema).parquet(dir.toString))
+    val expected = EventStream.hourlyCounts(batchIn)
+      .collect().map(_.toSeq).toSet
+    val got = spark.table("hourly_out").collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionization across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val min = 60L * 1000000L
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionize(stream.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+
+    // batch 1: user 1 — two close events, then a 45-min gap
+    stream.addData(
+      Event(1, 1, 0 * min, "a", 1.0), Event(2, 1, 10 * min, "a", 1.0),
+      Event(3, 1, 55 * min, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 1 continues within gap; user 2 appears
+    stream.addData(
+      Event(4, 1, 70 * min, "a", 1.0),   // 15 min after event 3 → same session
+      Event(5, 1, 200 * min, "a", 1.0),  // long gap → session 3
+      Event(6, 2, 0 * min, "b", 1.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_out").as[(Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
+  }
+}
