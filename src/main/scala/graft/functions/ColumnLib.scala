@@ -90,4 +90,10 @@ object ColumnLib {
     * Reference: mls_listings_transform.py:412. */
   def projectToSchema(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Names of columns with a given data type — the reference's `dtypes`
+    * introspection picking string/date/timestamp columns dynamically
+    * (mls_listings_transform.py:141-143). */
+  def columnsOfType(df: DataFrame, dt: DataType): Seq[String] =
+    df.schema.fields.filter(_.dataType == dt).map(_.name).toIndexedSeq
 }

@@ -289,6 +289,20 @@ object RelationalQueries {
     table(s, dir, "nation").select(
       to_json(struct(col("n_nationkey"), col("n_name"))).as("json_row"))
 
+  // S9: temp-view registration + SQL entry point (the reference feeds its
+  // MERGE through createOrReplaceTempView + spark.sql —
+  // mls_listings_curated.py:329-331).
+  def s9TempViewSql(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "supplier").createOrReplaceTempView("graft_supplier")
+    table(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    s.sql(
+      """SELECT n.n_name AS nation_name, COUNT(*) AS n_suppliers,
+        |       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal
+        |FROM graft_supplier s
+        |JOIN graft_nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_scan_union" -> (s1ScanUnion _),
     "q_p1_prefix_project" -> (p1PrefixProject _),
@@ -310,7 +324,8 @@ object RelationalQueries {
     "q_f_conditional" -> (fConditional _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_s13_schema_project" -> (s13SchemaProject _),
-    "q_s8_json_lines" -> (s8JsonLines _))
+    "q_s8_json_lines" -> (s8JsonLines _),
+    "q_s9_temp_view_sql" -> (s9TempViewSql _))
 
   val oracles: Map[String, String] = Map(
     "q_s1_scan_union" ->
@@ -478,5 +493,10 @@ object RelationalQueries {
       "SELECT l_orderkey, l_shipdate, l_returnflag FROM lineitem",
     "q_s8_json_lines" ->
       """SELECT CAST(to_json(struct_pack(n_nationkey := n_nationkey,
-        |  n_name := n_name)) AS VARCHAR) AS json_row FROM nation""".stripMargin)
+        |  n_name := n_name)) AS VARCHAR) AS json_row FROM nation""".stripMargin,
+    "q_s9_temp_view_sql" ->
+      """SELECT n_name AS nation_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
 }

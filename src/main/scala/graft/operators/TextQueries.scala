@@ -18,11 +18,13 @@ object TextQueries {
   private def withTokens(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
 
-  /** Token counting: whitespace tokens + distinct types + char stats. */
+  /** Token counting: whitespace tokens, BPE-ish regex word extraction,
+    * distinct types, char stats. */
   def txtTokens(s: SparkSession, dir: String): DataFrame =
     withTokens(table(s, dir, "documents")).select(
       col("doc_id"),
       size(col("toks")).as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_word_tokens"),
       size(array_distinct(col("toks"))).as("n_types"),
       length(col("text")).as("n_chars_text"),
       col("n_chars"))
@@ -135,6 +137,7 @@ object TextQueries {
     "q_txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_word_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_types,
         |  CAST(length(text) AS INTEGER) AS n_chars_text,
         |  n_chars
