@@ -183,6 +183,14 @@ object RelationalQueries {
       .limit(50)
       .select(col("o_orderkey"), col("pri"), col("o_totalprice"))
 
+  // O1-scale: per-key top-k via two-phase salted ranking (Salting.topKPerKey)
+  // — the 100 TB-safe form of the windowed top-k, oracle-checked to be
+  // identical to the plain window.
+  def o1SaltedTopK(s: SparkSession, dir: String): DataFrame =
+    Salting.topKPerKey(table(s, dir, "orders"), Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc), k = 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+
   // A-extension: grouped aggregation (TPC-H Q1 shape) with exact decimal money.
   def aggPricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
@@ -318,6 +326,7 @@ object RelationalQueries {
     "q_w4_minmax_window" -> (w4MinMaxWindow _),
     "q_w6_lead_changed" -> (w6LeadChanged _),
     "q_o1_topk_nulls" -> (o1TopKNulls _),
+    "q_o1_salted_topk" -> (o1SaltedTopK _),
     "q_agg_pricing_summary" -> (aggPricingSummary _),
     "q_f_strings" -> (fStrings _),
     "q_f_datetime" -> (fDatetime _),
@@ -419,6 +428,11 @@ object RelationalQueries {
         |  FROM orders)
         |ORDER BY pri DESC NULLS FIRST, o_totalprice ASC, o_orderkey ASC
         |LIMIT 50""".stripMargin,
+    "q_o1_salted_topk" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
