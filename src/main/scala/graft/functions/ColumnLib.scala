@@ -39,11 +39,18 @@ object ColumnLib {
   def containsAny(c: Column, values: Seq[String]): Column =
     values.map(v => instr(c, v) > 0).reduce(_ || _)
 
-  /** Strip phone punctuation and keep only plausible 10-digit numbers.
-    * Reference: mls_listings_transform.py:39-47 (`clean_phone_number`). */
+  /** Phone cleaner — exact reference semantics (transform.py:39-47):
+    * strip `-`, `(`, `)` and spaces; reject fake prefixes 000/111/999/123
+    * (checked on the RAW value's first 3 chars); keep a clean 10-digit
+    * number, or the first 10 digits when an extension marker ('x') follows
+    * a longer value; null otherwise. */
   def cleanPhoneNumber(c: Column): Column = {
-    val digits = regexp_replace(c, "[^0-9]", "")
-    when(length(digits) === 10, digits).otherwise(lit(null).cast(StringType))
+    val t1 = translate(c, "-() ", "")
+    val t2 = substring(t1, 1, 10)
+    when(substring(c, 1, 3).isin("000", "111", "999", "123"), lit(null).cast(StringType))
+      .otherwise(when((length(t1) === 10) && !lower(t1).contains("x"), t1)
+        .otherwise(when((length(t1) > 10) && lower(t1).contains("x"), t2)
+          .otherwise(lit(null).cast(StringType))))
   }
 
   /** Collapse runs of spaces to a single space — equivalent of the

@@ -461,9 +461,21 @@ object RelationalQueries {
         |  replace(p_name, ' ', '_') AS name_snake,
         |  md5(p_name) AS name_md5,
         |  CAST(length(string_split(p_name, ' ')) AS INTEGER) AS name_words,
-        |  CASE WHEN length(regexp_replace(p_partkey || '-555-000111', '[^0-9]', '', 'g')) = 10
-        |       THEN regexp_replace(p_partkey || '-555-000111', '[^0-9]', '', 'g') END
-        |    AS fake_phone,
+        |  CASE WHEN substring(p_partkey || '-555-000111', 1, 3) IN ('000','111','999','123')
+        |         THEN NULL
+        |       WHEN length(replace(replace(replace(replace(p_partkey || '-555-000111',
+        |              '-',''),'(',''),')',''),' ','')) = 10
+        |        AND NOT contains(lower(replace(replace(replace(replace(p_partkey || '-555-000111',
+        |              '-',''),'(',''),')',''),' ','')), 'x')
+        |         THEN replace(replace(replace(replace(p_partkey || '-555-000111',
+        |              '-',''),'(',''),')',''),' ','')
+        |       WHEN length(replace(replace(replace(replace(p_partkey || '-555-000111',
+        |              '-',''),'(',''),')',''),' ','')) > 10
+        |        AND contains(lower(replace(replace(replace(replace(p_partkey || '-555-000111',
+        |              '-',''),'(',''),')',''),' ','')), 'x')
+        |         THEN substring(replace(replace(replace(replace(p_partkey || '-555-000111',
+        |              '-',''),'(',''),')',''),' ',''), 1, 10)
+        |       END AS fake_phone,
         |  CASE WHEN trim(p_brand) = '' THEN NULL ELSE trim(p_brand) END AS brand_nn,
         |  regexp_full_match(p_brand, 'Brand#[0-9]{2}') AS brand_shape_ok
         |FROM part""".stripMargin,

@@ -22,6 +22,11 @@ object Validation {
     * Null `failWhen` results count as not-failed (three-valued logic
     * collapsed, matching check_valid_value's never-null contract). */
   def validate(df: DataFrame, rules: Seq[Rule]): Split = {
+    if (rules.isEmpty) {
+      return Split(good = df, rejected = df.limit(0)
+        .withColumn("_reject_flags", lit(0))
+        .withColumn("_reject_reasons", lit("")))
+    }
     val flagged = rules.foldLeft(df) { (acc, r) =>
       acc.withColumn(s"_flag_${r.name}",
         coalesce(r.failWhen, lit(false)).cast(IntegerType))
