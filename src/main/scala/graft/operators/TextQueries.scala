@@ -96,29 +96,48 @@ object TextQueries {
     * MinHash-LSH variant (q_dedup_minhash) which bounds candidates per band
     * bucket; semantics of surviving pairs are identical. */
   def dedupJaccardShingle(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    // Shingles are 64-bit-hashed once (collision odds ~1e-11 at this shingle
+    // cardinality, far below any oracle-visible effect) so all downstream
+    // joins move longs, not strings.
     val sh = withTokens(table(s, dir, "documents"))
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+          "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-    // Hash each shingle once (64-bit — collision odds ~1e-11 at this shingle
-    // cardinality, far below any oracle-visible effect): the pair join then
-    // shuffles (long, long) rows instead of shingle strings — the
-    // intermediate is sum-of-df² pair-rows, so row width dominates shuffle
-    // cost. Set sizes are attached after pair-counting via two slim
-    // broadcast joins.
-    val inv = sh.select(col("doc_id"),
-      explode(expr("transform(shingles, x -> xxhash64(x))")).as("sh"))
-    val sizes = sh.select(col("doc_id"), col("n_sh"))
-    inv.alias("a")
-      .join(inv.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "nb")), "doc_b")
+      .persist()
+
+    // PPJoin-style prefix filtering (lossless for J >= t): order each doc's
+    // shingles by ascending global document frequency; two docs with
+    // J >= t MUST share a shingle within both prefixes of length
+    // n - ceil(t*n) + 1. Candidate generation joins only the prefixes —
+    // the sum-of-df² blowup shrinks by ~4x AND concentrates on rare
+    // shingles — then candidates are verified with the exact intersection.
+    val inv = sh.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val docFreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = inv.join(docFreq, "sh")
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .filter(col("_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+
+    // Length filter: J >= t forces t <= |A|/|B| <= 1/t — prune size-
+    // incompatible pairs inside the join before they materialize.
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= col("b.n_sh") * threshold &&
+          col("b.n_sh") >= col("a.n_sh") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)

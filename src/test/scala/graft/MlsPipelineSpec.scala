@@ -116,6 +116,33 @@ class MlsPipelineSpec extends AnyFunSuite {
     assert(v("T2", "entry_date") == null)             // pre-1900 sanitized
   }
 
+  test("history job on MLS snapshot grain keeps only change rows") {
+    val root = Files.createTempDirectory("graft_mls_hist").toString
+    val cfg = Jobs.HistoryConfig(tableRoot = root,
+      keys = Seq("mls", "mls_listing_id", "source_as_of_date"),
+      versionOrder = Seq(col("source_as_of_date").desc),
+      entityKeys = Seq("mls", "mls_listing_id"),
+      tracked = Seq("current_price", "listing_status"))
+    def snap(ts: String, price: Double, status: String) =
+      listing("source_as_of_date" -> Timestamp.valueOf(ts),
+        "current_price" -> price, "listing_status" -> status)
+    val (good, _) = validate(
+      snap("2024-01-01 00:00:00", 100000.0, "A"),
+      snap("2024-02-01 00:00:00", 100000.0, "A"),   // no change → dropped
+      snap("2024-03-01 00:00:00", 95000.0, "A"),
+      snap("2024-04-01 00:00:00", 95000.0, "S"))
+    Jobs.runHistory(spark,
+      MlsTransform.transformListings(good, lit("2024-06-01").cast("date")), cfg)
+    val hist = ManagedTable.read(spark, root)
+    val rows = hist.select("source_as_of_date", "current_price_old",
+        "current_price_changed_flag", "listing_status_changed_flag")
+      .orderBy("source_as_of_date").collect()
+    assert(rows.length == 3) // the no-change 02-01 snapshot is absent
+    assert(rows(0).isNullAt(1) && rows(0).getBoolean(2))  // first insert
+    assert(rows(1).getDecimal(1).doubleValue() == 100000.0 && rows(1).getBoolean(2))
+    assert(!rows(2).getBoolean(2) && rows(2).getBoolean(3)) // status-only change
+  }
+
   test("curated job on MLS grain: incremental latest-wins with reference ordering") {
     val root = Files.createTempDirectory("graft_mls").toString
     val ordering = Seq(col("source_as_of_date").desc, col("listing_date").desc,
