@@ -57,10 +57,12 @@ object SimilarityQueries {
 
   /** LSH-bucketed ANN: sign-bit bucket from `nPlanes` fixed pseudo-random
     * hyperplanes (±1 entries, fixed seed — deterministic across executors),
-    * candidates = corpus vectors in the query's bucket, then exact cosine
-    * top-k within candidates. The scale path: bucket count grows 2^planes,
-    * per-query work drops proportionally; recall is tunable via multiprobe
-    * (not needed at this corpus size). */
+    * candidates = corpus vectors in the query's bucket OR any bucket one
+    * sign-flip away (Hamming-1 multiprobe — near-boundary neighbors land
+    * one flipped bit over, so single-probe recall degrades exactly where
+    * similarity is highest). Exact cosine top-k within candidates. Scale:
+    * candidate fraction ≈ (1+planes)/2^planes of the corpus per query,
+    * tunable via planes and probe radius. */
   def simLshTopK(s: SparkSession, dir: String, nPlanes: Int = 4,
                  nQueries: Int = 10, k: Int = 5): DataFrame = {
     val rnd = new scala.util.Random(7)
@@ -75,9 +77,11 @@ object SimilarityQueries {
       }.reduce(_ + _)
 
     val c = corpus(s, dir).withColumn("bucket", bucketOf(col("embedding")))
+    val probes = (0 until nPlanes).map(i => col("q_bucket0").bitwiseXOR(1 << i))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+        col("norm").as("q_norm"), col("bucket").as("q_bucket0"))
+      .withColumn("q_bucket", explode(array((col("q_bucket0") +: probes): _*)))
     val scored = c.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim",

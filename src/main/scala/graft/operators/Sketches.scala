@@ -18,15 +18,6 @@ import graft.sources.TableIO.table
   */
 object Sketches {
 
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime for (a*x+b) mod p
-
-  /** Fixed-seed universal-hash coefficients: k pairs (a odd, b). */
-  private def coeffs(k: Int, seed: Long): IndexedSeq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    IndexedSeq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong * 2 + 1,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
-
   /** Word-3-gram shingle array for a `text` column already split to `toks`. */
   private val shingleExpr =
     "array_distinct(transform(sequence(0, size(toks)-3), " +

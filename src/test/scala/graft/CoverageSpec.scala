@@ -45,6 +45,19 @@ class CoverageSpec extends AnyFunSuite {
     assert(ColumnLib.columnsOfType(df, DoubleType) == Seq("o_totalprice"))
   }
 
+  test("ANN: LSH-bucketed top-k keeps useful recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    def neighbors(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = neighbors(graft.operators.SimilarityQueries.simCosineTopK(spark, dir))
+    val lsh = neighbors(graft.operators.SimilarityQueries.simLshTopK(spark, dir))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // 4 hyperplanes / 16 buckets: candidates are ~1/16 of the corpus, so
+    // recall well above that floor shows the buckets are similarity-aligned
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    assert(lsh.nonEmpty)
+  }
+
   test("A1: countApprox and approx_count_distinct track exact counts") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.select(countDistinct(col("l_orderkey"))).as[Long].head()
