@@ -82,6 +82,57 @@ object MlsEnrich {
     }
   }
 
+  /** MSSQL lookup variant (transform.py:574-633, joins J8-J10): listing →
+    * Listing_dt on (mls, mlslistingid) recovers ailpropertyid; hop 1 into
+    * PropertyMaster resolves asgprimaryid; hop 2 re-joins PropertyMaster on
+    * the PRIMARY id to read its provisional/validation state. The final-
+    * flag CASE mirrors the API variant with asgtimestamp standing in for
+    * AddedToPmDate; the mssql_fixed flag records primary-id redirection. */
+  def lookupPropertyIdsFromMssql(listings: DataFrame, listingsMssql: DataFrame,
+                                 propertyMasterMssql: DataFrame): Option[DataFrame] = {
+    val forLkp = listings.select(col("mls").as("lkp_mls"),
+      col("mls_listing_id").as("lkp_mls_listing_id"))
+    if (forLkp.isEmpty) None
+    else {
+      val ldt = listingsMssql.select("mls", "mlslistingid", "ailpropertyid")
+      val pm = propertyMasterMssql.select("asgpropid", "asgprimaryid",
+        "isprovisional", "lastvalidated", "asgtimestamp")
+      val hop0 = forLkp
+        .join(ldt, col("lkp_mls") === col("mls") &&
+          col("lkp_mls_listing_id") === col("mlslistingid"), "left")
+        .select(col("lkp_mls"), col("lkp_mls_listing_id"),
+          when(col("mls").isNull, lit(false)).otherwise(lit(true))
+            .as("lkp_source_responded"),
+          col("ailpropertyid").as("lkp_ailpropertyid"))
+      val hop1 = hop0
+        .join(pm, col("lkp_ailpropertyid") === col("asgpropid"), "left")
+        .select(col("lkp_mls"), col("lkp_mls_listing_id"),
+          col("lkp_source_responded"), col("lkp_ailpropertyid"),
+          col("asgprimaryid").as("lkp_asgprimaryid"))
+      Some(hop1
+        .join(pm, col("lkp_asgprimaryid") === col("asgpropid"), "left")
+        .select(col("lkp_mls"), col("lkp_mls_listing_id"),
+          col("lkp_asgprimaryid").as("lkp_asg_primary_id"),
+          expr(
+            """CASE
+              |  WHEN lkp_asgprimaryid IS NULL THEN CAST(NULL AS boolean)
+              |  WHEN lkp_asgprimaryid IS NOT NULL AND isprovisional = 0
+              |       AND lastvalidated IS NOT NULL THEN true
+              |  WHEN lkp_asgprimaryid IS NOT NULL AND asgtimestamp IS NULL THEN true
+              |  ELSE false
+              |END""".stripMargin).as("lkp_asg_primary_id_final_flag"),
+          lit("MSSQL").as("lkp_asg_primary_id_source"),
+          col("lkp_source_responded").as("lkp_asg_primary_id_source_responded_flag"),
+          lit(null).cast(StringType).as("lkp_asg_primary_id_issue_text"),
+          expr(
+            """CASE
+              |  WHEN lkp_asgprimaryid IS NULL THEN CAST(NULL AS boolean)
+              |  WHEN lkp_ailpropertyid <> lkp_asgprimaryid THEN true
+              |  ELSE false
+              |END""".stripMargin).as("lkp_asg_primary_id_mssql_fixed_flag")))
+    }
+  }
+
   /** Attach phase (curated.py:236-271): inner-join results back, recompute
     * the twelve asg_* columns in the reference's column order, tag
     * `_from = 'propertyid_new'`, union with the main set, and keep the

@@ -71,6 +71,50 @@ object MlsTransform {
   private def squeezeUpper(c: Column, n: Int): Column =
     upper(substring(squeezeSpaces(c), 1, n))
 
+  /** Geo-reference joins (transform.py:360-397, J5/J6): counties joined
+    * twice (by fips; by state+basename) with `_fips`/`_county_name`
+    * coalesced from whichever hit; geo_ids joined three times (tract+fips;
+    * tractname+fips; bare geoid) with `_census_tract_geo_id` coalesced in
+    * that priority. All five joins broadcast; keep/strip/dropDuplicates as
+    * the reference does. The caller applies the `_`-replacement cleanup. */
+  def attachGeo(good: DataFrame, counties: DataFrame, geoIds: DataFrame): DataFrame = {
+    val l = prefixColumns(good, "listings_")
+    def dim(df: DataFrame, cols: Seq[String], p: String) =
+      prefixColumns(df.select(cols.map(col): _*), p)
+    val c1 = dim(counties, Seq("fips", "state", "basename"), "counties1_")
+    val c2 = dim(counties, Seq("fips", "state", "basename"), "counties2_")
+    val gCols = Seq("fips", "censustract", "censustractgeoid", "censustractname")
+    val g1 = dim(geoIds, gCols, "geo_ids1_")
+    val g2 = dim(geoIds, gCols, "geo_ids2_")
+    val g3 = dim(geoIds, gCols, "geo_ids3_")
+
+    val withCounties = l
+      .join(broadcast(c1), col("listings_fips") === col("counties1_fips"), "left")
+      .join(broadcast(c2),
+        col("listings_state") === col("counties2_state") &&
+          col("listings_county_name") === col("counties2_basename"), "left")
+      .withColumn("_fips", coalesce(col("counties1_fips"), col("counties2_fips")))
+      .withColumn("_county_name",
+        coalesce(substring(col("listings_county_name"), 1, 50),
+          col("counties1_basename")))
+    val withGeo = withCounties
+      .join(broadcast(g1),
+        col("listings_census_tract_geo_id") === col("geo_ids1_censustract") &&
+          col("_fips") === col("geo_ids1_fips"), "left")
+      .join(broadcast(g2),
+        col("listings_census_tract_geo_id") === col("geo_ids2_censustractname") &&
+          col("_fips") === col("geo_ids2_fips"), "left")
+      .join(broadcast(g3),
+        col("listings_census_tract_geo_id") === col("geo_ids3_censustractgeoid"), "left")
+      .withColumn("_census_tract_geo_id",
+        coalesce(col("geo_ids1_censustractgeoid"), col("geo_ids2_censustractgeoid"),
+          col("geo_ids3_censustractgeoid")))
+
+    val kept = keepColumns(withGeo, c => c.startsWith("listings_") ||
+      Seq("_fips", "_county_name", "_census_tract_geo_id").contains(c))
+    stripPrefix(kept, "listings_").dropDuplicates()
+  }
+
   def transformListings(good: DataFrame, asOf: Column = current_date()): DataFrame = {
     val sanitized = sanitizeByType(good)
     val derived = sanitized

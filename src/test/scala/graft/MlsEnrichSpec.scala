@@ -94,4 +94,62 @@ class MlsEnrichSpec extends AnyFunSuite {
     assert(MlsEnrich.lookupPropertyIds(spark, main().limit(0),
       new FakePropertyIdService, 10).isEmpty)
   }
+
+  test("MSSQL lookup variant: three-hop joins, final and fixed flags") {
+    import spark.implicits._
+    val listings = Seq(("MLS1", "L1"), ("MLS1", "L2"), ("MLS1", "L3"))
+      .toDF("mls", "mls_listing_id")
+    val ldt = Seq(("MLS1", "L1", 10L), ("MLS1", "L2", 20L))
+      .toDF("mls", "mlslistingid", "ailpropertyid")
+    // pm: 10 redirects to primary 11 (fixed); 11 is validated non-provisional
+    // → Final; 20 points at itself but 20 is provisional with a timestamp
+    // → Provisional
+    val pm = Seq(
+      (10L, 11L, 0, "2023-01-01", "ts1"),
+      (11L, 11L, 0, "2023-01-01", "ts1"),
+      (20L, 20L, 1, null, "ts2"))
+      .toDF("asgpropid", "asgprimaryid", "isprovisional", "lastvalidated",
+        "asgtimestamp")
+    val out = MlsEnrich.lookupPropertyIdsFromMssql(listings, ldt, pm).get
+    val idx = out.columns.zipWithIndex.toMap
+    val byId = out.collect().map(r => r.getString(idx("lkp_mls_listing_id")) -> r).toMap
+    def v(id: String, c: String): Any = byId(id).get(idx(c))
+    assert(v("L1", "lkp_asg_primary_id") == 11L)
+    assert(v("L1", "lkp_asg_primary_id_final_flag") == true)
+    assert(v("L1", "lkp_asg_primary_id_mssql_fixed_flag") == true) // 10 → 11
+    assert(v("L2", "lkp_asg_primary_id") == 20L)
+    assert(v("L2", "lkp_asg_primary_id_final_flag") == false) // provisional
+    assert(v("L2", "lkp_asg_primary_id_mssql_fixed_flag") == false)
+    assert(v("L3", "lkp_asg_primary_id") == null) // not in Listing_dt
+    assert(v("L3", "lkp_asg_primary_id_final_flag") == null)
+    assert(v("L3", "lkp_asg_primary_id_source_responded_flag") == false)
+    assert(v("L1", "lkp_asg_primary_id_source") == "MSSQL")
+  }
+
+  test("geo joins: counties fips/state-name fallback, 3-way geo-id coalesce") {
+    import spark.implicits._
+    val good = Seq(
+      ("L1", "48201", "TX", "Harris", "312000"),     // fips hit + tract hit
+      ("L2", null, "TX", "Harris", "9999"),          // state+basename fallback
+      ("L3", null, "CO", "Denver", "08031000100"))   // bare-geoid fallback
+      .toDF("mls_listing_id", "fips", "state", "county_name", "census_tract_geo_id")
+    val counties = Seq(("48201", "TX", "Harris"), ("08031", "CO", "Denver"))
+      .toDF("fips", "state", "basename")
+    val geoIds = Seq(
+      ("48201", "312000", "48201312000", "3120.00"),
+      ("08031", "000100", "08031000100", "1.00"))
+      .toDF("fips", "censustract", "censustractgeoid", "censustractname")
+    val out = graft.functions.ColumnLib.applyUnderscoreReplacements(
+      graft.pipeline.mls.MlsTransform.attachGeo(good, counties, geoIds))
+    val idx = out.columns.zipWithIndex.toMap
+    val byId = out.collect().map(r => r.getString(idx("mls_listing_id")) -> r).toMap
+    def v(id: String, c: String): Any = byId(id).get(idx(c))
+    assert(v("L1", "fips") == "48201")
+    assert(v("L1", "census_tract_geo_id") == "48201312000") // tract+fips join
+    assert(v("L2", "fips") == "48201")                      // fallback join hit
+    assert(v("L2", "census_tract_geo_id") == null)
+    assert(v("L3", "fips") == "08031")
+    assert(v("L3", "census_tract_geo_id") == "08031000100") // bare-geoid join
+    assert(v("L1", "county_name") == "Harris")
+  }
 }
