@@ -63,8 +63,21 @@ object JobsDemo {
     val backfilled = ManagedTable.read(spark, curatedCfg.tableRoot)
       .filter(col("o_orderpriority") === "0-BACKFILLED").count()
 
+    // Bucketed-table leg: delta-proportional merge (see SCALE.md)
+    val btRoot = s"$outDir/bucketed"
+    graft.sources.BucketedTable.create(btRoot,
+      orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      Seq("o_orderkey"), nBuckets = 16)
+    graft.sources.BucketedTable.merge(spark, btRoot,
+      orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(10).withColumn("o_orderstatus", lit("U")))
+    val btRows = graft.sources.BucketedTable.read(spark, btRoot).count()
+    val btUpdated = graft.sources.BucketedTable.read(spark, btRoot)
+      .filter(col("o_orderstatus") === "U").count()
+
     println(s"""{"curated_run1":$afterRun1,"curated_run2":$afterRun2,""" +
-      s""""hist_rows":$histRows,"backfilled":$backfilled}""")
+      s""""hist_rows":$histRows,"backfilled":$backfilled,""" +
+      s""""bucketed_rows":$btRows,"bucketed_updated":$btUpdated}""")
     spark.stop()
   }
 }

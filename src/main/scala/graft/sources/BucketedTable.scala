@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Hash-bucketed managed table — the 100 TB upgrade of [[ManagedTable]]'s
+  * whole-snapshot MERGE. The table is split into `nBuckets` key-hash
+  * buckets; each version directory materializes ONLY the buckets the merge
+  * touched, and a manifest maps every bucket to the newest version that
+  * holds it (a miniature LSM/Iceberg-style metadata layer, built from
+  * public designs):
+  *
+  * {{{
+  *   <root>/v0/b00000/ ... b00031/      initial full write
+  *   <root>/v1/b00007/                  merge that touched bucket 7 only
+  *   <root>/v1/_manifest                bucket -> "v0" | "v1" (one line each)
+  *   <root>/_latest                     live version pointer (atomic swap)
+  * }}}
+  *
+  * MERGE cost is therefore proportional to the DELTA: the source is
+  * bucketed, only manifest entries for source buckets are read and
+  * rewritten, and untouched buckets are carried forward by reference.
+  * At 100 TB with a daily delta touching 1% of buckets, the rewrite is
+  * ~1 TB instead of 100 TB — and the merge join only shuffles the touched
+  * buckets' rows. Readers always see one consistent manifest (immutable
+  * version dirs + atomic pointer swap, same protocol as ManagedTable).
+  */
+object BucketedTable {
+
+  private def latestFile(root: String): Path = Paths.get(root, "_latest")
+
+  final case class Meta(version: Int, nBuckets: Int, keys: Seq[String],
+                        manifest: Map[Int, String])
+
+  def exists(root: String): Boolean = Files.exists(latestFile(root))
+
+  private def bucketCol(keys: Seq[String], nBuckets: Int) =
+    pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  private def readMeta(root: String): Meta = {
+    val v = Files.readString(latestFile(root)).trim.toInt
+    val lines = Files.readAllLines(Paths.get(root, s"v$v", "_manifest")).asScala
+    val header = lines.head.split(",") // nBuckets,key1;key2
+    Meta(v, header(0).toInt, header(1).split(";").toIndexedSeq,
+      lines.tail.map { l =>
+        val Array(b, ver) = l.split(","); b.toInt -> ver
+      }.toMap)
+  }
+
+  private def writeVersion(root: String, version: Int, nBuckets: Int,
+                           keys: Seq[String], manifest: Map[Int, String]): Unit = {
+    val dir = Paths.get(root, s"v$version")
+    Files.createDirectories(dir)
+    val body = (s"$nBuckets,${keys.mkString(";")}" +:
+      manifest.toSeq.sortBy(_._1).map { case (b, v) => s"$b,$v" }).mkString("\n")
+    Files.writeString(dir.resolve("_manifest"), body)
+    val tmp = Paths.get(root, s"_latest.tmp$version")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketDir(root: String, ver: String, b: Int): String =
+    f"$root/$ver/b$b%05d"
+
+  /** Remove the partitionBy staging dir once its buckets are moved out. */
+  private def dropStaging(root: String, ver: Int): Unit = {
+    val staging = Paths.get(s"$root/v$ver/_data")
+    if (Files.exists(staging))
+      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.delete)
+  }
+
+  /** Initial full write: every bucket lands in v0. */
+  def create(root: String, df: DataFrame, keys: Seq[String], nBuckets: Int): Unit = {
+    val withB = df.withColumn("_bucket", bucketCol(keys, nBuckets))
+    withB.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/v0/_data")
+    // Rename spark's _bucket=N dirs into stable bucket dirs so the manifest
+    // can address them individually.
+    (0 until nBuckets).foreach { b =>
+      val src = Paths.get(s"$root/v0/_data/_bucket=$b")
+      val dst = Paths.get(bucketDir(root, "v0", b))
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst) // empty bucket
+    }
+    dropStaging(root, 0)
+    writeVersion(root, 0, nBuckets, keys,
+      (0 until nBuckets).map(_ -> "v0").toMap)
+  }
+
+  /** Read the live table (all buckets via the manifest). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val meta = readMeta(root)
+    val paths = meta.manifest.toSeq.sortBy(_._1)
+      .map { case (b, ver) => bucketDir(root, ver, b) }
+      .filter(p => Files.list(Paths.get(p)).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Keyed MERGE touching only the buckets that contain source keys. */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+            clauses: MergeClauses.Spec = MergeClauses.Spec()): Unit = {
+    val meta = readMeta(root)
+    val srcB = source.withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+      .persist()
+    val touched = srcB.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val touchedSet = touched.toSet
+
+    val targetPaths = touched
+      .map(b => bucketDir(root, meta.manifest(b), b))
+      .filter(p => Files.list(Paths.get(p)).iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val target =
+      if (targetPaths.isEmpty) srcB.drop("_bucket").limit(0)
+      else spark.read.parquet(targetPaths.toIndexedSeq: _*)
+
+    val merged = graft.operators.Merge
+      .mergeFrames(target, srcB.drop("_bucket"), meta.keys, clauses)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+
+    val next = meta.version + 1
+    merged.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/v$next/_data")
+    touched.foreach { b =>
+      val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
+      val dst = Paths.get(bucketDir(root, s"v$next", b))
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst) // bucket emptied by matched-delete
+    }
+    dropStaging(root, next)
+    val manifest = meta.manifest.map { case (b, ver) =>
+      b -> (if (touchedSet(b)) s"v$next" else ver)
+    }
+    writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
+    srcB.unpersist()
+  }
+}
