@@ -35,6 +35,20 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: md5-fingerprint + `dropDuplicates` keeps the
+    * first arrival of each distinct payload; the watermark bounds the
+    * dedup state (a fingerprint older than the horizon is forgotten —
+    * at 100 TB/day unbounded dedup state is the failure mode, so the
+    * horizon IS the design decision). Works identically on a batch frame
+    * modulo state expiry. */
+  def streamingDedup(docs: DataFrame, idCol: String, textCol: String,
+                     tsCol: String, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates("fingerprint")
+      .select(col(idCol), col("fingerprint"))
+
   /** Stateful sessionization with `flatMapGroupsWithState`: per-user state
     * carries (current session seq, last event time); a >`gapMinutes` gap
     * opens a new session. Production would use EventTimeTimeout to expire

@@ -39,6 +39,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup keeps first arrival per fingerprint across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val named = stream.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.streamingDedup(named, "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    stream.addData((1L, "alpha", ts(1)), (2L, "beta", ts(2)), (3L, "alpha", ts(3)))
+    q.processAllAvailable()
+    stream.addData((4L, "alpha", ts(4)), (5L, "gamma", ts(5))) // dup in batch 2
+    q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L)) // 3 and 4 are cross-batch dups
+  }
+
   test("stateful sessionization across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
