@@ -24,9 +24,11 @@ import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 object VectorExpressions {
 
   /** Float64 dot product of two float arrays, accumulated in array order —
-    * bit-identical to aggregate(zip_with(a, b, _*_), 0d, _+_). */
+    * bit-identical to aggregate(zip_with(a, b, _*_), 0d, _+_). Generates a
+    * primitive loop under whole-stage codegen (same arithmetic order as the
+    * interpreted path). */
   case class ArrayDotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -40,13 +42,26 @@ object VectorExpressions {
       }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value} += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
 
-  /** Float64 L2 norm of a float array (in-order accumulation + sqrt). */
+  /** Float64 L2 norm of a float array (in-order accumulation + sqrt);
+    * codegen'd primitive loop. */
   case class ArrayL2Norm(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -59,6 +74,19 @@ object VectorExpressions {
       }
       math.sqrt(acc)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val v = ctx.freshName("v")
+        s"""
+           |${ev.value} = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = (double) $a.getFloat($i);
+           |  ${ev.value} += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt(${ev.value});
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
