@@ -208,6 +208,40 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
   }
 
+  // Engine-completeness beyond the reference's surface: multi-level
+  // aggregation (rollup), pivot, semi/anti joins, intersect/except — a user
+  // switching from any SQL workload gets these for free from Catalyst.
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+
+  def setSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    val withBig = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_big_order").as("segment"))
+    val withoutBig = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_big_order").as("segment"))
+    withBig.unionAll(withoutBig)
+  }
+
+  def setIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val early = table(s, dir, "orders").filter(col("o_orderdate") < "1996-01-01")
+      .select(col("o_custkey"))
+    val late = table(s, dir, "orders").filter(col("o_orderdate") >= "1997-01-01")
+      .select(col("o_custkey"))
+    early.intersect(late).withColumn("membership", lit("both_eras"))
+      .unionAll(early.except(late).withColumn("membership", lit("early_only")))
+  }
+
   // §2.8 scalar-function gallery: strings.
   def fStrings(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "part").select(
@@ -328,6 +362,10 @@ object RelationalQueries {
     "q_o1_topk_nulls" -> (o1TopKNulls _),
     "q_o1_salted_topk" -> (o1SaltedTopK _),
     "q_agg_pricing_summary" -> (aggPricingSummary _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_agg_pivot" -> (aggPivot _),
+    "q_set_semi_anti" -> (setSemiAnti _),
+    "q_set_intersect_except" -> (setIntersectExcept _),
     "q_f_strings" -> (fStrings _),
     "q_f_datetime" -> (fDatetime _),
     "q_f_conditional" -> (fConditional _),
@@ -447,6 +485,31 @@ object RelationalQueries {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_set_semi_anti" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |SELECT c_custkey, 'has_big_order' AS segment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big_order' AS segment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_set_intersect_except" ->
+      """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < '1996-01-01'),
+        |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= '1997-01-01')
+        |SELECT o_custkey, 'both_eras' AS membership
+        |FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+        |UNION ALL
+        |SELECT o_custkey, 'early_only' AS membership
+        |FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)""".stripMargin,
     "q_f_strings" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_upper,
