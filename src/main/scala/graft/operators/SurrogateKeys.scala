@@ -32,6 +32,6 @@ object SurrogateKeys {
       .crossJoin(broadcast(base))
       .withColumn(surrogateCol, col("m") + col("_rn"))
       .drop("_rn", "m")
-    mapping.unionByName(assigned.select(mapping.columns.map(col): _*))
+    mapping.unionByName(assigned.select(mapping.columns.map(col).toIndexedSeq: _*))
   }
 }

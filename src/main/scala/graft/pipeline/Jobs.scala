@@ -66,7 +66,7 @@ object Jobs {
     val derived = (c: String) => c.endsWith("_old") ||
       c.endsWith("_changed_flag") || c == "_insert_update_flag"
     val current = ManagedTable.read(spark, cfg.tableRoot)
-    val bare = current.drop(current.columns.filter(derived): _*)
+    val bare = current.drop(current.columns.filter(derived).toIndexedSeq: _*)
     val winners = LatestWins.dedupeAll(input, bare, cfg.keys, cfg.versionOrder)
     val flagged = LatestWins.changeFlags(winners, cfg.entityKeys,
       cfg.versionOrder, cfg.tracked)
