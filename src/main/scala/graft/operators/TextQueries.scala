@@ -144,13 +144,62 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact per-group quantiles via window math (rank == ceil(q·n)) —
+    * deterministic integer selection, unlike interpolating percentile
+    * functions whose midpoint arithmetic differs across engines. The corpus
+    * length distribution per language is a standard training-data health
+    * check. */
+  def txtLengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("n_chars").asc, col("doc_id").asc)
+    table(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byLang))
+      .withColumn("q", when(col("rn") === ceil(col("cnt") * 0.5), "p50")
+        .when(col("rn") === ceil(col("cnt") * 0.9), "p90")
+        .when(col("rn") === col("cnt"), "max"))
+      .filter(col("q").isNotNull)
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("q") === "p50", col("n_chars"))).as("p50_chars"),
+        max(when(col("q") === "p90", col("n_chars"))).as("p90_chars"),
+        max(when(col("q") === "max", col("n_chars"))).as("max_chars"))
+  }
+
+  /** TF-IDF top terms per document: tf from the token bag, idf =
+    * ln((N+1)/(df+1)), score = tf·idf, top-3 per doc with a term tiebreak.
+    * Corpus vocabulary weighting is the first step of most quality/topic
+    * filters. The raw score is NOT part of the checked output: `ln` differs
+    * in the last ULP between Java's Math.log and DuckDB's libm, so only the
+    * ULP-robust artifacts (rank, term, tf) are emitted — distinct (tf, df)
+    * combinations sit far more than a ULP apart, so rankings agree. */
+  def txtTfIdf(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = withTokens(table(s, dir, "documents"))
+    val terms = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val n = docs.count()
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    terms.join(broadcast(df), "term")
+      .withColumn("idf", log((lit(n) + 1).cast(DoubleType) /
+        (col("df") + 1).cast(DoubleType)))
+      .withColumn("score", col("tf").cast(DoubleType) * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_tokens" -> (txtTokens _),
     "q_txt_quality" -> (txtQuality _),
     "q_txt_langid" -> (txtLangId _),
     "q_txt_fingerprint" -> (txtFingerprint _),
     "q_dedup_exact" -> (dedupExact _),
-    "q_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccardShingle(s, d)))
+    "q_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccardShingle(s, d)),
+    "q_txt_quantiles" -> (txtLengthQuantiles _),
+    "q_txt_tfidf" -> ((s: SparkSession, d: String) => txtTfIdf(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_txt_tokens" ->
@@ -198,6 +247,40 @@ object TextQueries {
       """SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs,
         |  MIN(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_txt_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN 'p50'
+        |         WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN 'p90'
+        |         WHEN rn = cnt THEN 'max' END AS q
+        |  FROM ranked)
+        |SELECT lang,
+        |  MAX(CASE WHEN q = 'p50' THEN n_chars END) AS p50_chars,
+        |  MAX(CASE WHEN q = 'p90' THEN n_chars END) AS p90_chars,
+        |  MAX(CASE WHEN q = 'max' THEN n_chars END) AS max_chars
+        |FROM tagged WHERE q IS NOT NULL GROUP BY lang""".stripMargin,
+    "q_txt_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(n.n + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
