@@ -32,28 +32,31 @@ object MultimodalQueries {
 
   /** STUB DECODE (`???`-equivalent): a real implementation would parse the
     * container format (JPEG/WAV/MP4) here. The stub derives deterministic
-    * pseudo-features from the bytes so the full Spark plumbing — binary in,
-    * fixed-schema feature struct out, batch iteration per partition — is
-    * exercised end-to-end. */
-  private def stubDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    * pseudo-features from the payload's SHA-256 content address and byte
+    * length — primitives DuckDB also computes, so the decode leg gets a
+    * full hash-checked oracle instead of a rows-only check — while the
+    * Spark plumbing (binary in, fixed-schema feature struct out, per-
+    * partition batch iteration) stays exactly what a real codec needs. */
+  private def stubDecode(payload: Array[Byte]): (Int, Int, Int, Int, Double) = {
     // ??? real codec goes here — deterministic fake below.
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val width = 64 + math.floorMod(h, 1024).toInt
-    val height = 64 + math.floorMod(h >> 10, 1024).toInt
-    val channels = 1 + math.floorMod(h >> 20, 4).toInt
-    val meanByte = if (payload.isEmpty) 0.0
-      else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
-    (width, height, channels, meanByte)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    def hexInt(from: Int, until: Int): Long =
+      java.lang.Long.parseLong(hex.substring(from, until), 16)
+    val width = 64 + (hexInt(0, 4) % 1024).toInt
+    val height = 64 + (hexInt(4, 8) % 1024).toInt
+    val channels = 1 + (hexInt(8, 9) % 4).toInt
+    val luma = hexInt(10, 16).toDouble / 1e6
+    (payload.length, width, height, channels, luma)
   }
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
-    StructField("mean_byte", DoubleType)))
+    StructField("luma", DoubleType)))
 
   /** Partition-parallel decode/feature-extract over the binary payload —
     * the reference's mapPartitions shape (mls_listings_transform.py:419-481,
@@ -64,8 +67,8 @@ object MultimodalQueries {
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
     val rows = src.rdd.mapPartitions { it =>
       it.map { r =>
-        val (w, h, c, m) = stubDecode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getAs[Long]("doc_id"), w, h, c, m)
+        val (n, w, h, c, m) = stubDecode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getAs[Long]("doc_id"), n, w, h, c, m)
       }
     }
     s.createDataFrame(rows, featureSchema)
@@ -75,12 +78,24 @@ object MultimodalQueries {
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _))
 
-  // q_mm_decode_features: stubbed codec → no SQL oracle (rows-only check).
   val oracles: Map[String, String] = Map(
     "q_mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256,
         |  substring(to_base64(CAST(text AS BLOB)), 1, 12) AS head_b64
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // Mirrors stubDecode exactly: features are pure functions of the
+    // payload's sha256 hex and octet length, both engine-portable.
+    "q_mm_decode_features" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |    sha256(text) AS hex
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(64 + ('0x' || substr(hex, 1, 4))::BIGINT % 1024 AS INTEGER) AS width,
+        |  CAST(64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1024 AS INTEGER) AS height,
+        |  CAST(1 + ('0x' || substr(hex, 9, 1))::BIGINT % 4 AS INTEGER) AS channels,
+        |  CAST(('0x' || substr(hex, 11, 6))::BIGINT AS DOUBLE) / 1e6 AS luma
+        |FROM h""".stripMargin)
 }

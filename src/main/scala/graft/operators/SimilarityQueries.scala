@@ -63,11 +63,17 @@ object SimilarityQueries {
     * similarity is highest). Exact cosine top-k within candidates. Scale:
     * candidate fraction ≈ (1+planes)/2^planes of the corpus per query,
     * tunable via planes and probe radius. */
+  /** Fixed-seed ±1 hyperplane matrix, shared by the Spark plan AND the
+    * generated DuckDB oracle SQL (the planes are emitted as SQL literals,
+    * so both engines compute byte-identical buckets). */
+  private def lshPlanes(nPlanes: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(nPlanes)(IndexedSeq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
   def simLshTopK(s: SparkSession, dir: String, nPlanes: Int = 4,
                  nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val rnd = new scala.util.Random(7)
-    val planes: IndexedSeq[IndexedSeq[Double]] =
-      IndexedSeq.fill(nPlanes)(IndexedSeq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val planes = lshPlanes(nPlanes)
     def bucketOf(e: Column): Column =
       planes.zipWithIndex.map { case (p, i) =>
         val dot = aggregate(
@@ -116,9 +122,47 @@ object SimilarityQueries {
     "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
 
-  // q_sim_lsh_topk has no oracle (bucket membership depends on seeded
-  // hyperplanes) → rows-only check.
+  /** DuckDB SQL replicating simLshTopK exactly: the seeded plane matrix is
+    * inlined as ±1.0 literals, sign-bit buckets and Hamming-1 probes are
+    * recomputed in SQL, and the exact cosine re-rank matches the float64
+    * in-order accumulation both engines share. */
+  private def lshTopKOracle(nPlanes: Int, nQueries: Int, k: Int): String = {
+    val planes = lshPlanes(nPlanes)
+    def dotSql(p: IndexedSeq[Double]): String = {
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lits)[j]))"
+    }
+    val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probesSql = ("b0" +: (0 until nPlanes).map(i => s"xor(b0, ${1 << i})"))
+      .mkString("[", ", ", "]")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) AS norm,
+       |    ($bucketSql) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+       |        bucket AS b0
+       |      FROM c WHERE vec_id < $nQueries),
+       |p AS (SELECT query_id, q_emb, q_norm, unnest($probesSql) AS q_bucket FROM q),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> CAST(p.q_emb[j] AS DOUBLE) * CAST(c.embedding[j] AS DOUBLE)))
+       |      / (p.q_norm * c.norm) AS cos_sim
+       |  FROM c JOIN p ON c.bucket = p.q_bucket AND c.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sim_lsh_topk" -> lshTopKOracle(nPlanes = 4, nQueries = 10, k = 5),
     "q_sim_cosine_topk" ->
       """WITH c AS (
         |  SELECT vec_id, embedding,

@@ -78,14 +78,18 @@ object Sketches {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash signature from token xxhash64 bit votes: bit j of the
+  /** 64-bit SimHash signature from token-hash bit votes: bit j of the
     * signature is 1 iff more tokens have bit j set than unset. Tokens are
-    * xxhash64'd once, then the 64 bit-votes and sign-packing happen in one
-    * native-expression pass (the earlier 64-aggregate SQL form re-hashed
-    * every token per bit, interpreted — ~4000 lambda evals per doc). */
+    * hashed once to a 60-bit int (md5 hex prefix — md5 is the one hash both
+    * Spark and DuckDB compute byte-identically, which is what makes the
+    * DuckDB oracle possible; 15 hex chars keep the value positive in a
+    * signed long on both engines), then the 64 bit-votes and sign-packing
+    * happen in one native-expression pass. Bits 60-63 of every hash are 0,
+    * so those signature bits are always 0 — harmless for banding/Hamming. */
   def simhash(toksCol: String): Column =
     graft.functions.VectorExpressions.simhash64(
-      transform(col(toksCol), t => xxhash64(t)))
+      transform(col(toksCol),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))
 
   /** SimHash near-dup pairs: band the 64-bit signature into eight 8-bit
     * chunks (any pair within Hamming distance 7 must agree on ≥1 chunk),
@@ -116,8 +120,31 @@ object Sketches {
 
   /** The MinHash+LSH pipeline (verified candidates) must reproduce exact
     * all-pairs shingle Jaccard at this dataset's similarity split — same
-    * oracle as q_dedup_jaccard. SimHash has no SQL-expressible oracle
-    * (xxhash64 bit votes) → rows-only check. */
+    * oracle as q_dedup_jaccard. The SimHash oracle recomputes the whole
+    * pipeline in DuckDB SQL: identical md5-derived token hashes, the 60
+    * live bit-votes, sign-packing, 8×8-bit banding, and the Hamming
+    * verify — exact, not statistical. */
   val oracles: Map[String, String] = Map(
-    "q_dedup_minhash" -> TextQueries.oracles("q_dedup_jaccard"))
+    "q_dedup_minhash" -> TextQueries.oracles("q_dedup_jaccard"),
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(toks, tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hs
+        |  FROM t),
+        |sig AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN list_sum(list_transform(hs,
+        |           x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM h),
+        |banded AS (SELECT doc_id, simhash, b.range AS band,
+        |    (simhash >> (b.range * 8)) & 255 AS chunk
+        |  FROM sig CROSS JOIN range(0, 8) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 7""".stripMargin)
 }
