@@ -23,26 +23,45 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A broken query must fail LOUDLY: a swallowed exception would record
+    // its time-to-failure and silently IMPROVE the total. Failures are
+    // collected, reported in the JSON (`errors`), excluded from `value`,
+    // and fail the process.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // warmup: full execution once (untimed)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
     def timed(n: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      SparkEntry.queries(n)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map(n => n -> math.min(timed(n), timed(n)))
+    val results = names.filterNot(errors.contains)
+      .map(n => n -> math.min(timed(n), timed(n)))
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

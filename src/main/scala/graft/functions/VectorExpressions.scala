@@ -97,10 +97,13 @@ object VectorExpressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private val P = 2147483647L
+    // a ∈ [1, P), b ∈ [0, P): with the input also reduced mod P before the
+    // multiply, a*x + b < 2^62 — no Long overflow (the earlier a < 2^32
+    // variant overflowed for large x, silently biasing the "universal" hash).
     private lazy val (as, bs) = {
       val rnd = new scala.util.Random(seed)
-      val a = Array.fill(k)(rnd.nextInt(Int.MaxValue - 1).toLong * 2 + 1)
-      val b = Array.fill(k)(rnd.nextInt(Int.MaxValue).toLong)
+      val a = Array.fill(k)(rnd.nextInt((P - 1).toInt).toLong + 1L)
+      val b = Array.fill(k)(rnd.nextInt(P.toInt).toLong)
       (a, b)
     }
     override def nullSafeEval(input: Any): Any = {
@@ -108,10 +111,10 @@ object VectorExpressions {
       val sig = Array.fill(k)(Long.MaxValue)
       var i = 0
       while (i < hs.numElements()) {
-        val x = hs.getInt(i).toLong
+        val x = java.lang.Math.floorMod(hs.getInt(i).toLong, P)
         var j = 0
         while (j < k) {
-          val v = java.lang.Math.floorMod(as(j) * x + bs(j), P)
+          val v = (as(j) * x + bs(j)) % P
           if (v < sig(j)) sig(j) = v
           j += 1
         }

@@ -16,9 +16,16 @@ object EventQueries {
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4's
     * TimestampType (micros) rejects outright. Read nanos as long and convert
     * explicitly — `div 1000` truncation matches DuckDB's `epoch_us` on a
-    * TIMESTAMP_NS value, keeping the oracle exact. */
+    * TIMESTAMP_NS value, keeping the oracle exact.
+    *
+    * The required `nanosAsLong` flag is a SESSION-build setting (Bench/
+    * Verify/Explain/tests all set it): mutating session conf from inside a
+    * query builder would be a hidden side effect on every other query in
+    * flight, so this fails fast instead. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events is TIMESTAMP(NANOS) parquet: set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "when building the SparkSession")
     table(s, dir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))

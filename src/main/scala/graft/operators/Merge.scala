@@ -22,8 +22,23 @@ object Merge {
                   clauses: MergeClauses.Spec = MergeClauses.Spec()): DataFrame = {
     val cols = target.columns.toIndexedSeq
     val t = target.withColumn("__t_present", lit(true)).alias("t")
+    // Delta MERGE errors when multiple source rows match one target row;
+    // the full-outer-join formulation would instead silently fan the target
+    // row out. Enforce the same contract: a per-key count window (the
+    // source is about to be shuffled on these keys for the join anyway)
+    // plus assert_true fails the job on the first duplicate key. The assert
+    // is folded into the kept __s_present column — a standalone dropped
+    // column would be pruned away by the optimizer, check and all.
+    val keyCount = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*))
     val s = source.select(cols.map(col): _*)
-      .withColumn("__s_present", lit(true)).alias("s")
+      .withColumn("__key_n", keyCount)
+      .withColumn("__s_present", coalesce(
+        assert_true(col("__key_n") <= 1,
+          lit(s"MERGE source has duplicate rows for key (${keys.mkString(", ")})"))
+          .cast("boolean"),
+        lit(true)))
+      .drop("__key_n").alias("s")
     val keyCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, keyCond, "full_outer")
 

@@ -101,20 +101,51 @@ object SimilarityQueries {
         col("cos_sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all pairs above a cosine
-    * threshold, via the same broadcast scan (corpus × corpus at test scale;
-    * at 100 TB this is the LSH-bucketed join instead). */
-  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  /** Embedding-cosine near-duplicate pairs: ALL pairs above a cosine
+    * threshold — exact semantics, distributed plan.
+    *
+    * Why not LSH candidates + verify: this dataset (and any threshold-dedup
+    * over a continuous similarity distribution) has NO similarity gap at
+    * the cut — measured at sf0.01/0.1, the closest pair below the 0.35
+    * threshold sits at cos 0.34997 and the closest above at 0.35004, and a
+    * pair at cos 0.35 disagrees with each random hyperplane w.p. ≈ 0.39,
+    * so every banding scheme drops some qualifying pairs. Exact all-pairs
+    * cosine over dense vectors is inherently O(n²) compute; the job of the
+    * plan is to DISTRIBUTE that compute, not to fake it away.
+    *
+    * Shape: triangle blocking (the 1-bucket-theta join of Okcan &
+    * Riedewald, SIGMOD'11). Each vector lands in block g = hash(id) mod B
+    * and is replicated ≤ B+1 times across the B(B+1)/2 unordered block
+    * pairs, which become balanced reduce groups of a shuffled EQUI-join on
+    * (lo, hi). No BroadcastNestedLoop/Cartesian: replication factor
+    * B ≈ √(2·parallelism), shuffle volume ~n(B+1) rows — negligible next
+    * to the n²/2 comparisons it spreads evenly across the cluster. When n²
+    * is infeasible outright (10⁹ vectors), the answer is the approximate
+    * contract instead: simLshTopK's bucketed candidates. */
+  def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35,
+                     nBlocks: Int = 8): DataFrame = {
     val c = corpus(s, dir)
-    val a = c.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
-      col("norm").as("n_a"))
-    val b = c.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
-      col("norm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("g", pmod(hash(col("vec_id")), lit(nBlocks)))
+    // Block g plays the LEFT role for block pairs (g, j≥g) and the RIGHT
+    // role for (i≤g, g): every unordered block pair meets in exactly one
+    // reduce group, and within the diagonal groups (lo==hi) the id order
+    // residual keeps each pair once. Off-diagonal pairs meet exactly once
+    // by construction (a vector's left keys all have lo=g, right keys all
+    // have hi=g), so ids are re-sorted on output instead of filtered.
+    val l = c.withColumn("j", explode(sequence(col("g"), lit(nBlocks - 1))))
+      .select(col("g").as("lo"), col("j").as("hi"), col("vec_id").as("id_l"),
+        col("embedding").as("e_l"), col("norm").as("n_l"))
+    val r = c.withColumn("i", explode(sequence(lit(0), col("g"))))
+      .select(col("i").as("lo_r"), col("g").as("hi_r"), col("vec_id").as("id_r"),
+        col("embedding").as("e_r"), col("norm").as("n_r"))
+    l.join(r,
+        col("lo") === col("lo_r") && col("hi") === col("hi_r") &&
+          (col("lo") =!= col("hi") || col("id_l") < col("id_r")))
       .withColumn("cos_sim",
-        dotProduct(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+        dotProduct(col("e_l"), col("e_r")) / (col("n_l") * col("n_r")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("cos_sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

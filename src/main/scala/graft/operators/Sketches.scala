@@ -45,17 +45,22 @@ object Sketches {
   def dedupMinhashLsh(s: SparkSession, dir: String, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
     val r = k / bands
-    // Persisted: the frame feeds banding once and candidate verification
-    // twice; without the cache the shingle + signature expressions would be
-    // recomputed on all three paths.
-    val docs = table(s, dir, "documents")
+    val base = table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", expr(shingleExpr))
-      .withColumn("sig", minhashSignature(col("shingles"), k, seed = 42L))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"), col("sig"))
-      .persist()
+    // The shingle sets feed exact verification TWICE: materialize them via
+    // a repartition exchange that both join sides share (ReuseExchange
+    // computes it once; shuffle files are disk-backed and job-scoped) —
+    // persist() here leaked cache for the session, since the function
+    // returns a lazy frame and has no unpersist point. The k-hash signature
+    // is only needed on the banding path, so it is computed there alone.
+    val sh = base
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .repartition(col("doc_id"))
 
-    val banded = docs.select(col("doc_id"),
+    val banded = base
+      .withColumn("sig", minhashSignature(col("shingles"), k, seed = 42L))
+      .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> hash(b, slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bucket")))
     val cand = banded.alias("a")
@@ -65,7 +70,6 @@ object Sketches {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = docs.select(col("doc_id"), col("shingles"), col("n_sh"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("n_sh").as("na")), "doc_a")

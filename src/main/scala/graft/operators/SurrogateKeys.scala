@@ -1,22 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 /** Stable surrogate-key assignment — the engine-side equivalent of the
   * reference's SQL Server identity reconciliation (SURVEY §2.1 S12:
   * update_final_tables_sqlserver.sql:164-201 recovers each (MLS,
   * MLSListingID)'s ListingID via joins and assigns fresh identities to new
-  * keys). Here: existing mappings are preserved verbatim; new natural keys
-  * get max(existing)+dense row_number.
+  * keys). Existing mappings are preserved verbatim; new natural keys get
+  * max(existing) + their 1-based rank in natural-key order.
   *
-  * Scale note: the global row_number over new keys is a single-partition
-  * window — correct but serial at the tail. At 100 TB-scale key churn the
-  * production variant salts: ids = max + zipWithIndex-style (partition
-  * offsets via a two-pass count), same determinism, full parallelism. New-
-  * key batches are typically tiny relative to the mapping table, so the
-  * single-partition tail is usually irrelevant.
+  * Scale shape: the rank is computed WITHOUT a global single-partition
+  * window. New keys are range-sorted across the cluster and indexed with
+  * the two-pass zipWithIndex scheme (pass 1 counts rows per partition to
+  * build offsets, pass 2 adds offset + local position) — fully parallel,
+  * and deterministic because the sort order is total (keys are distinct),
+  * so the assigned ids are independent of where partition boundaries fall.
   */
 object SurrogateKeys {
 
@@ -26,9 +26,12 @@ object SurrogateKeys {
     val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
       .join(mapping, naturalKeys, "left_anti")
     val base = mapping.agg(coalesce(max(col(surrogateCol)), lit(0L)).as("m"))
-    val w = Window.orderBy(naturalKeys.map(col): _*)
-    val assigned = newKeys
-      .withColumn("_rn", row_number().over(w).cast("long"))
+    val sorted = newKeys.sort(naturalKeys.map(col): _*)
+    val schema = sorted.schema.add("_rn", LongType, nullable = false)
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
+    val assigned = indexed
       .crossJoin(broadcast(base))
       .withColumn(surrogateCol, col("m") + col("_rn"))
       .drop("_rn", "m")

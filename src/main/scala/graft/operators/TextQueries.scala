@@ -99,12 +99,20 @@ object TextQueries {
     // Shingles are 64-bit-hashed once (collision odds ~1e-11 at this shingle
     // cardinality, far below any oracle-visible effect) so all downstream
     // joins move longs, not strings.
+    //
+    // The frame feeds candidate generation once and verification twice.
+    // Materialization is via a repartition exchange, NOT persist(): all
+    // three consumers read the identical exchange subtree, so ReuseExchange
+    // computes the shingling once and the copies read shuffle files —
+    // disk-backed, cleaned up with the job, no executor memory pinned and
+    // nothing leaked after the query (persist() here had no unpersist path
+    // because the function returns a lazy frame).
     val sh = withTokens(table(s, dir, "documents"))
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-      .persist()
+      .repartition(col("doc_id"))
 
     // PPJoin-style prefix filtering (lossless for J >= t): order each doc's
     // shingles by ascending global document frequency; two docs with
@@ -177,13 +185,20 @@ object TextQueries {
     val docs = withTokens(table(s, dir, "documents"))
     val terms = docs.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist()
-    val n = docs.count()
+    // Scale shape: no broadcast hint on the vocabulary — at web-corpus
+    // vocab the df table does not fit the driver, so the join strategy is
+    // left to AQE (broadcast while small, shuffle join when not). N is
+    // folded in as a 1-row aggregate cross-join instead of a driver-side
+    // count(): one plan, no extra job, no collected scalar. The doc-term
+    // exchange is reused (ReuseExchange) by both the df aggregation and
+    // the join left side, so tokenization runs once without persist().
     val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    terms.join(broadcast(df), "term")
-      .withColumn("idf", log((lit(n) + 1).cast(DoubleType) /
+    terms.join(df, "term")
+      .crossJoin(n)
+      .withColumn("idf", log((col("n") + 1).cast(DoubleType) /
         (col("df") + 1).cast(DoubleType)))
       .withColumn("score", col("tf").cast(DoubleType) * col("idf"))
       .withColumn("rank", row_number().over(w))

@@ -39,7 +39,11 @@ object LatestWins {
     Deduped(
       latest = ranked.filter(col("_rownum") === 1 && col("_from") === "new")
         .drop("_rownum", "_from"),
-      outdated = ranked.filter(col("_rownum") > 1).drop("_rownum", "_from"))
+      // Only NEW rows that lost are "outdated" (curated.py:184 filters
+      // `_from == 'new' AND _rownum > 1`): a curated row superseded by the
+      // batch is simply replaced, not written to the reject/outdated leg.
+      outdated = ranked.filter(col("_rownum") > 1 && col("_from") === "new")
+        .drop("_rownum", "_from"))
   }
 
   /** Like `dedupe` but keeps the per-key winner regardless of provenance —

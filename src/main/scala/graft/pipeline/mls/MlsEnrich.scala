@@ -45,9 +45,15 @@ object MlsEnrich {
       col("state").as("StateAbbr"),
       col("zip").as("Zip5"),
       col("unit").as("Unit"),
-      monotonically_increasing_id().as("UniqueID"))
+      // Deterministic per-row id (reference uses monotonically_increasing_id,
+      // transform.py:488-499): the natural key hash gives the same ids on
+      // recomputation, so no persist() is needed to freeze them — the old
+      // mid-pipeline cache existed only to pin nondeterministic ids and
+      // leaked for the session. 64-bit collisions at lookup-batch scale
+      // (~1e6 rows) have odds ~1e-7 and would only merge two addresses'
+      // lookups, not corrupt keys.
+      xxhash64(col("mls"), col("mls_listing_id")).as("UniqueID"))
       .withColumn("ReferenceID", max(col("UniqueID")).over(addrWindow))
-      .persist()
 
     val distinctAddrs = forLkp.select("StreetAddress", "City", "StateAbbr",
       "Zip5", "Unit", "ReferenceID").distinct()

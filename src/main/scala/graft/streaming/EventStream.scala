@@ -35,18 +35,20 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming exact dedup: md5-fingerprint + `dropDuplicates` keeps the
-    * first arrival of each distinct payload; the watermark bounds the
-    * dedup state (a fingerprint older than the horizon is forgotten —
-    * at 100 TB/day unbounded dedup state is the failure mode, so the
-    * horizon IS the design decision). Works identically on a batch frame
-    * modulo state expiry. */
+  /** Streaming exact dedup: md5-fingerprint, first arrival of each distinct
+    * payload kept. `dropDuplicatesWithinWatermark` is the load-bearing
+    * choice: plain `dropDuplicates("fingerprint")` NEVER evicts state when
+    * the event-time column is not part of the key set, so at 100 TB/day the
+    * state store grows without bound. The within-watermark variant expires
+    * each fingerprint once it falls behind the watermark horizon — the
+    * horizon IS the dedup-memory design decision. Works identically on a
+    * batch frame modulo state expiry. */
   def streamingDedup(docs: DataFrame, idCol: String, textCol: String,
                      tsCol: String, horizon: String = "1 hour"): DataFrame =
     docs
       .withColumn("fingerprint", md5(col(textCol)))
       .withWatermark(tsCol, horizon)
-      .dropDuplicates("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint")
       .select(col(idCol), col("fingerprint"))
 
   /** Stateful sessionization with `flatMapGroupsWithState`: per-user state

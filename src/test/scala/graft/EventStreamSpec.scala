@@ -13,7 +13,6 @@ class EventStreamSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("streaming hourly aggregation equals the batch result") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream source needs a directory of its own
     val dir = Files.createTempDirectory("graft_stream")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
@@ -54,6 +53,30 @@ class EventStreamSpec extends AnyFunSuite {
     import spark.implicits._
     val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 2L, 5L)) // 3 and 4 are cross-batch dups
+  }
+
+  test("dedup state is evicted behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val named = stream.toDS().toDF("doc_id", "text", "ts")
+    val q = EventStream.streamingDedup(named, "doc_id", "text", "ts",
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_evict_out")
+      .outputMode("append").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData((1L, "alpha", ts(0, 0)))
+    q.processAllAvailable()
+    // advance the watermark far past alpha's expiry (00:00 + 10 min)
+    stream.addData((2L, "beta", ts(1, 0)))
+    q.processAllAvailable()
+    // alpha's fingerprint state is gone → the late duplicate is re-emitted;
+    // with plain dropDuplicates this row would be suppressed forever and
+    // state would grow without bound.
+    stream.addData((3L, "alpha", ts(1, 1)))
+    q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val kept = spark.table("dedup_evict_out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
   }
 
   test("stateful sessionization across micro-batches") {

@@ -48,6 +48,19 @@ class MergeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1, 2, 3, 5))
   }
 
+  test("duplicate source keys are rejected, not fanned out") {
+    // Delta MERGE errors on multiple source matches per target row; the
+    // relational resolver must do the same instead of silently duplicating
+    // the target row through the full-outer join.
+    val source = Seq((2, "B", 99), (2, "B2", 98), (4, "d", 40)).toDF("k", "v", "n")
+    val e = intercept[Exception] {
+      Merge.mergeFrames(target, source, Seq("k")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate rows")))
+  }
+
   test("merge is idempotent on replayed batches") {
     val source = Seq((2, "B", 99), (4, "d", 40)).toDF("k", "v", "n")
     val once = Merge.mergeFrames(target, source, Seq("k"))

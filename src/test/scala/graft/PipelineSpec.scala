@@ -33,7 +33,10 @@ class PipelineSpec extends AnyFunSuite {
     val latest = dd.latest.as[(Int, String, String)].collect().toMap2
     assert(latest(1) == ("2024-01-03", "new_v3"))
     assert(!latest.contains(2)) // curated winner is not re-emitted
-    assert(dd.outdated.count() == 2) // k=1: new_v2 + cur_v2 lose; k=2 curated winner is not outdated
+    // only the losing NEW row (new_v2) is outdated; superseded curated rows
+    // are replaced, not sent to the reject leg (curated.py:184)
+    assert(dd.outdated.count() == 1)
+    assert(dd.outdated.as[(Int, String, String)].collect().head._3 == "new_v2")
     // tie at same dt: 'new' wins
     val tie = LatestWins.dedupe(
       Seq((9, "2024-01-02", "from_new")).toDF("k", "dt", "v"),

@@ -10,6 +10,7 @@ object TestSpark {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 }
