@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ EventQueries.queries ++
-      Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
+      Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      LifecycleQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
-      Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
+      LifecycleQueries.oracles
 }

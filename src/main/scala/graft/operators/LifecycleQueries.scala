@@ -1,0 +1,175 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.pipeline.LatestWins
+import graft.sources.{BucketedTable, ManagedTable, MergeClauses}
+import graft.sources.TableIO.table
+
+/** Oracle-checked gate queries for the table LIFECYCLE surface — the
+  * reference's Delta init / MERGE / VACUUM / read-back loop (SURVEY §2.1
+  * S3-S6) and the hist job's three-way MERGE (update-when-changed /
+  * delete-when-no-driving-change / insert-when-changed,
+  * mls_listings_hist_curated.py:184-210). These were previously covered
+  * only by ScalaTest; here each runs the real side-effectful cycle against
+  * a scratch table root and returns the final table state, which DuckDB
+  * recomputes relationally from the same input parquet.
+  */
+object LifecycleQueries {
+
+  /** Fresh scratch dir under the repo's build dir (safe to delete/rewrite
+    * on every call — bench runs each gate several times). */
+  private def freshRoot(name: String): String = {
+    val p = Paths.get("target", "gate_tmp", name).toAbsolutePath
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    p.toString
+  }
+
+  /** Hist-job three-way MERGE over a change-log of per-(customer, date)
+    * order activity: the target is the log derived from data through 1996,
+    * the source re-derives it through 1997 with `lead()`+`<=>` change
+    * flags (LatestWins.changeFlags); the MERGE updates changed snapshots,
+    * DELETEs no-change snapshots, and inserts new changed ones — the exact
+    * clause set of mls_listings_hist_curated.py:184-210. */
+  def mergeThreeway(s: SparkSession, dir: String): DataFrame = {
+    val hist = table(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cust"),
+        col("o_orderdate").cast(StringType).as("dt"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    def shaped(df: DataFrame): DataFrame =
+      LatestWins.changeFlags(df, Seq("cust"), Seq(col("dt").desc), Seq("n_orders"))
+    val target = shaped(hist.filter(col("dt") <= lit("1996-12-31")))
+    val source = shaped(hist)
+    Merge.mergeFrames(target, source, Seq("cust", "dt"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s._insert_update_flag")),
+        deleteWhen = Some(!col("s._insert_update_flag")),
+        insertWhen = Some(col("s._insert_update_flag"))))
+      .select(col("cust"), col("dt"), col("n_orders"), col("total"),
+        col("n_orders_old"), col("n_orders_changed_flag"),
+        col("_insert_update_flag").as("iu_flag"))
+  }
+
+  /** ManagedTable lifecycle (S3/S4/S6): init an empty versioned table,
+    * MERGE the ≤1995 per-customer latest-order state, MERGE the ≤1996
+    * state with update-when-newer / delete-when-stale clauses, VACUUM old
+    * versions, and read the live snapshot back. */
+  def lifecycleTable(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("lifecycle")
+    def custState(upTo: String): DataFrame =
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") <= lit(upTo))
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(col("o_orderdate")).cast(StringType).as("last_dt"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    val b95 = custState("1995-12-31")
+    ManagedTable.createEmpty(s, root, b95)
+    ManagedTable.merge(s, root, b95, Seq("cust"))
+    ManagedTable.merge(s, root, custState("1996-12-31"), Seq("cust"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.last_dt") > col("t.last_dt")),
+        deleteWhen = Some(lit(true))))
+    ManagedTable.vacuum(root, keep = 1)
+    ManagedTable.read(s, root)
+  }
+
+  /** BucketedTable delta-proportional MERGE: create from the ≤1995 order
+    * slice (16 key-hash buckets), merge a 1995H2-1996H1 delta that updates
+    * non-'F' matches, DELETEs matched 'F' rows, and inserts the 1996H1
+    * keys — then read back through the manifest. The final state must be
+    * byte-equal to the same merge computed relationally by DuckDB. */
+  def bucketedMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed")
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), "base")
+    val delta = shaped(col("o_orderdate").between(lit("1995-07-01"),
+      lit("1996-06-30")), "delta")
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    BucketedTable.merge(s, root, delta,
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))))
+    BucketedTable.read(s, root)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_threeway" -> (mergeThreeway _),
+    "q_lifecycle_table" -> (lifecycleTable _),
+    "q_bucketed_merge" -> (bucketedMerge _))
+
+  val oracles: Map[String, String] = Map(
+    "q_merge_threeway" ->
+      """WITH hist AS (
+        |  SELECT o_custkey AS cust, CAST(o_orderdate AS VARCHAR) AS dt,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1, 2),
+        |src AS (
+        |  SELECT cust, dt, n_orders, total,
+        |    lead(n_orders) OVER (PARTITION BY cust ORDER BY dt DESC) AS n_orders_old
+        |  FROM hist),
+        |src_f AS (
+        |  SELECT *, NOT (n_orders IS NOT DISTINCT FROM n_orders_old) AS chg FROM src),
+        |tgt AS (
+        |  SELECT cust, dt, n_orders, total,
+        |    lead(n_orders) OVER (PARTITION BY cust ORDER BY dt DESC) AS n_orders_old
+        |  FROM hist WHERE dt <= '1996-12-31'),
+        |tgt_f AS (
+        |  SELECT *, NOT (n_orders IS NOT DISTINCT FROM n_orders_old) AS chg FROM tgt)
+        |SELECT
+        |  coalesce(s.cust, t.cust) AS cust, coalesce(s.dt, t.dt) AS dt,
+        |  CASE WHEN s.cust IS NOT NULL AND s.chg THEN s.n_orders ELSE t.n_orders END AS n_orders,
+        |  CASE WHEN s.cust IS NOT NULL AND s.chg THEN s.total ELSE t.total END AS total,
+        |  CASE WHEN s.cust IS NOT NULL AND s.chg THEN s.n_orders_old ELSE t.n_orders_old END AS n_orders_old,
+        |  CASE WHEN s.cust IS NOT NULL AND s.chg THEN s.chg ELSE t.chg END AS n_orders_changed_flag,
+        |  CASE WHEN s.cust IS NOT NULL AND s.chg THEN s.chg ELSE t.chg END AS iu_flag
+        |FROM tgt_f t FULL OUTER JOIN src_f s ON t.cust = s.cust AND t.dt = s.dt
+        |WHERE (s.cust IS NOT NULL AND s.chg)
+        |   OR (t.cust IS NOT NULL AND s.cust IS NULL)""".stripMargin,
+    "q_lifecycle_table" ->
+      """WITH l95 AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+        |l96 AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1)
+        |SELECT l96.cust, l96.last_dt, l96.n_orders, l96.total
+        |FROM l96 LEFT JOIN l95 ON l96.cust = l95.cust
+        |WHERE l95.cust IS NULL OR l96.last_dt > l95.last_dt""".stripMargin,
+    "q_bucketed_merge" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+        |d AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'delta' AS tag
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30')
+        |SELECT coalesce(d.k, b.k) AS k,
+        |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
+        |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
+        |  CASE WHEN d.k IS NOT NULL THEN d.dt ELSE b.dt END AS dt,
+        |  CASE WHEN d.k IS NOT NULL THEN d.tag ELSE b.tag END AS tag
+        |FROM b FULL OUTER JOIN d ON b.k = d.k
+        |WHERE (b.k IS NOT NULL AND d.k IS NULL)
+        |   OR (d.k IS NOT NULL AND b.k IS NULL)
+        |   OR (b.k IS NOT NULL AND d.k IS NOT NULL AND d.st <> 'F')""".stripMargin)
+}
