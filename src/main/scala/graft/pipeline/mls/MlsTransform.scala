@@ -115,8 +115,12 @@ object MlsTransform {
     stripPrefix(kept, "listings_").dropDuplicates()
   }
 
-  def transformListings(good: DataFrame, asOf: Column = current_date()): DataFrame = {
-    val sanitized = sanitizeByType(good)
+  def transformListings(good: DataFrame, asOf: Column = current_date()): DataFrame =
+    applyUnderscoreReplacements(deriveCore(sanitizeByType(good), asOf))
+
+  /** The shared rule chain (sans replacement machinery) — reused by
+    * [[MlsFullTransform]] which extends it to the full 133-column width. */
+  private[mls] def deriveCore(sanitized: DataFrame, asOf: Column): DataFrame = {
     val derived = sanitized
       // unit: explicit unit (non-all-zero) else '#'-suffix of the raw
       // address's right half (transform.py:155-159)
@@ -229,6 +233,9 @@ object MlsTransform {
       .withColumn("_listing_agent_email",
         when(col("listing_agent_email").contains("@"), col("listing_agent_email")))
 
-    applyUnderscoreReplacements(derived)
+    derived
   }
+
+  private[mls] def townshipRangeCol(c: Column): Column = townshipRange(c)
+  private[mls] def waterSourceCol(c: Column): Column = waterSource(c)
 }
