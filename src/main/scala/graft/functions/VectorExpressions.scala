@@ -90,7 +90,7 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  /** MinHash signature from an int-hash array: for each of k fixed-seed
+  /** MinHash signature from a long-hash array: for each of k fixed-seed
     * universal hashes h_i(x) = (a_i*x + b_i) mod (2^31-1), the minimum over
     * the input hashes. One pass over the array computes all k minima. */
   case class MinHashSignature(child: Expression, k: Int, seed: Long)
@@ -111,7 +111,7 @@ object VectorExpressions {
       val sig = Array.fill(k)(Long.MaxValue)
       var i = 0
       while (i < hs.numElements()) {
-        val x = java.lang.Math.floorMod(hs.getInt(i).toLong, P)
+        val x = java.lang.Math.floorMod(hs.getLong(i), P)
         var j = 0
         while (j < k) {
           val v = (as(j) * x + bs(j)) % P
@@ -121,6 +121,76 @@ object VectorExpressions {
         i += 1
       }
       ArrayData.toArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** Hashed word n-gram (shingle) array in ONE native pass: for each
+    * window of `n` consecutive tokens, join with single spaces and hash.
+    * Replaces the interpreted `transform(sequence(...), i -> concat_ws(
+    * ' ', toks[i], ...))` + per-element hash HOF chain, which costs ~1 ms
+    * per document at realistic token counts (every lambda application is
+    * an interpreted expression-tree walk with boxing) — the dominant cost
+    * of every sketch query. Algorithms produce values byte-identical to
+    * their SQL forms:
+    *  - "murmur3": `hash(s)` (seed 42, int)
+    *  - "xxhash64": `xxhash64(s)` (seed 42)
+    *  - "md5_60": `conv(substring(md5(s), 1, 15), 16, 10)` — the first 60
+    *    bits of the md5, i.e. the big-endian first 8 bytes >>> 4 (this is
+    *    the hash the SimHash DuckDB oracle recomputes)
+    * `distinct` keeps the first occurrence of each hash (matching
+    * `array_distinct` on the shingle strings modulo hash collisions). */
+  case class WordNgramHashes(child: Expression, n: Int, algo: String,
+                             distinct: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    require(Seq("murmur3", "xxhash64", "md5_60").contains(algo))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val space = UTF8String.fromString(" ")
+    // MessageDigest is stateful and not thread-safe; tasks share the
+    // expression instance in local mode, so the digest is per-thread.
+    @transient private lazy val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    private def hashOne(s: UTF8String): Long = algo match {
+      case "murmur3" =>
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      case "xxhash64" =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, org.apache.spark.sql.types.StringType, 42L)
+      case "md5_60" =>
+        val md = md5Local.get()
+        md.reset()
+        val d = md.digest(s.getBytes)
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+        v >>> 4
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val m = toks.numElements()
+      if (m < n) ArrayData.toArrayData(Array.empty[Long])
+      else {
+        val out = new Array[Long](m - n + 1)
+        val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
+        var w = 0
+        var i = 0
+        while (i <= m - n) {
+          val s =
+            if (n == 1) toks.getUTF8String(i)
+            else {
+              val parts = new Array[UTF8String](n)
+              var j = 0
+              while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+              UTF8String.concatWs(space, parts: _*)
+            }
+          val h = hashOne(s)
+          if (seen == null || seen.add(h)) { out(w) = h; w += 1 }
+          i += 1
+        }
+        ArrayData.toArrayData(if (w == out.length) out else out.take(w))
+      }
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
@@ -157,8 +227,11 @@ object VectorExpressions {
   def arrayDot(a: Column, b: Column): Column =
     column(ArrayDotProduct(expression(a), expression(b)))
   def arrayL2Norm(a: Column): Column = column(ArrayL2Norm(expression(a)))
-  def minhashSig(intHashes: Column, k: Int, seed: Long): Column =
-    column(MinHashSignature(expression(intHashes), k, seed))
+  def minhashSig(longHashes: Column, k: Int, seed: Long): Column =
+    column(MinHashSignature(expression(longHashes), k, seed))
   def simhash64(longHashes: Column): Column =
     column(SimHash64(expression(longHashes)))
+  def wordNgramHashes(toks: Column, n: Int, algo: String,
+                      distinct: Boolean): Column =
+    column(WordNgramHashes(expression(toks), n, algo, distinct))
 }

@@ -18,20 +18,21 @@ import graft.sources.TableIO.table
   */
 object Sketches {
 
-  /** Word-3-gram shingle array for a `text` column already split to `toks`. */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(0, size(toks)-3), " +
-      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+  /** Hashed word-3-gram shingle set for a token-array column — ONE native
+    * pass (window + concat + xxhash64 + distinct in a primitive loop; the
+    * earlier interpreted `transform(sequence…concat_ws)` + hash HOF chain
+    * cost ~1 ms/doc and dominated every sketch query). 64-bit hashes make
+    * downstream set ops collision-safe at corpus scale (~1e-11 at 1e6
+    * distinct shingles). */
+  def hashedShingles(toks: Column): Column =
+    graft.functions.VectorExpressions.wordNgramHashes(
+      toks, n = 3, algo = "xxhash64", distinct = true)
 
   /** MinHash signature column: for each of k permutations, the minimum of
-    * (a_i * murmur3(shingle) + b_i) mod p over the shingle set. The shingle
-    * set is murmur3-hashed once via the built-in `hash`, then the k minima
-    * are computed in a single native-expression pass (no explode, no
-    * shuffle; the earlier k×array_min HOF form re-hashed every shingle per
-    * permutation, interpreted). */
-  def minhashSignature(shingles: Column, k: Int, seed: Long): Column =
-    graft.functions.VectorExpressions.minhashSig(
-      transform(shingles, sh => hash(sh)), k, seed)
+    * (a_i * x + b_i) mod p over the hashed shingle set — all k minima in
+    * a single native-expression pass (no explode, no shuffle). */
+  def minhashSignature(hashedShingles: Column, k: Int, seed: Long): Column =
+    graft.functions.VectorExpressions.minhashSig(hashedShingles, k, seed)
 
   /** MinHash + LSH banding dedup:
     *  1. signature per doc (k hashes, no shuffle);
@@ -47,7 +48,7 @@ object Sketches {
     val r = k / bands
     val base = table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(shingleExpr))
+      .withColumn("shingles", hashedShingles(col("toks")))
     // The shingle sets feed exact verification TWICE: materialize them via
     // a repartition exchange that both join sides share (ReuseExchange
     // computes it once; shuffle files are disk-backed and job-scoped) —
@@ -58,8 +59,16 @@ object Sketches {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
       .repartition(col("doc_id"))
 
+    // The k-hash signature is the expensive narrow stage and the banded
+    // frame self-joins below: pin a repartition exchange AFTER the
+    // signature so both join sides read the same shuffle output
+    // (ReusedExchange) instead of recomputing the signatures per side —
+    // a broadcast-hash self-join would otherwise evaluate the subtree
+    // twice (once to broadcast, once to stream).
     val banded = base
       .withColumn("sig", minhashSignature(col("shingles"), k, seed = 42L))
+      .select(col("doc_id"), col("sig"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> hash(b, slice(sig, b * $r + 1, $r)))")).as(Seq("band", "bucket")))
@@ -92,8 +101,8 @@ object Sketches {
     * so those signature bits are always 0 — harmless for banding/Hamming. */
   def simhash(toksCol: String): Column =
     graft.functions.VectorExpressions.simhash64(
-      transform(col(toksCol),
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)))
+      graft.functions.VectorExpressions.wordNgramHashes(
+        col(toksCol), n = 1, algo = "md5_60", distinct = false))
 
   /** SimHash near-dup pairs: band the 64-bit signature into eight 8-bit
     * chunks (any pair within Hamming distance 7 must agree on ≥1 chunk),

@@ -108,9 +108,7 @@ object TextQueries {
     // nothing leaked after the query (persist() here had no unpersist path
     // because the function returns a lazy frame).
     val sh = withTokens(table(s, dir, "documents"))
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
+      .withColumn("shingles", Sketches.hashedShingles(col("toks")))
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
       .repartition(col("doc_id"))
 
@@ -123,12 +121,17 @@ object TextQueries {
     val inv = sh.select(col("doc_id"), col("n_sh"),
       explode(col("shingles")).as("sh"))
     val docFreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    // The prefix frame self-joins below (alias a/b): pin a repartition
+    // exchange on the join key so both sides read one ReusedExchange —
+    // without it a broadcast self-join recomputes the docFreq join +
+    // window per side. The exchange doubles as the join's co-location.
     val prefix = inv.join(docFreq, "sh")
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("df").asc, col("sh").asc)))
       .filter(col("_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc_id"), col("sh"), col("n_sh"))
+      .repartition(col("sh"))
 
     // Length filter: J >= t forces t <= |A|/|B| <= 1/t — prune size-
     // incompatible pairs inside the join before they materialize.

@@ -29,111 +29,101 @@ object MlsFullTransform {
 
   /** Remaining derived columns (transform.py:155-317, the rules not already
     * in [[MlsTransform.deriveCore]]). Order and 3-valued-logic preserved. */
-  private[mls] def deriveRest(df: DataFrame, asOf: Column): DataFrame = df
-    .withColumn("_unit_type", substring(col("unit_type"), 1, 10))
-    // lot: non-all-zero guard like unit (transform.py:169)
-    .withColumn("_lot",
-      when(col("lot").isNotNull && regexp_replace(col("lot"), "0", "") =!= "",
-        substring(col("lot"), 1, 15)))
-    .withColumn("_block", substring(col("block"), 1, 15))
-    .withColumn("_legal_tract", substring(col("legal_tract"), 1, 10))
-    .withColumn("_book", substring(col("book"), 1, 25))
-    // numeric school districts are junk (transform.py:187-189)
-    .withColumn("_school_district",
-      when(col("school_district").try_cast(IntegerType).isNull,
-        substring(col("school_district"), 1, 125)))
-    .withColumn("_property_sub_type",
-      substring(changeBlankToNull(upper(col("property_sub_type"))), 1, 20))
-    .withColumn("_property_description", substring(col("property_description"), 1, 500))
-    .withColumn("_zoning", substring(col("zoning"), 1, 250))
-    .withColumn("_restrictions", substring(col("restrictions"), 1, 250))
-    .withColumn("_easements", substring(col("easements"), 1, 250))
-    // gated_community keeps ORIGINAL case when upper is Y/N (transform.py:229)
-    .withColumn("_gated_community",
-      when(upper(col("gated_community")).isin("Y", "N"), col("gated_community")))
-    .withColumn("_hoa_management_co", substring(col("hoa_management_co"), 1, 250))
-    .withColumn("_hoa_management_co_phone", cleanPhoneNumber(col("hoa_management_co_phone")))
-    .withColumn("_occupant_type", substring(col("occupant_type"), 1, 25))
-    .withColumn("_ownership_type", substring(col("ownership_type"), 1, 20))
-    .withColumn("_owner_type", substring(col("owner_type"), 1, 25))
-    .withColumn("_owner_name", substring(col("owner_name"), 1, 255))
-    .withColumn("_year_updated",
-      when(col("year_updated").between(1600, year(asOf) + 1), col("year_updated")))
-    // SF property type forces 1 unit (transform.py:248-251)
-    .withColumn("_number_of_units",
-      when(upper(col("property_type")) === "SF", lit(1))
+  private[mls] def deriveRest(df: DataFrame, asOf: Column): DataFrame = {
+    // One withColumns call (a single Project / single analysis pass):
+    // chaining 65+ withColumn calls re-analyzes a 200-column plan per
+    // rule and dominates gate planning time. Rules are mutually
+    // independent, so map order is immaterial.
+    df.withColumns(Map(
+      "_unit_type" -> (substring(col("unit_type"), 1, 10)),
+      // lot: non-all-zero guard like unit (transform.py:169)
+      "_lot" -> (when(col("lot").isNotNull && regexp_replace(col("lot"), "0", "") =!= "",
+        substring(col("lot"), 1, 15))),
+      "_block" -> (substring(col("block"), 1, 15)),
+      "_legal_tract" -> (substring(col("legal_tract"), 1, 10)),
+      "_book" -> (substring(col("book"), 1, 25)),
+      // numeric school districts are junk (transform.py:187-189)
+      "_school_district" -> (when(col("school_district").try_cast(IntegerType).isNull,
+        substring(col("school_district"), 1, 125))),
+      "_property_sub_type" -> (substring(changeBlankToNull(upper(col("property_sub_type"))), 1, 20)),
+      "_property_description" -> (substring(col("property_description"), 1, 500)),
+      "_zoning" -> (substring(col("zoning"), 1, 250)),
+      "_restrictions" -> (substring(col("restrictions"), 1, 250)),
+      "_easements" -> (substring(col("easements"), 1, 250)),
+      // gated_community keeps ORIGINAL case when upper is Y/N (transform.py:229)
+      "_gated_community" -> (when(upper(col("gated_community")).isin("Y", "N"), col("gated_community"))),
+      "_hoa_management_co" -> (substring(col("hoa_management_co"), 1, 250)),
+      "_hoa_management_co_phone" -> (cleanPhoneNumber(col("hoa_management_co_phone"))),
+      "_occupant_type" -> (substring(col("occupant_type"), 1, 25)),
+      "_ownership_type" -> (substring(col("ownership_type"), 1, 20)),
+      "_owner_type" -> (substring(col("owner_type"), 1, 25)),
+      "_owner_name" -> (substring(col("owner_name"), 1, 255)),
+      "_year_updated" -> (when(col("year_updated").between(1600, year(asOf) + 1), col("year_updated"))),
+      // SF property type forces 1 unit (transform.py:248-251)
+      "_number_of_units" -> (when(upper(col("property_type")) === "SF", lit(1))
         .otherwise(when(col("number_of_units").isNotNull && col("number_of_units") > 0,
-          col("number_of_units"))))
-    .withColumn("_living_area_sq_ft",
-      when((round(col("living_area_sq_ft"), 0) > 0) &&
+          col("number_of_units")))),
+      "_living_area_sq_ft" -> (when((round(col("living_area_sq_ft"), 0) > 0) &&
         (round(col("living_area_sq_ft"), 0) <= 2147483647L),
-        round(col("living_area_sq_ft"), 0).cast(DecimalType(16, 4))))
-    .withColumn("_living_area_sq_ft_source", substring(col("living_area_sq_ft_source"), 1, 25))
-    .withColumn("_building_style", substring(col("building_style"), 1, 100))
-    .withColumn("_stories", when(col("stories").between(0, 99), col("stories")))
-    .withColumn("_beds", when(col("beds") >= 0, round(col("beds"), 0)))
-    .withColumn("_full_baths", when(col("full_baths") >= 0, col("full_baths")))
-    .withColumn("_half_baths", when(col("half_baths") >= 0, col("half_baths")))
-    // basement Y/N with finished-pct fallback (transform.py:260-264)
-    .withColumn("_basement",
-      when(upper(col("basement")).isin("Y", "TRUE", "T"), "Y")
+        round(col("living_area_sq_ft"), 0).cast(DecimalType(16, 4)))),
+      "_living_area_sq_ft_source" -> (substring(col("living_area_sq_ft_source"), 1, 25)),
+      "_building_style" -> (substring(col("building_style"), 1, 100)),
+      "_stories" -> (when(col("stories").between(0, 99), col("stories"))),
+      "_beds" -> (when(col("beds") >= 0, round(col("beds"), 0))),
+      "_full_baths" -> (when(col("full_baths") >= 0, col("full_baths"))),
+      "_half_baths" -> (when(col("half_baths") >= 0, col("half_baths"))),
+      // basement Y/N with finished-pct fallback (transform.py:260-264)
+      "_basement" -> (when(upper(col("basement")).isin("Y", "TRUE", "T"), "Y")
         .otherwise(when(upper(col("basement")).isin("N", "FALSE", "F"), "N")
           .otherwise(when(col("finished_basement_pct") > 0, "Y")
-            .otherwise(lit(null).cast(StringType)))))
-    .withColumn("_finished_basement_pct",
-      when(col("finished_basement_pct") <= 100, col("finished_basement_pct")))
-    .withColumn("_garage_type",
-      when(upper(col("garage_type")).isin("G", "C", "N"), col("garage_type")))
-    .withColumn("_garage_style", substring(col("garage_style"), 1, 100))
-    .withColumn("_garage_spaces",
-      when(round(col("garage_spaces"), 0) <= 2147483647L, round(col("garage_spaces"), 0)))
-    .withColumn("_roof_type", substring(col("roof_type"), 1, 255))
-    .withColumn("_exterior_material", substring(col("exterior_material"), 1, 255))
-    .withColumn("_foundation", substring(col("foundation"), 1, 255))
-    .withColumn("_pool", substring(col("pool"), 1, 100))
-    .withColumn("_condition", substring(col("condition"), 1, 250))
-    .withColumn("_property_tax_year",
-      when((col("property_tax_year") > 2000) &&
-        (col("property_tax_year") <= year(asOf) + 1), col("property_tax_year")))
-    .withColumn("_hoa_dues_frequency",
-      when(col("hoa_dues_frequency").isin(0, 1, 2, 4, 12, 52), col("hoa_dues_frequency")))
-    .withColumn("_hoa_dues_description", substring(col("hoa_dues_description"), 1, 750))
-    .withColumn("_entry_date", col("entry_date").cast(DateType))
-    .withColumn("_listing_date", col("listing_date").cast(DateType))
-    .withColumn("_status_date", col("status_date").cast(DateType))
-    .withColumn("_current_price_as_of_date", col("current_price_as_of_date").cast(DateType))
-    .withColumn("_orig_price", when(col("orig_price") >= 0, col("orig_price")))
-    .withColumn("_orig_listing_date", col("orig_listing_date").cast(DateType))
-    .withColumn("_contract_date", col("contract_date").cast(DateType))
-    .withColumn("_closed_price", when(col("closed_price") >= 0, col("closed_price")))
-    // NONE/NOT APPLICABLE are non-values (transform.py:295-296); nulls stay
-    // null through the 3-valued == False
-    .withColumn("_sale_circumstances",
-      when(!upper(col("sale_circumstances")).isin("NONE", "NOT APPLICABLE"),
-        col("sale_circumstances")))
-    .withColumn("_listing_conditions",
-      when(!upper(col("listing_conditions")).isin("NONE", "NOT APPLICABLE"),
-        col("listing_conditions")))
-    .withColumn("_listing_url", substring(col("listing_url"), 1, 250))
-    .withColumn("_listing_image_url", substring(col("listing_image_url"), 1, 250))
-    .withColumn("_listing_image_url_date", col("listing_image_url_date").cast(DateType))
-    .withColumn("_listing_broker_name",
-      changeBlankToNull(substring(col("listing_broker_name"), 1, 150)))
-    .withColumn("_listing_broker_id", substring(col("listing_broker_id"), 1, 20))
-    .withColumn("_listing_agent_name", substring(col("listing_agent_name"), 1, 150))
-    .withColumn("_listing_agent_id", substring(col("listing_agent_id"), 1, 20))
-    .withColumn("_listing_agent_phone", cleanPhoneNumber(col("listing_agent_phone")))
-    .withColumn("_brokerage_name", substring(col("brokerage_name"), 1, 100))
-    .withColumn("_brokerage_phone", cleanPhoneNumber(col("brokerage_phone")))
-    .withColumn("_selling_agent_name",
-      changeBlankToNull(substring(col("selling_agent_name"), 1, 150)))
-    .withColumn("_selling_agent_id", substring(col("selling_agent_id"), 1, 20))
-    .withColumn("_commissions", changeBlankToNull(substring(col("commissions"), 1, 50)))
-    .withColumn("_buyer_agent_name", substring(col("buyer_agent_name"), 1, 150))
-    .withColumn("_buyer_agent_id", substring(col("buyer_agent_id"), 1, 20))
-    .withColumn("_state_raw", substring(col("state_raw"), 1, 50))
-    .withColumn("_zip_raw", substring(col("zip_raw"), 1, 20))
-    .withColumn("_source_listing_id", substring(col("source_listing_id"), 1, 50))
+            .otherwise(lit(null).cast(StringType))))),
+      "_finished_basement_pct" -> (when(col("finished_basement_pct") <= 100, col("finished_basement_pct"))),
+      "_garage_type" -> (when(upper(col("garage_type")).isin("G", "C", "N"), col("garage_type"))),
+      "_garage_style" -> (substring(col("garage_style"), 1, 100)),
+      "_garage_spaces" -> (when(round(col("garage_spaces"), 0) <= 2147483647L, round(col("garage_spaces"), 0))),
+      "_roof_type" -> (substring(col("roof_type"), 1, 255)),
+      "_exterior_material" -> (substring(col("exterior_material"), 1, 255)),
+      "_foundation" -> (substring(col("foundation"), 1, 255)),
+      "_pool" -> (substring(col("pool"), 1, 100)),
+      "_condition" -> (substring(col("condition"), 1, 250)),
+      "_property_tax_year" -> (when((col("property_tax_year") > 2000) &&
+        (col("property_tax_year") <= year(asOf) + 1), col("property_tax_year"))),
+      "_hoa_dues_frequency" -> (when(col("hoa_dues_frequency").isin(0, 1, 2, 4, 12, 52), col("hoa_dues_frequency"))),
+      "_hoa_dues_description" -> (substring(col("hoa_dues_description"), 1, 750)),
+      "_entry_date" -> (col("entry_date").cast(DateType)),
+      "_listing_date" -> (col("listing_date").cast(DateType)),
+      "_status_date" -> (col("status_date").cast(DateType)),
+      "_current_price_as_of_date" -> (col("current_price_as_of_date").cast(DateType)),
+      "_orig_price" -> (when(col("orig_price") >= 0, col("orig_price"))),
+      "_orig_listing_date" -> (col("orig_listing_date").cast(DateType)),
+      "_contract_date" -> (col("contract_date").cast(DateType)),
+      "_closed_price" -> (when(col("closed_price") >= 0, col("closed_price"))),
+      // NONE/NOT APPLICABLE are non-values (transform.py:295-296); nulls stay
+      // null through the 3-valued == False
+      "_sale_circumstances" -> (when(!upper(col("sale_circumstances")).isin("NONE", "NOT APPLICABLE"),
+        col("sale_circumstances"))),
+      "_listing_conditions" -> (when(!upper(col("listing_conditions")).isin("NONE", "NOT APPLICABLE"),
+        col("listing_conditions"))),
+      "_listing_url" -> (substring(col("listing_url"), 1, 250)),
+      "_listing_image_url" -> (substring(col("listing_image_url"), 1, 250)),
+      "_listing_image_url_date" -> (col("listing_image_url_date").cast(DateType)),
+      "_listing_broker_name" -> (changeBlankToNull(substring(col("listing_broker_name"), 1, 150))),
+      "_listing_broker_id" -> (substring(col("listing_broker_id"), 1, 20)),
+      "_listing_agent_name" -> (substring(col("listing_agent_name"), 1, 150)),
+      "_listing_agent_id" -> (substring(col("listing_agent_id"), 1, 20)),
+      "_listing_agent_phone" -> (cleanPhoneNumber(col("listing_agent_phone"))),
+      "_brokerage_name" -> (substring(col("brokerage_name"), 1, 100)),
+      "_brokerage_phone" -> (cleanPhoneNumber(col("brokerage_phone"))),
+      "_selling_agent_name" -> (changeBlankToNull(substring(col("selling_agent_name"), 1, 150))),
+      "_selling_agent_id" -> (substring(col("selling_agent_id"), 1, 20)),
+      "_commissions" -> (changeBlankToNull(substring(col("commissions"), 1, 50))),
+      "_buyer_agent_name" -> (substring(col("buyer_agent_name"), 1, 150)),
+      "_buyer_agent_id" -> (substring(col("buyer_agent_id"), 1, 20)),
+      "_state_raw" -> (substring(col("state_raw"), 1, 50)),
+      "_zip_raw" -> (substring(col("zip_raw"), 1, 20)),
+      "_source_listing_id" -> (substring(col("source_listing_id"), 1, 50))
+    ))
+  }
 
   /** Extra columns + placeholders (transform.py:322-357): derived address
     * columns, injected clock timestamps, and the typed-null placeholder

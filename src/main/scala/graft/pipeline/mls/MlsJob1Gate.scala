@@ -201,10 +201,16 @@ object MlsJob1Gate {
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
     val (good2, _) = MlsValidate.validateListings(raw2, dimDf(s, "boards"),
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
+    // localCheckpoint truncates the 133-column × multi-stage lineage: the
+    // transformed frames are each referenced several times downstream
+    // (dedupe union + merge target/source), and without truncation the
+    // analyzer/optimizer re-walks a many-thousand-expression tree per
+    // reference — at this row count the query is planning-bound, not
+    // data-bound. Checkpoint blocks are executor-local and job-scoped.
     val t1 = MlsFullTransform.transform(good1, dimDf(s, "counties"),
-      dimDf(s, "geo_ids"), asOf, nowTs)
+      dimDf(s, "geo_ids"), asOf, nowTs).localCheckpoint()
     val t2 = MlsFullTransform.transform(good2, dimDf(s, "counties"),
-      dimDf(s, "geo_ids"), asOf, nowTs)
+      dimDf(s, "geo_ids"), asOf, nowTs).localCheckpoint()
     val keys = Seq("mls", "mls_listing_id")
     val dd = LatestWins.dedupe(t2, t1, keys, Seq(col("load_date").desc))
     val merged = Merge.mergeFrames(t1, dd.latest, keys)
