@@ -103,12 +103,42 @@ object LifecycleQueries {
     BucketedTable.read(s, root)
   }
 
+  /** Surrogate-key reconciliation (S12): existing (name → id) mappings are
+    * preserved verbatim; new natural keys get max(existing) + their rank in
+    * natural-key order — computed with the parallel sort+zipWithIndex path,
+    * and checked here against DuckDB's row_number over the same sort. */
+  def surrogateKeys(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer")
+    val mapping = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_name").as("nat_key"),
+        col("c_custkey").cast("long").as("sk"))
+    val incoming = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_name").as("nat_key"))
+    SurrogateKeys.assign(s, mapping, incoming, Seq("nat_key"), "sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
-    "q_bucketed_merge" -> (bucketedMerge _))
+    "q_bucketed_merge" -> (bucketedMerge _),
+    "q_s12_surrogate_keys" -> (surrogateKeys _))
 
   val oracles: Map[String, String] = Map(
+    "q_s12_surrogate_keys" ->
+      """WITH mapping AS (
+        |  SELECT c_name AS nat_key, CAST(c_custkey AS BIGINT) AS sk
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |inc AS (SELECT DISTINCT c_name AS nat_key FROM customer
+        |        WHERE c_custkey % 3 = 0),
+        |new_keys AS (
+        |  SELECT i.nat_key FROM inc i
+        |  LEFT JOIN mapping m ON i.nat_key = m.nat_key WHERE m.nat_key IS NULL),
+        |mx AS (SELECT coalesce(max(sk), 0) AS m FROM mapping)
+        |SELECT nat_key, sk FROM mapping
+        |UNION ALL
+        |SELECT nat_key,
+        |  CAST(m + row_number() OVER (ORDER BY nat_key) AS BIGINT) AS sk
+        |FROM new_keys CROSS JOIN mx""".stripMargin,
     "q_merge_threeway" ->
       """WITH hist AS (
         |  SELECT o_custkey AS cust, CAST(o_orderdate AS VARCHAR) AS dt,
