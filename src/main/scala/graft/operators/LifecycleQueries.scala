@@ -117,13 +117,63 @@ object LifecycleQueries {
     SurrogateKeys.assign(s, mapping, incoming, Seq("nat_key"), "sk")
   }
 
+  /** ORC-zlib mirror sink (S7): write the frame as the reference's
+    * serving mirror, read it back through the ORC reader — the gate checks
+    * the round trip is lossless against the relational definition. */
+  def orcMirror(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("orc_mirror")
+    val df = table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast("double").as("total"),
+      col("o_orderdate").cast("string").as("dt"))
+    graft.sources.TableIO.writeOrcZlib(df, root, numFiles = 8)
+    s.read.orc(root)
+  }
+
+  /** Hist-grain latest-wins (W2): `dedupeAll` keeps the per-key winner
+    * across new ∪ curated regardless of provenance, with 'new' winning
+    * exact ties — observable here via a side tag on overlapping windows. */
+  def histGrain(s: SparkSession, dir: String): DataFrame = {
+    def slice(lo: String, hi: String, tag: String): DataFrame =
+      table(s, dir, "orders")
+        .filter(col("o_orderdate").between(lit(lo), lit(hi)))
+        .select(col("o_custkey").as("cust"),
+          col("o_orderdate").cast("string").as("dt"),
+          col("o_orderkey").as("k"), lit(tag).as("side"))
+    val fresh = slice("1995-07-01", "1996-06-30", "f")
+    val curated = slice("1995-01-01", "1995-12-31", "c")
+    LatestWins.dedupeAll(fresh, curated, Seq("cust", "dt"), Seq(col("k").desc))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_bucketed_merge" -> (bucketedMerge _),
-    "q_s12_surrogate_keys" -> (surrogateKeys _))
+    "q_s12_surrogate_keys" -> (surrogateKeys _),
+    "q_s7_orc_mirror" -> (orcMirror _),
+    "q_w2_hist_grain" -> (histGrain _))
 
   val oracles: Map[String, String] = Map(
+    "q_s7_orc_mirror" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(o_orderdate AS VARCHAR) AS dt
+        |FROM orders""".stripMargin,
+    "q_w2_hist_grain" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS cust, CAST(o_orderdate AS VARCHAR) AS dt,
+        |         o_orderkey AS k, 'f' AS side
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30'),
+        |c AS (
+        |  SELECT o_custkey AS cust, CAST(o_orderdate AS VARCHAR) AS dt,
+        |         o_orderkey AS k, 'c' AS side
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+        |u AS (SELECT * FROM f UNION ALL SELECT * FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cust, dt
+        |        ORDER BY k DESC, side DESC) AS rn FROM u)
+        |SELECT cust, dt, k, side FROM r WHERE rn = 1""".stripMargin,
     "q_s12_surrogate_keys" ->
       """WITH mapping AS (
         |  SELECT c_name AS nat_key, CAST(c_custkey AS BIGINT) AS sk
