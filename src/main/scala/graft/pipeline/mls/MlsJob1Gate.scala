@@ -230,8 +230,53 @@ object MlsJob1Gate {
     merged.select(outCols.toIndexedSeq: _*)
   }
 
+  /** q_enrich_lookup: the property-id enrichment leg (J7 + the batched
+    * mapPartitions lookup F1/A1) with a DETERMINISTIC stub client — the
+    * service response is a pure function of the address's md5, so DuckDB
+    * recomputes the whole leg including the reference's three-condition
+    * status decode (the intentional AddedToPmDate quirk is branch d=2). */
+  def enrichLookup(s: SparkSession, dir: String): DataFrame = {
+    val listings = s.read.parquet(s"$dir/customer.parquet").selectExpr(
+      "'MLS' || CAST(c_custkey % 3 AS STRING) AS mls",
+      "'L' || CAST(c_custkey AS STRING) AS mls_listing_id",
+      "'ADDR ' || CAST(c_custkey % 40 AS STRING) AS street_address",
+      "'CITY' || CAST(c_custkey % 5 AS STRING) AS city",
+      "'TX' AS state",
+      "'75001' AS zip",
+      "CASE WHEN c_custkey % 4 = 0 THEN 'U' || CAST(c_custkey % 7 AS STRING) ELSE CAST(NULL AS STRING) END AS unit")
+    val client = new graft.enrich.BatchLookup.LookupClient {
+      override def lookup(batch: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] =
+        batch.map { r =>
+          val refId = r.getAs[Long]("ReferenceID")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(r.getAs[String]("StreetAddress")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          val prop = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+          (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 4) match {
+            case 0 => org.apache.spark.sql.Row(refId, null, null, null, null, null)
+            case 1 => org.apache.spark.sql.Row(refId, prop, "2023-01-01", java.lang.Boolean.FALSE, "2024-01-01", null)
+            case 2 => org.apache.spark.sql.Row(refId, prop, null, java.lang.Boolean.TRUE, null, null)
+            case _ => org.apache.spark.sql.Row(refId, prop, "2023-05-05", java.lang.Boolean.TRUE, null, "rate limited")
+          }
+        }
+    }
+    val out = MlsEnrich.lookupPropertyIds(s, listings, client, batchSize = 64).get
+    out.select(col("lkp_mls"), col("lkp_mls_listing_id"),
+      col("lkp_asg_primary_id"),
+      col("lkp_asg_primary_id_final_flag").cast(StringType)
+        .as("lkp_asg_primary_id_final_flag"),
+      col("lkp_asg_primary_id_source"),
+      col("lkp_asg_primary_id_source_responded_flag").cast(StringType)
+        .as("lkp_asg_primary_id_source_responded_flag"),
+      col("lkp_asg_primary_id_issue_text"),
+      col("lkp_asg_primary_id_mssql_fixed_flag").cast(StringType)
+        .as("lkp_asg_primary_id_mssql_fixed_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_job1_e2e" -> (job1E2e _))
+    "q_job1_e2e" -> (job1E2e _),
+    "q_enrich_lookup" -> (enrichLookup _))
 
   // -------------------------------------------------------------------
   // DuckDB oracle
@@ -555,5 +600,38 @@ object MlsJob1Gate {
        |  WHERE t2.mls = t1.mls AND t2.mls_listing_id = t1.mls_listing_id)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("q_job1_e2e" -> oracle)
+  private val enrichLookupOracle: String =
+    """WITH l AS (
+      |  SELECT 'MLS' || CAST(c_custkey % 3 AS STRING) AS mls,
+      |         'L' || CAST(c_custkey AS STRING) AS mls_listing_id,
+      |         'ADDR ' || CAST(c_custkey % 40 AS STRING) AS street_address
+      |  FROM customer),
+      |h AS (SELECT l.*, md5(street_address) AS hex,
+      |        ('0x' || substr(md5(street_address), 1, 12))::BIGINT AS prop,
+      |        ('0x' || substr(md5(street_address), 1, 1))::BIGINT % 4 AS d
+      |      FROM l),
+      |r AS (SELECT mls, mls_listing_id,
+      |        CASE WHEN d = 0 THEN CAST(NULL AS BIGINT) ELSE prop END AS asg,
+      |        CASE WHEN d = 1 THEN 'false' WHEN d = 2 THEN 'true'
+      |             WHEN d = 3 THEN 'true' END AS provisional,
+      |        CASE WHEN d = 1 THEN '2024-01-01' END AS lastvalidated,
+      |        CASE WHEN d = 1 THEN '2023-01-01' WHEN d = 3 THEN '2023-05-05' END AS added,
+      |        CASE WHEN d = 3 THEN 'rate limited' END AS issue
+      |      FROM h)
+      |SELECT mls AS lkp_mls, mls_listing_id AS lkp_mls_listing_id,
+      |  asg AS lkp_asg_primary_id,
+      |  CASE WHEN asg IS NULL THEN CAST(NULL AS STRING)
+      |       WHEN provisional = 'false' AND lastvalidated IS NOT NULL THEN 'true'
+      |       WHEN added IS NULL THEN 'true'
+      |       ELSE 'false' END AS lkp_asg_primary_id_final_flag,
+      |  'API' AS lkp_asg_primary_id_source,
+      |  CASE WHEN issue IS NULL THEN 'true' ELSE 'false' END
+      |    AS lkp_asg_primary_id_source_responded_flag,
+      |  issue AS lkp_asg_primary_id_issue_text,
+      |  CAST(NULL AS STRING) AS lkp_asg_primary_id_mssql_fixed_flag
+      |FROM r""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_job1_e2e" -> oracle,
+    "q_enrich_lookup" -> enrichLookupOracle)
 }
