@@ -274,8 +274,21 @@ object MlsJob1Gate {
         .as("lkp_asg_primary_id_mssql_fixed_flag"))
   }
 
+  /** q_job1_rejects: the quarantine leg — the ten validation flags in
+    * their exact insertion order and the '|'-joined reason strings
+    * (transform.py:93-116), hash-checked per rejected row. */
+  def job1Rejects(s: SparkSession, dir: String): DataFrame = {
+    val raw1 = rawBatch(s, dir, 1, "2024-01-01", subset = false)
+    val (_, rejected) = MlsValidate.validateListings(raw1, dimDf(s, "boards"),
+      dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
+    rejected.select(col("source_listing_id"),
+      col("_reject_flags").cast("int").as("reject_flags"),
+      col("_reject_reasons").as("reject_reasons"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_job1_e2e" -> (job1E2e _),
+    "q_job1_rejects" -> (job1Rejects _),
     "q_enrich_lookup" -> (enrichLookup _))
 
   // -------------------------------------------------------------------
@@ -631,7 +644,50 @@ object MlsJob1Gate {
       |  CAST(NULL AS STRING) AS lkp_asg_primary_id_mssql_fixed_flag
       |FROM r""".stripMargin
 
+  private def job1RejectsOracle: String = {
+    val flags = Seq(
+      "CASE WHEN bmls IS NULL THEN 1 ELSE 0 END" -> "Invalid MLS code",
+      "CASE WHEN mls2 IS NULL THEN 1 ELSE 0 END" -> "Missing MLS code",
+      "CASE WHEN mls_listing_id IS NULL THEN 1 ELSE 0 END" -> "Missing listing number",
+      "CASE WHEN rent_sale IS NULL OR rent_sale NOT IN ('Sale','Rental') THEN 1 ELSE 0 END" -> "Invalid rental/sale indicator",
+      "CASE WHEN listing_status IS NULL OR listing_status NOT IN ('A','U','S','X') THEN 1 ELSE 0 END" -> "Invalid listing status",
+      "CASE WHEN property_type IS NULL OR property_type NOT IN ('AP','BD','CN','CO','CP','FM','LD','MF','MH','RI','SF','TH','TS') THEN 1 ELSE 0 END" -> "Invalid property type",
+      "CASE WHEN pst_ok IS NULL THEN 1 ELSE 0 END" -> "Invalid property subtype",
+      ("CASE WHEN coalesce(current_price, 0) < 1 AND listing_status = 'S' AND closed_price IS NULL THEN 1 " +
+        "WHEN coalesce(current_price, 0) < 1 AND listing_status <> 'S' THEN 1 ELSE 0 END") -> "Invalid price",
+      "CASE WHEN st_ok IS NULL THEN 1 ELSE 0 END" -> "Invalid state",
+      "CASE WHEN zip_ok IS NULL THEN 1 ELSE 0 END" -> "Invalid zip code")
+    val fCols = flags.zipWithIndex
+      .map { case ((sql, _), i) => s"$sql AS f$i" }.mkString(",\n    ")
+    val fSum = flags.indices.map(i => s"f$i").mkString(" + ")
+    val reasons = flags.zipWithIndex
+      .map { case ((_, label), i) => s"CASE WHEN f$i = 1 THEN '$label' END" }
+      .mkString(", ")
+    s"""WITH raw1 AS (SELECT ${synthExprs(1, "2024-01-01").mkString(",\n  ")}
+       |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer)),
+       |j AS (
+       |  SELECT r.*, b.mls AS bmls, coalesce(b.movedto, r.mls) AS mls2,
+       |         st.state AS st_ok, z.zipcode AS zip_ok,
+       |         p.property_sub_type AS pst_ok
+       |  FROM raw1 r
+       |  LEFT JOIN boards b ON r.mls = b.mls
+       |  LEFT JOIN states st ON r.state_raw = st.state OR r.state_raw = st.name
+       |  LEFT JOIN zipcodes z ON r.state_raw = z.state AND r.zip_raw = z.zipcode
+       |  LEFT JOIN psub p ON r.property_sub_type = p.property_sub_type),
+       |f AS (SELECT source_listing_id,
+       |    $fCols
+       |  FROM j)
+       |SELECT source_listing_id,
+       |  CAST($fSum AS INTEGER) AS reject_flags,
+       |  concat_ws('|', $reasons) AS reject_reasons
+       |FROM f WHERE $fSum > 0""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_job1_e2e" -> oracle,
+    "q_job1_rejects" -> {
+      val dimCtes = dims.map { case (n, cols, rows) => s"$n($cols) AS (VALUES $rows)" }
+      s"WITH ${dimCtes.mkString(",\n")},\n" + job1RejectsOracle.drop("WITH ".length)
+    },
     "q_enrich_lookup" -> enrichLookupOracle)
 }
