@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ EventQueries.queries ++
       Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries
+      LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
+      graft.pipeline.mls.MlsJob2Gate.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
       Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles
+      LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
+      graft.pipeline.mls.MlsJob2Gate.oracles
 }

@@ -18,40 +18,56 @@ import graft.sources.MergeClauses
   */
 object Merge {
 
+  /** @param nullSafeKeys when true, keys compare with `<=>` (null keys
+    *   match null keys); when false, keys compare with `=` exactly like the
+    *   reference MERGE ON conditions (mls_listings_hist_curated.py:185) —
+    *   a source row with a null key component then never matches, so the
+    *   not-matched insert clause fires and null-keyed rows accumulate in
+    *   the target on every run. That is observable reference behavior, so
+    *   both modes are offered.
+    *
+    * Clause conditions may reference any source column via the `s.` alias,
+    * including columns not present in the target (the reference conditions
+    * use `source._insert_update_flag`, which `insert *`/`update set *`
+    * ignore); the output projects exactly the target's columns. */
   def mergeFrames(target: DataFrame, source: DataFrame, keys: Seq[String],
-                  clauses: MergeClauses.Spec = MergeClauses.Spec()): DataFrame = {
+                  clauses: MergeClauses.Spec = MergeClauses.Spec(),
+                  nullSafeKeys: Boolean = true): DataFrame = {
     val cols = target.columns.toIndexedSeq
     val t = target.withColumn("__t_present", lit(true)).alias("t")
-    // Delta MERGE errors when multiple source rows match one target row;
-    // the full-outer-join formulation would instead silently fan the target
-    // row out. Enforce the same contract: a per-key count window (the
-    // source is about to be shuffled on these keys for the join anyway)
-    // plus assert_true fails the job on the first duplicate key. The assert
-    // is folded into the kept __s_present column — a standalone dropped
-    // column would be pruned away by the optimizer, check and all.
+    // Delta MERGE errors when multiple source rows match ONE TARGET row;
+    // duplicate source keys that match no target row are legal and fan
+    // into inserts. Count source rows per key with a window (the source is
+    // about to be shuffled on these keys for the join anyway) and assert
+    // AFTER the join, scoped to matched rows — exactly Delta's contract.
     val keyCount = count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*))
-    val s = source.select(cols.map(col): _*)
+    val s = source
       .withColumn("__key_n", keyCount)
-      .withColumn("__s_present", coalesce(
-        assert_true(col("__key_n") <= 1,
-          lit(s"MERGE source has duplicate rows for key (${keys.mkString(", ")})"))
-          .cast("boolean"),
-        lit(true)))
-      .drop("__key_n").alias("s")
-    val keyCond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+      .withColumn("__s_present", lit(true))
+      .alias("s")
+    val keyEq: (Column, Column) => Column =
+      if (nullSafeKeys) _ <=> _ else _ === _
+    val keyCond = keys.map(k => keyEq(col(s"t.$k"), col(s"s.$k"))).reduce(_ && _)
     val joined = t.join(s, keyCond, "full_outer")
 
     val tPresent = col("t.__t_present").isNotNull
     val sPresent = col("s.__s_present").isNotNull
     val matched = tPresent && sPresent
+    // assert_true returns null on pass; folded into the row filter so the
+    // optimizer cannot prune the check away.
+    val dupGuard = coalesce(
+      assert_true(!matched || col("s.__key_n") <= 1,
+        lit(s"MERGE source has duplicate rows matching one target row " +
+          s"for key (${keys.mkString(", ")})")).cast("boolean"),
+      lit(true))
     val doUpdate = matched && clauses.updateWhen.getOrElse(lit(true))
     val doDelete = matched && !doUpdate && clauses.deleteWhen.getOrElse(lit(false))
     val doInsert = (sPresent && !tPresent) && clauses.insertWhen.getOrElse(lit(true))
     val keepRow = doUpdate || doInsert || (tPresent && !doDelete && !doUpdate)
     val takeSource = doUpdate || doInsert
 
-    joined.filter(keepRow).select(
+    joined.filter(dupGuard && keepRow).select(
       cols.map(c => when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 }

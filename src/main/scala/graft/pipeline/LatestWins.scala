@@ -68,16 +68,23 @@ object LatestWins {
     * first gives the previous version's value (`*_old`), and the changed
     * flag is the negated null-safe equality; `_insert_update_flag` ORs all
     * per-column flags (true for brand-new keys too, since lead is null and
-    * `<=>` against null value differs). */
+    * `<=>` against null value differs).
+    *
+    * `compare` overrides the null-safe-equality comparison per column —
+    * the reference compares current_price at whole-dollar grain,
+    * `round(current_price,0) <=> round(current_price_old,0)`
+    * (mls_listings_hist_curated.py:152). */
   def changeFlags(df: DataFrame, keys: Seq[String], versionOrder: Seq[Column],
                   tracked: Seq[String],
-                  naming: ChangeRow = ChangeRow()): DataFrame = {
+                  naming: ChangeRow = ChangeRow(),
+                  compare: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(versionOrder: _*)
     val withOld = tracked.foldLeft(df)((d, c) =>
       d.withColumn(c + naming.oldSuffix, lead(col(c), 1).over(w)))
     val withFlags = tracked.foldLeft(withOld)((d, c) =>
       d.withColumn(c + naming.flagSuffix,
-        !(col(c) <=> col(c + naming.oldSuffix))))
+        !compare.getOrElse(c, (a: Column, b: Column) => a <=> b)(
+          col(c), col(c + naming.oldSuffix))))
     withFlags.withColumn("_insert_update_flag",
       tracked.map(c => col(c + naming.flagSuffix)).reduce(_ || _))
   }

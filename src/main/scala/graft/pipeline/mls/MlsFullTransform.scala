@@ -27,6 +27,15 @@ object MlsFullTransform {
       getClass.getResourceAsStream("/mls_listings_schema.json").readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** The 134-field history target schema (re-expressed from the reference's
+    * mls_listings_hist_schema.json:1-807): the listings columns minus the
+    * 11 asg_* enrichment fields, plus the six `*_old` / six `*_changed_flag`
+    * change-tracking tail columns. */
+  lazy val histSchema: StructType = SchemaLoader.fromJsonString(
+    new String(
+      getClass.getResourceAsStream("/mls_listings_hist_schema.json").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+
   /** Remaining derived columns (transform.py:155-317, the rules not already
     * in [[MlsTransform.deriveCore]]). Order and 3-valued-logic preserved. */
   private[mls] def deriveRest(df: DataFrame, asOf: Column): DataFrame = {
@@ -166,11 +175,26 @@ object MlsFullTransform {
     * derivation → extra columns → geo joins → `_`-replacement → projection
     * to the 133-field schema in declared order. */
   def transform(good: DataFrame, counties: DataFrame, geoIds: DataFrame,
-                asOf: Column, nowTs: Column): DataFrame = {
+                asOf: Column, nowTs: Column): DataFrame =
+    transformTo(targetSchema)(good, counties, geoIds, asOf, nowTs)
+
+  /** Same shared transform projected to the 134-field HIST schema — exactly
+    * how the reference's hist job reuses transform_listings with the hist
+    * schema file (mls_listings_hist_curated.py:102): the asg_* placeholders
+    * fall away and the `*_old`/`*_changed_flag` null placeholders survive
+    * the projection (they are recomputed downstream by the lead/flags
+    * stage). */
+  def transformHist(good: DataFrame, counties: DataFrame, geoIds: DataFrame,
+                    asOf: Column, nowTs: Column): DataFrame =
+    transformTo(histSchema)(good, counties, geoIds, asOf, nowTs)
+
+  private def transformTo(schema: StructType)(
+      good: DataFrame, counties: DataFrame, geoIds: DataFrame,
+      asOf: Column, nowTs: Column): DataFrame = {
     val derived = deriveRest(
       MlsTransform.deriveCore(MlsTransform.sanitizeByType(good), asOf), asOf)
     val withExtra = extraColumns(derived, nowTs)
     val geo = MlsTransform.attachGeo(withExtra, counties, geoIds)
-    projectToSchema(applyUnderscoreReplacements(geo), targetSchema)
+    projectToSchema(applyUnderscoreReplacements(geo), schema)
   }
 }

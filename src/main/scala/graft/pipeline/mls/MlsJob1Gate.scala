@@ -23,14 +23,14 @@ import graft.operators.Merge
   */
 object MlsJob1Gate {
 
-  private val asOfSql = "DATE '2024-06-01'" // year(asOf)+1 = 2025
-  private val nowTsSql = "TIMESTAMP '2024-06-01 00:00:00'"
+  private[mls] val asOfSql = "DATE '2024-06-01'" // year(asOf)+1 = 2025
+  private[mls] val nowTsSql = "TIMESTAMP '2024-06-01 00:00:00'"
 
   // -------------------------------------------------------------------
   // Shared dimension literals (same rows build the Spark dims and the
   // oracle CTEs).
   // -------------------------------------------------------------------
-  private val dims: Seq[(String, String, String)] = Seq(
+  private[mls] val dims: Seq[(String, String, String)] = Seq(
     ("boards", "mls, movedto",
       "('MLS0', CAST(NULL AS STRING)), ('MLS1', CAST(NULL AS STRING)), " +
         "('MLS2', CAST(NULL AS STRING)), ('OLDMLS', 'MLS2')"),
@@ -56,8 +56,10 @@ object MlsJob1Gate {
 
   /** Synthesis expressions (shared SQL subset). `b` = batch number: batch 2
     * shifts listing_status, prices, and remarks — the changed columns the
-    * merge must propagate. */
-  private def synthExprs(b: Int, loadDate: String): Seq[String] = Seq(
+    * merge must propagate. `soadTs` parameterizes the snapshot timestamp so
+    * the hist gate can synthesize multiple versions per listing key. */
+  private[mls] def synthExprs(b: Int, loadDate: String,
+                              soadTs: String = "2024-01-04 23:00:00"): Seq[String] = Seq(
     "CASE WHEN k % 11 = 3 THEN TIMESTAMP '1800-01-01 00:00:00' ELSE TIMESTAMP '2024-01-05 10:30:00' END AS created_datetime",
     "CASE WHEN k % 19 = 1 THEN CAST(NULL AS STRING) WHEN k % 19 = 2 THEN 'NOPE' WHEN k % 19 = 3 THEN 'OLDMLS' ELSE 'MLS' || CAST(k % 3 AS STRING) END AS mls",
     "CASE WHEN k % 23 = 1 THEN CAST(NULL AS STRING) ELSE 'L' || CAST(k AS STRING) END AS mls_listing_id",
@@ -172,23 +174,25 @@ object MlsJob1Gate {
     "'FEED' || CAST(k % 3 AS STRING) AS source",
     "'SRC' || CAST(k % 5 AS STRING) AS source_reference",
     "'SL' || CAST(k AS STRING) AS source_listing_id",
-    "CASE WHEN k % 10 = 9 THEN TIMESTAMP '1800-09-09 00:00:00' ELSE TIMESTAMP '2024-01-04 23:00:00' END AS source_as_of_date",
+    s"CASE WHEN k % 10 = 9 THEN TIMESTAMP '1800-09-09 00:00:00' ELSE TIMESTAMP '$soadTs' END AS source_as_of_date",
     s"'$loadDate' AS load_date")
 
   // -------------------------------------------------------------------
   // Spark side
   // -------------------------------------------------------------------
-  private def dimDf(s: SparkSession, name: String): DataFrame = {
+  private[mls] def dimDf(s: SparkSession, name: String): DataFrame = {
     val (_, cols, rows) = dims.find(_._1 == name).get
     s.sql(s"SELECT * FROM VALUES $rows AS t($cols)")
   }
 
-  private def rawBatch(s: SparkSession, dir: String, b: Int, loadDate: String,
-                       subset: Boolean): DataFrame = {
+  private[mls] def rawBatch(s: SparkSession, dir: String, b: Int, loadDate: String,
+                            subset: Boolean,
+                            soadTs: String = "2024-01-04 23:00:00",
+                            kFilter: String = "k % 3 = 0"): DataFrame = {
     val base = s.read.parquet(s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
-    val filtered = if (subset) base.filter("k % 3 = 0") else base
-    filtered.selectExpr(synthExprs(b, loadDate): _*)
+    val filtered = if (subset) base.filter(kFilter) else base
+    filtered.selectExpr(synthExprs(b, loadDate, soadTs): _*)
   }
 
   /** q_job1_e2e: the full Job-1 pipeline at 133-column width. */
@@ -328,7 +332,7 @@ object MlsJob1Gate {
     "cumulative_days_on_market", "listing_image_url_count", "loan_amount",
     "buyer_commission_pct")
 
-  private def validateSql(src: String): String =
+  private[mls] def validateSql(src: String): String =
     s"""SELECT r.* EXCLUDE (mls), coalesce(b.movedto, r.mls) AS mls,
        |       st.state AS states_state
        |FROM $src r
@@ -385,8 +389,12 @@ object MlsJob1Gate {
 
   /** The full transform mirrored over a validated CTE. Stage s sanitizes,
     * stage d adds shared tmp columns, the outer select computes every final
-    * column with the dim joins. */
-  private def transformSql(goodCte: String): String = {
+    * column with the dim joins. `nowTs` injects the run clock; `hist=true`
+    * projects the hist-job column set (the 11 asg_* placeholders dropped —
+    * the 12 hist tail columns are computed downstream by the lead/flags
+    * stage, so they are not emitted here). */
+  private[mls] def transformSql(goodCte: String, nowTs: String = nowTsSql,
+                                hist: Boolean = false): String = {
     val sanitize =
       (stringCols.map(c => s"trim($c) AS $c") ++
         dateCols.map(c => s"CASE WHEN year($c) >= 1900 THEN $c END AS $c") ++
@@ -564,10 +572,11 @@ object MlsJob1Gate {
       "d.source_reference AS source_reference",
       "substring(d.source_listing_id, 1, 50) AS source_listing_id",
       "d.source_as_of_date AS source_as_of_date",
-      s"$nowTsSql AS create_timestamp",
-      s"$nowTsSql AS update_timestamp",
+      s"$nowTs AS create_timestamp",
+      s"$nowTs AS update_timestamp",
       "d.load_date AS load_date"
     ).filterNot(_.contains("_ignore_never_used"))
+      .filterNot(c => hist && c.contains("asg_"))
     s"""SELECT
        |  ${finalCols.mkString(",\n  ")}
        |FROM (
@@ -586,8 +595,9 @@ object MlsJob1Gate {
        |LEFT JOIN geo_ids g3 ON d.census_tract_geo_id = g3.censustractgeoid""".stripMargin
   }
 
-  private def outCastSql(alias: String): String =
-    MlsFullTransform.targetSchema.fields.map { f =>
+  private[mls] def outCastSql(alias: String,
+                              schema: StructType = MlsFullTransform.targetSchema): String =
+    schema.fields.map { f =>
       f.dataType match {
         case DateType | TimestampType | BooleanType =>
           s"CAST($alias.${f.name} AS STRING) AS ${f.name}"

@@ -1,0 +1,247 @@
+package graft.pipeline.mls
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+import graft.pipeline.LatestWins
+import graft.sources.MergeClauses
+
+/** End-to-end Job-2 (listings HISTORY) parity gate at the real 134-column
+  * hist schema width (mls_listings_hist_curated.py:56-218): validate →
+  * shared transform projected to the hist schema → hist-grain dedup with
+  * min(create_timestamp) recompute (hist:129-137) → six `lead()` `*_old`
+  * columns + `<=>`-negation changed flags with the whole-dollar
+  * current_price comparison (hist:139-159) → the three-way MERGE
+  * (update-when-changed / DELETE-when-no-driving-change /
+  * insert-when-changed, hist:184-210) — replayed twice (two job runs) and
+  * hash-checked against a DuckDB oracle that recomputes both runs
+  * relationally from the same shared-SQL fixture.
+  *
+  * The fixture reuses [[MlsJob1Gate]]'s deterministic synthesis with a
+  * per-batch `source_as_of_date`, giving each listing key up to three
+  * snapshot versions across the two runs:
+  *   - run 1 loads every key at soad1 (batch b=1);
+  *   - run 2 loads a LATER changed snapshot at soad2 (b=2, k%3=0 — merge
+  *     inserts) AND an OLDER byte-identical snapshot at soad0 (b=1,
+  *     k%5=1): the recomputed flags for the existing soad1 row turn all
+  *     false, so the three-way merge DELETEs it and inserts the soad0 row
+  *     — the reference's delete leg, exercised at full width.
+  * The merge ON condition is the reference's plain (non-null-safe) `=`
+  * (hist:185), so rows whose source_as_of_date was nulled by the <1900
+  * sanitizer never match and are re-inserted as duplicates on every run —
+  * observable reference behavior the oracle reproduces exactly.
+  */
+object MlsJob2Gate {
+  import MlsJob1Gate.{asOfSql, dimDf, dims, outCastSql, rawBatch, synthExprs,
+    transformSql, validateSql}
+
+  // Per-run injected clocks (run 2 is a month later, making the
+  // min(create_timestamp) recompute observable across runs).
+  private val now1Sql = "TIMESTAMP '2024-06-01 00:00:00'"
+  private val now2Sql = "TIMESTAMP '2024-07-01 00:00:00'"
+  // Snapshot timestamps: soad0 < soad1 < soad2.
+  private val soad0 = "2023-12-04 23:00:00"
+  private val soad1 = "2024-01-04 23:00:00"
+  private val soad2 = "2024-02-04 23:00:00"
+
+  private val grainKeys = Seq("mls", "mls_listing_id", "source_as_of_date")
+  private val tracked = Seq("listing_status", "current_price",
+    "source_listing_id", "street_address_raw", "property_type",
+    "property_sub_type")
+  /** The 18 columns of the matched-update guard (hist:188-192). */
+  private val matchCols =
+    tracked.map(_ + "_old") ++ tracked ++ tracked.map(_ + "_changed_flag")
+  private val tailCols: Set[String] =
+    (tracked.map(_ + "_old") ++ tracked.map(_ + "_changed_flag")).toSet
+  /** The 122 non-change-tracking hist columns, in schema order. */
+  private lazy val coreCols: Seq[String] =
+    MlsFullTransform.histSchema.fieldNames.toSeq.filterNot(tailCols)
+
+  // -------------------------------------------------------------------
+  // Spark side
+  // -------------------------------------------------------------------
+
+  /** One hist-job run, reference order: union new∪curated at the hist
+    * grain, keep the window winner, recompute create_timestamp as the
+    * partition min, then derive `*_old`/changed flags with lead() over the
+    * survivors (hist:119-159). Returns the merge source (134 cols +
+    * `_insert_update_flag`). */
+  private def histFinal(fresh: DataFrame, curated: Option[DataFrame]): DataFrame = {
+    val tagged = fresh.withColumn("_from", lit("new"))
+    val union = curated.fold(tagged) { c =>
+      tagged.unionByName(
+        c.select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
+          .withColumn("_from", lit("curated")))
+    }
+    val w1 = Window.partitionBy(grainKeys.map(col): _*)
+      .orderBy(col("listing_date").desc, col("entry_date").asc,
+        col("load_date").desc, col("_from").desc)
+    val w2 = Window.partitionBy(grainKeys.map(col): _*)
+    val ranked = union.select(col("*"),
+      row_number().over(w1).as("_rownum"),
+      min(col("create_timestamp")).over(w2).as("_create_timestamp"))
+    val winners = ranked.filter(col("_rownum") === 1)
+      .withColumn("create_timestamp", col("_create_timestamp"))
+    LatestWins.changeFlags(winners, Seq("mls", "mls_listing_id"),
+      Seq(col("source_as_of_date").desc), tracked,
+      compare = Map("current_price" ->
+        ((a: Column, b: Column) => round(a, 0) <=> round(b, 0))))
+      .drop("_from", "_rownum", "_create_timestamp")
+  }
+
+  /** The reference's three-way MERGE (hist:184-210): non-null-safe key
+    * equality, update only when a driving column differs from the target's
+    * stored state, delete when the recomputed flags say no driving change,
+    * insert new changed snapshots. */
+  private def merge3(curated: DataFrame, source: DataFrame): DataFrame = {
+    val sameAll = matchCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    Merge.mergeFrames(curated, source, grainKeys,
+      MergeClauses.Spec(
+        updateWhen = Some(col("s._insert_update_flag") && !sameAll),
+        deleteWhen = Some(!col("s._insert_update_flag")),
+        insertWhen = Some(col("s._insert_update_flag"))),
+      nullSafeKeys = false)
+  }
+
+  /** q_job2_e2e: two consecutive hist-job runs at 134-column width. */
+  def job2E2e(s: SparkSession, dir: String): DataFrame = {
+    val asOf = expr(asOfSql)
+    val boards = dimDf(s, "boards"); val states = dimDf(s, "states")
+    val zips = dimDf(s, "zipcodes"); val psub = dimDf(s, "psub")
+    val counties = dimDf(s, "counties"); val geoIds = dimDf(s, "geo_ids")
+
+    // Run 1: every key at soad1.
+    val raw1 = rawBatch(s, dir, 1, "2024-01-01", subset = false, soadTs = soad1)
+    val (good1, _) = MlsValidate.validateListings(raw1, boards, states, zips, psub)
+    val h1 = MlsFullTransform.transformHist(good1, counties, geoIds, asOf, expr(now1Sql))
+    // First run's destination is the freshly-created empty table
+    // (hist:171-175), so the merge reduces to insert-when-changed.
+    val hist1 = histFinal(h1, None).filter(col("_insert_update_flag"))
+      .select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
+      // The table state is target AND curated-union input of run 2; the
+      // checkpoint truncates the full-width transform lineage so run 2's
+      // analysis does not re-walk run 1's tree per reference.
+      .localCheckpoint()
+
+    // Run 2: union of two input dirs (S1) — a later changed snapshot and
+    // an older identical one — validated and transformed as one batch.
+    val rawNew = rawBatch(s, dir, 2, "2024-02-01", subset = true,
+        soadTs = soad2, kFilter = "k % 3 = 0")
+      .union(rawBatch(s, dir, 1, "2024-02-01", subset = true,
+        soadTs = soad0, kFilter = "k % 5 = 1"))
+    val (goodN, _) = MlsValidate.validateListings(rawNew, boards, states, zips, psub)
+    val hN = MlsFullTransform.transformHist(goodN, counties, geoIds, asOf, expr(now2Sql))
+    val merged = merge3(hist1, histFinal(hN, Some(hist1)))
+
+    // Engine-portable output casts (same policy as q_job1_e2e).
+    val outCols = MlsFullTransform.histSchema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.BooleanType =>
+          col(f.name).cast(org.apache.spark.sql.types.StringType).as(f.name)
+        case _: org.apache.spark.sql.types.DecimalType =>
+          col(f.name).cast(org.apache.spark.sql.types.DoubleType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    merged.select(outCols.toIndexedSeq: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_job2_e2e" -> (job2E2e _))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle
+  // -------------------------------------------------------------------
+
+  /** CTE chain for one hist run, names prefixed with `p`: union (122 core
+    * columns + provenance tag) → grain-window dedup + min(create_timestamp)
+    * → lead() olds → changed flags → `_insert_update_flag`. Final CTE:
+    * `${p}iu`. */
+  private def histFinalSql(p: String, newCte: String,
+                           curatedCte: Option[String]): String = {
+    val coreList = coreCols.mkString(", ")
+    val unionArm = curatedCte
+      .map(c => s"\n  UNION ALL SELECT $coreList, 'curated' AS _from FROM $c")
+      .getOrElse("")
+    val ledCols = coreCols
+      .map(c => if (c == "create_timestamp") "_cts AS create_timestamp" else c)
+      .mkString(", ")
+    val leads = tracked
+      .map(c => s"lead($c) OVER ${p}w AS ${c}_old").mkString(",\n    ")
+    val flags = tracked.map { c =>
+      val (l, r) =
+        if (c == "current_price") (s"round($c, 0)", s"round(${c}_old, 0)")
+        else (c, s"${c}_old")
+      s"NOT ($l IS NOT DISTINCT FROM $r) AS ${c}_changed_flag"
+    }.mkString(",\n    ")
+    val iu = tracked.map(c => s"${c}_changed_flag").mkString(" OR ")
+    s"""${p}u AS (SELECT $coreList, 'new' AS _from FROM $newCte$unionArm),
+       |${p}d AS (SELECT *,
+       |    row_number() OVER (PARTITION BY mls, mls_listing_id, source_as_of_date
+       |      ORDER BY listing_date DESC NULLS LAST, entry_date ASC NULLS FIRST,
+       |               load_date DESC NULLS LAST, _from DESC NULLS LAST) AS _rownum,
+       |    min(create_timestamp) OVER (
+       |      PARTITION BY mls, mls_listing_id, source_as_of_date) AS _cts
+       |  FROM ${p}u),
+       |${p}led AS (SELECT $ledCols,
+       |    $leads
+       |  FROM ${p}d WHERE _rownum = 1
+       |  WINDOW ${p}w AS (PARTITION BY mls, mls_listing_id
+       |                   ORDER BY source_as_of_date DESC NULLS LAST)),
+       |${p}fl AS (SELECT *,
+       |    $flags
+       |  FROM ${p}led),
+       |${p}iu AS (SELECT *, ($iu) AS _insert_update_flag FROM ${p}fl)""".stripMargin
+  }
+
+  def oracle: String = {
+    val dimCtes = dims.map { case (n, cols, rows) => s"$n($cols) AS (VALUES $rows)" }
+    val histFields = MlsFullTransform.histSchema.fieldNames.toSeq
+    // mergeFrames branch logic mirrored relationally (Merge.scala):
+    val same18 = matchCols
+      .map(c => s"(t.$c IS NOT DISTINCT FROM s.$c)").mkString("\n      AND ")
+    val caseCols = histFields
+      .map(c => s"CASE WHEN _take THEN s.$c ELSE t.$c END AS $c")
+      .mkString(",\n    ")
+    s"""WITH ${dimCtes.mkString(",\n")},
+       |ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |raw1 AS (SELECT ${synthExprs(1, "2024-01-01", soad1).mkString(",\n  ")} FROM ks),
+       |rawn AS (
+       |  SELECT ${synthExprs(2, "2024-02-01", soad2).mkString(",\n  ")}
+       |  FROM ks WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT ${synthExprs(1, "2024-02-01", soad0).mkString(",\n  ")}
+       |  FROM ks WHERE k % 5 = 1),
+       |good1 AS (${validateSql("raw1")}),
+       |goodn AS (${validateSql("rawn")}),
+       |h1 AS (${transformSql("good1", now1Sql, hist = true)}),
+       |hn AS (${transformSql("goodn", now2Sql, hist = true)}),
+       |${histFinalSql("r1", "h1", None)},
+       |hist1 AS (SELECT * EXCLUDE (_insert_update_flag) FROM r1iu
+       |          WHERE _insert_update_flag),
+       |${histFinalSql("r2", "hn", Some("hist1"))},
+       |mj AS (
+       |  SELECT
+       |    (t._tp IS NOT NULL AND s._insert_update_flag IS NOT NULL) AS _matched,
+       |    ($same18) AS _same18,
+       |    (_matched AND s._insert_update_flag AND NOT _same18) AS _upd,
+       |    (_matched AND NOT _upd AND NOT s._insert_update_flag) AS _del,
+       |    (s._insert_update_flag IS NOT NULL AND t._tp IS NULL
+       |      AND s._insert_update_flag) AS _ins,
+       |    (_upd OR _ins) AS _take,
+       |    (_upd OR _ins OR (t._tp IS NOT NULL AND NOT _del AND NOT _upd)) AS _keep,
+       |    $caseCols
+       |  FROM (SELECT *, TRUE AS _tp FROM hist1) t
+       |  FULL OUTER JOIN r2iu s
+       |    ON t.mls = s.mls AND t.mls_listing_id = s.mls_listing_id
+       |   AND t.source_as_of_date = s.source_as_of_date)
+       |SELECT
+       |  ${outCastSql("mj", MlsFullTransform.histSchema)}
+       |FROM mj WHERE _keep""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map("q_job2_e2e" -> oracle)
+}
