@@ -23,7 +23,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++ EventQueries.queries ++
       Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
-      graft.pipeline.mls.MlsJob2Gate.queries
+      graft.pipeline.mls.MlsJob2Gate.queries ++
+      graft.pipeline.mls.MlsJob3Gate.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
       Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
-      graft.pipeline.mls.MlsJob2Gate.oracles
+      graft.pipeline.mls.MlsJob2Gate.oracles ++
+      graft.pipeline.mls.MlsJob3Gate.oracles
 }

@@ -248,24 +248,8 @@ object MlsJob1Gate {
       "'TX' AS state",
       "'75001' AS zip",
       "CASE WHEN c_custkey % 4 = 0 THEN 'U' || CAST(c_custkey % 7 AS STRING) ELSE CAST(NULL AS STRING) END AS unit")
-    val client = new graft.enrich.BatchLookup.LookupClient {
-      override def lookup(batch: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] =
-        batch.map { r =>
-          val refId = r.getAs[Long]("ReferenceID")
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hex = md.digest(r.getAs[String]("StreetAddress")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString
-          val prop = java.lang.Long.parseLong(hex.substring(0, 12), 16)
-          (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 4) match {
-            case 0 => org.apache.spark.sql.Row(refId, null, null, null, null, null)
-            case 1 => org.apache.spark.sql.Row(refId, prop, "2023-01-01", java.lang.Boolean.FALSE, "2024-01-01", null)
-            case 2 => org.apache.spark.sql.Row(refId, prop, null, java.lang.Boolean.TRUE, null, null)
-            case _ => org.apache.spark.sql.Row(refId, prop, "2023-05-05", java.lang.Boolean.TRUE, null, "rate limited")
-          }
-        }
-    }
-    val out = MlsEnrich.lookupPropertyIds(s, listings, client, batchSize = 64).get
+    val out = MlsEnrich.lookupPropertyIds(s, listings, md5StubClient(""),
+      batchSize = 64).get
     out.select(col("lkp_mls"), col("lkp_mls_listing_id"),
       col("lkp_asg_primary_id"),
       col("lkp_asg_primary_id_final_flag").cast(StringType)
@@ -277,6 +261,29 @@ object MlsJob1Gate {
       col("lkp_asg_primary_id_mssql_fixed_flag").cast(StringType)
         .as("lkp_asg_primary_id_mssql_fixed_flag"))
   }
+
+  /** Deterministic stub lookup client: the response is a pure function of
+    * md5(StreetAddress || salt), so DuckDB recomputes the leg exactly.
+    * `salt` varies the "service state" between runs — the backfill gate
+    * uses it to make re-lookups return different property ids. */
+  private[mls] def md5StubClient(salt: String): graft.enrich.BatchLookup.LookupClient =
+    new graft.enrich.BatchLookup.LookupClient {
+      override def lookup(batch: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] =
+        batch.map { r =>
+          val refId = r.getAs[Long]("ReferenceID")
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest((r.getAs[String]("StreetAddress") + salt)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          val prop = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+          (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 4) match {
+            case 0 => org.apache.spark.sql.Row(refId, null, null, null, null, null)
+            case 1 => org.apache.spark.sql.Row(refId, prop, "2023-01-01", java.lang.Boolean.FALSE, "2024-01-01", null)
+            case 2 => org.apache.spark.sql.Row(refId, prop, null, java.lang.Boolean.TRUE, null, null)
+            case _ => org.apache.spark.sql.Row(refId, prop, "2023-05-05", java.lang.Boolean.TRUE, null, "rate limited")
+          }
+        }
+    }
 
   /** q_job1_rejects: the quarantine leg — the ten validation flags in
     * their exact insertion order and the '|'-joined reason strings

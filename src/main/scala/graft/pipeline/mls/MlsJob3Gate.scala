@@ -1,0 +1,302 @@
+package graft.pipeline.mls
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{ManagedTable, MergeClauses, TableIO}
+
+/** End-to-end Job-3 (property-id backfill) parity gate at the real
+  * 133-column schema width (mls_listings_curated_propid_backfill.py:71-229):
+  * bootstrap the managed table from ORC adding the 11 asg_* columns with
+  * load_status = 'Null' (backfill:77-98) → two backfill runs, each:
+  * mode/date candidate filters (backfill:115-123) → prioritized
+  * `orderBy().limit()` budget (backfill:125-134) → batched API lookup with
+  * the deterministic md5 stub client → inner-join attach recomputing the
+  * 11 asg_* columns with `asg_primary_id` assigned LAST (backfill:148-167,
+  * "order is important") → MERGE update-only-when-`<=>`-changed
+  * (backfill:187-219). The final table state is hash-checked against a
+  * DuckDB oracle replaying both runs relationally.
+  *
+  * Run 1 budgets 40 lookups out of the January slice (every priority
+  * column tied — the (mls, mls_listing_id) tiebreak decides). Run 2
+  * re-queries 'Provisional'/'Final' rows with a changed service salt and a
+  * budget cutting INSIDE the priority cascade (load-status rank, then
+  * responded-flag, then key), so re-lookups flip `asg_primary_id`,
+  * populate `asg_primary_id_previous_value`, and the update-only-when-
+  * changed merge condition is evaluated against genuinely stored state.
+  */
+object MlsJob3Gate {
+  import MlsJob1Gate.md5StubClient
+
+  private val now1Sql = "TIMESTAMP '2024-06-02 00:00:00'"
+  private val now2Sql = "TIMESTAMP '2024-07-02 00:00:00'"
+  private val keys = Seq("mls", "mls_listing_id")
+
+  /** The 11 asg_* columns in the reference's merge match-condition order
+    * (backfill:196-200). */
+  private val asgCols = Seq("asg_primary_id", "asg_primary_id_final_flag",
+    "asg_primary_id_source", "asg_primary_id_source_queried_timestamp",
+    "asg_primary_id_source_responded_flag", "asg_primary_id_issue_text",
+    "asg_primary_id_mssql_fixed_flag", "asg_primary_id_updated_flag",
+    "asg_primary_id_updated_timestamp", "asg_primary_id_previous_value",
+    "asg_primary_id_load_status")
+
+  private lazy val schema = MlsFullTransform.targetSchema
+  private lazy val coreCols: Seq[String] =
+    schema.fieldNames.toSeq.filterNot(_.startsWith("asg_"))
+
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType    => "STRING"
+    case DateType      => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case ShortType     => "SMALLINT"
+    case IntegerType   => "INTEGER"
+    case LongType      => "BIGINT"
+    case BooleanType   => "BOOLEAN"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => sys.error(s"unmapped type $other")
+  }
+
+  /** Pre-backfill curated content (the Job-1 ORC mirror the reference
+    * bootstraps from): listing keys, the address tuple the lookup
+    * canonicalizes on, and a date-split load_date; every other column is a
+    * typed null. Shared SQL subset — the same strings drive both engines. */
+  private val bootSpecial: Map[String, String] = Map(
+    "created_datetime" -> "TIMESTAMP '2024-01-05 10:30:00'",
+    "mls" -> "'MLS' || CAST(k % 3 AS STRING)",
+    "mls_listing_id" -> "'L' || CAST(k AS STRING)",
+    "street_address" -> "'ADDR ' || CAST(k % 40 AS STRING)",
+    "unit" -> "CASE WHEN k % 4 = 0 THEN 'U' || CAST(k % 7 AS STRING) ELSE CAST(NULL AS STRING) END",
+    "city" -> "'CITY' || CAST(k % 5 AS STRING)",
+    "state" -> "'TX'",
+    "zip" -> "'75001'",
+    "listing_status" -> "CASE k % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'U' WHEN 2 THEN 'S' ELSE 'X' END",
+    "current_price" -> "CAST(100000.25 + k AS DECIMAL(16,4))",
+    "source" -> "'FEED' || CAST(k % 3 AS STRING)",
+    "source_listing_id" -> "'SL' || CAST(k AS STRING)",
+    "source_as_of_date" -> "TIMESTAMP '2024-01-04 23:00:00'",
+    "create_timestamp" -> "TIMESTAMP '2024-05-01 00:00:00'",
+    "update_timestamp" -> "TIMESTAMP '2024-05-01 00:00:00'",
+    "load_date" -> "CASE WHEN k % 2 = 0 THEN '2024-01-01' ELSE '2024-02-01' END")
+
+  private lazy val bootExprs: Seq[String] =
+    schema.fields.toSeq.filterNot(_.name.startsWith("asg_")).map { f =>
+      val e = bootSpecial.getOrElse(f.name, s"CAST(NULL AS ${sqlType(f.dataType)})")
+      s"$e AS ${f.name}"
+    }
+
+  private def freshRoot(name: String): String = {
+    val p = Paths.get("target", "gate_tmp", name).toAbsolutePath
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally st.close()
+    }
+    p.toString
+  }
+
+  /** The 11 added placeholder columns of the first-run bootstrap
+    * (backfill:81-92) — all typed nulls except load_status = 'Null'. */
+  private def addAsgPlaceholders(df: DataFrame): DataFrame = df
+    .withColumn("asg_primary_id", lit(null).cast(LongType))
+    .withColumn("asg_primary_id_final_flag", lit(null).cast(BooleanType))
+    .withColumn("asg_primary_id_source", lit(null).cast(StringType))
+    .withColumn("asg_primary_id_source_queried_timestamp", lit(null).cast(TimestampType))
+    .withColumn("asg_primary_id_source_responded_flag", lit(null).cast(BooleanType))
+    .withColumn("asg_primary_id_issue_text", lit(null).cast(StringType))
+    .withColumn("asg_primary_id_mssql_fixed_flag", lit(null).cast(BooleanType))
+    .withColumn("asg_primary_id_updated_flag", lit(null).cast(BooleanType))
+    .withColumn("asg_primary_id_updated_timestamp", lit(null).cast(TimestampType))
+    .withColumn("asg_primary_id_previous_value", lit(null).cast(LongType))
+    .withColumn("asg_primary_id_load_status", lit("Null").cast(StringType))
+
+  /** Candidate selection (backfill:115-134): optional load_date window,
+    * load-status modes, then the prioritized lookup budget — never-tried
+    * sources first, then Null < Provisional < Final, then
+    * responded-flag, keyed tiebreak. */
+  private def candidates(cur: DataFrame, dateRange: Option[(String, String)],
+                         modes: Seq[String], limit: Int): DataFrame = {
+    val dated = dateRange.fold(cur) { case (lo, hi) =>
+      cur.filter(s"""load_date between "$lo" and "$hi"""") }
+    dated.filter(col("asg_primary_id_load_status").isin(modes: _*))
+      .withColumn("_asg_primary_id_load_status_num", expr(
+        "CASE WHEN asg_primary_id_load_status = 'Null' THEN 1 " +
+          "WHEN asg_primary_id_load_status = 'Provisional' THEN 2 " +
+          "WHEN asg_primary_id_load_status = 'Final' THEN 3 END"))
+      .orderBy(col("asg_primary_id_source").desc_nulls_first,
+        col("_asg_primary_id_load_status_num").asc_nulls_first,
+        col("asg_primary_id_source_responded_flag").asc_nulls_first,
+        col("mls").asc, col("mls_listing_id").asc)
+      .limit(limit)
+      .drop("_asg_primary_id_load_status_num")
+  }
+
+  /** Attach phase (backfill:151-167): recompute the 11 asg_* columns from
+    * the lookup row; `asg_primary_id` is assigned LAST because
+    * updated_flag/previous_value compare against its pre-update value. */
+  private def attach(cand: DataFrame, lookup: DataFrame, now: Column): DataFrame = {
+    val changed = expr("not(asg_primary_id <=> lkp_asg_primary_id)")
+    cand.join(lookup,
+        col("mls") === col("lkp_mls") &&
+          col("mls_listing_id") === col("lkp_mls_listing_id"), "inner")
+      .withColumn("asg_primary_id_final_flag", col("lkp_asg_primary_id_final_flag"))
+      .withColumn("asg_primary_id_source", col("lkp_asg_primary_id_source"))
+      .withColumn("asg_primary_id_source_queried_timestamp", now)
+      .withColumn("asg_primary_id_source_responded_flag",
+        col("lkp_asg_primary_id_source_responded_flag"))
+      .withColumn("asg_primary_id_issue_text", col("lkp_asg_primary_id_issue_text"))
+      .withColumn("asg_primary_id_mssql_fixed_flag",
+        col("lkp_asg_primary_id_mssql_fixed_flag"))
+      .withColumn("asg_primary_id_updated_flag", changed)
+      .withColumn("asg_primary_id_updated_timestamp",
+        when(changed, now).otherwise(lit(null)).cast(TimestampType))
+      .withColumn("asg_primary_id_previous_value",
+        when(changed, col("asg_primary_id")).otherwise(lit(null)).cast(LongType))
+      .withColumn("asg_primary_id_load_status", expr(
+        "CASE WHEN lkp_asg_primary_id_final_flag IS NULL THEN 'Null' " +
+          "WHEN lkp_asg_primary_id_final_flag = true THEN 'Final' " +
+          "WHEN lkp_asg_primary_id_final_flag = false THEN 'Provisional' END"))
+      .withColumn("asg_primary_id", col("lkp_asg_primary_id")) // MUST be last
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  private def runOnce(s: SparkSession, root: String,
+                      dateRange: Option[(String, String)], modes: Seq[String],
+                      limit: Int, salt: String, nowSql: String): Unit = {
+    val cur = ManagedTable.read(s, root)
+    val cand = candidates(cur, dateRange, modes, limit)
+    val lkp = MlsEnrich.lookupPropertyIds(s, cand, md5StubClient(salt),
+      batchSize = 64).get
+    val enriched = attach(cand, lkp, expr(nowSql))
+    val changedAny = !asgCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    ManagedTable.merge(s, root, enriched, keys,
+      MergeClauses.Spec(updateWhen = Some(changedAny)))
+  }
+
+  /** q_job3_e2e: ORC bootstrap + two backfill runs; returns the final
+    * table state. */
+  def job3E2e(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("job3")
+    val orc = ks(s, dir).selectExpr(bootExprs: _*)
+    TableIO.writeOrcZlib(orc, s"$root/orc", numFiles = 2)
+    // Bootstrap: the ORC mirror lacks the asg_* columns, so the first run
+    // adds them and publishes the frame as the managed table (backfill:77-98).
+    val boot = addAsgPlaceholders(s.read.orc(s"$root/orc"))
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    ManagedTable.overwrite(s"$root/delta", boot)
+    runOnce(s, s"$root/delta", Some(("2024-01-01", "2024-01-31")),
+      Seq("Null"), limit = 40, salt = "", nowSql = now1Sql)
+    runOnce(s, s"$root/delta", None,
+      Seq("Provisional", "Final"), limit = 20, salt = "#2", nowSql = now2Sql)
+    val outCols = schema.fields.map { f =>
+      f.dataType match {
+        case DateType | TimestampType | BooleanType =>
+          col(f.name).cast(StringType).as(f.name)
+        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    ManagedTable.read(s, s"$root/delta").select(outCols.toIndexedSeq: _*)
+  }
+
+  private def ks(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("CAST(c_custkey AS BIGINT) AS k")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_job3_e2e" -> (job3E2e _))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle
+  // -------------------------------------------------------------------
+
+  /** One backfill run: candidates → md5 decode → attach → merge
+    * (update-only-when-changed). Final CTE: `${p}s` = post-merge state. */
+  private def runSql(p: String, prev: String,
+                     dateRange: Option[(String, String)], modes: Seq[String],
+                     limit: Int, salt: String, nowSql: String): String = {
+    val dateCond = dateRange
+      .map { case (lo, hi) => s"load_date BETWEEN '$lo' AND '$hi' AND " }
+      .getOrElse("")
+    val inModes = modes.map(m => s"'$m'").mkString(", ")
+    val hx = s"md5(street_address || '$salt')"
+    val updf = "NOT (c.asg_primary_id IS NOT DISTINCT FROM l.asg)"
+    val attachAsg = Seq(
+      "l.asg AS asg_primary_id",
+      "l.final_flag AS asg_primary_id_final_flag",
+      "'API' AS asg_primary_id_source",
+      s"$nowSql AS asg_primary_id_source_queried_timestamp",
+      "l.responded AS asg_primary_id_source_responded_flag",
+      "l.issue AS asg_primary_id_issue_text",
+      "CAST(NULL AS BOOLEAN) AS asg_primary_id_mssql_fixed_flag",
+      s"$updf AS asg_primary_id_updated_flag",
+      s"CASE WHEN $updf THEN $nowSql END AS asg_primary_id_updated_timestamp",
+      s"CASE WHEN $updf THEN c.asg_primary_id END AS asg_primary_id_previous_value",
+      """CASE WHEN l.final_flag IS NULL THEN 'Null'
+        |      WHEN l.final_flag = true THEN 'Final'
+        |      WHEN l.final_flag = false THEN 'Provisional' END
+        |      AS asg_primary_id_load_status""".stripMargin)
+    val attachCols = schema.fieldNames.toSeq.map { c =>
+      if (c.startsWith("asg_"))
+        attachAsg.find(_.endsWith(s" AS $c")).get
+      else s"c.$c AS $c"
+    }
+    val same11 = asgCols
+      .map(c => s"(t.$c IS NOT DISTINCT FROM a.$c)").mkString("\n      AND ")
+    val outList = schema.fieldNames.mkString(", ")
+    s"""${p}c AS (
+       |  SELECT * FROM $prev
+       |  WHERE ${dateCond}asg_primary_id_load_status IN ($inModes)
+       |  ORDER BY asg_primary_id_source DESC NULLS FIRST,
+       |    CASE WHEN asg_primary_id_load_status = 'Null' THEN 1
+       |         WHEN asg_primary_id_load_status = 'Provisional' THEN 2
+       |         WHEN asg_primary_id_load_status = 'Final' THEN 3 END ASC NULLS FIRST,
+       |    asg_primary_id_source_responded_flag ASC NULLS FIRST,
+       |    mls ASC, mls_listing_id ASC
+       |  LIMIT $limit),
+       |${p}l AS (
+       |  SELECT mls AS lkp_mls, mls_listing_id AS lkp_lid,
+       |    CASE WHEN d = 0 THEN CAST(NULL AS BIGINT) ELSE prop END AS asg,
+       |    CASE WHEN d = 0 THEN CAST(NULL AS BOOLEAN)
+       |         WHEN d IN (1, 2) THEN true ELSE false END AS final_flag,
+       |    (d <> 3) AS responded,
+       |    CASE WHEN d = 3 THEN 'rate limited' END AS issue
+       |  FROM (SELECT mls, mls_listing_id,
+       |          ('0x' || substr($hx, 1, 12))::BIGINT AS prop,
+       |          ('0x' || substr($hx, 1, 1))::BIGINT % 4 AS d
+       |        FROM ${p}c)),
+       |${p}a AS (
+       |  SELECT ${attachCols.mkString(",\n    ")}
+       |  FROM ${p}c c JOIN ${p}l l
+       |    ON c.mls = l.lkp_mls AND c.mls_listing_id = l.lkp_lid),
+       |${p}chg AS (
+       |  SELECT a.* FROM ${p}a a JOIN $prev t
+       |    ON a.mls = t.mls AND a.mls_listing_id = t.mls_listing_id
+       |  WHERE NOT ($same11)),
+       |${p}s AS (
+       |  SELECT $outList FROM $prev t
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}chg u
+       |    WHERE u.mls = t.mls AND u.mls_listing_id = t.mls_listing_id)
+       |  UNION ALL
+       |  SELECT $outList FROM ${p}chg)""".stripMargin
+  }
+
+  def oracle: String = {
+    val asgDefaults = asgCols.map { c =>
+      val dt = sqlType(schema(c).dataType)
+      if (c == "asg_primary_id_load_status") s"'Null' AS $c"
+      else s"CAST(NULL AS $dt) AS $c"
+    }
+    s"""WITH ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |boot AS (SELECT ${(bootExprs ++ asgDefaults).mkString(",\n  ")} FROM ks),
+       |${runSql("r1", "boot", Some(("2024-01-01", "2024-01-31")),
+          Seq("Null"), 40, "", now1Sql)},
+       |${runSql("r2", "r1s", None, Seq("Provisional", "Final"), 20, "#2",
+          now2Sql)}
+       |SELECT ${MlsJob1Gate.outCastSql("f", schema)} FROM r2s f""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map("q_job3_e2e" -> oracle)
+}
