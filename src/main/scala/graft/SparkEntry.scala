@@ -24,7 +24,8 @@ object SparkEntry {
       Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
-      graft.pipeline.mls.MlsJob3Gate.queries
+      graft.pipeline.mls.MlsJob3Gate.queries ++
+      graft.pipeline.mls.MlsEnrichMssqlGate.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++
-      graft.pipeline.mls.MlsJob3Gate.oracles
+      graft.pipeline.mls.MlsJob3Gate.oracles ++
+      graft.pipeline.mls.MlsEnrichMssqlGate.oracles
 }
