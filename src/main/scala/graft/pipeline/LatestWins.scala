@@ -79,13 +79,17 @@ object LatestWins {
                   naming: ChangeRow = ChangeRow(),
                   compare: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(versionOrder: _*)
-    val withOld = tracked.foldLeft(df)((d, c) =>
-      d.withColumn(c + naming.oldSuffix, lead(col(c), 1).over(w)))
-    val withFlags = tracked.foldLeft(withOld)((d, c) =>
-      d.withColumn(c + naming.flagSuffix,
+    // Two withColumns batches (leads, then flags+OR) instead of a 13-deep
+    // withColumn chain: each chained withColumn re-resolves the full plan,
+    // which dominates at the gates' 134-column width.
+    val withOld = df.withColumns(
+      tracked.map(c => (c + naming.oldSuffix) -> lead(col(c), 1).over(w)).toMap)
+    withOld.withColumns(
+      tracked.map(c => (c + naming.flagSuffix) ->
         !compare.getOrElse(c, (a: Column, b: Column) => a <=> b)(
-          col(c), col(c + naming.oldSuffix))))
-    withFlags.withColumn("_insert_update_flag",
-      tracked.map(c => col(c + naming.flagSuffix)).reduce(_ || _))
+          col(c), col(c + naming.oldSuffix))).toMap +
+      ("_insert_update_flag" ->
+        tracked.map(c => !compare.getOrElse(c, (a: Column, b: Column) => a <=> b)(
+          col(c), col(c + naming.oldSuffix))).reduce(_ || _)))
   }
 }

@@ -188,13 +188,26 @@ object MlsFullTransform {
                     asOf: Column, nowTs: Column): DataFrame =
     transformTo(histSchema)(good, counties, geoIds, asOf, nowTs)
 
-  private def transformTo(schema: StructType)(
+  private def transformTo(schema: StructType, keep: Seq[String] = Nil)(
       good: DataFrame, counties: DataFrame, geoIds: DataFrame,
       asOf: Column, nowTs: Column): DataFrame = {
     val derived = deriveRest(
       MlsTransform.deriveCore(MlsTransform.sanitizeByType(good), asOf), asOf)
     val withExtra = extraColumns(derived, nowTs)
     val geo = MlsTransform.attachGeo(withExtra, counties, geoIds)
-    projectToSchema(applyUnderscoreReplacements(geo), schema)
+    val replaced = applyUnderscoreReplacements(geo)
+    replaced.select((schema.fieldNames.toIndexedSeq ++ keep).map(col): _*)
   }
+
+  /** Transform carrying extra passenger columns (e.g. a batch tag) through
+    * to the projection. The transform is row-wise apart from the per-row
+    * dropDuplicates, which a distinct-valued tag cannot collapse across —
+    * so transforming a tagged UNION of batches equals transforming each
+    * batch separately. The e2e gates use this to analyze/codegen the
+    * full-width plan ONCE instead of once per batch: at gate row counts the
+    * planning, not the data, is the dominant cost. */
+  def transformKeeping(schema: StructType, keep: Seq[String])(
+      good: DataFrame, counties: DataFrame, geoIds: DataFrame,
+      asOf: Column, nowTs: Column): DataFrame =
+    transformTo(schema, keep)(good, counties, geoIds, asOf, nowTs)
 }

@@ -195,26 +195,31 @@ object MlsJob1Gate {
     filtered.selectExpr(synthExprs(b, loadDate, soadTs): _*)
   }
 
-  /** q_job1_e2e: the full Job-1 pipeline at 133-column width. */
+  /** q_job1_e2e: the full Job-1 pipeline at 133-column width.
+    *
+    * Both batches flow through ONE tagged validate+transform tree (the
+    * transform is row-wise, so transforming the tagged union equals
+    * transforming each batch — see [[MlsFullTransform.transformKeeping]]),
+    * and ONE localCheckpoint truncates the many-thousand-expression lineage
+    * before the frames are re-referenced by dedupe and merge: at gate row
+    * counts the query is planning-bound, not data-bound, and this halves
+    * the analyzer/codegen work. Checkpoint blocks are executor-local and
+    * job-scoped. */
   def job1E2e(s: SparkSession, dir: String): DataFrame = {
     val asOf = expr(asOfSql)
     val nowTs = expr(nowTsSql)
-    val raw1 = rawBatch(s, dir, 1, "2024-01-01", subset = false)
-    val raw2 = rawBatch(s, dir, 2, "2024-02-01", subset = true)
-    val (good1, _) = MlsValidate.validateListings(raw1, dimDf(s, "boards"),
+    val raw = rawBatch(s, dir, 1, "2024-01-01", subset = false)
+      .withColumn("gate_batch", lit("a"))
+      .unionByName(rawBatch(s, dir, 2, "2024-02-01", subset = true)
+        .withColumn("gate_batch", lit("b")))
+    val (good, _) = MlsValidate.validateListings(raw, dimDf(s, "boards"),
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
-    val (good2, _) = MlsValidate.validateListings(raw2, dimDf(s, "boards"),
-      dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
-    // localCheckpoint truncates the 133-column × multi-stage lineage: the
-    // transformed frames are each referenced several times downstream
-    // (dedupe union + merge target/source), and without truncation the
-    // analyzer/optimizer re-walks a many-thousand-expression tree per
-    // reference — at this row count the query is planning-bound, not
-    // data-bound. Checkpoint blocks are executor-local and job-scoped.
-    val t1 = MlsFullTransform.transform(good1, dimDf(s, "counties"),
-      dimDf(s, "geo_ids"), asOf, nowTs).localCheckpoint()
-    val t2 = MlsFullTransform.transform(good2, dimDf(s, "counties"),
-      dimDf(s, "geo_ids"), asOf, nowTs).localCheckpoint()
+    val tAll = MlsFullTransform.transformKeeping(
+        MlsFullTransform.targetSchema, Seq("gate_batch"))(
+        good, dimDf(s, "counties"), dimDf(s, "geo_ids"), asOf, nowTs)
+      .localCheckpoint()
+    val t1 = tAll.filter(col("gate_batch") === "a").drop("gate_batch")
+    val t2 = tAll.filter(col("gate_batch") === "b").drop("gate_batch")
     val keys = Seq("mls", "mls_listing_id")
     val dd = LatestWins.dedupe(t2, t1, keys, Seq(col("load_date").desc))
     val merged = Merge.mergeFrames(t1, dd.latest, keys)

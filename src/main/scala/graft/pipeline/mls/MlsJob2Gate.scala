@@ -104,34 +104,44 @@ object MlsJob2Gate {
       nullSafeKeys = false)
   }
 
-  /** q_job2_e2e: two consecutive hist-job runs at 134-column width. */
+  /** q_job2_e2e: two consecutive hist-job runs at 134-column width.
+    *
+    * All three input batches flow through ONE tagged validate+transform
+    * tree with a per-batch injected clock, and ONE localCheckpoint
+    * truncates the full-width lineage before the window/flag/merge stages
+    * re-reference the frames — at gate row counts planning dominates, and
+    * this pays the analyzer/codegen cost of the 134-column transform once
+    * instead of twice (see [[MlsFullTransform.transformKeeping]]). */
   def job2E2e(s: SparkSession, dir: String): DataFrame = {
     val asOf = expr(asOfSql)
     val boards = dimDf(s, "boards"); val states = dimDf(s, "states")
     val zips = dimDf(s, "zipcodes"); val psub = dimDf(s, "psub")
     val counties = dimDf(s, "counties"); val geoIds = dimDf(s, "geo_ids")
 
-    // Run 1: every key at soad1.
-    val raw1 = rawBatch(s, dir, 1, "2024-01-01", subset = false, soadTs = soad1)
-    val (good1, _) = MlsValidate.validateListings(raw1, boards, states, zips, psub)
-    val h1 = MlsFullTransform.transformHist(good1, counties, geoIds, asOf, expr(now1Sql))
+    val raw = rawBatch(s, dir, 1, "2024-01-01", subset = false, soadTs = soad1)
+      .withColumn("gate_batch", lit("a"))
+      // Run 2 unions two input dirs (S1) — a later changed snapshot and an
+      // older identical one.
+      .unionByName(rawBatch(s, dir, 2, "2024-02-01", subset = true,
+        soadTs = soad2, kFilter = "k % 3 = 0").withColumn("gate_batch", lit("b")))
+      .unionByName(rawBatch(s, dir, 1, "2024-02-01", subset = true,
+        soadTs = soad0, kFilter = "k % 5 = 1").withColumn("gate_batch", lit("b")))
+    val (good, _) = MlsValidate.validateListings(raw, boards, states, zips, psub)
+    val nowTs = when(col("gate_batch") === "a", expr(now1Sql)).otherwise(expr(now2Sql))
+    val hAll = MlsFullTransform.transformKeeping(
+        MlsFullTransform.histSchema, Seq("gate_batch"))(
+        good, counties, geoIds, asOf, nowTs)
+      .localCheckpoint()
+    val h1 = hAll.filter(col("gate_batch") === "a").drop("gate_batch")
+    val hN = hAll.filter(col("gate_batch") === "b").drop("gate_batch")
+
     // First run's destination is the freshly-created empty table
-    // (hist:171-175), so the merge reduces to insert-when-changed.
+    // (hist:171-175), so the merge reduces to insert-when-changed. The
+    // result is target AND curated-union input of run 2; the checkpoint
+    // truncates run 1's window lineage.
     val hist1 = histFinal(h1, None).filter(col("_insert_update_flag"))
       .select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
-      // The table state is target AND curated-union input of run 2; the
-      // checkpoint truncates the full-width transform lineage so run 2's
-      // analysis does not re-walk run 1's tree per reference.
       .localCheckpoint()
-
-    // Run 2: union of two input dirs (S1) — a later changed snapshot and
-    // an older identical one — validated and transformed as one batch.
-    val rawNew = rawBatch(s, dir, 2, "2024-02-01", subset = true,
-        soadTs = soad2, kFilter = "k % 3 = 0")
-      .union(rawBatch(s, dir, 1, "2024-02-01", subset = true,
-        soadTs = soad0, kFilter = "k % 5 = 1"))
-    val (goodN, _) = MlsValidate.validateListings(rawNew, boards, states, zips, psub)
-    val hN = MlsFullTransform.transformHist(goodN, counties, geoIds, asOf, expr(now2Sql))
     val merged = merge3(hist1, histFinal(hN, Some(hist1)))
 
     // Engine-portable output casts (same policy as q_job1_e2e).

@@ -119,42 +119,29 @@ object MlsTransform {
     applyUnderscoreReplacements(deriveCore(sanitizeByType(good), asOf))
 
   /** The shared rule chain (sans replacement machinery) — reused by
-    * [[MlsFullTransform]] which extends it to the full 133-column width. */
+    * [[MlsFullTransform]] which extends it to the full 133-column width.
+    *
+    * Rules are grouped into THREE `withColumns` batches by dependency layer
+    * (shared tmp columns → independent rules → rules consuming same-stage
+    * results): every chained `withColumn` re-resolves the whole ~130-column
+    * plan, and at gate width that analysis cost — not the data — dominated
+    * the e2e queries. Expressions are byte-identical to the chained form. */
   private[mls] def deriveCore(sanitized: DataFrame, asOf: Column): DataFrame = {
-    val derived = sanitized
-      // unit: explicit unit (non-all-zero) else '#'-suffix of the raw
+    // Layer 1 — shared tmp columns (the reference's _tmp_* intermediates,
+    // transform.py:155-158,160,220; discarded by the `_`-replacement
+    // machinery).
+    val l1 = sanitized.withColumns(Map(
+      // unit: explicit unit (non-all-zero), else '#'-suffix of the raw
       // address's right half (transform.py:155-159)
-      .withColumn("_tmp_unit1",
-        when(col("unit").isNotNull && regexp_replace(col("unit"), "0", "") =!= "",
-          substring(col("unit"), 1, 10)))
-      .withColumn("_tmp_unit2",
-        expr("right(street_address_raw, length(street_address_raw) div 2)"))
-      .withColumn("_tmp_unit3", regexp_extract(col("_tmp_unit2"), "(.*)#(.*)", 2))
-      .withColumn("_unit",
-        changeBlankToNull(coalesce(col("_tmp_unit1"), col("_tmp_unit3"))))
-      // subdivision 6-level junk filter (transform.py:160-168)
-      .withColumn("_tmp_subdivision1", upper(col("subdivision")))
-      .withColumn("_subdivision",
-        when(col("_tmp_subdivision1").contains("NOT IN A SUBDIVISION"), lit(null).cast(StringType))
-          .otherwise(when(col("_tmp_subdivision1").contains("NONE"), lit(null).cast(StringType))
-            .otherwise(when(regexpLike(col("_tmp_subdivision1"), "^(UNK)(.*)"), lit(null).cast(StringType))
-              .otherwise(when(col("_tmp_subdivision1").isin("NA", "N/A", "?"), lit(null).cast(StringType))
-                .otherwise(when(col("subdivision").try_cast(IntegerType).isNotNull, lit(null).cast(StringType))
-                  .otherwise(when(length(col("subdivision")) <= 2, lit(null).cast(StringType))
-                    .otherwise(substring(col("subdivision"), 1, 100))))))))
-      // section: full-match two digits 00-39 (transform.py:172)
-      .withColumn("_section",
-        when(regexpLike(col("section"), "[0-3][0-9]"), col("section"))
-          .otherwise(lit(null).cast(StringType)))
-      .withColumn("_township", townshipRange(col("township")))
-      .withColumn("_range", townshipRange(col("range")))
-      // apn separator strip (transform.py:186)
-      .withColumn("_apn",
-        substring(expr("REPLACE(REPLACE(apn,'-', ''),' ','')"), 1, 100))
-      // lot sizes with the reference's exact unit-inference thresholds
-      // (transform.py:192-202): sqft ≤ 50 is actually acres mislabeled;
-      // caps at 1e6 acres / int-max sqft
-      .withColumn("_lot_size_acres",
+      "_tmp_unit1" -> when(col("unit").isNotNull &&
+        regexp_replace(col("unit"), "0", "") =!= "", substring(col("unit"), 1, 10)),
+      "_tmp_unit2" -> expr("right(street_address_raw, length(street_address_raw) div 2)"),
+      "_tmp_subdivision1" -> upper(col("subdivision")),
+      "_tmp_septic1" -> upper(col("septic_sewer")),
+      // lot sizes, first pass: the reference's exact unit-inference
+      // thresholds (transform.py:192-202; sqft ≤ 50 is acres mislabeled);
+      // the cap pass is layer 3
+      "_tmp_la" ->
         when(col("lot_size_acres").isNotNull && col("lot_size_acres") > 0, col("lot_size_acres"))
           .otherwise(when(col("lot_size_acres").isNull && col("lot_size_sq_ft").isNotNull &&
             col("lot_size_sq_ft") > 0 && col("lot_size_sq_ft") <= 50,
@@ -162,78 +149,101 @@ object MlsTransform {
             .otherwise(when(col("lot_size_acres").isNull && col("lot_size_sq_ft").isNotNull &&
               col("lot_size_sq_ft") > 50,
               (round(col("lot_size_sq_ft"), 0) / 43560).cast(DecimalType(16, 4)))
-              .otherwise(lit(null).cast(DecimalType(16, 4))))))
-      .withColumn("_lot_size_acres",
-        when(col("_lot_size_acres").isNotNull && col("_lot_size_acres") <= 1000000,
-          col("_lot_size_acres").cast(DecimalType(16, 4))))
-      .withColumn("_lot_size_sq_ft",
+              .otherwise(lit(null).cast(DecimalType(16, 4))))),
+      "_tmp_ls" ->
         when(col("lot_size_sq_ft").isNotNull && col("lot_size_sq_ft") > 0,
           round(col("lot_size_sq_ft"), 0))
           .otherwise(when(col("lot_size_sq_ft").isNull && col("lot_size_acres").isNotNull &&
             col("lot_size_acres") > 0 && col("lot_size_acres") < 500,
             round(col("lot_size_acres") * 43560, 0).cast(DecimalType(16, 4)))
-            .otherwise(lit(null).cast(DecimalType(16, 4)))))
-      .withColumn("_lot_size_sq_ft",
-        when(col("_lot_size_sq_ft").isNotNull && col("_lot_size_sq_ft") <= 2147483647L,
-          col("_lot_size_sq_ft").cast(DecimalType(16, 4))))
-      .withColumn("_water_source", waterSource(col("water_source")))
+            .otherwise(lit(null).cast(DecimalType(16, 4))))))
+
+    // Layer 2 — mutually-independent rules (may read layer-1 tmps).
+    val l2 = l1.withColumns(Map(
+      "_tmp_unit3" -> regexp_extract(col("_tmp_unit2"), "(.*)#(.*)", 2),
+      // subdivision 6-level junk filter (transform.py:160-168)
+      "_subdivision" ->
+        when(col("_tmp_subdivision1").contains("NOT IN A SUBDIVISION"), lit(null).cast(StringType))
+          .otherwise(when(col("_tmp_subdivision1").contains("NONE"), lit(null).cast(StringType))
+            .otherwise(when(regexpLike(col("_tmp_subdivision1"), "^(UNK)(.*)"), lit(null).cast(StringType))
+              .otherwise(when(col("_tmp_subdivision1").isin("NA", "N/A", "?"), lit(null).cast(StringType))
+                .otherwise(when(col("subdivision").try_cast(IntegerType).isNotNull, lit(null).cast(StringType))
+                  .otherwise(when(length(col("subdivision")) <= 2, lit(null).cast(StringType))
+                    .otherwise(substring(col("subdivision"), 1, 100))))))),
+      // section: full-match two digits 00-39 (transform.py:172)
+      "_section" ->
+        when(regexpLike(col("section"), "[0-3][0-9]"), col("section"))
+          .otherwise(lit(null).cast(StringType)),
+      "_township" -> townshipRange(col("township")),
+      "_range" -> townshipRange(col("range")),
+      // apn separator strip (transform.py:186)
+      "_apn" -> substring(expr("REPLACE(REPLACE(apn,'-', ''),' ','')"), 1, 100),
+      "_water_source" -> waterSource(col("water_source")),
       // septic/sewer decode (transform.py:220-224)
-      .withColumn("_tmp_septic1", upper(col("septic_sewer")))
-      .withColumn("_septic_sewer",
+      "_septic_sewer" ->
         when(containsAny(col("_tmp_septic1"), Seq("SEPTI", "LEACH", "FIELD",
           "LAGOON", "MOUND", "AEROBIC", "CESSPOOL", "HOLDING TANK")), "Septic")
           .otherwise(when(containsAny(col("_tmp_septic1"), Seq("SEWER", "SWR",
             "PUB", "CITY", "SANITARY", "PEP")), "Sewer")
-            .otherwise(lit(null).cast(StringType))))
+            .otherwise(lit(null).cast(StringType))),
       // Y/N normalizations (transform.py:225-234)
-      .withColumn("_sfha",
+      "_sfha" ->
         when(upper(col("sfha")).isin("Y", "YES", "IN"), "Y")
           .otherwise(when(upper(col("sfha")).isin("N", "NO", "OUT"), "N")
-            .otherwise(lit(null).cast(StringType))))
-      .withColumn("_hoa",
+            .otherwise(lit(null).cast(StringType))),
+      "_hoa" ->
         when(upper(col("hoa")).isin("Y", "YES", "TRUE", "T", "MANDATORY"), "Y")
           .otherwise(when(upper(col("hoa")).isin("N", "NO", "FALSE", "F", "VOLUNTARY"), "N")
             .otherwise(when(upper(col("hoa_name")).isin("VOLUNTARY"), "N")
-              .otherwise(lit(null).cast(StringType)))))
-      .withColumn("_hoa_name",
+              .otherwise(lit(null).cast(StringType)))),
+      "_hoa_name" ->
         when(upper(col("hoa_name")) === "VOLUNTARY", lit(null).cast(StringType))
-          .otherwise(substring(col("hoa_name"), 1, 150)))
-      .withColumn("_owner_phone", cleanPhoneNumber(col("owner_phone")))
+          .otherwise(substring(col("hoa_name"), 1, 150)),
+      "_owner_phone" -> cleanPhoneNumber(col("owner_phone")),
       // year_built window [1600, asOfYear+1] (transform.py:246)
-      .withColumn("_year_built",
-        when(col("year_built").between(1600, year(asOf) + 1), col("year_built")))
+      "_year_built" ->
+        when(col("year_built").between(1600, year(asOf) + 1), col("year_built")),
       // current_price: closed-price fallback for sold listings
       // (transform.py:281-284)
-      .withColumn("_current_price",
+      "_current_price" ->
         when((coalesce(col("current_price"), lit(0)) < 1) &&
           (col("listing_status") === "S"),
           col("closed_price").cast(DecimalType(16, 4)))
           .otherwise(when((coalesce(col("current_price"), lit(0)) < 1) &&
             (col("listing_status") =!= "S"), lit(null).cast(DecimalType(16, 4)))
-            .otherwise(col("current_price").cast(DecimalType(16, 4)))))
+            .otherwise(col("current_price").cast(DecimalType(16, 4)))),
       // closed_date sanity window (transform.py:290)
-      .withColumn("_closed_date",
+      "_closed_date" ->
         when(col("closed_date").cast(DateType) <= date_add(asOf, 180),
-          col("closed_date").cast(DateType)))
-      .withColumn("_days_on_market",
-        when(col("days_on_market") >= 0, col("days_on_market")))
+          col("closed_date").cast(DateType)),
+      "_days_on_market" ->
+        when(col("days_on_market") >= 0, col("days_on_market")),
       // cumulative DOM must dominate DOM (transform.py:292-294)
-      .withColumn("_cumulative_days_on_market",
+      "_cumulative_days_on_market" ->
         when(col("cumulative_days_on_market").isNotNull &&
           col("cumulative_days_on_market") >= 0 &&
           col("cumulative_days_on_market") >= coalesce(col("days_on_market"), lit(0)),
-          col("cumulative_days_on_market")))
+          col("cumulative_days_on_market")),
       // rent_sale defaulting (transform.py:277-279)
-      .withColumn("_rent_sale",
+      "_rent_sale" ->
         when(col("rent_sale").isin("Sale", "Rental"), col("rent_sale"))
-          .otherwise(lit("Sale")))
+          .otherwise(lit("Sale")),
       // address squeeze + upper (transform.py:313-314)
-      .withColumn("_street_address_raw", squeezeUpper(col("street_address_raw"), 100))
-      .withColumn("_city_raw", substring(squeezeSpaces(col("city_raw")), 1, 100))
-      .withColumn("_listing_agent_email",
-        when(col("listing_agent_email").contains("@"), col("listing_agent_email")))
+      "_street_address_raw" -> squeezeUpper(col("street_address_raw"), 100),
+      "_city_raw" -> substring(squeezeSpaces(col("city_raw")), 1, 100),
+      "_listing_agent_email" ->
+        when(col("listing_agent_email").contains("@"), col("listing_agent_email"))))
 
-    derived
+    // Layer 3 — rules consuming layer-2 results (the reference's repeated
+    // withColumn over the same name, transform.py:159,166-168,176-178).
+    l2.withColumns(Map(
+      "_unit" -> changeBlankToNull(coalesce(col("_tmp_unit1"), col("_tmp_unit3"))),
+      "_lot_size_acres" ->
+        when(col("_tmp_la").isNotNull && col("_tmp_la") <= 1000000,
+          col("_tmp_la").cast(DecimalType(16, 4))),
+      "_lot_size_sq_ft" ->
+        when(col("_tmp_ls").isNotNull && col("_tmp_ls") <= 2147483647L,
+          col("_tmp_ls").cast(DecimalType(16, 4)))))
   }
 
   private[mls] def townshipRangeCol(c: Column): Column = townshipRange(c)

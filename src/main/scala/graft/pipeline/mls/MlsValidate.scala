@@ -60,55 +60,61 @@ object MlsValidate {
         col("listings_property_sub_type") ===
           col("property_sub_types_property_sub_type"), "left")
 
-    // movedto is the successor MLS code (transform.py:76-80)
+    // movedto is the successor MLS code (transform.py:76-80). Two
+    // withColumns batches by dependency layer — chained withColumn
+    // re-resolves the whole ~140-column joined plan per call.
     val remapped = joined
       .withColumn("_listings_mls_new",
         coalesce(col("boards_movedto"), col("listings_mls")))
-      .withColumn("_mls_change_ind",
-        (col("_listings_mls_new") =!= col("listings_mls")).cast(IntegerType))
-      .withColumn("listings_mls", col("_listings_mls_new"))
+      .withColumns(Map(
+        "_mls_change_ind" ->
+          (col("_listings_mls_new") =!= col("listings_mls")).cast(IntegerType),
+        "listings_mls" -> col("_listings_mls_new")))
       .drop("_listings_mls_new")
       .dropDuplicates()
 
-    // The ten flags, exact semantics (transform.py:104-116). The price rule
-    // keeps the reference's nested when/otherwise so a null listing_status
-    // falls through to 0 exactly as the original three-valued logic does.
+    // The ten flags, exact semantics (transform.py:104-116), one batch. The
+    // price rule keeps the reference's nested when/otherwise so a null
+    // listing_status falls through to 0 exactly as the original
+    // three-valued logic does.
     val flagged = remapped
-      .withColumn("_invalid_mls_flag",
-        col("boards_mls").isNull.cast(IntegerType))
-      .withColumn("_mls_null_flag",
-        col("listings_mls").isNull.cast(IntegerType))
-      .withColumn("_mls_listing_id_null_flag",
-        col("listings_mls_listing_id").isNull.cast(IntegerType))
-      .withColumn("_invalid_rent_sale_flag",
-        (checkValidValue(col("listings_rent_sale"), rentSaleAllowed,
-          nullAllowed = false) === false).cast(IntegerType))
-      .withColumn("_invalid_listing_status_flag",
-        (checkValidValue(col("listings_listing_status"), listingStatusAllowed,
-          nullAllowed = false) === false).cast(IntegerType))
-      .withColumn("_invalid_property_type_flag",
-        (checkValidValue(col("listings_property_type"), propertyTypeAllowed,
-          nullAllowed = false) === false).cast(IntegerType))
-      .withColumn("_invalid_property_sub_type_flag",
-        col("property_sub_types_property_sub_type").isNull.cast(IntegerType))
-      .withColumn("_invalid_price_flag",
-        when((coalesce(col("listings_current_price"), lit(0)) < 1) &&
-          (col("listings_listing_status") === "S") &&
-          col("listings_closed_price").isNull, lit(1))
-          .otherwise(
-            when((coalesce(col("listings_current_price"), lit(0)) < 1) &&
-              (col("listings_listing_status") =!= "S"), lit(1))
-              .otherwise(lit(0))))
-      .withColumn("_invalid_state_flag",
-        col("states_state").isNull.cast(IntegerType))
-      .withColumn("_invalid_zipcode_flag",
-        col("zipcodes_zipcode").isNull.cast(IntegerType))
-      .withColumn("_reject_flags",
-        sumColumns(validationFlags.map(f => col(f._1))))
-      .withColumn("_reject_reasons", concat_ws("|",
-        validationFlags.map { case (flag, reason) =>
-          when(col(flag) === 1, reason)
-        }: _*))
+      .withColumns(Map(
+        "_invalid_mls_flag" ->
+          col("boards_mls").isNull.cast(IntegerType),
+        "_mls_null_flag" ->
+          col("listings_mls").isNull.cast(IntegerType),
+        "_mls_listing_id_null_flag" ->
+          col("listings_mls_listing_id").isNull.cast(IntegerType),
+        "_invalid_rent_sale_flag" ->
+          (checkValidValue(col("listings_rent_sale"), rentSaleAllowed,
+            nullAllowed = false) === false).cast(IntegerType),
+        "_invalid_listing_status_flag" ->
+          (checkValidValue(col("listings_listing_status"), listingStatusAllowed,
+            nullAllowed = false) === false).cast(IntegerType),
+        "_invalid_property_type_flag" ->
+          (checkValidValue(col("listings_property_type"), propertyTypeAllowed,
+            nullAllowed = false) === false).cast(IntegerType),
+        "_invalid_property_sub_type_flag" ->
+          col("property_sub_types_property_sub_type").isNull.cast(IntegerType),
+        "_invalid_price_flag" ->
+          when((coalesce(col("listings_current_price"), lit(0)) < 1) &&
+            (col("listings_listing_status") === "S") &&
+            col("listings_closed_price").isNull, lit(1))
+            .otherwise(
+              when((coalesce(col("listings_current_price"), lit(0)) < 1) &&
+                (col("listings_listing_status") =!= "S"), lit(1))
+                .otherwise(lit(0))),
+        "_invalid_state_flag" ->
+          col("states_state").isNull.cast(IntegerType),
+        "_invalid_zipcode_flag" ->
+          col("zipcodes_zipcode").isNull.cast(IntegerType)))
+      .withColumns(Map(
+        "_reject_flags" ->
+          sumColumns(validationFlags.map(f => col(f._1))),
+        "_reject_reasons" -> concat_ws("|",
+          validationFlags.map { case (flag, reason) =>
+            when(col(flag) === 1, reason)
+          }: _*)))
 
     // Keep listings_* + states_state + flags/reasons, strip prefix
     // (transform.py:122-124).
