@@ -51,31 +51,65 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col(idCol), col("fingerprint"))
 
+  /** Event row with the derived event-time column the watermark rides on. */
+  final case class EventTs(event_id: Long, user_id: Long, ts_us: Long,
+                           event_type: String, value: Double,
+                           event_ts: java.sql.Timestamp)
+
   /** Stateful sessionization with `flatMapGroupsWithState`: per-user state
     * carries (current session seq, last event time); a >`gapMinutes` gap
-    * opens a new session. Production would use EventTimeTimeout to expire
-    * idle users' state behind the watermark; NoTimeout keeps the demo free
-    * of watermark plumbing and is safe for bounded inputs. */
-  def sessionize(events: Dataset[Event], gapMinutes: Long = 30)
+    * opens a new session.
+    *
+    * State is EVICTED via `EventTimeTimeout`: a user's state expires once
+    * the watermark passes their last event + session gap (the session can
+    * never continue past the gap anyway, so eviction is lossless for
+    * in-watermark data; a user returning later simply restarts session
+    * numbering — the same bounded-memory contract as streamingDedup's
+    * horizon). Without this, idle users' state grows without bound at
+    * stream scale. `horizon` is the watermark lateness allowance. */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
+                 horizon: String = "1 hour")
                 (implicit spark: SparkSession): Dataset[SessionizedEvent] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    events.groupByKey(_.user_id)
+    val gapMs = gapMinutes * 60L * 1000L
+    // Timeouts never fire in batch execution, and batch GroupState has no
+    // watermark to read — only register them on a real stream.
+    val streaming = events.isStreaming
+    val withTs = events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionizedEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // Micro-batch iterators are unordered within the group: sort by
-          // event time before applying the gap rule.
-          val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = batch.map { e =>
-            val newSession = st.sessionSeq == 0L || e.ts_us - st.lastTsUs > gapUs
-            st = SessionState(if (newSession) st.sessionSeq + 1 else st.sessionSeq,
-              e.ts_us)
-            SessionizedEvent(userId, e.event_id, st.sessionSeq)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventTs], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // Idle past watermark + gap: nothing can join this session any
+            // more — drop the state, emit nothing.
+            state.remove()
+            Iterator.empty
+          } else {
+            // Micro-batch iterators are unordered within the group: sort by
+            // event time before applying the gap rule.
+            val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val out = batch.map { e =>
+              val newSession = st.sessionSeq == 0L || e.ts_us - st.lastTsUs > gapUs
+              st = SessionState(if (newSession) st.sessionSeq + 1 else st.sessionSeq,
+                e.ts_us)
+              SessionizedEvent(userId, e.event_id, st.sessionSeq)
+            }
+            state.update(st)
+            if (streaming) {
+              // Expire when the gap closes; a timeout must sit strictly
+              // ahead of the current watermark (late groups otherwise throw).
+              state.setTimeoutTimestamp(
+                math.max(st.lastTsUs / 1000L + gapMs,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

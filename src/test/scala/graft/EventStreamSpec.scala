@@ -83,24 +83,60 @@ class EventStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
     val min = 60L * 1000000L
+    // Events sit well above epoch 0: with the event-time watermark now in
+    // place, a row AT the watermark boundary is treated as late.
+    val base = 1000L
     val stream = MemoryStream[Event]
     val q = EventStream.sessionize(stream.toDS(), gapMinutes = 30).writeStream
       .format("memory").queryName("sess_out").outputMode("append").start()
 
     // batch 1: user 1 — two close events, then a 45-min gap
     stream.addData(
-      Event(1, 1, 0 * min, "a", 1.0), Event(2, 1, 10 * min, "a", 1.0),
-      Event(3, 1, 55 * min, "a", 1.0))
+      Event(1, 1, (base + 0) * min, "a", 1.0),
+      Event(2, 1, (base + 10) * min, "a", 1.0),
+      Event(3, 1, (base + 55) * min, "a", 1.0))
     q.processAllAvailable()
-    // batch 2: user 1 continues within gap; user 2 appears
+    // batch 2: user 1 continues within gap; user 2 appears (in-watermark:
+    // base+0 is inside the 1h lateness allowance behind base+55)
     stream.addData(
-      Event(4, 1, 70 * min, "a", 1.0),   // 15 min after event 3 → same session
-      Event(5, 1, 200 * min, "a", 1.0),  // long gap → session 3
-      Event(6, 2, 0 * min, "b", 1.0))
+      Event(4, 1, (base + 70) * min, "a", 1.0),  // 15 min after event 3 → same session
+      Event(5, 1, (base + 200) * min, "a", 1.0), // long gap → session 3
+      Event(6, 2, (base + 0) * min, "b", 1.0))
     q.processAllAvailable(); q.stop()
 
     val got = spark.table("sess_out").as[(Long, Long, Long)].collect()
       .map(r => r._2 -> r._3).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
+  }
+
+  test("sessionization evicts idle users' state behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val min = 60L * 1000000L
+    val stream = MemoryStream[Event]
+    val q = EventStream.sessionize(stream.toDS(), gapMinutes = 30,
+        horizon = "1 hour").writeStream
+      .format("memory").queryName("sess_evict_out").outputMode("append").start()
+
+    val base = 1000L
+    // batch 1: user 1's only activity (timeout registered at base+30min)
+    stream.addData(Event(1, 1, (base + 0) * min, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 9 far in the future → watermark advances to base+240min
+    stream.addData(Event(2, 9, (base + 300) * min, "b", 1.0))
+    q.processAllAvailable()
+    // batch 3: another user triggers timeout processing — user 1's state
+    // (expiry base+30 < watermark base+240) is evicted, emitting nothing
+    stream.addData(Event(3, 8, (base + 310) * min, "b", 1.0))
+    q.processAllAvailable()
+    // batch 4: user 1 returns — with state evicted, numbering RESTARTS at
+    // session 1; surviving state (NoTimeout behavior) would say session 2
+    stream.addData(Event(4, 1, (base + 320) * min, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_evict_out").as[(Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got(4L) == 1L, s"state not evicted: $got")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 }
