@@ -37,10 +37,14 @@ object JdbcExport {
   def export(df: DataFrame, cfg: Config): Long = {
     val projected =
       if (cfg.columns.nonEmpty) df.select(cfg.columns.map(col): _*) else df
-    // One source materialization: the count is taken from the same frame
-    // that is written (deterministic inputs make the two plans equal).
+    // ONE source materialization: the row count is observed inside the same
+    // job that writes (Dataset.observe rides the write's execution — no
+    // second scan, and for a non-deterministic source the validated count
+    // is the count of what was actually exported, not of a replay).
+    val obs = org.apache.spark.sql.Observation(s"jdbc_export_${cfg.table}")
     val toWrite = projected.coalesce(cfg.numPartitions)
-    val written = toWrite.count()
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     toWrite.write
       .format("jdbc")
       .mode(SaveMode.Overwrite)
@@ -49,6 +53,7 @@ object JdbcExport {
       .option("truncate", cfg.truncate.toString)
       .options(cfg.options)
       .save()
+    val written = obs.get("rows").asInstanceOf[Long]
     if (cfg.validate) {
       val reader = df.sparkSession.read.format("jdbc")
         .option("url", cfg.url)
