@@ -107,16 +107,38 @@ object Sketches {
   /** SimHash near-dup pairs: band the 64-bit signature into eight 8-bit
     * chunks (any pair within Hamming distance 7 must agree on ≥1 chunk),
     * join candidates per chunk, then filter by exact Hamming distance. */
-  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame = {
-    val docs = table(s, dir, "documents")
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 7): DataFrame =
+    simhashPairs(table(s, dir, "documents"), maxHamming)
+
+  /** Core SimHash candidate join over a (doc_id, text) frame.
+    *
+    * `maxBucket` is the production skew guard: near-uniform chunks (short or
+    * stop-worded corpora — note bits 60-63 are structurally 0, so band 7
+    * has only 16 live values) can concentrate a (band,chunk) bucket until
+    * the self-join on it is quadratic in corpus size. Buckets above the cap
+    * are DROPPED before the join, bounding any bucket's join cost at
+    * maxBucket². Recall effect: a pair agreeing ONLY on dropped buckets is
+    * lost — with 8 bands a true near-dup pair survives unless all its
+    * agreeing chunks are degenerate, which is exactly the pathological
+    * cluster the cap exists to exclude. The count rides the same
+    * (band,chunk) shuffle the join needs, so the guard adds no exchange. */
+  def simhashPairs(docsText: DataFrame, maxHamming: Int = 7,
+                   maxBucket: Int = 100000): DataFrame = {
+    val docs = docsText
       .withColumn("toks", split(col("text"), " "))
       .withColumn("simhash", simhash("toks"))
       .select("doc_id", "simhash")
     val banded = docs.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), " +
         "b -> (simhash >> (b * 8)) & 255)")).as(Seq("band", "chunk")))
-    banded.alias("a")
-      .join(banded.alias("b"),
+    val capped = banded
+      .withColumn("_bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk"))))
+      .filter(col("_bucket_n") <= maxBucket)
+      .drop("_bucket_n")
+    capped.alias("a")
+      .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -38,6 +38,29 @@ class CoverageSpec extends AnyFunSuite {
     assert(ids2 == ids1 + ("d" -> 4L))
   }
 
+  test("SimHash bucket cap bounds skewed (band,chunk) buckets") {
+    // 60 clones of one text: every (band,chunk) bucket of the clone
+    // cluster holds all 60 docs → 8×C(60,2) candidate blowup uncapped.
+    // Two near-identical singleton docs share ordinary-sized buckets.
+    val clones = (1L to 60L).map(i => (i, "the quick brown fox jumps over"))
+    val pairDocs = Seq(
+      (101L, "completely different text body alpha beta gamma"),
+      (102L, "completely different text body alpha beta gamma"))
+    val docs = (clones ++ pairDocs).toDF("doc_id", "text")
+
+    val uncapped = graft.operators.Sketches.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((101L, 102L)))
+    assert(uncapped.count { case (a, b) => a <= 60 && b <= 60 } == 60 * 59 / 2)
+
+    // Cap below the clone-cluster size: its buckets are dropped wholesale
+    // (the documented recall cost), while the normal pair still surfaces.
+    val capped = graft.operators.Sketches.simhashPairs(docs, maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((101L, 102L)))
+    assert(!capped.exists { case (a, b) => a <= 60 && b <= 60 })
+  }
+
   test("P12: dtype introspection finds columns by type") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     assert(ColumnLib.columnsOfType(df, StringType).toSet ==
