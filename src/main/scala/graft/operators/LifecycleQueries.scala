@@ -24,9 +24,11 @@ object LifecycleQueries {
     * on every call — bench runs each gate several times). */
   private def freshRoot(name: String): String = {
     val p = Paths.get("target", "gate_tmp", name).toAbsolutePath
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(Files.delete(_))
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      finally st.close()
+    }
     p.toString
   }
 
@@ -130,6 +132,23 @@ object LifecycleQueries {
     s.read.orc(root)
   }
 
+  /** External ORC table gate (S10): write the serving mirror, register a
+    * location-backed external table over it with GENERATED DDL
+    * (ExternalDdl ↔ ddl/listings.sql:1-131), and read back THROUGH THE
+    * CATALOG — the oracle checks the whole DDL+catalog round trip is
+    * lossless against the relational definition. */
+  def externalTable(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("ext_table")
+    val df = table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast("double").as("total"),
+      col("o_orderdate").cast("string").as("dt"))
+    graft.sources.TableIO.writeOrcZlib(df, root, numFiles = 4)
+    graft.sources.ExternalDdl.register(s, "graft_gate_ext",
+      df.schema, root, comment = "gate's external ORC mirror")
+    s.table("graft_gate_ext")
+  }
+
   /** Hist-grain latest-wins (W2): `dedupeAll` keeps the per-key winner
     * across new ∪ curated regardless of provenance, with 'new' winning
     * exact ties — observable here via a side tag on overlapping windows. */
@@ -151,14 +170,18 @@ object LifecycleQueries {
     "q_bucketed_merge" -> (bucketedMerge _),
     "q_s12_surrogate_keys" -> (surrogateKeys _),
     "q_s7_orc_mirror" -> (orcMirror _),
+    "q_s10_external_table" -> (externalTable _),
     "q_w2_hist_grain" -> (histGrain _))
 
+  private val ordersMirrorSql =
+    """SELECT o_orderkey AS k, o_orderstatus AS st,
+      |  CAST(o_totalprice AS DOUBLE) AS total,
+      |  CAST(o_orderdate AS VARCHAR) AS dt
+      |FROM orders""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_s7_orc_mirror" ->
-      """SELECT o_orderkey AS k, o_orderstatus AS st,
-        |  CAST(o_totalprice AS DOUBLE) AS total,
-        |  CAST(o_orderdate AS VARCHAR) AS dt
-        |FROM orders""".stripMargin,
+    "q_s7_orc_mirror" -> ordersMirrorSql,
+    "q_s10_external_table" -> ordersMirrorSql,
     "q_w2_hist_grain" ->
       """WITH f AS (
         |  SELECT o_custkey AS cust, CAST(o_orderdate AS VARCHAR) AS dt,

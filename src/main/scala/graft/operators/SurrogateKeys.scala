@@ -26,7 +26,11 @@ object SurrogateKeys {
     val newKeys = incoming.select(naturalKeys.map(col): _*).distinct()
       .join(mapping, naturalKeys, "left_anti")
     val base = mapping.agg(coalesce(max(col(surrogateCol)), lit(0L)).as("m"))
-    val sorted = newKeys.sort(naturalKeys.map(col): _*)
+    // Nulls pinned LAST explicitly: Spark's default asc is NULLS FIRST
+    // while the DuckDB oracle's row_number ORDER BY defaults to NULLS
+    // LAST — a null natural key would otherwise get divergent surrogate
+    // ids across engines.
+    val sorted = newKeys.sort(naturalKeys.map(k => col(k).asc_nulls_last): _*)
     val schema = sorted.schema.add("_rn", LongType, nullable = false)
     val indexed = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },

@@ -68,9 +68,12 @@ object BucketedTable {
   /** Remove the partitionBy staging dir once its buckets are moved out. */
   private def dropStaging(root: String, ver: Int): Unit = {
     val staging = Paths.get(s"$root/v$ver/_data")
-    if (Files.exists(staging))
-      Files.walk(staging).sorted(java.util.Comparator.reverseOrder[Path]())
+    if (Files.exists(staging)) {
+      val st = Files.walk(staging)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.delete)
+      finally st.close()
+    }
   }
 
   /** Initial full write: every bucket lands in v0. */

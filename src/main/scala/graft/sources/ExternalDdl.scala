@@ -22,15 +22,19 @@ object ExternalDdl {
   def columnDdl(schema: StructType): String =
     schema.fields.map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(",\n")
 
+  /** Single quotes doubled so a path like /data/o'brien or an apostrophe
+    * in a comment cannot break the generated statement. */
+  private def q(s: String): String = s.replace("'", "''")
+
   def createExternalOrc(table: String, schema: StructType, location: String,
                         comment: String = ""): String = {
-    val commentClause = if (comment.nonEmpty) s"\nCOMMENT '$comment'" else ""
+    val commentClause = if (comment.nonEmpty) s"\nCOMMENT '${q(comment)}'" else ""
     s"""CREATE TABLE IF NOT EXISTS $table (
        |${columnDdl(schema)}
        |)
        |USING ORC
        |OPTIONS (compression 'zlib')$commentClause
-       |LOCATION '$location'""".stripMargin
+       |LOCATION '${q(location)}'""".stripMargin
   }
 
   /** Drop-and-recreate the external table over `location` (the reference's

@@ -101,8 +101,10 @@ object ManagedTable {
       .filter(p => p.getFileName.toString.matches("v\\d+"))
       .filter(p => p.getFileName.toString.drop(1).toInt <= live - keep)
       .foreach { p =>
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        val st = Files.walk(p)
+        try st.sorted(Comparator.reverseOrder[Path]())
           .iterator().asScala.foreach(Files.delete)
+        finally st.close()
       }
   }
 }
