@@ -101,6 +101,62 @@ object SimilarityQueries {
         col("cos_sim"))
   }
 
+  /** IVF-style ANN (the other scale path the sweep calls for, next to LSH):
+    * a deterministic coarse quantizer — the first `nCells` corpus vectors
+    * act as cell seeds — assigns every vector to its highest-cosine cell;
+    * a query probes its `nProbe` nearest cells and exact-cosine re-ranks
+    * only those inverted lists. Candidate fraction ≈ nProbe/nCells of the
+    * corpus per query (data-dependent, unlike LSH's fixed 2^-planes).
+    *
+    * Scale shape: the codebook is COLLECTED to the driver (nCells rows —
+    * IVF's coarse quantizer is a driver-held artifact everywhere, exactly
+    * like the bucketed-table manifest) and inlined as float literals, so
+    * cell assignment is a pure codegen'd projection over one corpus scan —
+    * no shuffle, no per-row join against the seed table. A production
+    * variant would train the codebook with k-means; a deterministic seed
+    * pick keeps the gate exactly replayable (float means over distributed
+    * partial sums are order-dependent, so a trained codebook could not be
+    * hash-checked cross-engine).
+    *
+    * Tie discipline: cells rank by (score DESC, seed_id ASC) on both
+    * engines — the packed struct sorts (score, -seed_id) ascending and is
+    * reversed. */
+  def simIvfTopK(s: SparkSession, dir: String, nCells: Int = 16,
+                 nProbe: Int = 2, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val c = corpus(s, dir)
+    val seeds: Seq[(Int, Seq[Float], Double)] = c.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast(IntegerType), col("embedding"), col("norm"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    // Per-vector array of struct(score, -seed_id), best cell first.
+    def rankedCells(e: Column, n: Column): Column =
+      reverse(array_sort(array(seeds.map { case (id, emb, snorm) =>
+        struct(
+          (dotProduct(e, array(emb.map(lit): _*)) / (n * lit(snorm))).as("s"),
+          lit(-id).as("negid"))
+      }: _*)))
+
+    val assigned = c.withColumn("cell",
+      -rankedCells(col("embedding"), col("norm")).getItem(0).getField("negid"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(slice(transform(rankedCells(col("embedding"), col("norm")),
+          x => -x.getField("negid")), 1, nProbe)).as("q_cell"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: ALL pairs above a cosine
     * threshold — exact semantics, distributed plan.
     *
@@ -151,7 +207,51 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_cosine_topk" -> ((s: SparkSession, d: String) => simCosineTopK(s, d)),
     "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
+    "q_sim_ivf_topk" -> ((s: SparkSession, d: String) => simIvfTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
+
+  /** DuckDB SQL replicating simIvfTopK: the oracle re-derives the seed
+    * codebook from the data (the Spark side inlines the SAME values as
+    * float literals — Spark lit() is exact and both engines fold the dot/
+    * norm sums left-to-right in float64, so scores are bit-identical). */
+  private def ivfTopKOracle(nCells: Int, nProbe: Int, nQueries: Int,
+                            k: Int): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb, norm AS s_norm
+       |          FROM c WHERE vec_id < $nCells),
+       |pr AS (
+       |  SELECT c.vec_id, seeds.seed_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> CAST(c.embedding[j] AS DOUBLE) * CAST(seeds.s_emb[j] AS DOUBLE)))
+       |      / (c.norm * seeds.s_norm) AS score
+       |  FROM c CROSS JOIN seeds),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY score DESC, seed_id ASC) AS rn FROM pr),
+       |assigned AS (
+       |  SELECT c.vec_id, c.embedding, c.norm, rk.seed_id AS cell
+       |  FROM c JOIN rk ON c.vec_id = rk.vec_id AND rk.rn = 1),
+       |probes AS (SELECT vec_id AS query_id, seed_id AS q_cell
+       |           FROM rk WHERE vec_id < $nQueries AND rn <= $nProbe),
+       |qv AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |       FROM c WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> CAST(qv.q_emb[j] AS DOUBLE) * CAST(a.embedding[j] AS DOUBLE)))
+       |      / (qv.q_norm * a.norm) AS cos_sim
+       |  FROM assigned a
+       |  JOIN probes p ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+       |  JOIN qv ON qv.query_id = p.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= $k""".stripMargin
 
   /** DuckDB SQL replicating simLshTopK exactly: the seeded plane matrix is
     * inlined as ±1.0 literals, sign-bit buckets and Hamming-1 probes are
@@ -194,6 +294,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_sim_lsh_topk" -> lshTopKOracle(nPlanes = 4, nQueries = 10, k = 5),
+    "q_sim_ivf_topk" -> ivfTopKOracle(nCells = 16, nProbe = 2, nQueries = 10, k = 5),
     "q_sim_cosine_topk" ->
       """WITH c AS (
         |  SELECT vec_id, embedding,

@@ -81,6 +81,19 @@ class CoverageSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ANN: IVF-probed top-k keeps useful recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    def neighbors(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = neighbors(graft.operators.SimilarityQueries.simCosineTopK(spark, dir))
+    val ivf = neighbors(graft.operators.SimilarityQueries.simIvfTopK(spark, dir))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // 2 probes over 16 cells scan ~1/8 of the corpus; recall well above
+    // that floor shows cells are similarity-aligned
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+    assert(ivf.nonEmpty)
+  }
+
   test("A1: countApprox and approx_count_distinct track exact counts") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.select(countDistinct(col("l_orderkey"))).as[Long].head()
