@@ -74,9 +74,33 @@ object MultimodalQueries {
     s.createDataFrame(rows, featureSchema)
   }
 
+  /** Frame sampling over a binary payload: N frames at evenly-strided byte
+    * offsets, each a fixed-size window content-addressed by SHA-256 — the
+    * sampling pass a video/audio pipeline runs to thumbnail or fingerprint
+    * media without full decode. A real sampler seeks container keyframes
+    * at these offsets; the byte-window stand-in keeps the plan exactly
+    * what that needs: posexplode fans each payload into frame rows IN
+    * PLACE (zero shuffle, codegen'd `substring` on binary — composition of
+    * built-ins, no mapPartitions required), and frames carry
+    * (doc_id, frame_idx) identity for downstream per-frame operators. */
+  def mmFrameSample(s: SparkSession, dir: String, nFrames: Int = 4,
+                    window: Int = 16): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        posexplode(expr(s"sequence(0, ${nFrames - 1})")).as(Seq("_p", "frame_idx")))
+      .withColumn("offset", expr(s"(frame_idx * n_bytes) div $nFrames"))
+      .withColumn("frame", expr(s"substring(payload, offset + 1, $window)"))
+      .select(col("doc_id"), col("frame_idx").cast(IntegerType).as("frame_idx"),
+        col("offset").cast(IntegerType).as("offset"),
+        octet_length(col("frame")).as("frame_bytes"),
+        sha2(col("frame"), 256).as("frame_sha"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_binary_meta" -> (mmBinaryMeta _),
-    "q_mm_decode_features" -> (mmDecodeFeatures _))
+    "q_mm_decode_features" -> (mmDecodeFeatures _),
+    "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_mm_binary_meta" ->
@@ -97,5 +121,21 @@ object MultimodalQueries {
         |  CAST(64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1024 AS INTEGER) AS height,
         |  CAST(1 + ('0x' || substr(hex, 9, 1))::BIGINT % 4 AS INTEGER) AS channels,
         |  CAST(('0x' || substr(hex, 11, 6))::BIGINT AS DOUBLE) / 1e6 AS luma
-        |FROM h""".stripMargin)
+        |FROM h""".stripMargin,
+    // Byte-window sampling replayed on VARCHAR: the corpus is ASCII, so
+    // DuckDB's character substr equals the byte slice and sha256(VARCHAR)
+    // hashes the same bytes Spark's sha2(BINARY) does.
+    "q_mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        |  FROM documents),
+        |f AS (SELECT d.*, i.range AS frame_idx FROM d CROSS JOIN range(0, 4) i),
+        |w AS (SELECT doc_id, frame_idx, (frame_idx * n_bytes) // 4 AS off,
+        |    substr(text, CAST((frame_idx * n_bytes) // 4 + 1 AS BIGINT), 16) AS frame
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(off AS INTEGER) AS offset,
+        |  CAST(octet_length(CAST(frame AS BLOB)) AS INTEGER) AS frame_bytes,
+        |  sha256(frame) AS frame_sha
+        |FROM w""".stripMargin)
 }
