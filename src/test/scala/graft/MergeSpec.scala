@@ -61,6 +61,34 @@ class MergeSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("duplicate rows")))
   }
 
+  test("duplicate source keys matching NO target row insert-fan (Delta contract)") {
+    // Delta only errors when multiple source rows match ONE TARGET row;
+    // duplicates on a key absent from the target are legal and all insert.
+    val source = Seq((4, "d", 40), (4, "d2", 41)).toDF("k", "v", "n")
+    val out = Merge.mergeFrames(target, source, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(r => (r._1, r._2))
+    assert(out.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (4, "d2")))
+  }
+
+  test("non-null-safe keys: null-keyed source rows always insert (reference ON =)") {
+    val t = Seq((Some(1), "a"), (None, "x")).toDF("k", "v")
+    val s = Seq((Some(1), "A"), (None, "y")).toDF("k", "v")
+    // With plain `=` key equality the null-keyed source row matches nothing
+    // → inserted; the null-keyed target row matches nothing → kept. That is
+    // the reference merge's duplicate-accumulation behavior on null keys
+    // (mls_listings_hist_curated.py:185), which q_job2_e2e pins e2e.
+    val out = Merge.mergeFrames(t, s, Seq("k"), nullSafeKeys = false)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq
+      .sortBy(r => (r._1.map(_.toString).getOrElse(""), r._2))
+    assert(out == Seq((None, "x"), (None, "y"), (Some(1), "A")))
+    // With <=> (default) the null keys match and update instead.
+    val out2 = Merge.mergeFrames(t, s, Seq("k"))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq
+      .sortBy(r => (r._1.map(_.toString).getOrElse(""), r._2))
+    assert(out2 == Seq((None, "y"), (Some(1), "A")))
+  }
+
   test("merge is idempotent on replayed batches") {
     val source = Seq((2, "B", 99), (4, "d", 40)).toDF("k", "v", "n")
     val once = Merge.mergeFrames(target, source, Seq("k"))
