@@ -54,12 +54,18 @@ object MlsJob1Gate {
        | WHEN 2 THEN '123-555-1234' WHEN 3 THEN '2145551234x99'
        | WHEN 4 THEN '555-1234' ELSE CAST(NULL AS STRING) END""".stripMargin
 
-  /** Synthesis expressions (shared SQL subset). `b` = batch number: batch 2
-    * shifts listing_status, prices, and remarks — the changed columns the
-    * merge must propagate. `soadTs` parameterizes the snapshot timestamp so
-    * the hist gate can synthesize multiple versions per listing key. */
-  private[mls] def synthExprs(b: Int, loadDate: String,
-                              soadTs: String = "2024-01-04 23:00:00"): Seq[String] = Seq(
+  private[mls] val defaultSoad = "2024-01-04 23:00:00"
+
+  /** Synthesis expressions (shared SQL subset), PARAMETERIZED on base
+    * columns rather than literals: `b` = batch number (shifts
+    * listing_status, prices, and remarks — the changed columns the merge
+    * must propagate), `ld` = load_date, `soad` = the snapshot timestamp
+    * (the hist gate synthesizes multiple versions per key with it).
+    *
+    * Column parameters keep the 130 CASE trees appearing ONCE in a plan no
+    * matter how many batches union beneath them — with per-batch literal
+    * copies, analyzer+codegen of N batch subtrees dominated the e2e gates. */
+  private[mls] val synthExprs: Seq[String] = Seq(
     "CASE WHEN k % 11 = 3 THEN TIMESTAMP '1800-01-01 00:00:00' ELSE TIMESTAMP '2024-01-05 10:30:00' END AS created_datetime",
     "CASE WHEN k % 19 = 1 THEN CAST(NULL AS STRING) WHEN k % 19 = 2 THEN 'NOPE' WHEN k % 19 = 3 THEN 'OLDMLS' ELSE 'MLS' || CAST(k % 3 AS STRING) END AS mls",
     "CASE WHEN k % 23 = 1 THEN CAST(NULL AS STRING) ELSE 'L' || CAST(k AS STRING) END AS mls_listing_id",
@@ -131,10 +137,10 @@ object MlsJob1Gate {
     "CASE k % 17 WHEN 15 THEN 'Lease' WHEN 16 THEN CAST(NULL AS STRING) WHEN 3 THEN 'Rental' ELSE 'Sale' END AS rent_sale",
     "CASE WHEN k % 5 = 4 THEN DATE '1800-06-01' ELSE DATE '2023-11-01' + CAST(k % 28 AS INTEGER) END AS entry_date",
     "CASE WHEN k % 7 = 6 THEN DATE '1799-01-15' ELSE DATE '2023-12-01' + CAST(k % 20 AS INTEGER) END AS listing_date",
-    s"CASE (k + $b) % 7 WHEN 0 THEN 'A' WHEN 1 THEN 'U' WHEN 2 THEN 'S' WHEN 3 THEN 'X' WHEN 4 THEN 'ZZ' WHEN 5 THEN CAST(NULL AS STRING) ELSE 'U' END AS listing_status",
+    "CASE (k + b) % 7 WHEN 0 THEN 'A' WHEN 1 THEN 'U' WHEN 2 THEN 'S' WHEN 3 THEN 'X' WHEN 4 THEN 'ZZ' WHEN 5 THEN CAST(NULL AS STRING) ELSE 'U' END AS listing_status",
     "CASE k % 3 WHEN 0 THEN 'Active' WHEN 1 THEN 'Pending' ELSE CAST(NULL AS STRING) END AS listing_status_detail",
     "CASE WHEN k % 6 = 5 THEN DATE '1800-02-02' ELSE DATE '2024-01-10' + CAST(k % 15 AS INTEGER) END AS status_date",
-    s"CAST(CASE k % 6 WHEN 0 THEN CAST(NULL AS DOUBLE) WHEN 1 THEN 0 WHEN 2 THEN ${250000.25 + b * 1000} WHEN 3 THEN 315000.5 WHEN 4 THEN 0.25 ELSE 199999.75 END AS DECIMAL(16,4)) AS current_price",
+    "CAST(CASE k % 6 WHEN 0 THEN CAST(NULL AS DOUBLE) WHEN 1 THEN 0 WHEN 2 THEN 250000.25 + b * 1000 WHEN 3 THEN 315000.5 WHEN 4 THEN 0.25 ELSE 199999.75 END AS DECIMAL(16,4)) AS current_price",
     "CASE WHEN k % 4 = 3 THEN DATE '1800-03-03' ELSE DATE '2024-01-20' + CAST(k % 10 AS INTEGER) END AS current_price_as_of_date",
     "CAST(CASE k % 4 WHEN 0 THEN -5 WHEN 1 THEN 100000.25 WHEN 2 THEN CAST(NULL AS DOUBLE) ELSE 0 END AS DECIMAL(16,4)) AS orig_price",
     "CASE WHEN k % 5 = 2 THEN DATE '1795-01-01' ELSE DATE '2023-10-01' + CAST(k % 25 AS INTEGER) END AS orig_listing_date",
@@ -151,7 +157,7 @@ object MlsJob1Gate {
     "CAST(k % 40 AS INTEGER) AS listing_image_url_count",
     "CASE WHEN k % 5 = 1 THEN DATE '1800-08-08' ELSE DATE '2024-01-05' + CAST(k % 18 AS INTEGER) END AS listing_image_url_date",
     "CAST(CASE WHEN k % 3 = 0 THEN CAST(NULL AS DOUBLE) ELSE 100000.75 + (k % 200) END AS DECIMAL(16,4)) AS loan_amount",
-    s"'Remarks b$b ' || CAST(k AS STRING) AS public_remarks",
+    "'Remarks b' || CAST(b AS STRING) || ' ' || CAST(k AS STRING) AS public_remarks",
     "CASE WHEN k % 2 = 0 THEN CAST(NULL AS STRING) ELSE 'Realtor note ' || CAST(k % 6 AS STRING) END AS realtor_remarks",
     "CASE k % 4 WHEN 0 THEN '' WHEN 1 THEN '  ' WHEN 2 THEN 'Broker X' ELSE CAST(NULL AS STRING) END AS listing_broker_name",
     "'BR' || CAST(k % 30 AS STRING) AS listing_broker_id",
@@ -174,8 +180,8 @@ object MlsJob1Gate {
     "'FEED' || CAST(k % 3 AS STRING) AS source",
     "'SRC' || CAST(k % 5 AS STRING) AS source_reference",
     "'SL' || CAST(k AS STRING) AS source_listing_id",
-    s"CASE WHEN k % 10 = 9 THEN TIMESTAMP '1800-09-09 00:00:00' ELSE TIMESTAMP '$soadTs' END AS source_as_of_date",
-    s"'$loadDate' AS load_date")
+    "CASE WHEN k % 10 = 9 THEN TIMESTAMP '1800-09-09 00:00:00' ELSE soad END AS source_as_of_date",
+    "ld AS load_date")
 
   // -------------------------------------------------------------------
   // Spark side
@@ -185,15 +191,29 @@ object MlsJob1Gate {
     s.sql(s"SELECT * FROM VALUES $rows AS t($cols)")
   }
 
-  private[mls] def rawBatch(s: SparkSession, dir: String, b: Int, loadDate: String,
-                            subset: Boolean,
-                            soadTs: String = "2024-01-04 23:00:00",
-                            kFilter: String = "k % 3 = 0"): DataFrame = {
-    val base = s.read.parquet(s"$dir/customer.parquet")
+  /** Batch-parameter base: (k, b, ld, soad, gate_batch) — union N of these
+    * cheaply, then [[synthesize]] ONCE above the union. */
+  private[mls] def rawBase(s: SparkSession, dir: String, b: Int, loadDate: String,
+                           tag: String, soadTs: String = defaultSoad,
+                           kFilter: Option[String] = None): DataFrame = {
+    val ks = s.read.parquet(s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
-    val filtered = if (subset) base.filter(kFilter) else base
-    filtered.selectExpr(synthExprs(b, loadDate, soadTs): _*)
+    kFilter.fold(ks)(ks.filter)
+      .selectExpr("k", s"$b AS b", s"'$loadDate' AS ld",
+        s"TIMESTAMP '$soadTs' AS soad", s"'$tag' AS gate_batch")
   }
+
+  /** Apply the shared synthesis once, carrying the batch tag through. */
+  private[mls] def synthesize(base: DataFrame): DataFrame =
+    base.selectExpr((synthExprs :+ "gate_batch"): _*)
+
+  /** Oracle-side synthesized batch: same expressions over the same
+    * parameter base. `ksSrc` must expose a BIGINT column `k`. */
+  private[mls] def rawSql(b: Int, loadDate: String, soadTs: String = defaultSoad,
+                          where: String = "", ksSrc: String = "ks"): String =
+    s"""SELECT ${synthExprs.mkString(",\n  ")}
+       |FROM (SELECT k, $b AS b, '$loadDate' AS ld,
+       |      TIMESTAMP '$soadTs' AS soad FROM $ksSrc$where)""".stripMargin
 
   /** q_job1_e2e: the full Job-1 pipeline at 133-column width.
     *
@@ -208,10 +228,10 @@ object MlsJob1Gate {
   def job1E2e(s: SparkSession, dir: String): DataFrame = {
     val asOf = expr(asOfSql)
     val nowTs = expr(nowTsSql)
-    val raw = rawBatch(s, dir, 1, "2024-01-01", subset = false)
-      .withColumn("gate_batch", lit("a"))
-      .unionByName(rawBatch(s, dir, 2, "2024-02-01", subset = true)
-        .withColumn("gate_batch", lit("b")))
+    val raw = synthesize(
+      rawBase(s, dir, 1, "2024-01-01", tag = "a")
+        .unionByName(rawBase(s, dir, 2, "2024-02-01", tag = "b",
+          kFilter = Some("k % 3 = 0"))))
     val (good, _) = MlsValidate.validateListings(raw, dimDf(s, "boards"),
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
     val tAll = MlsFullTransform.transformKeeping(
@@ -294,7 +314,7 @@ object MlsJob1Gate {
     * their exact insertion order and the '|'-joined reason strings
     * (transform.py:93-116), hash-checked per rejected row. */
   def job1Rejects(s: SparkSession, dir: String): DataFrame = {
-    val raw1 = rawBatch(s, dir, 1, "2024-01-01", subset = false)
+    val raw1 = synthesize(rawBase(s, dir, 1, "2024-01-01", tag = "a"))
     val (_, rejected) = MlsValidate.validateListings(raw1, dimDf(s, "boards"),
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
     rejected.select(col("source_listing_id"),
@@ -622,8 +642,8 @@ object MlsJob1Gate {
     val dimCtes = dims.map { case (n, cols, rows) => s"$n($cols) AS (VALUES $rows)" }
     s"""WITH ${dimCtes.mkString(",\n")},
        |ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
-       |raw1 AS (SELECT ${synthExprs(1, "2024-01-01").mkString(",\n  ")} FROM ks),
-       |raw2 AS (SELECT ${synthExprs(2, "2024-02-01").mkString(",\n  ")} FROM ks WHERE k % 3 = 0),
+       |raw1 AS (${rawSql(1, "2024-01-01")}),
+       |raw2 AS (${rawSql(2, "2024-02-01", where = " WHERE k % 3 = 0")}),
        |good1 AS (${validateSql("raw1")}),
        |good2 AS (${validateSql("raw2")}),
        |t1 AS (${transformSql("good1")}),
@@ -685,8 +705,8 @@ object MlsJob1Gate {
     val reasons = flags.zipWithIndex
       .map { case ((_, label), i) => s"CASE WHEN f$i = 1 THEN '$label' END" }
       .mkString(", ")
-    s"""WITH raw1 AS (SELECT ${synthExprs(1, "2024-01-01").mkString(",\n  ")}
-       |  FROM (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer)),
+    s"""WITH raw1 AS (${rawSql(1, "2024-01-01",
+          ksSrc = "(SELECT CAST(c_custkey AS BIGINT) AS k FROM customer)")}),
        |j AS (
        |  SELECT r.*, b.mls AS bmls, coalesce(b.movedto, r.mls) AS mls2,
        |         st.state AS st_ok, z.zipcode AS zip_ok,

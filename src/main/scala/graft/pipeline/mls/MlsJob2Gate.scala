@@ -33,8 +33,8 @@ import graft.sources.MergeClauses
   * observable reference behavior the oracle reproduces exactly.
   */
 object MlsJob2Gate {
-  import MlsJob1Gate.{asOfSql, dimDf, dims, outCastSql, rawBatch, synthExprs,
-    transformSql, validateSql}
+  import MlsJob1Gate.{asOfSql, dimDf, dims, outCastSql, rawBase, rawSql,
+    synthesize, transformSql, validateSql}
 
   // Per-run injected clocks (run 2 is a month later, making the
   // min(create_timestamp) recompute observable across runs).
@@ -118,14 +118,14 @@ object MlsJob2Gate {
     val zips = dimDf(s, "zipcodes"); val psub = dimDf(s, "psub")
     val counties = dimDf(s, "counties"); val geoIds = dimDf(s, "geo_ids")
 
-    val raw = rawBatch(s, dir, 1, "2024-01-01", subset = false, soadTs = soad1)
-      .withColumn("gate_batch", lit("a"))
-      // Run 2 unions two input dirs (S1) — a later changed snapshot and an
-      // older identical one.
-      .unionByName(rawBatch(s, dir, 2, "2024-02-01", subset = true,
-        soadTs = soad2, kFilter = "k % 3 = 0").withColumn("gate_batch", lit("b")))
-      .unionByName(rawBatch(s, dir, 1, "2024-02-01", subset = true,
-        soadTs = soad0, kFilter = "k % 5 = 1").withColumn("gate_batch", lit("b")))
+    val raw = synthesize(
+      rawBase(s, dir, 1, "2024-01-01", tag = "a", soadTs = soad1)
+        // Run 2 unions two input dirs (S1) — a later changed snapshot and
+        // an older identical one.
+        .unionByName(rawBase(s, dir, 2, "2024-02-01", tag = "b",
+          soadTs = soad2, kFilter = Some("k % 3 = 0")))
+        .unionByName(rawBase(s, dir, 1, "2024-02-01", tag = "b",
+          soadTs = soad0, kFilter = Some("k % 5 = 1"))))
     val (good, _) = MlsValidate.validateListings(raw, boards, states, zips, psub)
     val nowTs = when(col("gate_batch") === "a", expr(now1Sql)).otherwise(expr(now2Sql))
     val hAll = MlsFullTransform.transformKeeping(
@@ -218,13 +218,11 @@ object MlsJob2Gate {
       .mkString(",\n    ")
     s"""WITH ${dimCtes.mkString(",\n")},
        |ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
-       |raw1 AS (SELECT ${synthExprs(1, "2024-01-01", soad1).mkString(",\n  ")} FROM ks),
+       |raw1 AS (${rawSql(1, "2024-01-01", soad1)}),
        |rawn AS (
-       |  SELECT ${synthExprs(2, "2024-02-01", soad2).mkString(",\n  ")}
-       |  FROM ks WHERE k % 3 = 0
+       |  ${rawSql(2, "2024-02-01", soad2, where = " WHERE k % 3 = 0")}
        |  UNION ALL
-       |  SELECT ${synthExprs(1, "2024-02-01", soad0).mkString(",\n  ")}
-       |  FROM ks WHERE k % 5 = 1),
+       |  ${rawSql(1, "2024-02-01", soad0, where = " WHERE k % 5 = 1")}),
        |good1 AS (${validateSql("raw1")}),
        |goodn AS (${validateSql("rawn")}),
        |h1 AS (${transformSql("good1", now1Sql, hist = true)}),
