@@ -20,7 +20,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ EventQueries.queries ++
+    RelationalQueries.queries ++ TextQueries.queries ++ MixQueries.queries ++
+      EventQueries.queries ++
       Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
@@ -30,7 +31,8 @@ object SparkEntry {
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
+    RelationalQueries.oracles ++ TextQueries.oracles ++ MixQueries.oracles ++
+      EventQueries.oracles ++
       Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TableIO.table
+
+/** Corpus-composition operators for training-data pipelines: deterministic
+  * stratified sampling / up-sampling ("data mixing") and benchmark n-gram
+  * decontamination. Both are pure scan-side transforms plus one small
+  * join — the shapes that survive a 100 TB corpus.
+  */
+object MixQueries {
+
+  /** Per-stratum mixing rates (shared SQL literals — same rows build the
+    * Spark dim and the oracle CTE). rate < 1 down-samples, rate > 1
+    * repeats each kept document floor(rate)..ceil(rate) times; strata
+    * absent from the table fall back to the default rate. */
+  private val mixRatesSql =
+    "('en', CAST(0.5 AS DOUBLE)), ('de', CAST(1.0 AS DOUBLE)), " +
+      "('fr', CAST(0.25 AS DOUBLE)), ('es', CAST(2.5 AS DOUBLE))"
+  private val defaultRateSql = "CAST(0.1 AS DOUBLE)"
+  private val mixSalt = "mix1:"
+
+  /** q_mix_sample: deterministic data mixing by language.
+    *
+    * The keep/repeat decision is a pure function of the document id:
+    * u = first 8 md5 hex chars of (salt || doc_id) mod 1e6 is a uniform
+    * deterministic draw, reps = floor(rate) + [u < frac(rate)·1e6]. No
+    * RNG state, so the sample is reproducible across retries, executors,
+    * and engines — the property that makes corpus recipes auditable. One
+    * broadcast join against the rate dim, then a scan-side projection +
+    * explode for the repeats: zero shuffles at any corpus size. */
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val rateDim = s.sql(s"SELECT * FROM VALUES $mixRatesSql AS t(lang, rate)")
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(rateDim), Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("rate"), expr(defaultRateSql)))
+      .withColumn("u",
+        conv(substring(md5(concat(lit(mixSalt), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 1000000L)
+      .withColumn("reps", floor(col("rate")).cast("int") +
+        when(col("u") < (col("rate") - floor(col("rate"))) * 1000000d, 1)
+          .otherwise(0))
+      .filter(col("reps") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("reps"))).as("copy_idx"))
+  }
+
+  /** q_txt_contamination: benchmark decontamination by 8-gram overlap —
+    * the held-out-eval hygiene pass every training corpus needs. Documents
+    * with doc_id % 20 == 7 stand in for the benchmark set; every corpus
+    * document sharing at least one distinct 8-gram with it is reported
+    * with its shared-ngram count.
+    *
+    * N-grams are hashed once to 60-bit ids by the native expression
+    * (space-joined tokens, md5-derived — the hash both engines compute
+    * byte-identically), so the overlap join moves longs, not strings. One
+    * shuffle on the ngram hash; at real scale the benchmark side is tiny
+    * and broadcasts, leaving a single corpus scan. */
+  def contamination(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val ng = table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions.wordNgramHashes(
+          col("toks"), n, "md5_60", distinct = true)).as("g"))
+    val bench = ng.filter(col("doc_id") % 20 === 7).select("g").distinct()
+    val corpus = ng.filter(col("doc_id") % 20 =!= 7)
+    corpus.join(bench, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_sample" -> (mixSample _),
+    "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q_mix_sample" ->
+      s"""WITH rates(lang, rate) AS (VALUES $mixRatesSql),
+         |d AS (
+         |  SELECT doc_id, dd.lang, coalesce(r.rate, $defaultRateSql) AS rate,
+         |    ('0x' || substr(md5('$mixSalt' || CAST(doc_id AS STRING)), 1, 8))::BIGINT
+         |      % 1000000 AS u
+         |  FROM documents dd LEFT JOIN rates r ON dd.lang = r.lang),
+         |k AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(rate) AS INTEGER)
+         |      + CASE WHEN u < (rate - floor(rate)) * 1000000 THEN 1 ELSE 0 END
+         |      AS reps
+         |  FROM d)
+         |SELECT doc_id, lang,
+         |  CAST(unnest(range(1, reps + 1)) AS INTEGER) AS copy_idx
+         |FROM k WHERE reps > 0""".stripMargin,
+    "q_txt_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ng AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+        |         i -> ('0x' || substr(md5(
+        |                list_aggregate(t[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT))
+        |         AS gs
+        |       FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 20 = 7),
+        |corp AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 20 <> 7)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM corp c JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id""".stripMargin)
+}
