@@ -97,10 +97,39 @@ object MultimodalQueries {
         octet_length(col("frame")).as("frame_bytes"),
         sha2(col("frame"), 256).as("frame_sha"))
 
+  /** Resize planning over decoded dimensions: fit every image inside a
+    * `box`×`box` bounding box preserving aspect ratio (integer floor
+    * arithmetic — the exact dims a thumbnailer must produce), pass
+    * through images already inside the box, and content-address the
+    * would-be resized payload deterministically (STUB: a real resizer
+    * would emit actual pixels here; the address is a pure function of the
+    * source address and target dims, so the oracle replays it). Chains on
+    * the decode stub the way a real pipeline chains resize after decode —
+    * scan-side projection, zero shuffle. */
+  def mmResize(s: SparkSession, dir: String, box: Int = 256): DataFrame = {
+    val d = mmDecodeFeatures(s, dir)
+    val scaleNeeded = col("width") > box || col("height") > box
+    // floor(dim * box / longest side) with exact integer arithmetic
+    // (`div`, not `/` — Spark's `/` on integers is true division)
+    val w2 = when(col("width") >= col("height"), lit(box))
+      .otherwise(expr(s"CAST((CAST(width AS BIGINT) * $box) div height AS INT)"))
+    val h2 = when(col("width") >= col("height"),
+      expr(s"CAST((CAST(height AS BIGINT) * $box) div width AS INT)"))
+      .otherwise(lit(box))
+    d.select(col("doc_id"), col("width"), col("height"),
+        when(scaleNeeded, w2).otherwise(col("width")).as("out_width"),
+        when(scaleNeeded, h2).otherwise(col("height")).as("out_height"),
+        scaleNeeded.cast(StringType).as("resized"))
+      .withColumn("out_sha", sha2(concat_ws("x",
+        col("doc_id").cast(StringType), col("out_width"), col("out_height"))
+        .cast(BinaryType), 256))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
-    "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)))
+    "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
+    "q_mm_resize" -> ((s: SparkSession, d: String) => mmResize(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_mm_binary_meta" ->
@@ -137,5 +166,29 @@ object MultimodalQueries {
         |  CAST(off AS INTEGER) AS offset,
         |  CAST(octet_length(CAST(frame AS BLOB)) AS INTEGER) AS frame_bytes,
         |  sha256(frame) AS frame_sha
-        |FROM w""".stripMargin)
+        |FROM w""".stripMargin,
+    // Chains on the decode-stub oracle: same md5/sha-derived dims, then
+    // the aspect-fit integer arithmetic and the deterministic address.
+    "q_mm_resize" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS hex FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(64 + ('0x' || substr(hex, 1, 4))::BIGINT % 1024 AS INTEGER) AS width,
+        |    CAST(64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1024 AS INTEGER) AS height
+        |  FROM h),
+        |r AS (SELECT doc_id, width, height,
+        |    (width > 256 OR height > 256) AS scale_needed,
+        |    CASE WHEN width >= height THEN 256
+        |         ELSE CAST((CAST(width AS BIGINT) * 256) // height AS INTEGER) END AS w2,
+        |    CASE WHEN width >= height
+        |         THEN CAST((CAST(height AS BIGINT) * 256) // width AS INTEGER)
+        |         ELSE 256 END AS h2
+        |  FROM d)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN scale_needed THEN w2 ELSE width END AS out_width,
+        |  CASE WHEN scale_needed THEN h2 ELSE height END AS out_height,
+        |  CAST(scale_needed AS STRING) AS resized,
+        |  sha256(CAST(doc_id AS STRING) || 'x'
+        |    || CAST(CASE WHEN scale_needed THEN w2 ELSE width END AS STRING) || 'x'
+        |    || CAST(CASE WHEN scale_needed THEN h2 ELSE height END AS STRING)) AS out_sha
+        |FROM r""".stripMargin)
 }
