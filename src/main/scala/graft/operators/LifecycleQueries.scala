@@ -1,7 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,17 +19,8 @@ import graft.sources.TableIO.table
   */
 object LifecycleQueries {
 
-  /** Fresh scratch dir under the repo's build dir (safe to delete/rewrite
-    * on every call — bench runs each gate several times). */
-  private def freshRoot(name: String): String = {
-    val p = Paths.get("target", "gate_tmp", name).toAbsolutePath
-    if (Files.exists(p)) {
-      val st = Files.walk(p)
-      try st.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally st.close()
-    }
-    p.toString
-  }
+  private def freshRoot(name: String): String =
+    graft.sources.ScratchDirs.fresh(name)
 
   /** Hist-job three-way MERGE over a change-log of per-(customer, date)
     * order activity: the target is the log derived from data through 1996,

@@ -120,9 +120,13 @@ object MultimodalQueries {
         when(scaleNeeded, w2).otherwise(col("width")).as("out_width"),
         when(scaleNeeded, h2).otherwise(col("height")).as("out_height"),
         scaleNeeded.cast(StringType).as("resized"))
-      .withColumn("out_sha", sha2(concat_ws("x",
-        col("doc_id").cast(StringType), col("out_width"), col("out_height"))
-        .cast(BinaryType), 256))
+      // concat (null-propagating) rather than concat_ws (null-skipping):
+      // pins the same semantics as the oracle's `||` chain should a dim
+      // ever become nullable.
+      .withColumn("out_sha", sha2(concat(
+        col("doc_id").cast(StringType), lit("x"),
+        col("out_width").cast(StringType), lit("x"),
+        col("out_height").cast(StringType)).cast(BinaryType), 256))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

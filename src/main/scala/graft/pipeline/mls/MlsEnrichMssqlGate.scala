@@ -50,17 +50,8 @@ object MlsEnrichMssqlGate {
     val listings = ks.selectExpr(listingExprs: _*)
     val ldt = ks.filter("k % 7 <> 0").selectExpr(ldtExprs: _*)
     val pm = ks.filter("k <= 60").selectExpr(pmExprs: _*)
-    val out = MlsEnrich.lookupPropertyIdsFromMssql(listings, ldt, pm).get
-    out.select(col("lkp_mls"), col("lkp_mls_listing_id"),
-      col("lkp_asg_primary_id"),
-      col("lkp_asg_primary_id_final_flag").cast(StringType)
-        .as("lkp_asg_primary_id_final_flag"),
-      col("lkp_asg_primary_id_source"),
-      col("lkp_asg_primary_id_source_responded_flag").cast(StringType)
-        .as("lkp_asg_primary_id_source_responded_flag"),
-      col("lkp_asg_primary_id_issue_text"),
-      col("lkp_asg_primary_id_mssql_fixed_flag").cast(StringType)
-        .as("lkp_asg_primary_id_mssql_fixed_flag"))
+    MlsJob1Gate.lkpHashOutput(
+      MlsEnrich.lookupPropertyIdsFromMssql(listings, ldt, pm).get)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

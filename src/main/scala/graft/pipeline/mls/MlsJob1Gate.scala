@@ -243,20 +243,7 @@ object MlsJob1Gate {
     val keys = Seq("mls", "mls_listing_id")
     val dd = LatestWins.dedupe(t2, t1, keys, Seq(col("load_date").desc))
     val merged = Merge.mergeFrames(t1, dd.latest, keys)
-    // Output casts for engine-portable hashing: dates/timestamps as ISO
-    // strings, decimals as exact doubles.
-    // Booleans also go out as strings: the schema's only booleans are the
-    // all-null placeholders, and an all-null typed bool column hits pandas
-    // None-vs-NaN dtype drift in the compare harness.
-    val outCols = MlsFullTransform.targetSchema.fields.map { f =>
-      f.dataType match {
-        case DateType | TimestampType | BooleanType =>
-          col(f.name).cast(StringType).as(f.name)
-        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
-        case _              => col(f.name)
-      }
-    }
-    merged.select(outCols.toIndexedSeq: _*)
+    merged.select(outCastCols(MlsFullTransform.targetSchema): _*)
   }
 
   /** q_enrich_lookup: the property-id enrichment leg (J7 + the batched
@@ -273,8 +260,14 @@ object MlsJob1Gate {
       "'TX' AS state",
       "'75001' AS zip",
       "CASE WHEN c_custkey % 4 = 0 THEN 'U' || CAST(c_custkey % 7 AS STRING) ELSE CAST(NULL AS STRING) END AS unit")
-    val out = MlsEnrich.lookupPropertyIds(s, listings, md5StubClient(""),
-      batchSize = 64).get
+    lkpHashOutput(MlsEnrich.lookupPropertyIds(s, listings, md5StubClient(""),
+      batchSize = 64).get)
+  }
+
+  /** Hash-portable projection of a lkp_* lookup result (boolean flags as
+    * strings — same policy as [[outCastCols]]); shared by the API and
+    * MSSQL enrichment gates. */
+  private[mls] def lkpHashOutput(out: DataFrame): DataFrame =
     out.select(col("lkp_mls"), col("lkp_mls_listing_id"),
       col("lkp_asg_primary_id"),
       col("lkp_asg_primary_id_final_flag").cast(StringType)
@@ -285,7 +278,6 @@ object MlsJob1Gate {
       col("lkp_asg_primary_id_issue_text"),
       col("lkp_asg_primary_id_mssql_fixed_flag").cast(StringType)
         .as("lkp_asg_primary_id_mssql_fixed_flag"))
-  }
 
   /** Deterministic stub lookup client: the response is a pure function of
     * md5(StreetAddress || salt), so DuckDB recomputes the leg exactly.
@@ -626,6 +618,21 @@ object MlsJob1Gate {
        |LEFT JOIN geo_ids g2 ON d.census_tract_geo_id = g2.censustractname AND coalesce(c1.fips, c2.fips) = g2.fips
        |LEFT JOIN geo_ids g3 ON d.census_tract_geo_id = g3.censustractgeoid""".stripMargin
   }
+
+  /** Engine-portable output casts for the hash compare, Spark side (the
+    * oracle twin is [[outCastSql]]): dates/timestamps as ISO strings,
+    * decimals as exact doubles. Booleans also go out as strings: an
+    * all-null typed bool column hits pandas None-vs-NaN dtype drift in the
+    * compare harness. */
+  private[mls] def outCastCols(schema: StructType): Seq[org.apache.spark.sql.Column] =
+    schema.fields.toIndexedSeq.map { f =>
+      f.dataType match {
+        case DateType | TimestampType | BooleanType =>
+          col(f.name).cast(StringType).as(f.name)
+        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
+        case _              => col(f.name)
+      }
+    }
 
   private[mls] def outCastSql(alias: String,
                               schema: StructType = MlsFullTransform.targetSchema): String =

@@ -143,20 +143,7 @@ object MlsJob2Gate {
       .select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
       .localCheckpoint()
     val merged = merge3(hist1, histFinal(hN, Some(hist1)))
-
-    // Engine-portable output casts (same policy as q_job1_e2e).
-    val outCols = MlsFullTransform.histSchema.fields.map { f =>
-      f.dataType match {
-        case org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.BooleanType =>
-          col(f.name).cast(org.apache.spark.sql.types.StringType).as(f.name)
-        case _: org.apache.spark.sql.types.DecimalType =>
-          col(f.name).cast(org.apache.spark.sql.types.DoubleType).as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    merged.select(outCols.toIndexedSeq: _*)
+    merged.select(MlsJob1Gate.outCastCols(MlsFullTransform.histSchema): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,7 +1,6 @@
 package graft.pipeline.mls
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.Paths
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -87,30 +86,26 @@ object MlsJob3Gate {
       s"$e AS ${f.name}"
     }
 
-  private def freshRoot(name: String): String = {
-    val p = Paths.get("target", "gate_tmp", name).toAbsolutePath
-    if (Files.exists(p)) {
-      val st = Files.walk(p)
-      try st.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      finally st.close()
-    }
-    p.toString
-  }
+  private def freshRoot(name: String): String =
+    graft.sources.ScratchDirs.fresh(name)
 
   /** The 11 added placeholder columns of the first-run bootstrap
-    * (backfill:81-92) — all typed nulls except load_status = 'Null'. */
+    * (backfill:81-92) — all typed nulls except load_status = 'Null'. One
+    * withColumns batch (independent columns; a chained withColumn
+    * re-resolves the 133-column plan per call). */
   private def addAsgPlaceholders(df: DataFrame): DataFrame = df
-    .withColumn("asg_primary_id", lit(null).cast(LongType))
-    .withColumn("asg_primary_id_final_flag", lit(null).cast(BooleanType))
-    .withColumn("asg_primary_id_source", lit(null).cast(StringType))
-    .withColumn("asg_primary_id_source_queried_timestamp", lit(null).cast(TimestampType))
-    .withColumn("asg_primary_id_source_responded_flag", lit(null).cast(BooleanType))
-    .withColumn("asg_primary_id_issue_text", lit(null).cast(StringType))
-    .withColumn("asg_primary_id_mssql_fixed_flag", lit(null).cast(BooleanType))
-    .withColumn("asg_primary_id_updated_flag", lit(null).cast(BooleanType))
-    .withColumn("asg_primary_id_updated_timestamp", lit(null).cast(TimestampType))
-    .withColumn("asg_primary_id_previous_value", lit(null).cast(LongType))
-    .withColumn("asg_primary_id_load_status", lit("Null").cast(StringType))
+    .withColumns(Map(
+      "asg_primary_id" -> lit(null).cast(LongType),
+      "asg_primary_id_final_flag" -> lit(null).cast(BooleanType),
+      "asg_primary_id_source" -> lit(null).cast(StringType),
+      "asg_primary_id_source_queried_timestamp" -> lit(null).cast(TimestampType),
+      "asg_primary_id_source_responded_flag" -> lit(null).cast(BooleanType),
+      "asg_primary_id_issue_text" -> lit(null).cast(StringType),
+      "asg_primary_id_mssql_fixed_flag" -> lit(null).cast(BooleanType),
+      "asg_primary_id_updated_flag" -> lit(null).cast(BooleanType),
+      "asg_primary_id_updated_timestamp" -> lit(null).cast(TimestampType),
+      "asg_primary_id_previous_value" -> lit(null).cast(LongType),
+      "asg_primary_id_load_status" -> lit("Null").cast(StringType)))
 
   /** Candidate selection (backfill:115-134): optional load_date window,
     * load-status modes, then the prioritized lookup budget — never-tried
@@ -134,30 +129,33 @@ object MlsJob3Gate {
   }
 
   /** Attach phase (backfill:151-167): recompute the 11 asg_* columns from
-    * the lookup row; `asg_primary_id` is assigned LAST because
-    * updated_flag/previous_value compare against its pre-update value. */
+    * the lookup row; `asg_primary_id` is assigned LAST (a second
+    * withColumns layer) because updated_flag/previous_value compare
+    * against its pre-update value — the first batch reads the old value,
+    * the second overwrites it. */
   private def attach(cand: DataFrame, lookup: DataFrame, now: Column): DataFrame = {
     val changed = expr("not(asg_primary_id <=> lkp_asg_primary_id)")
     cand.join(lookup,
         col("mls") === col("lkp_mls") &&
           col("mls_listing_id") === col("lkp_mls_listing_id"), "inner")
-      .withColumn("asg_primary_id_final_flag", col("lkp_asg_primary_id_final_flag"))
-      .withColumn("asg_primary_id_source", col("lkp_asg_primary_id_source"))
-      .withColumn("asg_primary_id_source_queried_timestamp", now)
-      .withColumn("asg_primary_id_source_responded_flag",
-        col("lkp_asg_primary_id_source_responded_flag"))
-      .withColumn("asg_primary_id_issue_text", col("lkp_asg_primary_id_issue_text"))
-      .withColumn("asg_primary_id_mssql_fixed_flag",
-        col("lkp_asg_primary_id_mssql_fixed_flag"))
-      .withColumn("asg_primary_id_updated_flag", changed)
-      .withColumn("asg_primary_id_updated_timestamp",
-        when(changed, now).otherwise(lit(null)).cast(TimestampType))
-      .withColumn("asg_primary_id_previous_value",
-        when(changed, col("asg_primary_id")).otherwise(lit(null)).cast(LongType))
-      .withColumn("asg_primary_id_load_status", expr(
-        "CASE WHEN lkp_asg_primary_id_final_flag IS NULL THEN 'Null' " +
-          "WHEN lkp_asg_primary_id_final_flag = true THEN 'Final' " +
-          "WHEN lkp_asg_primary_id_final_flag = false THEN 'Provisional' END"))
+      .withColumns(Map(
+        "asg_primary_id_final_flag" -> col("lkp_asg_primary_id_final_flag"),
+        "asg_primary_id_source" -> col("lkp_asg_primary_id_source"),
+        "asg_primary_id_source_queried_timestamp" -> now,
+        "asg_primary_id_source_responded_flag" ->
+          col("lkp_asg_primary_id_source_responded_flag"),
+        "asg_primary_id_issue_text" -> col("lkp_asg_primary_id_issue_text"),
+        "asg_primary_id_mssql_fixed_flag" ->
+          col("lkp_asg_primary_id_mssql_fixed_flag"),
+        "asg_primary_id_updated_flag" -> changed,
+        "asg_primary_id_updated_timestamp" ->
+          when(changed, now).otherwise(lit(null)).cast(TimestampType),
+        "asg_primary_id_previous_value" ->
+          when(changed, col("asg_primary_id")).otherwise(lit(null)).cast(LongType),
+        "asg_primary_id_load_status" -> expr(
+          "CASE WHEN lkp_asg_primary_id_final_flag IS NULL THEN 'Null' " +
+            "WHEN lkp_asg_primary_id_final_flag = true THEN 'Final' " +
+            "WHEN lkp_asg_primary_id_final_flag = false THEN 'Provisional' END")))
       .withColumn("asg_primary_id", col("lkp_asg_primary_id")) // MUST be last
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
@@ -190,15 +188,8 @@ object MlsJob3Gate {
       Seq("Null"), limit = 40, salt = "", nowSql = now1Sql)
     runOnce(s, s"$root/delta", None,
       Seq("Provisional", "Final"), limit = 20, salt = "#2", nowSql = now2Sql)
-    val outCols = schema.fields.map { f =>
-      f.dataType match {
-        case DateType | TimestampType | BooleanType =>
-          col(f.name).cast(StringType).as(f.name)
-        case _: DecimalType => col(f.name).cast(DoubleType).as(f.name)
-        case _ => col(f.name)
-      }
-    }
-    ManagedTable.read(s, s"$root/delta").select(outCols.toIndexedSeq: _*)
+    ManagedTable.read(s, s"$root/delta")
+      .select(MlsJob1Gate.outCastCols(schema): _*)
   }
 
   private def ks(s: SparkSession, dir: String): DataFrame =

@@ -67,13 +67,7 @@ object BucketedTable {
 
   /** Remove the partitionBy staging dir once its buckets are moved out. */
   private def dropStaging(root: String, ver: Int): Unit = {
-    val staging = Paths.get(s"$root/v$ver/_data")
-    if (Files.exists(staging)) {
-      val st = Files.walk(staging)
-      try st.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.delete)
-      finally st.close()
-    }
+    ScratchDirs.deleteRecursively(Paths.get(s"$root/v$ver/_data"))
   }
 
   /** Initial full write: every bucket lands in v0. */

@@ -3,7 +3,6 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 /** Native versioned-table layer replacing the reference's Delta Lake surface
@@ -100,11 +99,6 @@ object ManagedTable {
     Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.matches("v\\d+"))
       .filter(p => p.getFileName.toString.drop(1).toInt <= live - keep)
-      .foreach { p =>
-        val st = Files.walk(p)
-        try st.sorted(Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.delete)
-        finally st.close()
-      }
+      .foreach(ScratchDirs.deleteRecursively)
   }
 }

@@ -66,7 +66,12 @@ object EventStream {
     * in-watermark data; a user returning later simply restarts session
     * numbering — the same bounded-memory contract as streamingDedup's
     * horizon). Without this, idle users' state grows without bound at
-    * stream scale. `horizon` is the watermark lateness allowance. */
+    * stream scale. `horizon` is the watermark lateness allowance — NOTE
+    * the watermark also means streaming events arriving more than
+    * `horizon` behind the max seen event time are dropped as late before
+    * the session function runs (the earlier NoTimeout version had no
+    * watermark and sessionized every event, at unbounded state cost);
+    * batch execution is unaffected. */
   def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
                  horizon: String = "1 hour")
                 (implicit spark: SparkSession): Dataset[SessionizedEvent] = {
