@@ -79,6 +79,36 @@ object TextQueries {
       md5(col("text")).as("exact_fp"),
       md5(concat_ws(" ", sort_array(array_distinct(col("toks"))))).as("bag_fp"))
 
+  // PII patterns (shared regex subset — Java and RE2 agree on character
+  // classes and bounded repetition; no lookaround, no backreferences).
+  private val emailRx = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val ssnRx = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val phoneRx = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else sees the text: emails, SSNs, and phone numbers are
+    * replaced with typed placeholder tags, and per-kind match counts are
+    * reported for audit. Deterministic PII is synthesized onto each
+    * document in the shared SQL subset so every pattern fires; all three
+    * passes are codegen'd regexp_replace over one scan — zero shuffles,
+    * linear at any corpus size. */
+  def txtRedact(s: SparkSession, dir: String): DataFrame = {
+    val pii = table(s, dir, "documents").selectExpr("doc_id",
+      "text || ' Contact user' || CAST(doc_id AS STRING) || '@example.com or 214-555-' " +
+        "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' SSN 123-45-' " +
+        "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '.' AS text")
+    pii.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRx, "<EMAIL>"), ssnRx, "<SSN>"), phoneRx, "<PHONE>")
+        .as("redacted"),
+      size(regexp_extract_all(col("text"), lit(emailRx), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ssnRx), lit(0))).as("n_ssns"),
+      // phones counted after email/SSN removal, as the redactor sees them
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(col("text"), emailRx, "<EMAIL>"),
+          ssnRx, "<SSN>"), lit(phoneRx), lit(0))).as("n_phones"))
+  }
+
   /** Exact deduplication: hash-groupBy on the text fingerprint, electing
     * the minimum doc_id as the canonical representative of each group.
     * At 100 TB this is one shuffle on a 128-bit key with map-side partial
@@ -217,9 +247,33 @@ object TextQueries {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccardShingle(s, d)),
     "q_txt_quantiles" -> (txtLengthQuantiles _),
-    "q_txt_tfidf" -> ((s: SparkSession, d: String) => txtTfIdf(s, d)))
+    "q_txt_tfidf" -> ((s: SparkSession, d: String) => txtTfIdf(s, d)),
+    "q_txt_redact" -> (txtRedact _))
+
+  private val redactOracle: String = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    text || ' Contact user' || CAST(doc_id AS STRING) || '@example.com or 214-555-'
+       |      || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' SSN 123-45-'
+       |      || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '.' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ssn')) AS INTEGER) AS n_ssns,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$ssn', '<SSN>', 'g'), '$phone')) AS INTEGER) AS n_phones
+       |FROM pii""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "q_txt_redact" -> redactOracle,
     "q_txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
