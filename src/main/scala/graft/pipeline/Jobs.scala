@@ -48,17 +48,28 @@ object Jobs {
     * dedupe at snapshot grain, derive `*_old` + changed flags via lead(),
     * then the three-way MERGE: update when matched AND changed, DELETE when
     * matched and no driving change, insert when new AND changed. */
+  /** @param compare per-column change comparison override (the reference
+    *   compares current_price at whole-dollar grain, hist:152)
+    * @param matchGuardCols when non-empty, matched rows only update if at
+    *   least one of these columns null-safe-differs from the stored state
+    *   (the reference guards on tracked + *_old + *_changed_flag,
+    *   hist:188-192)
+    * @param nullSafeKeys false = the reference's plain `=` merge-ON
+    *   (hist:185): null-keyed snapshots never match and re-insert */
   final case class HistoryConfig(
       tableRoot: String,
       keys: Seq[String],          // includes the snapshot/version column
       versionOrder: Seq[Column],  // newest-first within the entity
       entityKeys: Seq[String],    // grain without the snapshot column
-      tracked: Seq[String])
+      tracked: Seq[String],
+      compare: Map[String, (Column, Column) => Column] = Map.empty,
+      matchGuardCols: Seq[String] = Nil,
+      nullSafeKeys: Boolean = true)
 
   def runHistory(spark: SparkSession, input: DataFrame, cfg: HistoryConfig): Unit = {
     if (!ManagedTable.exists(cfg.tableRoot)) {
       val shaped = LatestWins.changeFlags(input, cfg.entityKeys,
-        cfg.versionOrder, cfg.tracked)
+        cfg.versionOrder, cfg.tracked, compare = cfg.compare)
       ManagedTable.createEmpty(spark, cfg.tableRoot, shaped)
     }
     // The stored table carries the derived *_old/flag columns; strip them
@@ -69,13 +80,21 @@ object Jobs {
     val bare = current.drop(current.columns.filter(derived).toIndexedSeq: _*)
     val winners = LatestWins.dedupeAll(input, bare, cfg.keys, cfg.versionOrder)
     val flagged = LatestWins.changeFlags(winners, cfg.entityKeys,
-      cfg.versionOrder, cfg.tracked)
+      cfg.versionOrder, cfg.tracked, compare = cfg.compare)
+    val sameStored = cfg.matchGuardCols
+      .map(c => col(s"t.$c") <=> col(s"s.$c"))
+      .reduceOption(_ && _)
+    val updateWhen = sameStored match {
+      case Some(same) => col("s._insert_update_flag") && !same
+      case None       => col("s._insert_update_flag")
+    }
     ManagedTable.merge(spark, cfg.tableRoot,
       flagged, cfg.keys,
       MergeClauses.Spec(
-        updateWhen = Some(col("s._insert_update_flag")),
+        updateWhen = Some(updateWhen),
         deleteWhen = Some(!col("s._insert_update_flag")),
-        insertWhen = Some(col("s._insert_update_flag"))))
+        insertWhen = Some(col("s._insert_update_flag"))),
+      cfg.nullSafeKeys)
   }
 
   /** Job 3 — enrichment backfill (reference:

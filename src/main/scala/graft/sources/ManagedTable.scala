@@ -82,9 +82,11 @@ object ManagedTable {
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String],
-            clauses: MergeClauses.Spec = MergeClauses.Spec()): Unit = {
+            clauses: MergeClauses.Spec = MergeClauses.Spec(),
+            nullSafeKeys: Boolean = true): Unit = {
     val target = read(spark, root)
-    val resolved = graft.operators.Merge.mergeFrames(target, source, keys, clauses)
+    val resolved = graft.operators.Merge.mergeFrames(target, source, keys,
+      clauses, nullSafeKeys)
     // The resolver's plan still reads the live snapshot lazily; materialize
     // the next version before the pointer swap so readers never see a
     // half-written state.
