@@ -102,6 +102,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq((1, "2024-01-01", 100), (1, "2024-01-03", 150)))
   }
 
+  test("history job parity knobs: whole-dollar comparator, match guard, plain-= keys") {
+    val root = Files.createTempDirectory("graft_hist_knobs").toString
+    val cfg = Jobs.HistoryConfig(
+      tableRoot = root, keys = Seq("k", "dt"),
+      versionOrder = Seq(col("dt").desc), entityKeys = Seq("k"),
+      tracked = Seq("price"),
+      // reference hist:152 — change detection at whole-dollar grain
+      compare = Map("price" ->
+        ((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          round(a, 0) <=> round(b, 0))),
+      matchGuardCols = Seq("price", "price_old", "price_changed_flag"),
+      nullSafeKeys = false)
+    def df(rows: Seq[(Option[Int], Option[String], Double)]) =
+      rows.toDF("k", "dt", "price")
+    // run 1: k=1 has two snapshots whose prices differ only in cents —
+    // the whole-dollar comparator collapses them to ONE log row; a
+    // null-dt snapshot also lands.
+    Jobs.runHistory(spark, df(Seq(
+      (Some(1), Some("2024-01-01"), 100.10),
+      (Some(1), Some("2024-01-02"), 100.40), // same dollar -> not a change
+      (Some(2), None, 50.0))), cfg)
+    val t1 = ManagedTable.read(spark, root)
+      .select("k", "dt", "price").as[(Int, Option[String], Double)].collect()
+    assert(t1.count(_._1 == 1) == 1, s"cents-only change logged: ${t1.toSeq}")
+    assert(t1.count(r => r._1 == 2 && r._2.isEmpty) == 1)
+    // run 2: replay the same input — with plain `=` merge keys the
+    // null-dt snapshot never matches and accumulates a duplicate (the
+    // reference's observable ON-= behavior), while keyed rows stay put.
+    Jobs.runHistory(spark, df(Seq(
+      (Some(1), Some("2024-01-01"), 100.10),
+      (Some(1), Some("2024-01-02"), 100.40),
+      (Some(2), None, 50.0))), cfg)
+    val t2 = ManagedTable.read(spark, root)
+      .select("k", "dt", "price").as[(Int, Option[String], Double)].collect()
+    assert(t2.count(r => r._1 == 2 && r._2.isEmpty) == 2, s"got: ${t2.toSeq}")
+    assert(t2.count(_._1 == 1) == 1)
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
