@@ -203,9 +203,17 @@ object MlsJob1Gate {
         s"TIMESTAMP '$soadTs' AS soad", s"'$tag' AS gate_batch")
   }
 
-  /** Apply the shared synthesis once, carrying the batch tag through. */
+  /** Apply the shared synthesis once, carrying the batch tag through.
+    *
+    * The parameter base is a handful of tiny parquet splits, so without
+    * intervention EVERY downstream row-wise stage (synthesis, validate
+    * joins, the 133-column transform) runs on 1-3 tasks. Repartitioning
+    * the 5-column base to the session's core count first costs one
+    * negligible shuffle and parallelizes all of it — exactly the lever a
+    * real cluster pulls when a narrow source under-splits. */
   private[mls] def synthesize(base: DataFrame): DataFrame =
-    base.selectExpr((synthExprs :+ "gate_batch"): _*)
+    base.repartition(base.sparkSession.sparkContext.defaultParallelism)
+      .selectExpr((synthExprs :+ "gate_batch"): _*)
 
   /** Oracle-side synthesized batch: same expressions over the same
     * parameter base. `ksSrc` must expose a BIGINT column `k`. */

@@ -137,11 +137,15 @@ object MlsJob2Gate {
 
     // First run's destination is the freshly-created empty table
     // (hist:171-175), so the merge reduces to insert-when-changed. The
-    // result is target AND curated-union input of run 2; the checkpoint
-    // truncates run 1's window lineage.
+    // result is target AND curated-union input of run 2 — referenced twice
+    // in the ONE final plan. Deliberately NOT checkpointed: both references
+    // sit above the checkpointed transform leaf, so the lineage stays
+    // shallow, and a single lazy action beats paying a second eager
+    // materialization job (measured ~1.5-2 s faster per bench run; a
+    // further no-checkpoint-at-all variant re-plans the 134-column
+    // transform tree twice and is ~3x slower).
     val hist1 = histFinal(h1, None).filter(col("_insert_update_flag"))
       .select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
-      .localCheckpoint()
     val merged = merge3(hist1, histFinal(hN, Some(hist1)))
     merged.select(MlsJob1Gate.outCastCols(MlsFullTransform.histSchema): _*)
   }

@@ -192,9 +192,13 @@ object MlsJob3Gate {
       .select(MlsJob1Gate.outCastCols(schema): _*)
   }
 
+  // Repartitioned so the 133-column bootstrap synthesis parallelizes
+  // instead of running on the source's single tiny split (see
+  // MlsJob1Gate.synthesize).
   private def ks(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
+      .repartition(s.sparkContext.defaultParallelism)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_job3_e2e" -> (job3E2e _))
