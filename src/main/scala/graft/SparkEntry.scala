@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ MixQueries.queries ++
       EventQueries.queries ++
-      Sketches.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      Sketches.queries ++ GraphCC.queries ++
+      SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
       graft.pipeline.mls.MlsJob3Gate.queries ++
@@ -33,7 +34,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ MixQueries.oracles ++
       EventQueries.oracles ++
-      Sketches.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
+      Sketches.oracles ++ GraphCC.oracles ++
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++
       graft.pipeline.mls.MlsJob3Gate.oracles ++
