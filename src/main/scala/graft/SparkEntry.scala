@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ MixQueries.queries ++
       EventQueries.queries ++
-      Sketches.queries ++ GraphCC.queries ++
+      Sketches.queries ++ GraphCC.queries ++ PackQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
@@ -34,7 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ MixQueries.oracles ++
       EventQueries.oracles ++
-      Sketches.oracles ++ GraphCC.oracles ++
+      Sketches.oracles ++ GraphCC.oracles ++ PackQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++

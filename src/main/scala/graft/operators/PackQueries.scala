@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.sources.TableIO.table
+
+/** Sequence packing for training-data export: lay the corpus out as one
+  * deterministic token stream and cut it into fixed-budget bins
+  * (concatenate-and-chunk, the packing used to fill fixed-length training
+  * sequences). Each document is assigned to the bin its FIRST token falls
+  * in, with its offset inside that bin — downstream writers can then group
+  * by bin and emit fixed-size sequences.
+  *
+  * Scale shape: the assignment is an exclusive prefix sum of token counts
+  * in doc_id order. A global single-partition window would serialize the
+  * corpus through one task; instead the stream order comes from a range
+  * sort and the prefix sum from the two-pass distributed scan (pass 1:
+  * one token-sum per partition, collected — bounded by the partition
+  * count; pass 2: per-partition running sum + broadcast offset), the same
+  * scheme [[SurrogateKeys]] uses for global ranks. Both passes are fully
+  * parallel; determinism comes from the total order on doc_id, so the
+  * result is independent of where partition boundaries fall. At 100 TB the
+  * range sort is the honest cost of a canonical global stream; pipelines
+  * that don't need one pack per shard instead (hash doc_id → shard, pack
+  * within shards) and skip the sort entirely.
+  */
+object PackQueries {
+
+  /** (doc_id, n_tokens, bin_id, bin_offset) for every document; bins hold
+    * `budget` tokens of the concatenated doc_id-ordered token stream. */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    // Range sort gives a totally-ordered, parallel layout; the checkpoint
+    // pays the sort once instead of once per pass below.
+    val sorted = docs.sort(col("doc_id").asc).localCheckpoint()
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single((i, it.map(_.getLong(1)).sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive per-partition bases
+    val bc = s.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        val nt = r.getLong(1)
+        val before = cum
+        cum += nt
+        Row(r.getLong(0), nt, before / budget, before % budget)
+      }
+    }
+    val schema = new StructType()
+      .add("doc_id", LongType, nullable = false)
+      .add("n_tokens", LongType, nullable = false)
+      .add("bin_id", LongType, nullable = false)
+      .add("bin_offset", LongType, nullable = false)
+    s.createDataFrame(out, schema)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  cum_before // 2048 AS bin_id,
+        |  cum_before % 2048 AS bin_offset
+        |FROM c""".stripMargin)
+}
