@@ -228,10 +228,11 @@ object MlsJob1Gate {
     * Both batches flow through ONE tagged validate+transform tree (the
     * transform is row-wise, so transforming the tagged union equals
     * transforming each batch — see [[MlsFullTransform.transformKeeping]]),
-    * and ONE localCheckpoint truncates the many-thousand-expression lineage
-    * before the frames are re-referenced by dedupe and merge: at gate row
-    * counts the query is planning-bound, not data-bound, and this halves
-    * the analyzer/codegen work. Checkpoint blocks are executor-local and
+    * and one LAZY localCheckpoint truncates the many-thousand-expression
+    * lineage before the frames are re-referenced by dedupe and merge: at
+    * gate row counts the query is planning-bound, not data-bound, and this
+    * halves the analyzer/codegen work without paying a separate eager
+    * materialization job. Checkpoint blocks are executor-local and
     * job-scoped. */
   def job1E2e(s: SparkSession, dir: String): DataFrame = {
     val asOf = expr(asOfSql)
@@ -245,7 +246,7 @@ object MlsJob1Gate {
     val tAll = MlsFullTransform.transformKeeping(
         MlsFullTransform.targetSchema, Seq("gate_batch"))(
         good, dimDf(s, "counties"), dimDf(s, "geo_ids"), asOf, nowTs)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val t1 = tAll.filter(col("gate_batch") === "a").drop("gate_batch")
     val t2 = tAll.filter(col("gate_batch") === "b").drop("gate_batch")
     val keys = Seq("mls", "mls_listing_id")

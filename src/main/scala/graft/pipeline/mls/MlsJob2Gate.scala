@@ -107,11 +107,12 @@ object MlsJob2Gate {
   /** q_job2_e2e: two consecutive hist-job runs at 134-column width.
     *
     * All three input batches flow through ONE tagged validate+transform
-    * tree with a per-batch injected clock, and ONE localCheckpoint
+    * tree with a per-batch injected clock, and a LAZY localCheckpoint
     * truncates the full-width lineage before the window/flag/merge stages
     * re-reference the frames — at gate row counts planning dominates, and
     * this pays the analyzer/codegen cost of the 134-column transform once
-    * instead of twice (see [[MlsFullTransform.transformKeeping]]). */
+    * instead of twice while keeping everything in one Spark job (see
+    * [[MlsFullTransform.transformKeeping]]). */
   def job2E2e(s: SparkSession, dir: String): DataFrame = {
     val asOf = expr(asOfSql)
     val boards = dimDf(s, "boards"); val states = dimDf(s, "states")
@@ -131,21 +132,22 @@ object MlsJob2Gate {
     val hAll = MlsFullTransform.transformKeeping(
         MlsFullTransform.histSchema, Seq("gate_batch"))(
         good, counties, geoIds, asOf, nowTs)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val h1 = hAll.filter(col("gate_batch") === "a").drop("gate_batch")
     val hN = hAll.filter(col("gate_batch") === "b").drop("gate_batch")
 
     // First run's destination is the freshly-created empty table
     // (hist:171-175), so the merge reduces to insert-when-changed. The
     // result is target AND curated-union input of run 2 — referenced twice
-    // in the ONE final plan. Deliberately NOT checkpointed: both references
-    // sit above the checkpointed transform leaf, so the lineage stays
-    // shallow, and a single lazy action beats paying a second eager
-    // materialization job (measured ~1.5-2 s faster per bench run; a
-    // further no-checkpoint-at-all variant re-plans the 134-column
-    // transform tree twice and is ~3x slower).
+    // in the ONE final plan, so its 134-column window/flag subtree is
+    // checkpointed LAZILY: the plan is truncated at analysis time (the
+    // subtree is planned once, not once per reference) but no separate
+    // materialization job runs — the RDD computes and persists inside the
+    // final action (measured ~2.5 s faster per steady-state bench run than
+    // either the eager or the no-checkpoint variant).
     val hist1 = histFinal(h1, None).filter(col("_insert_update_flag"))
       .select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .localCheckpoint(eager = false)
     val merged = merge3(hist1, histFinal(hN, Some(hist1)))
     merged.select(MlsJob1Gate.outCastCols(MlsFullTransform.histSchema): _*)
   }
