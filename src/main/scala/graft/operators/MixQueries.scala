@@ -71,11 +71,80 @@ object MixQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  private val splitSalt = "split1:"
+  private val shufSalt = "shuf1:"
+
+  /** q_split_assign: deterministic train/validation/test assignment.
+    *
+    * Each document draws a bucket in [0, 100) from the md5 of a salted
+    * doc_id — a pure function of the id, so membership is stable across
+    * runs, engines, and corpus growth (adding documents never reassigns
+    * existing ones, the property that keeps eval sets frozen). 90/5/5
+    * thresholds on the bucket give the splits. Scan-side projection only —
+    * zero shuffles at any corpus size. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit(splitSalt), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 100L)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+
+  /** q_shuffle_shard: deterministic global shuffle for training order.
+    *
+    * Documents are ranked by the md5 of a salted doc_id — a reproducible
+    * pseudo-random permutation (no RNG state, same order on any cluster) —
+    * and dealt into `nShards` shards by hash prefix, with a dense position
+    * inside each shard. Downstream writers emit one file sequence per
+    * shard and readers interleave shards for training order. One shuffle
+    * on the shard key; the within-shard sort is the window's sort, spilled
+    * if needed. At 100 TB, size nShards to the target shard file count
+    * (shards ≫ cores keeps every executor busy and bounds per-task sort
+    * memory) — the global permutation never materializes in one place. */
+  def shuffleShard(s: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    table(s, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("h", md5(concat(lit(shufSalt), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_sample" -> (mixSample _),
-    "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)))
+    "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "q_split_assign" -> (splitAssign _),
+    "q_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_split_assign" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5('$splitSalt' || CAST(doc_id AS STRING)), 1, 8))::BIGINT
+         |      % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+    "q_shuffle_shard" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('$shufSalt' || CAST(doc_id AS STRING)) AS h
+         |  FROM documents),
+         |sh AS (SELECT doc_id, h,
+         |    ('0x' || substr(h, 1, 8))::BIGINT % 32 AS shard
+         |  FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+         |    AS INTEGER) AS pos
+         |FROM sh""".stripMargin,
     "q_mix_sample" ->
       s"""WITH rates(lang, rate) AS (VALUES $mixRatesSql),
          |d AS (

@@ -149,9 +149,36 @@ object Sketches {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Keep token hashes below 2^56 — a deterministic 1/16 stripe of the
+    * 60-bit md5 hash space. */
+  private val theta = 1L << 56
+
+  /** Fixed-threshold Theta sketch: estimated distinct vocabulary per
+    * language. A token's 60-bit md5 hash lands below `theta` with
+    * probability 1/16 independent of the token, so
+    * `distinct(hashes < theta) * 16` is an unbiased distinct-count
+    * estimate (the bottom-sketch / KMV family with a FIXED threshold,
+    * which — unlike HyperLogLog or an adaptive-k KMV — is a pure
+    * function of the data, so a second engine reproduces it bit-for-bit).
+    *
+    * Scale shape: the `h < theta` filter runs scan-side BEFORE the
+    * shuffle, so only 1/16 of token hashes move; the distinct-aggregate
+    * partials combine map-side. Estimator σ ≈ √(D/16)·16 relative ~4/√D
+    * per language — at real vocabulary sizes (10⁶+) well under 1%. */
+  def sketchThetaDistinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+      .filter(col("h") < theta)
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("n_sampled"),
+        (countDistinct(col("h")) * 16).as("est_distinct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
-    "q_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)))
+    "q_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "q_sketch_theta" -> (sketchThetaDistinct _))
 
   /** The MinHash+LSH pipeline (verified candidates) must reproduce exact
     * all-pairs shingle Jaccard at this dataset's similarity split — same
@@ -160,6 +187,15 @@ object Sketches {
     * live bit-votes, sign-packing, 8×8-bit banding, and the Hamming
     * verify — exact, not statistical. */
   val oracles: Map[String, String] = Map(
+    "q_sketch_theta" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |h AS (SELECT lang,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM toks)
+         |SELECT lang, COUNT(DISTINCT h) AS n_sampled,
+         |  COUNT(DISTINCT h) * 16 AS est_distinct
+         |FROM h WHERE h < ${1L << 56} GROUP BY lang""".stripMargin,
     "q_dedup_minhash" -> TextQueries.oracles("q_dedup_jaccard"),
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -109,6 +109,32 @@ object TextQueries {
           ssnRx, "<SSN>"), lit(phoneRx), lit(0))).as("n_phones"))
   }
 
+  /** Repetition scoring (the Gopher-style "repetitive text" quality
+    * signal): fraction of duplicate tokens and duplicate word-3-grams per
+    * document. Highly repetitive documents (boilerplate, keyword stuffing,
+    * degenerate generations) score high and get filtered before training.
+    * Trigrams are hashed once by the native one-pass expression (md5-based,
+    * so the oracle recomputes identical values); everything is scan-side
+    * columnar compute — zero shuffles at any corpus size. */
+  def txtRepetition(s: SparkSession, dir: String): DataFrame =
+    withTokens(table(s, dir, "documents"))
+      .withColumn("tris", graft.functions.VectorExpressions.wordNgramHashes(
+        col("toks"), n = 3, algo = "md5_60", distinct = false))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        size(col("tris")).as("n_tri"),
+        size(array_distinct(col("tris"))).as("n_tri_distinct"))
+      .withColumn("dup_tok_frac",
+        (col("n_tokens") - col("n_types")).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+      .withColumn("dup_tri_frac",
+        when(col("n_tri") > 0,
+          (col("n_tri") - col("n_tri_distinct")).cast(DoubleType) /
+            col("n_tri").cast(DoubleType))
+          .otherwise(lit(null).cast(DoubleType)))
+
   /** Exact deduplication: hash-groupBy on the text fingerprint, electing
     * the minimum doc_id as the canonical representative of each group.
     * At 100 TB this is one shuffle on a 128-bit key with map-side partial
@@ -248,7 +274,8 @@ object TextQueries {
     "q_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccardShingle(s, d)),
     "q_txt_quantiles" -> (txtLengthQuantiles _),
     "q_txt_tfidf" -> ((s: SparkSession, d: String) => txtTfIdf(s, d)),
-    "q_txt_redact" -> (txtRedact _))
+    "q_txt_redact" -> (txtRedact _),
+    "q_txt_repetition" -> (txtRepetition _))
 
   private val redactOracle: String = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -274,6 +301,24 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_txt_redact" -> redactOracle,
+    "q_txt_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+        |  list_transform(range(1, len(toks) - 1), i ->
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |     1, 15))::BIGINT) AS tris
+        |FROM t)
+        |SELECT doc_id, n_tokens, n_types,
+        |  CAST(len(tris) AS INTEGER) AS n_tri,
+        |  CAST(len(list_distinct(tris)) AS INTEGER) AS n_tri_distinct,
+        |  CAST(n_tokens - n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS dup_tok_frac,
+        |  CASE WHEN len(tris) > 0 THEN
+        |    CAST(len(tris) - len(list_distinct(tris)) AS DOUBLE) /
+        |      CAST(len(tris) AS DOUBLE) END AS dup_tri_frac
+        |FROM c""".stripMargin,
     "q_txt_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MixQueries, Sketches, TextQueries}
+
+/** Behavioral coverage for the corpus-curation operators: repetition
+  * scoring, split assignment, shuffle sharding, and the theta distinct
+  * sketch. Value-level parity is the DuckDB gate; these tests pin the
+  * operator-level invariants (known scores, proportions, determinism,
+  * stability under corpus growth, estimator accuracy). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDir(docs: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetition: duplicate token and trigram fractions match hand counts") {
+    val dir = docsDir(Seq(
+      (1L, "a a a a", "en"),          // 4 toks, 1 type; trigrams: [a a a]x2
+      (2L, "w x y z", "en"),          // no repetition at all
+      (3L, "x y", "en")))             // too short for trigrams
+    val got = TextQueries.txtRepetition(spark, dir)
+      .as[(Long, Int, Int, Int, Int, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4, 1, 2, 1, 0.75, Some(0.5))))
+    assert(got(2L) == ((2L, 4, 4, 2, 2, 0.0, Some(0.0))))
+    assert(got(3L) == ((3L, 2, 2, 0, 0, 0.0, None)))
+  }
+
+  test("split assignment: ~90/5/5, deterministic, stable under growth") {
+    val big = docsDir((1L to 2000L).map(i => (i, "t", "en")))
+    val a = MixQueries.splitAssign(spark, big)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, s"train=${frac("train")}")
+    assert(math.abs(frac("validation") - 0.05) < 0.02)
+    assert(math.abs(frac("test") - 0.05) < 0.02)
+    // growth stability: the first half's assignments are unchanged when
+    // only the first half exists (membership is a pure function of the id)
+    val small = docsDir((1L to 1000L).map(i => (i, "t", "en")))
+    val b = MixQueries.splitAssign(spark, small)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(b == a.filter(_._1 <= 1000L))
+  }
+
+  test("shuffle shard: dense positions per shard, a permutation of the corpus") {
+    val dir = docsDir((1L to 500L).map(i => (i, "t", "en")))
+    val rows = MixQueries.shuffleShard(spark, dir, nShards = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.map(_._1).toSet == (1L to 500L).toSet) // every doc exactly once
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 8)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.size), s"shard $shard not dense")
+    }
+    // deterministic across invocations
+    val again = MixQueries.shuffleShard(spark, dir, nShards = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("theta sketch: distinct estimate tracks the exact count") {
+    // 6000 distinct tokens spread over docs; expect ~375 sampled hashes
+    // and a relative error around 4/sqrt(6000) ~ 5%.
+    val docs = (0L until 600L).map { d =>
+      (d, (0 until 10).map(j => s"tok${d * 10 + j}").mkString(" "), "en")
+    }
+    val dir = docsDir(docs)
+    val (n, est) = Sketches.sketchThetaDistinct(spark, dir)
+      .select("n_sampled", "est_distinct").as[(Long, Long)].head()
+    assert(n > 0)
+    assert(math.abs(est - 6000L) < 6000 * 0.25, s"est=$est exact=6000")
+  }
+}
