@@ -116,13 +116,56 @@ object MixQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** q_select_budget: quality-ranked corpus selection under a global token
+    * budget — "take the best documents until the budget is spent", the
+    * step that turns a scored crawl into a fixed-size training corpus.
+    *
+    * Documents are ranked by the [[TextQueries.txtQuality]] score (doc_id
+    * tiebreak) and kept while the exclusive running token total stays
+    * under `budget`. The running total is NOT a single-partition window:
+    * it reuses the two-pass distributed prefix sum (range sort + partial
+    * sums + broadcast bases — see [[PackQueries.withExclusivePrefixSum]]),
+    * so selection parallelizes at any corpus size. */
+  def selectBudget(s: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    val q = TextQueries.txtQuality(s, dir)
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+    PackQueries.withExclusivePrefixSum(s, q,
+        Seq(col("quality_score").desc, col("doc_id").asc), "n_tokens")
+      .filter(col("cum_before") < budget)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_sample" -> (mixSample _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_split_assign" -> (splitAssign _),
-    "q_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)))
+    "q_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
+    "q_select_budget" -> ((s: SparkSession, d: String) => selectBudget(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_select_budget" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in')))
+        |      AS INTEGER) AS stop_cnt
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
+        |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+        |            THEN 1 ELSE 0 END
+        |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+        |            THEN 1 ELSE 0 END) AS quality_score
+        |  FROM c),
+        |p AS (SELECT doc_id, quality_score, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY quality_score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM q)
+        |SELECT doc_id, quality_score, n_tokens, cum_before
+        |FROM p WHERE cum_before < 10000""".stripMargin,
     "q_split_assign" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.LongType
 import graft.sources.TableIO.table
 
 /** Sequence packing for training-data export: lay the corpus out as one
@@ -27,20 +27,23 @@ import graft.sources.TableIO.table
   */
 object PackQueries {
 
-  /** (doc_id, n_tokens, bin_id, bin_offset) for every document; bins hold
-    * `budget` tokens of the concatenated doc_id-ordered token stream. */
-  def packSequences(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
-    require(budget > 0, s"token budget must be positive, got $budget")
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
-    // Range sort gives a totally-ordered, parallel layout; the checkpoint
-    // pays the sort once instead of once per pass below.
-    val sorted = docs.sort(col("doc_id").asc).localCheckpoint()
+  /** Exclusive distributed prefix sum: range-sort `df` by `order`, then
+    * append `cum_before` = the sum of `valueCol` over all preceding rows in
+    * that total order. Pass 1 collects one partial sum per partition
+    * (bounded by the partition count); pass 2 is a per-partition running
+    * sum over broadcast bases — both fully parallel, and the result is
+    * independent of where partition boundaries fall. `valueCol` must be a
+    * LongType column of `df`. */
+  private[operators] def withExclusivePrefixSum(
+      s: SparkSession, df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      valueCol: String): DataFrame = {
+    // The checkpoint pays the range sort once instead of once per pass.
+    val sorted = df.sort(order: _*).localCheckpoint()
+    val vIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
     val partSums = rdd
       .mapPartitionsWithIndex { case (i, it) =>
-        Iterator.single((i, it.map(_.getLong(1)).sum))
+        Iterator.single((i, it.map(_.getLong(vIdx)).sum))
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive per-partition bases
@@ -48,18 +51,26 @@ object PackQueries {
     val out = rdd.mapPartitionsWithIndex { case (i, it) =>
       var cum = bc.value(i)
       it.map { r =>
-        val nt = r.getLong(1)
         val before = cum
-        cum += nt
-        Row(r.getLong(0), nt, before / budget, before % budget)
+        cum += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ before)
       }
     }
-    val schema = new StructType()
-      .add("doc_id", LongType, nullable = false)
-      .add("n_tokens", LongType, nullable = false)
-      .add("bin_id", LongType, nullable = false)
-      .add("bin_offset", LongType, nullable = false)
-    s.createDataFrame(out, schema)
+    s.createDataFrame(out,
+      sorted.schema.add("cum_before", LongType, nullable = false))
+  }
+
+  /** (doc_id, n_tokens, bin_id, bin_offset) for every document; bins hold
+    * `budget` tokens of the concatenated doc_id-ordered token stream. */
+  def packSequences(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    withExclusivePrefixSum(s, docs, Seq(col("doc_id").asc), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("bin_id"),
+        (col("cum_before") % budget).as("bin_offset"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -16,6 +16,7 @@ class CurationSpec extends AnyFunSuite {
   private def docsDir(docs: Seq[(Long, String, String)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("curation").toString
     docs.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
@@ -63,6 +64,20 @@ class CurationSpec extends AnyFunSuite {
     val again = MixQueries.shuffleShard(spark, dir, nShards = 8)
       .as[(Long, Long, Int)].collect()
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("budget selection: best-first greedy cut at the token budget") {
+    // 20 high-quality docs (40 distinct tokens each) and 20 low-quality
+    // ones (40 copies of one token). Budget 400 tokens -> exactly the 10
+    // best-ranked (lowest doc_id) high-quality docs fit.
+    val hi = (1L to 20L).map(i =>
+      (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "), "en"))
+    val lo = (21L to 40L).map(i => (i, ("x " * 40).trim, "en"))
+    val dir = docsDir(hi ++ lo)
+    val got = MixQueries.selectBudget(spark, dir, budget = 400L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 10L).toSet)
+    assert(got(1L) == 0L && got(10L) == 360L)
   }
 
   test("theta sketch: distinct estimate tracks the exact count") {
