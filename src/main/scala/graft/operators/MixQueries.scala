@@ -135,14 +135,54 @@ object MixQueries {
       .filter(col("cum_before") < budget)
   }
 
+  /** q_corpus_stats: the per-(source, language) corpus card — doc and
+    * token volumes, size extremes, and the exact-duplicate rate from the
+    * text fingerprint. The first report any corpus intake produces, and
+    * the one that catches a broken feed (token counts collapse, dup rate
+    * spikes) before training does. One shuffle on the (source, lang) key
+    * with map-side partial aggregation; the distinct-fingerprint count
+    * rides the same exchange. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("fp"), col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("fp")).as("n_unique_texts"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_unique_texts")).cast("double") /
+          col("n_docs").cast("double"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_sample" -> (mixSample _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_split_assign" -> (splitAssign _),
     "q_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
-    "q_select_budget" -> ((s: SparkSession, d: String) => selectBudget(s, d)))
+    "q_select_budget" -> ((s: SparkSession, d: String) => selectBudget(s, d)),
+    "q_corpus_stats" -> (corpusStats _))
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      """WITH d AS (SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS fp, n_chars
+        |  FROM documents),
+        |a AS (SELECT source, lang,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    COUNT(DISTINCT fp) AS n_unique_texts,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        |    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+        |  FROM d GROUP BY source, lang)
+        |SELECT *, CAST(n_docs - n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |  AS dup_frac
+        |FROM a""".stripMargin,
     "q_select_budget" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id,

@@ -204,7 +204,40 @@ object SimilarityQueries {
         greatest(col("id_l"), col("id_r")).as("id_b"), col("cos_sim"))
   }
 
+  /** kNN label vote: predict each query vector's label from the majority
+    * label of its k nearest corpus neighbors (cosine; smallest-label
+    * tiebreak) — the standard embedding-quality eval for a labeled slice
+    * of the corpus, and the relabeling step semi-supervised pipelines run
+    * over unlabeled data. Same scale shape as [[simCosineTopK]]: queries
+    * broadcast, corpus scanned once, then two tiny per-query aggregations
+    * (≤ k vote rows per query). */
+  def simKnnLabel(s: SparkSession, dir: String, nQueries: Int = 50,
+                  k: Int = 5): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("true_label"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+        col("n_votes"), col("true_label"),
+        (col("label") === col("true_label")).as("agree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_knn_label" -> ((s: SparkSession, d: String) => simKnnLabel(s, d)),
     "q_sim_cosine_topk" -> ((s: SparkSession, d: String) => simCosineTopK(s, d)),
     "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
     "q_sim_ivf_topk" -> ((s: SparkSession, d: String) => simIvfTopK(s, d)),
@@ -293,6 +326,35 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_sim_knn_label" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+        |        label AS true_label
+        |      FROM c WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, q.true_label, c.vec_id AS neighbor_id, c.label,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        |      / (q.q_norm * c.norm) AS cos_sim
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |votes AS (
+        |  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+        |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY n_votes DESC, label ASC) AS vr
+        |  FROM votes)
+        |SELECT query_id, label AS predicted_label, n_votes, true_label,
+        |  (label = true_label) AS agree
+        |FROM best WHERE vr = 1""".stripMargin,
     "q_sim_lsh_topk" -> lshTopKOracle(nPlanes = 4, nQueries = 10, k = 5),
     "q_sim_ivf_topk" -> ivfTopKOracle(nCells = 16, nProbe = 2, nQueries = 10, k = 5),
     "q_sim_cosine_topk" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{MixQueries, Sketches, TextQueries}
+import graft.operators.{MixQueries, SimilarityQueries, Sketches, TextQueries}
 
 /** Behavioral coverage for the corpus-curation operators: repetition
   * scoring, split assignment, shuffle sharding, and the theta distinct
@@ -78,6 +78,37 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
     assert(got.keySet == (1L to 10L).toSet)
     assert(got(1L) == 0L && got(10L) == 360L)
+  }
+
+  test("corpus stats: per-source card counts docs, tokens, exact dups") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    Seq(
+      ("crawl", "en", "a b c", 1L), ("crawl", "en", "a b c", 2L),
+      ("crawl", "en", "d e", 3L), ("books", "en", "x y z w", 4L))
+      .toDF("source", "lang", "text", "doc_id")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MixQueries.corpusStats(spark, dir)
+      .select("source", "n_docs", "total_tokens", "n_unique_texts", "dup_frac")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("crawl") == (("crawl", 3L, 8L, 2L, 1.0 / 3.0)))
+    assert(got("books") == (("books", 1L, 4L, 1L, 0.0)))
+  }
+
+  test("knn label vote: majority of nearest neighbors wins") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // query 0 points at e1 (true label 7); three close label-7 vectors,
+    // two orthogonal label-3 vectors -> top-5 votes 3:2 for label 7
+    Seq(
+      (0L, v(1f, 0f), 7), (1L, v(0.9f, 0.1f), 7), (2L, v(0.8f, 0.2f), 7),
+      (3L, v(0.95f, 0.05f), 7), (4L, v(0f, 1f), 3), (5L, v(0.1f, 0.9f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.simKnnLabel(spark, dir, nQueries = 1, k = 5)
+      .as[(Long, Int, Long, Int, Boolean)].collect()
+    assert(got.toSeq == Seq((0L, 7, 3L, 7, true)))
   }
 
   test("theta sketch: distinct estimate tracks the exact count") {
