@@ -67,10 +67,43 @@ object EventQueries {
       get_json_object(col("props"), "$.k").as("k_str"),
       get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"))
 
+  /** Ordered funnel per user: earliest view, earliest click STRICTLY AFTER
+    * that view, earliest purchase strictly after that click — the ordered
+    * progression semantics (a click before the first view doesn't count)
+    * that a plain per-type min would get wrong. Three layered conditional
+    * window-mins share ONE user_id partitioning, so Catalyst plans a
+    * single exchange with three Window passes, and the per-user collapse
+    * reuses the same partitioning — one shuffle total, the sessionize
+    * shape. Timestamps emit as epoch-µs bigints (ns/µs dtype drift
+    * otherwise — see eventsHourly). */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("fc",
+        min(when(col("event_type") === "click" && col("ts_us") > col("fv"),
+          col("ts_us"))).over(w))
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("fc"),
+          col("ts_us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("fv")).as("first_view_us"),
+        max(col("fc")).as("first_click_us"),
+        max(col("fp")).as("first_purchase_us"))
+      .withColumn("stage",
+        when(col("first_purchase_us").isNotNull, 3)
+          .when(col("first_click_us").isNotNull, 2)
+          .when(col("first_view_us").isNotNull, 1)
+          .otherwise(0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
-    "q_events_json_extract" -> (eventsJsonExtract _))
+    "q_events_json_extract" -> (eventsJsonExtract _),
+    "q_events_funnel" -> (eventsFunnel _))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" ->
@@ -96,5 +129,21 @@ object EventQueries {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        |        OVER (PARTITION BY user_id) AS fv FROM e),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > fv THEN us END)
+        |        OVER (PARTITION BY user_id) AS fc FROM v),
+        |p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > fc THEN us END)
+        |        OVER (PARTITION BY user_id) AS fp FROM c)
+        |SELECT user_id,
+        |  MAX(fv) AS first_view_us,
+        |  MAX(fc) AS first_click_us,
+        |  MAX(fp) AS first_purchase_us,
+        |  CASE WHEN MAX(fp) IS NOT NULL THEN 3
+        |       WHEN MAX(fc) IS NOT NULL THEN 2
+        |       WHEN MAX(fv) IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM p GROUP BY user_id""".stripMargin)
 }

@@ -111,6 +111,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 7, 3L, 7, true)))
   }
 
+  test("event funnel: stage order is enforced, not per-type minima") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    def ns(sec: Long) = sec * 1000000000L
+    // user 1 completes in order; user 2's only click PRECEDES its first
+    // view (must not count); user 3's purchase precedes its click; user 4
+    // never views.
+    Seq(
+      (1L, ns(1), 1L, "view"), (2L, ns(2), 1L, "click"), (3L, ns(3), 1L, "purchase"),
+      (4L, ns(1), 2L, "click"), (5L, ns(2), 2L, "view"),
+      (6L, ns(1), 3L, "purchase"), (7L, ns(2), 3L, "view"), (8L, ns(3), 3L, "click"),
+      (9L, ns(1), 4L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventQueries.eventsFunnel(spark, dir)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    def us(sec: Long) = Some(sec * 1000000L)
+    assert(got(1L) == ((1L, us(1), us(2), us(3), 3)))
+    assert(got(2L) == ((2L, us(2), None, None, 1)))
+    assert(got(3L) == ((3L, us(2), us(3), None, 2)))
+    assert(got(4L) == ((4L, None, None, None, 0)))
+  }
+
   test("theta sketch: distinct estimate tracks the exact count") {
     // 6000 distinct tokens spread over docs; expect ~375 sampled hashes
     // and a relative error around 4/sqrt(6000) ~ 5%.
