@@ -99,11 +99,35 @@ object EventQueries {
           .otherwise(0))
   }
 
+  /** As-of attribution: each purchase joined to the most recent view AT OR
+    * BEFORE it for the same user — the "as-of join" operator class Spark
+    * has no built-in for. The scalable shape is NOT a range/theta join
+    * (quadratic in events-per-user): sort each user's merged event stream
+    * once and carry the running max view-time forward — a single user_id
+    * exchange + one window pass, linear in events, regardless of how many
+    * views precede each purchase. Rows with no preceding view keep a null
+    * attribution (the observable "direct purchase" case). */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts_us").as("purchase_us"), col("last_view_us"),
+        (col("ts_us") - col("last_view_us")).as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json_extract" -> (eventsJsonExtract _),
-    "q_events_funnel" -> (eventsFunnel _))
+    "q_events_funnel" -> (eventsFunnel _),
+    "q_events_attribution" -> (eventsAttribution _))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" ->
@@ -145,5 +169,17 @@ object EventQueries {
         |  CASE WHEN MAX(fp) IS NOT NULL THEN 3
         |       WHEN MAX(fc) IS NOT NULL THEN 2
         |       WHEN MAX(fv) IS NOT NULL THEN 1 ELSE 0 END AS stage
-        |FROM p GROUP BY user_id""".stripMargin)
+        |FROM p GROUP BY user_id""".stripMargin,
+    "q_events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (SELECT *,
+        |    MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
+        |      PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+        |  FROM e)
+        |SELECT event_id, user_id, us AS purchase_us, last_view_us,
+        |  us - last_view_us AS gap_us
+        |FROM m WHERE event_type = 'purchase'""".stripMargin)
 }

@@ -136,6 +136,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, None, None, None, 0)))
   }
 
+  test("as-of attribution: purchases attach to the latest preceding view") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    def ns(sec: Long) = sec * 1000000000L
+    Seq(
+      (1L, ns(1), 1L, "view"), (2L, ns(3), 1L, "view"), (3L, ns(5), 1L, "purchase"),
+      (4L, ns(1), 2L, "purchase"), (5L, ns(2), 2L, "view"), (6L, ns(3), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventQueries.eventsAttribution(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    def us(sec: Long) = sec * 1000000L
+    assert(got(3L) == ((3L, 1L, us(5), Some(us(3)), Some(us(2))))) // latest view, not first
+    assert(got(4L) == ((4L, 2L, us(1), None, None)))               // direct purchase
+    assert(got(6L) == ((6L, 2L, us(3), Some(us(2)), Some(us(1)))))
+  }
+
   test("theta sketch: distinct estimate tracks the exact count") {
     // 6000 distinct tokens spread over docs; expect ~375 sampled hashes
     // and a relative error around 4/sqrt(6000) ~ 5%.
