@@ -56,6 +56,66 @@ object EventStream {
                            event_type: String, value: Double,
                            event_ts: java.sql.Timestamp)
 
+  final case class AttributedPurchase(event_id: Long, user_id: Long,
+                                      purchase_us: Long,
+                                      last_view_us: Option[Long])
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class ViewState(lastViewUs: Long)
+
+  /** Streaming as-of attribution — the twin of
+    * [[graft.operators.EventQueries.eventsAttribution]]: each purchase is
+    * attributed to the user's most recent view at or before it. Per-user
+    * state is ONE timestamp (the running max view time), so total state is
+    * O(active users) regardless of event volume — the property that makes
+    * the as-of join streamable where a range join is not.
+    *
+    * State EVICTION mirrors [[sessionize]]: a user idle past the watermark
+    * + `horizon` has their view state dropped, so a purchase after a long
+    * absence reports a null attribution (batch, with its unbounded
+    * lookback, would still attribute — the documented drift any bounded-
+    * state streaming twin accepts; within-horizon data agrees exactly).
+    * Cross-micro-batch ordering: a view arriving AFTER a purchase was
+    * already emitted cannot retro-attribute it; in-order feeds agree with
+    * batch. */
+  def attribute(events: Dataset[Event], horizonMinutes: Long = 60)
+               (implicit spark: SparkSession): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val horizon = s"$horizonMinutes minutes"
+    val horizonMs = horizonMinutes * 60L * 1000L
+    val withTs = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventTs], state: GroupState[ViewState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var last: Option[Long] = state.getOption.map(_.lastViewUs)
+            var lastEventUs = Long.MinValue
+            val out = batch.flatMap { e =>
+              lastEventUs = e.ts_us
+              if (e.event_type == "view") {
+                last = Some(last.fold(e.ts_us)(math.max(_, e.ts_us)))
+                None
+              } else Some(AttributedPurchase(e.event_id, userId, e.ts_us, last))
+            }
+            last.foreach(v => state.update(ViewState(v)))
+            if (streaming && state.exists)
+              state.setTimeoutTimestamp(
+                math.max(lastEventUs / 1000L + horizonMs,
+                  state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Stateful sessionization with `flatMapGroupsWithState`: per-user state
     * carries (current session seq, last event time); a >`gapMinutes` gap
     * opens a new session.

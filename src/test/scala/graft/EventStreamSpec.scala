@@ -109,6 +109,58 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
   }
 
+  test("streaming attribution carries last-view state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val min = 60L * 1000000L
+    val base = 1000L
+    val stream = MemoryStream[Event]
+    val q = EventStream.attribute(stream.toDS()).writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    // batch 1: user 1 views twice, buys once (in-batch attribution)
+    stream.addData(
+      Event(1, 1, (base + 0) * min, "view", 1.0),
+      Event(2, 1, (base + 5) * min, "view", 1.0),
+      Event(3, 1, (base + 10) * min, "purchase", 1.0),
+      Event(4, 2, (base + 10) * min, "purchase", 1.0)) // no view ever
+    q.processAllAvailable()
+    // batch 2: user 1 buys again — attribution comes from batch-1 STATE
+    stream.addData(Event(5, 1, (base + 20) * min, "purchase", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_out")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map(3L -> Some((base + 5) * min), 4L -> None,
+      5L -> Some((base + 5) * min)))
+  }
+
+  test("attribution view-state is evicted for idle users") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val min = 60L * 1000000L
+    val base = 1000L
+    val stream = MemoryStream[Event]
+    val q = EventStream.attribute(stream.toDS(), horizonMinutes = 60)
+      .writeStream.format("memory").queryName("attr_evict_out")
+      .outputMode("append").start()
+    stream.addData(Event(1, 1, (base + 0) * min, "view", 1.0))
+    q.processAllAvailable()
+    // far-future activity advances the watermark; a third batch triggers
+    // timeout processing and evicts user 1's view state
+    stream.addData(Event(2, 9, (base + 300) * min, "view", 1.0))
+    q.processAllAvailable()
+    stream.addData(Event(3, 8, (base + 310) * min, "view", 1.0))
+    q.processAllAvailable()
+    // user 1 returns: the batch twin would attribute to the base+0 view,
+    // but bounded streaming state reports a direct purchase
+    stream.addData(Event(4, 1, (base + 320) * min, "purchase", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_evict_out")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map(4L -> None), s"state survived eviction: $got")
+  }
+
   test("sessionization evicts idle users' state behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
