@@ -139,6 +139,29 @@ object LifecycleQueries {
     s.table("graft_gate_ext")
   }
 
+  /** JDBC serving-export gate (S11): export the nation projection into
+    * embedded Derby (truncate-reload + observed-count validation — the
+    * full sqoop-replacement path), then read it BACK through the JDBC
+    * source; the oracle checks the export+read round trip is lossless
+    * against the relational definition. Derby uppercases unquoted
+    * identifiers, so the read-back re-aliases to the engine's lowercase
+    * names. Idempotent across bench repeats by construction
+    * (truncate-reload). */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graft_gate_jdbc;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = table(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("k"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("long").as("rk"))
+    graft.sources.JdbcExport.export(df, graft.sources.JdbcExport.Config(
+      url, "NATION_SQOOP", numPartitions = 2, options = opts))
+    val back = s.read.format("jdbc")
+      .option("url", url).option("dbtable", "NATION_SQOOP")
+      .options(opts).load()
+    back.select(back.columns.map(c => col(c).as(c.toLowerCase)).toIndexedSeq: _*)
+  }
+
   /** Hist-grain latest-wins (W2): `dedupeAll` keeps the per-key winner
     * across new ∪ curated regardless of provenance, with 'new' winning
     * exact ties — observable here via a side tag on overlapping windows. */
@@ -161,6 +184,7 @@ object LifecycleQueries {
     "q_s12_surrogate_keys" -> (surrogateKeys _),
     "q_s7_orc_mirror" -> (orcMirror _),
     "q_s10_external_table" -> (externalTable _),
+    "q_s11_jdbc_roundtrip" -> (jdbcRoundtrip _),
     "q_w2_hist_grain" -> (histGrain _))
 
   private val ordersMirrorSql =
@@ -171,6 +195,10 @@ object LifecycleQueries {
 
   val oracles: Map[String, String] = Map(
     "q_s7_orc_mirror" -> ordersMirrorSql,
+    "q_s11_jdbc_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+        |  CAST(n_regionkey AS BIGINT) AS rk
+        |FROM nation""".stripMargin,
     "q_s10_external_table" -> ordersMirrorSql,
     "q_w2_hist_grain" ->
       """WITH f AS (
