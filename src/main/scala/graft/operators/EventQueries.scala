@@ -122,12 +122,38 @@ object EventQueries {
         (col("ts_us") - col("last_view_us")).as("gap_us"))
   }
 
+  /** Day-over-day retention: per day, the distinct active users (DAU) and
+    * how many of them return the NEXT day. The (day, user) activity set is
+    * distinct-reduced FIRST — one shuffle with map-side partials collapses
+    * raw event volume to at most days×users rows — and the pinned user_id
+    * exchange is read by BOTH sides of the next-day self-join
+    * (ReuseExchange), so raw events are scanned and shuffled once. Day
+    * emits as an ISO string (DATE dtypes drift between engines). */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .repartition(col("user_id"))
+    daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.d") === date_add(col("a.d"), 1), "left")
+      .groupBy(col("a.d").as("d"))
+      .agg(countDistinct(col("a.user_id")).as("dau"),
+        countDistinct(when(col("b.d").isNotNull, col("a.user_id")))
+          .as("retained"))
+      .select(col("d").cast(StringType).as("day"), col("dau"), col("retained"),
+        (col("retained").cast(DoubleType) / col("dau").cast(DoubleType))
+          .as("retention_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json_extract" -> (eventsJsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
-    "q_events_attribution" -> (eventsAttribution _))
+    "q_events_attribution" -> (eventsAttribution _),
+    "q_events_retention" -> (eventsRetention _))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" ->
@@ -181,5 +207,18 @@ object EventQueries {
         |  FROM e)
         |SELECT event_id, user_id, us AS purchase_us, last_view_us,
         |  us - last_view_us AS gap_us
-        |FROM m WHERE event_type = 'purchase'""".stripMargin)
+        |FROM m WHERE event_type = 'purchase'""".stripMargin,
+    "q_events_retention" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |j AS (
+        |  SELECT a.d, a.user_id, b.user_id AS nxt
+        |  FROM daily a LEFT JOIN daily b
+        |    ON a.user_id = b.user_id AND b.d = a.d + 1)
+        |SELECT CAST(d AS VARCHAR) AS day,
+        |  COUNT(DISTINCT user_id) AS dau,
+        |  COUNT(DISTINCT CASE WHEN nxt IS NOT NULL THEN user_id END) AS retained,
+        |  CAST(COUNT(DISTINCT CASE WHEN nxt IS NOT NULL THEN user_id END) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS retention_rate
+        |FROM j GROUP BY d""".stripMargin)
 }

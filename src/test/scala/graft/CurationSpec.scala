@@ -155,6 +155,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got(6L) == ((6L, 2L, us(3), Some(us(2)), Some(us(1)))))
   }
 
+  test("retention: next-day returners counted per day") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    def day(d: Int, h: Int) = // 2024-01-0d h:00 in ns
+      (java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00").getTime) * 1000000L
+    // day1: users 1,2 (user 1 twice); day2: users 2,3; day3: user 3
+    Seq(
+      (1L, day(1, 1), 1L, "view"), (2L, day(1, 2), 1L, "click"),
+      (3L, day(1, 3), 2L, "view"),
+      (4L, day(2, 1), 2L, "view"), (5L, day(2, 2), 3L, "view"),
+      (6L, day(3, 1), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventQueries.eventsRetention(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("2024-01-01") == ((2L, 1L, 0.5))) // only user 2 returns
+    assert(got("2024-01-02") == ((2L, 1L, 0.5))) // only user 3 returns
+    assert(got("2024-01-03") == ((1L, 0L, 0.0)))
+  }
+
   test("theta sketch: distinct estimate tracks the exact count") {
     // 6000 distinct tokens spread over docs; expect ~375 sampled hashes
     // and a relative error around 4/sqrt(6000) ~ 5%.
