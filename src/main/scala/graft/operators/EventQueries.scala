@@ -125,15 +125,17 @@ object EventQueries {
   /** Day-over-day retention: per day, the distinct active users (DAU) and
     * how many of them return the NEXT day. The (day, user) activity set is
     * distinct-reduced FIRST — one shuffle with map-side partials collapses
-    * raw event volume to at most days×users rows — and the pinned user_id
-    * exchange is read by BOTH sides of the next-day self-join
-    * (ReuseExchange), so raw events are scanned and shuffled once. Day
-    * emits as an ISO string (DATE dtypes drift between engines). */
+    * raw event volume to at most days×users rows — and then LAZILY
+    * checkpointed: the self-join's two references (and the broadcast
+    * build, when the reduced set is small enough to broadcast) share one
+    * computation of it, so raw events are scanned and shuffled exactly
+    * once. Day emits as an ISO string (DATE dtypes drift between
+    * engines). */
   def eventsRetention(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
       .select(to_date(col("ts")).as("d"), col("user_id"))
       .distinct()
-      .repartition(col("user_id"))
+      .localCheckpoint(eager = false)
     daily.alias("a")
       .join(daily.alias("b"),
         col("a.user_id") === col("b.user_id") &&
