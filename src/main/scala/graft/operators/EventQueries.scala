@@ -149,13 +149,49 @@ object EventQueries {
           .as("retention_rate"))
   }
 
+  /** First-order behavior transition matrix: counts of (event_type →
+    * next event_type) per user timeline — the Markov-chain input for
+    * behavior modeling and bot detection. One user_id exchange for the
+    * lead() window, then a tiny (type, type) aggregation that combines
+    * map-side. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Rolling 7-day active users per day. The raw stream is first
+    * distinct-reduced to (day, user) — at most days×users rows — and each
+    * activity day then fans out to the `windowDays` report days it
+    * contributes to (offset explode), because `count DISTINCT over a
+    * range window` is not an algebraic aggregate any engine can partial.
+    * The fan-out factor is the window length, applied AFTER the
+    * reduction, so cost is windowDays × (days×users), independent of raw
+    * event volume. */
+  def eventsWau(s: SparkSession, dir: String, windowDays: Int = 7): DataFrame =
+    events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .withColumn("off", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(expr("date_add(d, off)").cast(StringType).as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json_extract" -> (eventsJsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
     "q_events_attribution" -> (eventsAttribution _),
-    "q_events_retention" -> (eventsRetention _))
+    "q_events_retention" -> (eventsRetention _),
+    "q_events_transitions" -> (eventsTransitions _),
+    "q_events_wau" -> ((s: SparkSession, d: String) => eventsWau(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" ->
@@ -222,5 +258,22 @@ object EventQueries {
         |  COUNT(DISTINCT CASE WHEN nxt IS NOT NULL THEN user_id END) AS retained,
         |  CAST(COUNT(DISTINCT CASE WHEN nxt IS NOT NULL THEN user_id END) AS DOUBLE)
         |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS retention_rate
-        |FROM j GROUP BY d""".stripMargin)
+        |FROM j GROUP BY d""".stripMargin,
+    "q_events_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, COUNT(*) AS n
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin,
+    "q_events_wau" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |x AS (
+        |  SELECT d + CAST(o.o AS INTEGER) AS day, user_id
+        |  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o)
+        |SELECT CAST(day AS VARCHAR) AS day, COUNT(DISTINCT user_id) AS wau
+        |FROM x GROUP BY day""".stripMargin)
 }

@@ -236,7 +236,32 @@ object SimilarityQueries {
         (col("label") === col("true_label")).as("agree"))
   }
 
+  /** Cross-modal corpus report: text-quality statistics per embedding
+    * label (documents and embeddings align on id) — the check that a
+    * semantic cluster isn't dominated by low-quality text before it is
+    * up-sampled. One id equi-join (AQE broadcasts the smaller side) and a
+    * 10-row aggregation; means come from exact integer sums with a single
+    * final division, so both engines agree bitwise. */
+  def embLabelQuality(s: SparkSession, dir: String): DataFrame = {
+    val quality = graft.operators.TextQueries.txtQuality(s, dir)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val labels = table(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    quality.join(labels, "doc_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_score")).as("sum_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("label"), col("n_docs"),
+        col("sum_quality"), col("sum_tokens"),
+        (col("sum_quality").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("mean_quality"),
+        (col("sum_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("mean_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_label_quality" -> (embLabelQuality _),
     "q_sim_knn_label" -> ((s: SparkSession, d: String) => simKnnLabel(s, d)),
     "q_sim_cosine_topk" -> ((s: SparkSession, d: String) => simCosineTopK(s, d)),
     "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
@@ -326,6 +351,31 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_emb_label_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in')))
+        |      AS INTEGER) AS stop_cnt
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
+        |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+        |            THEN 1 ELSE 0 END
+        |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+        |            THEN 1 ELSE 0 END) AS quality_score
+        |  FROM c),
+        |a AS (
+        |  SELECT e.label, COUNT(*) AS n_docs,
+        |    CAST(SUM(q.quality_score) AS BIGINT) AS sum_quality,
+        |    CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+        |  GROUP BY e.label)
+        |SELECT label, n_docs, sum_quality, sum_tokens,
+        |  CAST(sum_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_quality,
+        |  CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens
+        |FROM a""".stripMargin,
     "q_sim_knn_label" ->
       """WITH c AS (
         |  SELECT vec_id, embedding, label,

@@ -177,6 +177,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got("2024-01-03") == ((1L, 0L, 0.0)))
   }
 
+  test("transitions: per-user lead pairs, no cross-user leakage") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    def ns(sec: Long) = sec * 1000000000L
+    // user 1: view->click->view; user 2: a lone purchase (no transition,
+    // and it must NOT pair with user 1's timeline)
+    Seq(
+      (1L, ns(1), 1L, "view"), (2L, ns(2), 1L, "click"), (3L, ns(3), 1L, "view"),
+      (4L, ns(2), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventQueries.eventsTransitions(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("view", "click", 1L), ("click", "view", 1L)))
+  }
+
+  test("wau: each activity day feeds the following window of report days") {
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    def day(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$d 12:00:00").getTime * 1000000L
+    Seq((1L, day(1), 1L, "view"), (2L, day(3), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventQueries.eventsWau(spark, dir, windowDays = 3)
+      .as[(String, Long)].collect().toMap
+    // user 1 active Jan 1 covers report days 1-3; user 2 (Jan 3) covers 3-5
+    assert(got == Map(
+      "2024-01-01" -> 1L, "2024-01-02" -> 1L, "2024-01-03" -> 2L,
+      "2024-01-04" -> 1L, "2024-01-05" -> 1L))
+  }
+
   test("theta sketch: distinct estimate tracks the exact count") {
     // 6000 distinct tokens spread over docs; expect ~375 sampled hashes
     // and a relative error around 4/sqrt(6000) ~ 5%.
