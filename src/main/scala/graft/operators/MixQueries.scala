@@ -21,6 +21,16 @@ object MixQueries {
   private val defaultRateSql = "CAST(0.1 AS DOUBLE)"
   private val mixSalt = "mix1:"
 
+  /** Uniform deterministic draw in [0, 2^32): the first 8 md5 hex chars of
+    * (salt || id) as a long — ONE definition of the hash-draw idiom shared
+    * by mixing and split assignment, with [[saltedDrawSql]] as its
+    * byte-identical DuckDB twin. */
+  private def saltedDraw(salt: String, id: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+  private def saltedDrawSql(salt: String, idExpr: String): String =
+    s"('0x' || substr(md5('$salt' || CAST($idExpr AS STRING)), 1, 8))::BIGINT"
+
   /** q_mix_sample: deterministic data mixing by language.
     *
     * The keep/repeat decision is a pure function of the document id:
@@ -36,9 +46,7 @@ object MixQueries {
       .select(col("doc_id"), col("lang"))
       .join(broadcast(rateDim), Seq("lang"), "left")
       .withColumn("rate", coalesce(col("rate"), expr(defaultRateSql)))
-      .withColumn("u",
-        conv(substring(md5(concat(lit(mixSalt), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long") % 1000000L)
+      .withColumn("u", saltedDraw(mixSalt, col("doc_id")) % 1000000L)
       .withColumn("reps", floor(col("rate")).cast("int") +
         when(col("u") < (col("rate") - floor(col("rate"))) * 1000000d, 1)
           .otherwise(0))
@@ -85,9 +93,7 @@ object MixQueries {
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id"), col("lang"))
-      .withColumn("bucket",
-        conv(substring(md5(concat(lit(splitSalt), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long") % 100L)
+      .withColumn("bucket", saltedDraw(splitSalt, col("doc_id")) % 100L)
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "validation")
@@ -184,33 +190,19 @@ object MixQueries {
         |  AS dup_frac
         |FROM a""".stripMargin,
     "q_select_budget" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
-        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in')))
-        |      AS INTEGER) AS stop_cnt
-        |  FROM t),
-        |q AS (SELECT doc_id, n_tokens,
-        |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
-        |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
-        |            THEN 1 ELSE 0 END
-        |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
-        |            THEN 1 ELSE 0 END) AS quality_score
-        |  FROM c),
-        |p AS (SELECT doc_id, quality_score, n_tokens,
-        |    CAST(COALESCE(SUM(n_tokens) OVER (
-        |      ORDER BY quality_score DESC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_before
-        |  FROM q)
-        |SELECT doc_id, quality_score, n_tokens, cum_before
-        |FROM p WHERE cum_before < 10000""".stripMargin,
+      s"""WITH ${TextQueries.qualityScoreCtesSql},
+         |p AS (SELECT doc_id, quality_score, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      ORDER BY quality_score DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM q)
+         |SELECT doc_id, quality_score, n_tokens, cum_before
+         |FROM p WHERE cum_before < 10000""".stripMargin,
     "q_split_assign" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang,
-         |    ('0x' || substr(md5('$splitSalt' || CAST(doc_id AS STRING)), 1, 8))::BIGINT
-         |      % 100 AS bucket
+         |    ${saltedDrawSql(splitSalt, "doc_id")} % 100 AS bucket
          |  FROM documents)
          |SELECT doc_id, lang, bucket,
          |  CASE WHEN bucket < 90 THEN 'train'
@@ -232,8 +224,7 @@ object MixQueries {
       s"""WITH rates(lang, rate) AS (VALUES $mixRatesSql),
          |d AS (
          |  SELECT doc_id, dd.lang, coalesce(r.rate, $defaultRateSql) AS rate,
-         |    ('0x' || substr(md5('$mixSalt' || CAST(doc_id AS STRING)), 1, 8))::BIGINT
-         |      % 1000000 AS u
+         |    ${saltedDrawSql(mixSalt, "doc_id")} % 1000000 AS u
          |  FROM documents dd LEFT JOIN rates r ON dd.lang = r.lang),
          |k AS (
          |  SELECT doc_id, lang,

@@ -33,7 +33,14 @@ object PackQueries {
     * (bounded by the partition count); pass 2 is a per-partition running
     * sum over broadcast bases — both fully parallel, and the result is
     * independent of where partition boundaries fall. `valueCol` must be a
-    * LongType column of `df`. */
+    * LongType column of `df`.
+    *
+    * Storage lifecycle: the checkpoint blocks (and the bases broadcast)
+    * live as long as the returned frame's RDD is reachable — there is no
+    * in-function unpersist point because the result is lazy. Spark's
+    * ContextCleaner drops both once the caller releases the frame (each
+    * bench pass rebuilds and discards its query plans), so the footprint
+    * is one sorted copy per LIVE result, not per invocation forever. */
   private[operators] def withExclusivePrefixSum(
       s: SparkSession, df: DataFrame, order: Seq[org.apache.spark.sql.Column],
       valueCol: String): DataFrame = {

@@ -352,30 +352,17 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_emb_label_quality" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT doc_id,
-        |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
-        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in')))
-        |      AS INTEGER) AS stop_cnt
-        |  FROM t),
-        |q AS (SELECT doc_id, n_tokens,
-        |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
-        |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
-        |            THEN 1 ELSE 0 END
-        |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
-        |            THEN 1 ELSE 0 END) AS quality_score
-        |  FROM c),
-        |a AS (
-        |  SELECT e.label, COUNT(*) AS n_docs,
-        |    CAST(SUM(q.quality_score) AS BIGINT) AS sum_quality,
-        |    CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
-        |  FROM q JOIN embeddings e ON q.doc_id = e.vec_id
-        |  GROUP BY e.label)
-        |SELECT label, n_docs, sum_quality, sum_tokens,
-        |  CAST(sum_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_quality,
-        |  CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens
-        |FROM a""".stripMargin,
+      s"""WITH ${graft.operators.TextQueries.qualityScoreCtesSql},
+         |a AS (
+         |  SELECT e.label, COUNT(*) AS n_docs,
+         |    CAST(SUM(q.quality_score) AS BIGINT) AS sum_quality,
+         |    CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
+         |  FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+         |  GROUP BY e.label)
+         |SELECT label, n_docs, sum_quality, sum_tokens,
+         |  CAST(sum_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_quality,
+         |  CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens
+         |FROM a""".stripMargin,
     "q_sim_knn_label" ->
       """WITH c AS (
         |  SELECT vec_id, embedding, label,

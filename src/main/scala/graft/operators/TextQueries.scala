@@ -299,6 +299,27 @@ object TextQueries {
        |FROM pii""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain ending in `q(doc_id, n_tokens BIGINT,
+    * quality_score)` — the relational twin of [[txtQuality]]'s score,
+    * interpolated by every oracle that ranks or aggregates on document
+    * quality (q_select_budget, q_emb_label_quality) so the heuristic has
+    * ONE SQL definition to keep in sync with the Scala one. */
+  private[operators] val qualityScoreCtesSql: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','to','and','in')))
+      |      AS INTEGER) AS stop_cnt
+      |  FROM t),
+      |q AS (SELECT doc_id, n_tokens,
+      |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
+      |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+      |            THEN 1 ELSE 0 END
+      |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+      |            THEN 1 ELSE 0 END) AS quality_score
+      |  FROM c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_txt_redact" -> redactOracle,
     "q_txt_repetition" ->

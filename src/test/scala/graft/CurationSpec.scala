@@ -157,8 +157,9 @@ class CurationSpec extends AnyFunSuite {
 
   test("retention: next-day returners counted per day") {
     val dir = java.nio.file.Files.createTempDirectory("curation").toString
-    def day(d: Int, h: Int) = // 2024-01-0d h:00 in ns
-      (java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00").getTime) * 1000000L
+    def day(d: Int, h: Int) = // 2024-01-0d h:00 UTC in ns (tz-independent)
+      java.time.LocalDateTime.of(2024, 1, d, h, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
     // day1: users 1,2 (user 1 twice); day2: users 2,3; day3: user 3
     Seq(
       (1L, day(1, 1), 1L, "view"), (2L, day(1, 2), 1L, "click"),
@@ -196,8 +197,9 @@ class CurationSpec extends AnyFunSuite {
 
   test("wau: each activity day feeds the following window of report days") {
     val dir = java.nio.file.Files.createTempDirectory("curation").toString
-    def day(d: Int) =
-      java.sql.Timestamp.valueOf(f"2024-01-0$d 12:00:00").getTime * 1000000L
+    def day(d: Int) = // 2024-01-0d noon UTC in ns (tz-independent)
+      java.time.LocalDateTime.of(2024, 1, d, 12, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
     Seq((1L, day(1), 1L, "view"), (2L, day(3), 2L, "view"))
       .toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
