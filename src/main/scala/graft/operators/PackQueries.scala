@@ -80,10 +80,52 @@ object PackQueries {
         (col("cum_before") % budget).as("bin_offset"))
   }
 
+  /** Packing-quality report for a concatenate-and-chunk layout: every bin
+    * except the last is exactly full, so the quality question is not
+    * padding but FRAGMENTATION — how many documents straddle a bin
+    * boundary (their attention span is cut, or cross-document masking
+    * pays per-fragment overhead). One row: corpus totals, the straddler
+    * count/fraction, and the bin count. Pure aggregation over the pack
+    * assignment — the prefix-sum pass dominates; this adds a scan. */
+  def packStats(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
+    packSequences(s, dir, budget)
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+        (col("bin_offset") + col("n_tokens") > budget).as("crossing"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("bin_id")) + 1).as("n_bins"),
+        sum(when(col("crossing"), 1L).otherwise(0L)).as("n_crossing"))
+      .withColumn("crossing_frac",
+        col("n_crossing").cast("double") / col("n_docs").cast("double"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)))
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "q_pack_stats" -> ((s: SparkSession, d: String) => packStats(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_pack_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t),
+        |p AS (SELECT doc_id, n_tokens,
+        |    cum_before // 2048 AS bin_id,
+        |    cum_before % 2048 AS bin_offset
+        |  FROM c),
+        |a AS (SELECT
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    MAX(bin_id) + 1 AS n_bins,
+        |    CAST(SUM(CASE WHEN bin_offset + n_tokens > 2048 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_crossing
+        |  FROM p)
+        |SELECT n_docs, total_tokens, n_bins, n_crossing,
+        |  CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_frac
+        |FROM a""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -27,6 +27,17 @@ class PackQueriesSpec extends AnyFunSuite {
     assert(got(4L) == ((5L, 2L, 1L))) // starts at 9
   }
 
+  test("pack stats count boundary-straddling documents") {
+    val dir = java.nio.file.Files.createTempDirectory("packspec").toString
+    Seq(1L -> "a b c", 2L -> "a b c d", 3L -> "a b", 4L -> "a b c d e")
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // starts: 0,3,7,9 at budget 4 -> docs 2,3,4 cross a bin boundary
+    val got = PackQueries.packStats(spark, dir, budget = 4)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 14L, 3L, 3L, 0.75)))
+  }
+
   test("assignment is independent of input partitioning") {
     val docs = (1L to 200L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim)
     assert(pack(docs, budget = 16, parts = 1) == pack(docs, budget = 16, parts = 13))
