@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression guard: the scale posture of each operator family
+  * is a property of its physical plan (shuffle count, broadcast choice),
+  * not of any one run's timing — a refactor that silently adds an
+  * exchange passes every value-level gate and still loses an order of
+  * magnitude at 100 TB. These tests pin the shuffle budget of
+  * representative queries. AQE is disabled around the plan build (and
+  * restored after) so `executedPlan` is the static physical plan with
+  * every Exchange visible and countable. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def exchanges(name: String): (Int, Int) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      (plan.collect { case e: ShuffleExchangeExec => e }.size,
+        plan.collect { case e: BroadcastExchangeExec => e }.size)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("scan-side operators shuffle nothing") {
+    for (q <- Seq("q_txt_repetition", "q_split_assign", "q_s13_schema_project",
+      "q_txt_tokens", "q_txt_redact", "q_mm_binary_meta")) {
+      val (sh, _) = exchanges(q)
+      assert(sh == 0, s"$q grew a shuffle")
+    }
+  }
+
+  test("data mixing broadcasts the rate dim, shuffles nothing") {
+    val (sh, bc) = exchanges("q_mix_sample")
+    assert(sh == 0, "q_mix_sample grew a shuffle")
+    assert(bc == 1, "rate dim no longer broadcast")
+  }
+
+  test("single-key window/agg operators shuffle exactly once") {
+    for (q <- Seq("q_events_funnel", "q_w1_latest_wins", "q_dedup_exact",
+      "q_events_attribution", "q_w4_minmax_window", "q_shuffle_shard")) {
+      val (sh, _) = exchanges(q)
+      assert(sh == 1, s"$q expected 1 shuffle, got $sh")
+    }
+  }
+
+  test("ANN queries broadcast queries and never shuffle the corpus scan") {
+    for (q <- Seq("q_sim_cosine_topk", "q_sim_knn_label")) {
+      val (sh, bc) = exchanges(q)
+      // the only shuffle is the per-query ranking window (tiny), never the
+      // corpus side
+      assert(sh <= 2, s"$q expected <=2 shuffles, got $sh")
+      assert(bc >= 1, s"$q no longer broadcasts the query side")
+    }
+  }
+
+  test("distinct-style aggregations stay within the two-phase budget") {
+    for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions")) {
+      val (sh, _) = exchanges(q)
+      assert(sh <= 2, s"$q expected <=2 shuffles, got $sh")
+    }
+  }
+}
