@@ -217,6 +217,12 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(LongType)).as("sum_qty"))
 
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+
   def aggPivot(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -363,6 +369,7 @@ object RelationalQueries {
     "q_o1_salted_topk" -> (o1SaltedTopK _),
     "q_agg_pricing_summary" -> (aggPricingSummary _),
     "q_agg_rollup" -> (aggRollup _),
+    "q_agg_cube" -> (aggCube _),
     "q_agg_pivot" -> (aggPivot _),
     "q_set_semi_anti" -> (setSemiAnti _),
     "q_set_intersect_except" -> (setIntersectExcept _),
@@ -489,6 +496,10 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_agg_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
