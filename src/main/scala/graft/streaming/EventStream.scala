@@ -62,6 +62,69 @@ object EventStream {
   // public: the state encoder's generated code instantiates it reflectively
   final case class ViewState(lastViewUs: Long)
 
+  final case class StageReached(user_id: Long, stage: Int, event_id: Long,
+                                ts_us: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class FunnelState(fvUs: Long, fcUs: Long, fpUs: Long)
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.operators.EventQueries.eventsFunnel]]: emits a row the moment
+    * a user REACHES a new funnel stage (1 = first view, 2 = first click
+    * after that view, 3 = first purchase after that click). Append-mode
+    * streaming cannot revise rows, so where the batch operator reports
+    * each user's final stage, the streaming twin reports the stage
+    * TRANSITIONS as they happen — the shape an alerting or activation
+    * pipeline consumes. Per-user state is three timestamps; idle users are
+    * evicted behind the watermark + horizon like [[sessionize]] and
+    * [[attribute]]. */
+  def funnelStages(events: Dataset[Event], horizonMinutes: Long = 60)
+                  (implicit spark: SparkSession): Dataset[StageReached] = {
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val horizon = s"$horizonMinutes minutes"
+    val horizonMs = horizonMinutes * 60L * 1000L
+    val U = Long.MaxValue // sentinel: stage not reached
+    val withTs = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[EventTs], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(U, U, U))
+            var lastEventUs = Long.MinValue
+            val out = batch.flatMap { e =>
+              lastEventUs = e.ts_us
+              e.event_type match {
+                case "view" if st.fvUs == U =>
+                  st = st.copy(fvUs = e.ts_us)
+                  Some(StageReached(userId, 1, e.event_id, e.ts_us))
+                case "click" if st.fcUs == U && st.fvUs != U && e.ts_us > st.fvUs =>
+                  st = st.copy(fcUs = e.ts_us)
+                  Some(StageReached(userId, 2, e.event_id, e.ts_us))
+                case "purchase" if st.fpUs == U && st.fcUs != U && e.ts_us > st.fcUs =>
+                  st = st.copy(fpUs = e.ts_us)
+                  Some(StageReached(userId, 3, e.event_id, e.ts_us))
+                case _ => None
+              }
+            }
+            state.update(st)
+            if (streaming)
+              state.setTimeoutTimestamp(
+                math.max(lastEventUs / 1000L + horizonMs,
+                  state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming as-of attribution — the twin of
     * [[graft.operators.EventQueries.eventsAttribution]]: each purchase is
     * attributed to the user's most recent view at or before it. Per-user

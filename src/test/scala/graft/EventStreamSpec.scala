@@ -161,6 +161,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == Map(4L -> None), s"state survived eviction: $got")
   }
 
+  test("streaming funnel emits stage transitions in order across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val min = 60L * 1000000L
+    val base = 1000L
+    val stream = MemoryStream[Event]
+    val q = EventStream.funnelStages(stream.toDS()).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    // batch 1: user 1 views; a click at the SAME ts as nothing prior and a
+    // pre-view click for user 2 (must not count)
+    stream.addData(
+      Event(1, 1, (base + 0) * min, "view", 1.0),
+      Event(2, 2, (base + 0) * min, "click", 1.0), // click before any view
+      Event(3, 2, (base + 1) * min, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks then purchases (stage 2 and 3 from state);
+    // user 2's second view must NOT re-emit stage 1
+    stream.addData(
+      Event(4, 1, (base + 2) * min, "click", 1.0),
+      Event(5, 1, (base + 3) * min, "purchase", 1.0),
+      Event(6, 2, (base + 4) * min, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnel_out")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1, 1L, (base + 0) * min),
+      (2L, 1, 3L, (base + 1) * min),
+      (1L, 2, 4L, (base + 2) * min),
+      (1L, 3, 5L, (base + 3) * min)))
+  }
+
   test("sessionization evicts idle users' state behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark
