@@ -89,14 +89,20 @@ object PackQueries {
     * assignment — the prefix-sum pass dominates; this adds a scan. */
   def packStats(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
     packSequences(s, dir, budget)
-      .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+      .select(col("doc_id"), col("n_tokens"),
         (col("bin_offset") + col("n_tokens") > budget).as("crossing"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        (max(col("bin_id")) + 1).as("n_bins"),
         sum(when(col("crossing"), 1L).otherwise(0L)).as("n_crossing"))
+      // bin count from the token total, NOT max(bin_id)+1: bin_id is the
+      // bin of each doc's FIRST token, so a long tail document can occupy
+      // bins no document starts in.
+      .withColumn("n_bins",
+        expr(s"(total_tokens + ${budget - 1}) div $budget"))
       .withColumn("crossing_frac",
         col("n_crossing").cast("double") / col("n_docs").cast("double"))
+      .select(col("n_docs"), col("total_tokens"), col("n_bins"),
+        col("n_crossing"), col("crossing_frac"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -119,11 +125,12 @@ object PackQueries {
         |a AS (SELECT
         |    COUNT(*) AS n_docs,
         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-        |    MAX(bin_id) + 1 AS n_bins,
         |    CAST(SUM(CASE WHEN bin_offset + n_tokens > 2048 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_crossing
         |  FROM p)
-        |SELECT n_docs, total_tokens, n_bins, n_crossing,
+        |SELECT n_docs, total_tokens,
+        |  (total_tokens + 2047) // 2048 AS n_bins,
+        |  n_crossing,
         |  CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_frac
         |FROM a""".stripMargin,
     "q_pack_sequences" ->

@@ -115,11 +115,16 @@ object EventStream {
                 case _ => None
               }
             }
-            state.update(st)
-            if (streaming)
-              state.setTimeoutTimestamp(
-                math.max(lastEventUs / 1000L + horizonMs,
-                  state.getCurrentWatermarkMs + 1))
+            // Only hold state for users with funnel progress: a stream of
+            // never-viewing users (bot clicks, out-of-horizon views) must
+            // not allocate sentinel-only state entries.
+            if (st.fvUs != U) {
+              state.update(st)
+              if (streaming)
+                state.setTimeoutTimestamp(
+                  math.max(lastEventUs / 1000L + horizonMs,
+                    state.getCurrentWatermarkMs + 1))
+            }
             out.iterator
           }
       }

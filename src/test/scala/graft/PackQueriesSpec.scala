@@ -32,10 +32,12 @@ class PackQueriesSpec extends AnyFunSuite {
     Seq(1L -> "a b c", 2L -> "a b c d", 3L -> "a b", 4L -> "a b c d e")
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // starts: 0,3,7,9 at budget 4 -> docs 2,3,4 cross a bin boundary
+    // starts: 0,3,7,9 at budget 4 -> docs 2,3,4 cross a bin boundary;
+    // 14 tokens chunk into ceil(14/4) = 4 bins (doc 4's tail occupies a
+    // bin no document starts in — n_bins must count it)
     val got = PackQueries.packStats(spark, dir, budget = 4)
       .as[(Long, Long, Long, Long, Double)].head()
-    assert(got == ((4L, 14L, 3L, 3L, 0.75)))
+    assert(got == ((4L, 14L, 4L, 3L, 0.75)))
   }
 
   test("assignment is independent of input partitioning") {

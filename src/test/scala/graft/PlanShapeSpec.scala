@@ -50,9 +50,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("ANN queries broadcast queries and never shuffle the corpus scan") {
     for (q <- Seq("q_sim_cosine_topk", "q_sim_knn_label")) {
       val (sh, bc) = exchanges(q)
-      // the only shuffle is the per-query ranking window (tiny), never the
-      // corpus side
-      assert(sh <= 2, s"$q expected <=2 shuffles, got $sh")
+      // exactly ONE shuffle — the per-query ranking window over scored
+      // rows (the vote aggregation reuses the query_id partitioning); the
+      // corpus side must stay shuffle-free, so a second exchange IS the
+      // regression this guard exists to catch
+      assert(sh == 1, s"$q expected exactly 1 shuffle, got $sh")
       assert(bc >= 1, s"$q no longer broadcasts the query side")
     }
   }
