@@ -52,10 +52,11 @@ object TextQueries {
       .select("doc_id", "n_tokens", "n_types", "stop_cnt", "ttr",
         "stop_ratio", "mean_word_len", "quality_score")
 
-  /** Language identification, stopword-profile heuristic: score each
-    * candidate language by hits against its function-word list, argmax with
-    * a fixed precedence tiebreak (en > es > fr). */
-  def txtLangId(s: SparkSession, dir: String): DataFrame =
+  /** Per-document language scoring shared by [[txtLangId]] (row-level
+    * output) and [[txtConfusion]] (matrix aggregation): hits against each
+    * candidate language's function-word list, argmax with a fixed
+    * precedence tiebreak (en > es > fr). */
+  private def langScored(s: SparkSession, dir: String): DataFrame =
     withTokens(table(s, dir, "documents"))
       .withColumn("en_hits",
         expr("size(filter(toks, x -> x IN ('the','a','and','of','in')))"))
@@ -67,9 +68,23 @@ object TextQueries {
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
           .when(col("es_hits") >= col("fr_hits"), "es")
           .otherwise("fr"))
+
+  /** Language identification, stopword-profile heuristic. */
+  def txtLangId(s: SparkSession, dir: String): DataFrame =
+    langScored(s, dir)
       .select(col("doc_id"), col("en_hits"), col("es_hits"), col("fr_hits"),
         col("predicted_lang"),
         (col("predicted_lang") === col("lang")).as("label_agrees"))
+
+  /** Classifier confusion matrix: documents per (labeled lang, predicted
+    * lang) cell — the standard eval report for any per-document classifier
+    * in the pipeline (language ID here; the same shape audits quality or
+    * topic classifiers). One tiny aggregation with map-side combine over
+    * the scan-side scoring pass. */
+  def txtConfusion(s: SparkSession, dir: String): DataFrame =
+    langScored(s, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** Document fingerprinting: exact (md5 of raw text) + order-insensitive
     * bag fingerprint (md5 of sorted distinct tokens). */
@@ -275,7 +290,8 @@ object TextQueries {
     "q_txt_quantiles" -> (txtLengthQuantiles _),
     "q_txt_tfidf" -> ((s: SparkSession, d: String) => txtTfIdf(s, d)),
     "q_txt_redact" -> (txtRedact _),
-    "q_txt_repetition" -> (txtRepetition _))
+    "q_txt_repetition" -> (txtRepetition _),
+    "q_txt_confusion" -> (txtConfusion _))
 
   private val redactOracle: String = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -322,6 +338,19 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_txt_redact" -> redactOracle,
+    "q_txt_confusion" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |h AS (SELECT lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','in'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','en'))) AS INTEGER) AS es_hits,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','les','de','et','un'))) AS INTEGER) AS fr_hits
+        |FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted_lang
+        |FROM h)
+        |SELECT lang, predicted_lang, COUNT(*) AS n_docs
+        |FROM p GROUP BY lang, predicted_lang""".stripMargin,
     "q_txt_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id,
