@@ -141,6 +141,33 @@ object MixQueries {
       .filter(col("cum_before") < budget)
   }
 
+  private val wsampleSalt = "wsample1:"
+
+  /** q_sample_weighted: deterministic weighted sampling without
+    * replacement — the A-ES scheme (Efraimidis & Spirakis, IPL 2006:
+    * top-k by u^(1/w)) made ENGINE-EXACT by the max-of-uniforms identity:
+    * for an integer weight w, max of w independent uniform draws has
+    * exactly the u^(1/w) distribution, so the sort key is the max of w
+    * salted integer hash draws — no transcendental pow/log whose last-ULP
+    * differences would break the cross-engine oracle. Weights here are
+    * the document quality score (1..4): higher-quality docs are
+    * proportionally more likely to be kept, but low-quality docs still
+    * appear — sampling, not a hard cutoff.
+    *
+    * Scale shape: the key is a scan-side expression (≤4 tiny hashes per
+    * row) and the top-k plans as TakeOrderedAndProject — per-partition
+    * heaps, a k-row driver merge, no global sort. */
+  def sampleWeighted(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val q = TextQueries.txtQuality(s, dir)
+      .select(col("doc_id"), col("quality_score").as("weight"))
+      .withColumn("key", expr(
+        s"array_max(transform(sequence(1, weight), r -> " +
+          s"cast(conv(substring(md5(concat('$wsampleSalt', " +
+          s"cast(doc_id as string), '#', cast(r as string))), 1, 8), 16, 10) " +
+          s"as bigint)))"))
+    q.orderBy(col("key").desc, col("doc_id").asc).limit(k)
+  }
+
   /** q_corpus_stats: the per-(source, language) corpus card — doc and
     * token volumes, size extremes, and the exact-duplicate rate from the
     * text fingerprint. The first report any corpus intake produces, and
@@ -170,9 +197,19 @@ object MixQueries {
     "q_split_assign" -> (splitAssign _),
     "q_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
     "q_select_budget" -> ((s: SparkSession, d: String) => selectBudget(s, d)),
-    "q_corpus_stats" -> (corpusStats _))
+    "q_corpus_stats" -> (corpusStats _),
+    "q_sample_weighted" -> ((s: SparkSession, d: String) => sampleWeighted(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      s"""WITH ${TextQueries.qualityScoreCtesSql},
+         |keyed AS (SELECT doc_id, quality_score AS weight,
+         |    list_max(list_transform(range(1, quality_score + 1), r ->
+         |      ('0x' || substr(md5('wsample1:' || CAST(doc_id AS STRING)
+         |        || '#' || CAST(r AS STRING)), 1, 8))::BIGINT)) AS key
+         |  FROM q)
+         |SELECT doc_id, weight, key
+         |FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 100""".stripMargin,
     "q_corpus_stats" ->
       """WITH d AS (SELECT source, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

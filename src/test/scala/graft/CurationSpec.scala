@@ -213,6 +213,26 @@ class CurationSpec extends AnyFunSuite {
       "2024-01-04" -> 1L, "2024-01-05" -> 1L))
   }
 
+  test("weighted sample: key is the max of `weight` salted draws, sorted") {
+    val out = MixQueries.sampleWeighted(spark, "/root/testdata/sf0.001", k = 50)
+      .collect()
+    assert(out.length == 50)
+    def draw(id: Long, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"wsample1:$id#$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    out.foreach { row =>
+      val (id, w, key) = (row.getLong(0), row.getInt(1), row.getLong(2))
+      assert(w >= 1 && w <= 4)
+      assert(key == (1 to w).map(draw(id, _)).max,
+        s"doc $id key mismatch") // max-of-uniforms = u^(1/w) order, exactly
+    }
+    val keys = out.map(_.getLong(2)).toSeq
+    assert(keys == keys.sortBy(k => -k), "not sorted by key desc")
+  }
+
   test("theta sketch: distinct estimate tracks the exact count") {
     // 6000 distinct tokens spread over docs; expect ~375 sampled hashes
     // and a relative error around 4/sqrt(6000) ~ 5%.
