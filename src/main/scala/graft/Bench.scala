@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every gate query on SPARK_GRAFT_SF_DIR and prints
-  * ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  * ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...},
+  * also written to SPARK_GRAFT_BENCH_OUT (default `bench_out.json`) so the
+  * per-round record survives independent of driver log capture.
   *
   * Methodology: one untimed warmup pass (codegen compilation, JIT, file
   * footer caching — one-time costs a long-lived cluster never re-pays),
@@ -11,11 +13,28 @@ import org.apache.spark.sql.SparkSession
   * sub-second scale otherwise dominates run-to-run variance); `value` is
   * the sum of minima. Queries run via `.count()` (full materialization,
   * no driver-side collect).
+  *
+  * Session hygiene (SPARK_GRAFT_BENCH_CLEAN, default on): a handful of
+  * gates eagerly `localCheckpoint` (GraphCC rounds, prefix sums, the e2e
+  * jobs), and each of the 3 passes re-creates those blocks; nothing frees
+  * them until the ContextCleaner GCs the dead RDD references, so by the
+  * tail of an 85-query suite the block manager holds hundreds of stale
+  * blocks and every short scan pays the heap pressure (the r06 regression
+  * cluster: unchanged sub-second queries 2-6× slower late in the session).
+  * Between queries — OUTSIDE the timers — we unpersist every registered
+  * RDD and periodically nudge a GC so broadcast/checkpoint cleanup keeps
+  * pace. A real cluster job never meets this shape (one query per app);
+  * the cleanup models that isolation without restarting the JVM.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val clean = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN", "true").toBoolean
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Comma-separated allowlist for isolation experiments (empty = all).
+    val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -28,7 +47,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    var sinceGc = 0
+    def cleanup(): Unit = if (clean) {
+      val sc = spark.sparkContext
+      val stale = sc.getPersistentRDDs
+      stale.values.foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (stale.nonEmpty || sinceGc >= 16) { System.gc(); sinceGc = 0 }
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     // A broken query must fail LOUDLY: a swallowed exception would record
     // its time-to-failure and silently IMPROVE the total. Failures are
     // collected, reported in the JSON (`errors`), excluded from `value`,
@@ -40,8 +69,10 @@ object Bench {
       catch { case e: Throwable =>
         errors(n) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      cleanup()
     }
     def timed(n: String): Double = {
+      cleanup()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
@@ -58,7 +89,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -12,21 +12,30 @@ import org.apache.spark.sql.functions._
   * pipeline has no graph step — this is part of the 100 TB extension
   * surface alongside the sketch dedups).
   *
-  * Algorithm: iterative min-label propagation on DataFrames (the
+  * Algorithm: min-label propagation with POINTER JUMPING (the
   * "hash-to-min" family — Rastogi et al., "Finding Connected Components in
-  * Map-Reduce in Logarithmic Rounds", ICDE 2013; the large-star/small-star
-  * variant of Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC 2014 trades per-round cost for provable O(log²n) rounds on
-  * adversarial chains). Each round is two shuffles (join labels to the
-  * adjacency, min-aggregate per node) and converges in O(component
-  * diameter) rounds. Near-dup graphs are dense LSH-bucket cliques with tiny
-  * diameters, so 2-3 rounds close them; `maxIter` fails LOUDLY rather than
-  * returning a half-merged clustering if fed a pathological chain.
+  * Map-Reduce in Logarithmic Rounds", ICDE 2013; Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each round:
+  * (1) propagate: label'(v) = min label over v's in-neighbors (self-loops
+  * carry v's own label, so labels only decrease); (2) jump: label''(v) =
+  * label'(label'(v)) — label values are always node ids of the same
+  * component, so the label table composes with itself and the pointer
+  * depth roughly halves per round. Propagation alone needs O(diameter)
+  * rounds; with jumping a path graph closes in O(log n) rounds (a 10⁴-node
+  * chain converges in ~14 — covered by GraphCCSpec), so `maxIter` = 25
+  * bounds components up to ~2²⁵ diameter rather than 25 hops. Convergence
+  * is detected from the propagation result alone (a propagation fixed
+  * point is provably fully-converged: the max label in a component at a
+  * fixed point spreads to the whole component, and labels are node ids
+  * bounded below by the component minimum), and the check is a scan of
+  * the round's checkpoint — the old label rides the aggregation as
+  * `self_label`, so no extra join per round.
   *
   * Scale posture: the adjacency is checkpointed once (upstream pair
   * generation never re-executes), labels are checkpointed per round so the
-  * plan stays constant-size, convergence is one `isEmpty` on a
-  * monotonically-shrinking diff, and nothing ever collects to the driver.
+  * plan stays constant-size, convergence is one narrow filter-scan on a
+  * monotonically-decreasing label table, and nothing ever collects to the
+  * driver.
   */
 object GraphCC {
 
@@ -55,34 +64,53 @@ object GraphCC {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      // label'(d) = min over edges (s,d) of label(s); self-loops carry the
-      // node's current label, so labels only ever decrease.
+      // Propagate. The self-loop row (dst==src) carries dst's own current
+      // label through the join, so min() can only lower it AND the group
+      // knows its pre-round label — convergence needs no join against the
+      // previous table.
       val next = adj
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
-        .agg(min(col("component")).as("component"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("src") === col("dst"), col("component")))
+            .as("self_label"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), "node")
-        .filter(col("n.component") < col("o.component"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") < col("self_label")).isEmpty
+      labels =
+        if (converged) next.select(col("node"), col("component"))
+        else {
+          // Pointer jump: label ← label(label). Every label value is a
+          // node id in the same component, so the inner self-join always
+          // matches; checkpoint keeps the next round's plan constant-size.
+          val compact = next.select(col("node"), col("component"))
+          compact.alias("x")
+            .join(compact.select(col("node").as("jn"),
+              col("component").as("jc")).alias("y"),
+              col("x.component") === col("y.jn"))
+            .select(col("x.node").as("node"), col("y.jc").as("component"))
+            .localCheckpoint()
+        }
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds - " +
-          "component diameter exceeds the bound; raise maxIter or switch " +
-          "to a large-star/small-star round structure")
+          "component pointer depth exceeds the bound (~2^maxIter diameter " +
+          "with jumping); raise maxIter")
     labels
   }
 
-  /** q_dedup_cc: MinHash-LSH near-dup pairs → connected components →
-    * cluster id (min doc_id), cluster size, and the canonical-keep flag.
-    * This is the full scale path of corpus dedup: sketch → candidate pairs
-    * → verified pairs → components → keep one representative per cluster. */
+  /** q_dedup_cc: exact shingle-Jaccard near-dup pairs (the PPJoin path,
+    * q_dedup_jaccard) → connected components → cluster id (min doc_id),
+    * cluster size, and the canonical-keep flag. This is the full scale
+    * path of corpus dedup: candidate pairs → verified pairs → components
+    * → keep one representative per cluster. Feeding the EXACT pair set
+    * (not the MinHash candidates) keeps this gate's correctness
+    * independent of sketch recall — the oracle recomputes the same exact
+    * pairs by brute force. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Sketches.dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = TextQueries.dedupJaccardShingle(s, dir)
+      .select(col("doc_a"), col("doc_b"))
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
     cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -94,9 +122,9 @@ object GraphCC {
     "q_dedup_cc" -> (dedupClusters _))
 
   /** The oracle recomputes components by transitive closure (recursive CTE)
-    * over the exact all-pairs Jaccard pairs — which equal the verified
-    * MinHash pairs on this corpus (same equivalence the q_dedup_minhash
-    * oracle rests on). */
+    * over the exact all-pairs Jaccard pairs — the same exact pair set the
+    * Spark side now verifies via PPJoin, so the gate carries no
+    * sketch-recall assumption. */
   val oracles: Map[String, String] = Map(
     "q_dedup_cc" ->
       """WITH RECURSIVE

@@ -156,7 +156,14 @@ object MixQueries {
     *
     * Scale shape: the key is a scan-side expression (≤4 tiny hashes per
     * row) and the top-k plans as TakeOrderedAndProject — per-partition
-    * heaps, a k-row driver merge, no global sort. */
+    * heaps, a k-row driver merge, no global sort.
+    *
+    * Bound: max-of-uniforms is O(weight) hashes per row — fine for small
+    * integer weights (here 1..4); for unbounded weights cap the weight
+    * per document, or switch to the O(1)-per-row exponential form of A-ES
+    * (key = -ln(u)/w, equivalently rank by w/(-ln u)) and accept that a
+    * transcendental key cannot be hash-replayed across engines (gate it
+    * with a rows-only oracle instead). */
   def sampleWeighted(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val q = TextQueries.txtQuality(s, dir)
       .select(col("doc_id"), col("quality_score").as("weight"))

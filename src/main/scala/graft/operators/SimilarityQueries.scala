@@ -177,18 +177,26 @@ object SimilarityQueries {
     * B ≈ √(2·parallelism), shuffle volume ~n(B+1) rows — negligible next
     * to the n²/2 comparisons it spreads evenly across the cluster. When n²
     * is infeasible outright (10⁹ vectors), the answer is the approximate
-    * contract instead: simLshTopK's bucketed candidates. */
+    * contract instead: simLshTopK's bucketed candidates.
+    *
+    * `nBlocks` ≤ 0 (the default) derives B = max(8, ⌈√(2·parallelism)⌉) so
+    * the B(B+1)/2 reduce groups keep every core busy at any cluster size
+    * (1000 executors × 4 cores → B = 90 → 4095 groups); blocking is
+    * output-invariant, so the choice never shows in results. */
   def dedupEmbedding(s: SparkSession, dir: String, threshold: Double = 0.35,
-                     nBlocks: Int = 8): DataFrame = {
+                     nBlocks: Int = 0): DataFrame = {
+    val b = if (nBlocks > 0) nBlocks
+      else math.max(8,
+        math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt)
     val c = corpus(s, dir)
-      .withColumn("g", pmod(hash(col("vec_id")), lit(nBlocks)))
+      .withColumn("g", pmod(hash(col("vec_id")), lit(b)))
     // Block g plays the LEFT role for block pairs (g, j≥g) and the RIGHT
     // role for (i≤g, g): every unordered block pair meets in exactly one
     // reduce group, and within the diagonal groups (lo==hi) the id order
     // residual keeps each pair once. Off-diagonal pairs meet exactly once
     // by construction (a vector's left keys all have lo=g, right keys all
     // have hi=g), so ids are re-sorted on output instead of filtered.
-    val l = c.withColumn("j", explode(sequence(col("g"), lit(nBlocks - 1))))
+    val l = c.withColumn("j", explode(sequence(col("g"), lit(b - 1))))
       .select(col("g").as("lo"), col("j").as("hi"), col("vec_id").as("id_l"),
         col("embedding").as("e_l"), col("norm").as("n_l"))
     val r = c.withColumn("i", explode(sequence(lit(0), col("g"))))
@@ -260,7 +268,32 @@ object SimilarityQueries {
           .as("mean_tokens"))
   }
 
+  /** ANN recall gate: overlap@k of the LSH and IVF approximate top-k
+    * against the brute-force cosine ground truth — the one quality
+    * dimension the exact-replay oracles cannot see (they encode the same
+    * bucketing on both sides, so a probe/banding regression that silently
+    * drops true neighbors would still hash-match). Recall here is a
+    * DETERMINISTIC fraction (every input query is deterministic), so the
+    * oracle recomputes the same overlap and the gate hash-checks it; a
+    * bucketing change that degrades recall now moves a measured number.
+    * Cost: three broadcast-query scans + two tiny joins over ≤ n·k rows. */
+  def simRecall(s: SparkSession, dir: String, nQueries: Int = 10,
+                k: Int = 5): DataFrame = {
+    val exact = simCosineTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def overlap(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / lit((nQueries * k).toDouble))
+            .as("recall_at_k"))
+    overlap("ivf", simIvfTopK(s, dir))
+      .unionByName(overlap("lsh", simLshTopK(s, dir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_recall" -> ((s: SparkSession, d: String) => simRecall(s, d)),
     "q_emb_label_quality" -> (embLabelQuality _),
     "q_sim_knn_label" -> ((s: SparkSession, d: String) => simKnnLabel(s, d)),
     "q_sim_cosine_topk" -> ((s: SparkSession, d: String) => simCosineTopK(s, d)),
@@ -350,6 +383,48 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  private def cosineTopKOracle(nQueries: Int, k: Int): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+       |      FROM c WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (q.q_norm * c.norm) AS cos_sim
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Oracle for [[simRecall]]: the three top-k oracles composed as derived
+    * tables, overlap counted per method. */
+  private def recallOracle(nQueries: Int, k: Int): String =
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM (${cosineTopKOracle(nQueries, k)})),
+       |lsh AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${lshTopKOracle(nPlanes = 4, nQueries = nQueries, k = k)})),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${ivfTopKOracle(nCells = 16, nProbe = 2, nQueries = nQueries, k = k)})),
+       |h AS (
+       |  SELECT 'ivf' AS method, COUNT(*) AS n_hits
+       |  FROM ivf JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, COUNT(*) AS n_hits
+       |  FROM lsh JOIN exact USING (query_id, neighbor_id))
+       |SELECT method, n_hits,
+       |  CAST(n_hits AS DOUBLE) / ${(nQueries * k).toDouble} AS recall_at_k
+       |FROM h""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_emb_label_quality" ->
       s"""WITH ${graft.operators.TextQueries.qualityScoreCtesSql},
@@ -394,26 +469,8 @@ object SimilarityQueries {
         |FROM best WHERE vr = 1""".stripMargin,
     "q_sim_lsh_topk" -> lshTopKOracle(nPlanes = 4, nQueries = 10, k = 5),
     "q_sim_ivf_topk" -> ivfTopKOracle(nCells = 16, nProbe = 2, nQueries = 10, k = 5),
-    "q_sim_cosine_topk" ->
-      """WITH c AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
-        |      FROM c WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        |      / (q.q_norm * c.norm) AS cos_sim
-        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored)
-        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
-        |FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_sim_recall" -> recallOracle(nQueries = 10, k = 5),
+    "q_sim_cosine_topk" -> cosineTopKOracle(nQueries = 10, k = 5),
     "q_dedup_embedding" ->
       """WITH c AS (
         |  SELECT vec_id, embedding,

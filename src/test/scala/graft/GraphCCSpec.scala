@@ -35,6 +35,14 @@ class GraphCCSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L) && got.size == 12)
   }
 
+  test("a 10^4-node path converges within maxIter via pointer jumping") {
+    // Diameter 9999 ≫ 25 rounds: pure min-propagation would fail here;
+    // pointer jumping closes it in ~log2(n) rounds.
+    val edges = (0L until 9999L).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.values.toSet == Set(0L) && got.size == 10000)
+  }
+
   test("maxIter too small for the diameter fails loudly, not half-merged") {
     val edges = (0L until 11L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException](cc(edges, maxIter = 2))

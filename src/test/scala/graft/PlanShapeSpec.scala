@@ -59,6 +59,39 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding dedup distributes O(n^2) as a shuffled equi-join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.SimilarityQueries.dedupEmbedding(spark, dir)
+        .queryExecution.executedPlan
+      // Triangle blocking must plan as a sort-merge/hash EQUI-join on the
+      // (lo, hi) block-pair key — a BroadcastNestedLoop or Cartesian here
+      // means the blocking stopped reaching the join and every executor
+      // re-scans the corpus.
+      val cartesians = plan.collect {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
+      }
+      assert(cartesians.isEmpty, "pair join degenerated to a cross product")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 2, s"expected the two join-side exchanges, got ${shuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("embedding dedup block count scales with parallelism, floored at 8") {
+    // The derived B = max(8, ceil(sqrt(2p))): floor binds up to p=32;
+    // 1000 executors x 4 cores -> B=90 -> 4095 reduce groups.
+    def derive(p: Int) = math.max(8, math.ceil(math.sqrt(2.0 * p)).toInt)
+    assert(derive(4) == 8 && derive(32) == 8 && derive(4000) == 90)
+    // Output-invariance of the blocking: explicit B values agree.
+    val a = graft.operators.SimilarityQueries.dedupEmbedding(spark, dir, nBlocks = 3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = graft.operators.SimilarityQueries.dedupEmbedding(spark, dir, nBlocks = 11)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("distinct-style aggregations stay within the two-phase budget") {
     for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions")) {
       val (sh, _) = exchanges(q)
