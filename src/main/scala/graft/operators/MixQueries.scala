@@ -198,7 +198,61 @@ object MixQueries {
         (col("n_docs") - col("n_unique_texts")).cast("double") /
           col("n_docs").cast("double"))
 
+  private val groupSplitSalt = "splitg:"
+  private val stratSalt = "strat1:"
+
+  /** q_split_leakage: DEDUP-AWARE train/validation/test assignment — the
+    * leakage guard [[splitAssign]] lacks: two near-duplicate documents
+    * hashed independently land in different splits with p ≈ 18%, silently
+    * leaking training text into eval. Here the split is drawn from the
+    * near-dup CLUSTER id (the connected component over verified
+    * exact-Jaccard pairs — [[GraphCC.dedupClusters]]), so every document
+    * of a cluster co-assigns; singletons (no near-dup) fall back to their
+    * own id via the left join + coalesce, preserving splitAssign's
+    * stability under corpus growth.
+    *
+    * Scale shape: the CC labels table is tiny next to the corpus (only
+    * docs incident to a near-dup pair), so AQE broadcasts the left join;
+    * the split draw itself is scan-side — the operator adds ONE broadcast
+    * join on top of the dedup pipeline the corpus already runs. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val clusters = GraphCC.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    table(s, dir, "documents")
+      .select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", saltedDraw(groupSplitSalt, col("group_id")) % 100L)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .select(col("doc_id"), col("group_id"), col("split"))
+  }
+
+  /** q_sample_stratified: fixed-count per-stratum sample — `nPer`
+    * documents from every source, the holdout/inspection draw that a
+    * proportional rate ([[mixSample]]) can't produce when strata sizes
+    * differ by orders of magnitude. Documents rank per stratum by the
+    * same deterministic salted-hash draw (doc_id tiebreak), so the
+    * sample is reproducible anywhere and stable per stratum. One window
+    * shuffle on the stratum key; the rank<=n filter plans as
+    * WindowGroupLimit, pruning each partition to its top-n BEFORE the
+    * exchange — per-task state is O(nPer), not O(stratum). */
+  def sampleStratified(s: SparkSession, dir: String, nPer: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("u").asc, col("doc_id").asc)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("u", saltedDraw(stratSalt, col("doc_id")))
+      .withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= nPer)
+      .select(col("doc_id"), col("source"), col("stratum_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (splitLeakage _),
+    "q_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "q_mix_sample" -> (mixSample _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_split_assign" -> (splitAssign _),
@@ -208,6 +262,32 @@ object MixQueries {
     "q_sample_weighted" -> ((s: SparkSession, d: String) => sampleWeighted(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage" ->
+      s"""WITH cl AS (
+         |  SELECT doc_id, cluster_id
+         |  FROM (${GraphCC.oracles("q_dedup_cc")}) cc),
+         |grp AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |b AS (SELECT doc_id, group_id,
+         |    ${saltedDrawSql("splitg:", "group_id")} % 100 AS bucket
+         |  FROM grp)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    ${saltedDrawSql("strat1:", "doc_id")} AS u
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC)
+         |      AS stratum_rank
+         |  FROM u)
+         |SELECT doc_id, source, CAST(stratum_rank AS INTEGER) AS stratum_rank
+         |FROM r WHERE stratum_rank <= 20""".stripMargin,
     "q_sample_weighted" ->
       s"""WITH ${TextQueries.qualityScoreCtesSql},
          |keyed AS (SELECT doc_id, quality_score AS weight,

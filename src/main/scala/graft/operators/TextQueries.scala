@@ -280,7 +280,37 @@ object TextQueries {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"))
   }
 
+  /** q_txt_boilerplate: CROSS-document boilerplate detection — the
+    * corpus-level complement of [[txtRepetition]]'s within-document
+    * signals. A word-3-gram appearing in ≥ `minDocs` distinct documents
+    * is boilerplate (headers, navigation chrome, license banners — the
+    * text a crawl repeats verbatim across pages); each document reports
+    * its distinct-gram count, how many are boilerplate, and the fraction
+    * — the standard filter signal for dropping template-dominated pages.
+    *
+    * Scale shape: per-doc DISTINCT hashed 3-grams (the same scan-side
+    * native shingle expression the Jaccard path uses — 64-bit longs, not
+    * strings) exploded once, then document frequency as a COUNT window
+    * over the gram partitioning — no self-join, no second pass over the
+    * shingling, no df table to (impossibly) broadcast at corpus scale —
+    * then one doc_id aggregation. Exactly two shuffles at any corpus
+    * size. At 100 TB, ultra-frequent grams concentrate the window groups
+    * — the same stop-shingle cap documented for the Jaccard path applies. */
+  def txtBoilerplate(s: SparkSession, dir: String, minDocs: Int = 5): DataFrame = {
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    withTokens(table(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(Sketches.hashedShingles(col("toks"))).as("g"))
+      .withColumn("df", count(lit(1)).over(byGram))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= minDocs, lit(1))).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
     "q_txt_tokens" -> (txtTokens _),
     "q_txt_quality" -> (txtQuality _),
     "q_txt_langid" -> (txtLangId _),
@@ -337,6 +367,17 @@ object TextQueries {
       |  FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram FROM toks),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (WHERE df.df >= 5) AS n_boiler,
+        |  CAST(count(*) FILTER (WHERE df.df >= 5) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS boiler_frac
+        |FROM g JOIN df ON g.gram = df.gram
+        |GROUP BY g.doc_id""".stripMargin,
     "q_txt_redact" -> redactOracle,
     "q_txt_confusion" ->
       """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),

@@ -41,7 +41,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("single-key window/agg operators shuffle exactly once") {
     for (q <- Seq("q_events_funnel", "q_w1_latest_wins", "q_dedup_exact",
-      "q_events_attribution", "q_w4_minmax_window", "q_shuffle_shard")) {
+      "q_events_attribution", "q_w4_minmax_window", "q_shuffle_shard",
+      "q_sample_stratified")) {
       val (sh, _) = exchanges(q)
       assert(sh == 1, s"$q expected 1 shuffle, got $sh")
     }
@@ -93,7 +94,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("distinct-style aggregations stay within the two-phase budget") {
-    for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions")) {
+    // q_txt_boilerplate: df-window over the gram exchange + doc_id agg —
+    // a join-free two-exchange plan (a third exchange means the df side
+    // became a self-join again).
+    for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions",
+      "q_txt_boilerplate")) {
       val (sh, _) = exchanges(q)
       assert(sh <= 2, s"$q expected <=2 shuffles, got $sh")
     }
