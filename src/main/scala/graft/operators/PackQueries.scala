@@ -104,11 +104,55 @@ object PackQueries {
       .select(col("n_docs"), col("total_tokens"), col("n_bins"),
         col("n_crossing"), col("crossing_frac"))
 
+  /** q_chunk_windows: sliding context-window chunking — the other layout
+    * next to concatenate-and-chunk ([[packSequences]]): each document is
+    * cut into windows of `window` tokens every `stride` tokens (overlap =
+    * window − stride), the shape retrieval indexes and long-document
+    * pretraining use when documents must not bleed into each other.
+    * Emits (chunk_idx, start_tok, chunk_tokens, chunk_text) per window.
+    *
+    * Window starts run 0, stride, 2·stride, … while start < n − window +
+    * stride — the first start whose window is fully contained in its
+    * predecessor is dropped, and that cutoff still guarantees the last
+    * window reaches the document end (largest kept start L > n − window −
+    * 1, so L + window ≥ n). Pure scan-side explode: zero shuffles, linear
+    * in corpus size, ~window/stride× output amplification — the writer
+    * streams it straight to the chunk store. */
+  def chunkWindows(s: SparkSession, dir: String, window: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    table(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("start_tok", explode(sequence(lit(0),
+        greatest(col("n_tokens") - (window - stride) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(window), col("n_tokens") - col("start_tok")).as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "q_chunk_windows" -> ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "q_pack_stats" -> ((s: SparkSession, d: String) => packStats(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start_tok
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(start_tok // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(start_tok AS INTEGER) AS start_tok,
+        |  CAST(least(64, n - start_tok) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ')
+        |    AS chunk_text
+        |FROM st""".stripMargin,
     "q_pack_stats" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -27,7 +27,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("scan-side operators shuffle nothing") {
     for (q <- Seq("q_txt_repetition", "q_split_assign", "q_s13_schema_project",
-      "q_txt_tokens", "q_txt_redact", "q_mm_binary_meta")) {
+      "q_txt_tokens", "q_txt_redact", "q_mm_binary_meta", "q_chunk_windows")) {
       val (sh, _) = exchanges(q)
       assert(sh == 0, s"$q grew a shuffle")
     }
