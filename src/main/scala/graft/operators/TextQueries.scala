@@ -309,7 +309,56 @@ object TextQueries {
         col("n_boiler").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
 
+  /** q_dedup_incremental: near-dup screening of an INCOMING batch against
+    * the existing corpus — the shape a production pipeline actually runs
+    * daily (the full self-join, [[dedupJaccardShingle]], is the bootstrap;
+    * after that every ingest only needs delta × corpus). Documents with
+    * doc_id % 10 == 0 stand in for the new batch; output is every
+    * (new, existing) pair with shingle-Jaccard ≥ `threshold` — the new
+    * docs to reject or cluster-merge.
+    *
+    * Same PPJoin prefix filtering as the self-join, but ordered by the
+    * shingle HASH instead of document frequency: any shared total order
+    * keeps the prefix filter lossless (two docs with J ≥ t must share a
+    * shingle within both prefixes of length n − ⌈t·n⌉ + 1), and hash
+    * order needs no df pass over the corpus — the right trade when the
+    * corpus side is consulted incrementally. Both prefix frames read ONE
+    * pinned doc_id exchange (filters sit above it, so all four consumers
+    * reuse it). Scale: the delta side is small by construction, so the
+    * candidate join broadcasts it and the corpus streams once; cost is
+    * O(delta × colliding corpus prefixes), never corpus². */
+  def dedupIncremental(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = withTokens(table(s, dir, "documents"))
+      .withColumn("shingles", array_sort(Sketches.hashedShingles(col("toks"))))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .repartition(col("doc_id"))
+    def prefixed(df: DataFrame, idName: String) =
+      df.withColumn("sh", explode(slice(col("shingles"), lit(1),
+          (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))))
+        .select(col("doc_id").as(idName), col("sh"),
+          col("n_sh").as(s"n_$idName"))
+    val delta = prefixed(sh.filter(col("doc_id") % 10 === 0), "doc_new")
+    val corp = prefixed(sh.filter(col("doc_id") % 10 =!= 0), "doc_existing")
+    val cand = corp.join(broadcast(delta),
+        corp("sh") === delta("sh") &&
+          col("n_doc_new") >= col("n_doc_existing") * threshold &&
+          col("n_doc_existing") >= col("n_doc_new") * threshold)
+      .select(col("doc_new"), col("doc_existing"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_new"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), "doc_new")
+      .join(sh.select(col("doc_id").as("doc_existing"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), "doc_existing")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_existing"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q_txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
     "q_txt_tokens" -> (txtTokens _),
     "q_txt_quality" -> (txtQuality _),
@@ -367,6 +416,19 @@ object TextQueries {
       |  FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)
+        |SELECT a.doc_id AS doc_new, b.doc_id AS doc_existing,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    >= 0.5""".stripMargin,
     "q_txt_boilerplate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{MixQueries, PackQueries, TextQueries}
+
+/** Behavioral invariants for the corpus-curation operators added in round
+  * 7, on the sf0.001 fixtures — properties the oracle hash-compare can't
+  * express directly (coverage, monotonicity, cross-operator consistency). */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("chunk windows cover every document exactly to its end") {
+    val docs = graft.sources.TableIO.table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    val cov = PackQueries.chunkWindows(spark, dir)
+      .groupBy("doc_id")
+      .agg(min(col("start_tok")).as("first_start"),
+        max(col("start_tok") + col("chunk_tokens")).as("cover_end"),
+        max(col("chunk_idx")).as("last_idx"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    assert(cov.filter(col("first_start") =!= 0).isEmpty, "first chunk not at 0")
+    assert(cov.filter(col("cover_end") =!= col("n")).isEmpty,
+      "a document tail is uncovered or overshot")
+    assert(cov.filter(col("last_idx") =!= col("n_chunks") - 1).isEmpty,
+      "chunk indexes not dense")
+    val bad = PackQueries.chunkWindows(spark, dir)
+      .filter(col("chunk_tokens") < 1 || col("chunk_tokens") > 64)
+    assert(bad.isEmpty, "chunk size out of [1, window]")
+  }
+
+  test("stratified sample takes min(nPer, stratum size) and nests by nPer") {
+    val sizes = graft.sources.TableIO.table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    val got = MixQueries.sampleStratified(spark, dir, nPer = 20)
+      .groupBy("source").agg(count(lit(1)).as("n"), max("stratum_rank").as("mx"))
+      .join(sizes, "source")
+    assert(got.filter(col("n") =!= least(lit(20), col("sz"))).isEmpty)
+    assert(got.filter(col("mx") =!= col("n")).isEmpty, "ranks not dense from 1")
+    // Determinism gives the prefix property: a smaller draw is a subset.
+    val small = MixQueries.sampleStratified(spark, dir, nPer = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = MixQueries.sampleStratified(spark, dir, nPer = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("boilerplate counts are bounded and monotone in minDocs") {
+    val b5 = TextQueries.txtBoilerplate(spark, dir, minDocs = 5)
+    assert(b5.filter(col("n_boiler") > col("n_grams")).isEmpty)
+    // minDocs=1 marks every gram boilerplate (df >= 1 always)
+    val b1 = TextQueries.txtBoilerplate(spark, dir, minDocs = 1)
+    assert(b1.filter(col("boiler_frac") =!= 1.0).isEmpty)
+    // raising the threshold can only shrink each doc's boilerplate count
+    val joined = b5.select(col("doc_id"), col("n_boiler").as("hi"))
+      .join(TextQueries.txtBoilerplate(spark, dir, minDocs = 2)
+        .select(col("doc_id"), col("n_boiler").as("lo")), "doc_id")
+    assert(joined.filter(col("hi") > col("lo")).isEmpty)
+  }
+
+  test("incremental dedup equals the self-join restricted to the delta") {
+    val inc = TextQueries.dedupIncremental(spark, dir)
+      .select("doc_new", "doc_existing").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = TextQueries.dedupJaccardShingle(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // both orientations
+      .filter { case (n, e) => n % 10 == 0 && e % 10 != 0 }
+      .toSet
+    assert(inc == full)
+  }
+
+  test("leakage-safe split assigns every cluster to exactly one split") {
+    val sl = MixQueries.splitLeakage(spark, dir)
+    val perGroup = sl.groupBy("group_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(perGroup.filter(col("n_splits") =!= 1).isEmpty)
+    val nDocs = graft.sources.TableIO.table(spark, dir, "documents").count()
+    assert(sl.count() == nDocs && sl.select("doc_id").distinct().count() == nDocs)
+  }
+}
