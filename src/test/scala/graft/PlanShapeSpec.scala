@@ -93,6 +93,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("projection pruning and filter pushdown reach the parquet scan") {
+    def scans(name: String) = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    // q_p1 projects a 2-column prefix of the 9-column customer table: a
+    // scan reading more than the projected+filtered columns lost pruning.
+    val p1 = scans("q_p1_prefix_project")
+    assert(p1.nonEmpty && p1.forall(_.schema.fields.length <= 3),
+      s"q_p1 scan reads ${p1.map(_.schema.fields.length).mkString(",")} columns")
+    // q_p6 filters on l_quantity: the predicate must appear in the scan's
+    // PushedFilters, not only in a post-scan Filter node.
+    val p6 = scans("q_p6_filters")
+    assert(p6.exists(_.metadata.getOrElse("PushedFilters", "[]").contains("l_quantity")),
+      "q_p6 filter no longer pushed to the parquet reader")
+  }
+
   test("distinct-style aggregations stay within the two-phase budget") {
     // q_txt_boilerplate: df-window over the gram exchange + doc_id agg —
     // a join-free two-exchange plan (a third exchange means the df side
