@@ -290,18 +290,23 @@ object TextQueries {
     *
     * Scale shape: per-doc DISTINCT hashed 3-grams (the same scan-side
     * native shingle expression the Jaccard path uses — 64-bit longs, not
-    * strings) exploded once, then document frequency as a COUNT window
-    * over the gram partitioning — no self-join, no second pass over the
-    * shingling, no df table to (impossibly) broadcast at corpus scale —
-    * then one doc_id aggregation. Exactly two shuffles at any corpus
-    * size. At 100 TB, ultra-frequent grams concentrate the window groups
-    * — the same stop-shingle cap documented for the Jaccard path applies. */
+    * strings), document frequency via partial-aggregated groupBy, then a
+    * merge-join of grams × df and one doc_id aggregation. The join is
+    * hinted away from broadcast (the df table is O(distinct n-grams) —
+    * never broadcastable at corpus scale) AND away from the tempting
+    * count-window-over-grams form: hot grams are by definition the
+    * boilerplate ones, and a window partition is ONE unsplittable task
+    * per gram, where the shuffled merge join lets AQE's skew handling
+    * slice the hot gram's rows across tasks (the df side, one row per
+    * gram, duplicates into each slice). Shingling is computed once per
+    * join side — linear scan-side work that parallelizes; skew is the
+    * thing that doesn't. */
   def txtBoilerplate(s: SparkSession, dir: String, minDocs: Int = 5): DataFrame = {
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    withTokens(table(s, dir, "documents"))
+    val grams = withTokens(table(s, dir, "documents"))
       .select(col("doc_id"),
         explode(Sketches.hashedShingles(col("toks"))).as("g"))
-      .withColumn("df", count(lit(1)).over(byGram))
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(docFreq.hint("merge"), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") >= minDocs, lit(1))).as("n_boiler"))

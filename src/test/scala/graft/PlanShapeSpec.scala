@@ -114,13 +114,30 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("distinct-style aggregations stay within the two-phase budget") {
-    // q_txt_boilerplate: df-window over the gram exchange + doc_id agg —
-    // a join-free two-exchange plan (a third exchange means the df side
-    // became a self-join again).
-    for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions",
-      "q_txt_boilerplate")) {
+    for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions")) {
       val (sh, _) = exchanges(q)
       assert(sh <= 2, s"$q expected <=2 shuffles, got $sh")
     }
+  }
+
+  test("boilerplate df join shuffles, never broadcasts or windows the grams") {
+    // Three exchanges (grams->join, df agg, doc_id agg) and NO window or
+    // broadcast: a BroadcastExchange means the df side regressed to a
+    // toy-scale plan (df is O(distinct n-grams)); a Window node means the
+    // hot-gram groups became one unsplittable task each — AQE skew
+    // handling only slices shuffled joins.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_txt_boilerplate")(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case e: BroadcastExchangeExec => e }.isEmpty,
+        "df side got broadcast")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        "df computed as an unsplittable window")
+      val sh = plan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(sh <= 3, s"expected <=3 shuffles, got $sh")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
