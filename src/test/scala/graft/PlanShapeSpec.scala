@@ -120,6 +120,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of joins once on the key; range join never goes nested-loop") {
+    val (sh, _) = exchanges("q_asof_join")
+    assert(sh == 1, s"as-of union-window expected 1 shuffle, got $sh")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_range_join")(spark, dir)
+        .queryExecution.executedPlan
+      val loops = plan.collect {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
+      }
+      assert(loops.isEmpty, "band join degenerated to a nested loop")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("boilerplate df join shuffles, never broadcasts or windows the grams") {
     // Three exchanges (grams->join, df agg, doc_id agg) and NO window or
     // broadcast: a BroadcastExchange means the df side regressed to a

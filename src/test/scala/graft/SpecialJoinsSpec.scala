@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SpecialJoins
+
+class SpecialJoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("as-of join picks the latest prior row, inclusive, max-id on ties") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 10L, 7L),  // same timestamp as left t=10 -> inclusive match
+      (1L, 10L, 9L),  // tie on time: greater id wins
+      (1L, 15L, 3L),  // latest before t=20
+      (3L, 1L, 4L))   // other key, never matched
+      .toDF("k", "rt", "rid")
+    val got = SpecialJoins.asOfJoin(left, right, key = "k",
+        leftTime = "t", rightTime = "rt", rightTieBreak = "rid",
+        payload = Seq("rid", "rt"))
+      .select("lid", "rid", "rt").as[(Long, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      (100L, Some(9L), Some(10L)),  // inclusive + tie -> id 9
+      (101L, Some(3L), Some(15L)),  // latest prior
+      (102L, None, None)))          // no prior right row for key 2
+  }
+
+  test("band join attaches exactly the covering band, whatever the width") {
+    val facts = Seq(0.0, 999.99, 1000.0, 3999.0, 4000.0, 511999.9)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val bands = Seq(("a", 0.0, 1000.0), ("b", 1000.0, 4000.0),
+      ("c", 4000.0, 512000.0)).toDF("band", "lo", "hi")
+    val got = SpecialJoins.bandJoin(facts, bands, "v", "lo", "hi",
+        bucketWidth = 4000.0)
+      .select("id", "band").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "a", 1L -> "a", 2L -> "b", 3L -> "b",
+      4L -> "c", 5L -> "c"))
+  }
+}
