@@ -21,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ MixQueries.queries ++
-      EventQueries.queries ++ SpecialJoins.queries ++
+      EventQueries.queries ++ SpecialJoins.queries ++ DataQuality.queries ++
       Sketches.queries ++ GraphCC.queries ++ PackQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
@@ -33,7 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ MixQueries.oracles ++
-      EventQueries.oracles ++ SpecialJoins.oracles ++
+      EventQueries.oracles ++ SpecialJoins.oracles ++ DataQuality.oracles ++
       Sketches.oracles ++ GraphCC.oracles ++ PackQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++

@@ -351,7 +351,31 @@ object RelationalQueries {
         |GROUP BY n.n_name""".stripMargin)
   }
 
+  /** q_star_join: the canonical 5-table star — fact (lineitem) ⋈ orders,
+    * then the customer→nation→region dimension chain, region-filtered and
+    * rolled up by nation × order year. The point is what CATALYST does
+    * with it when the plan is declarative: the region filter prunes
+    * before the joins, dims broadcast (AQE picks up customer from runtime
+    * stats at gate scale; at 100 TB it shuffles and everything smaller
+    * still broadcasts), and only the fact⋈orders join pays a real
+    * exchange. Revenue is the double product (IEEE-exact cross-engine)
+    * summed as decimal (associative — partition-order-proof). */
+  def starJoin(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_star_join" -> (starJoin _),
     "q_s1_scan_union" -> (s1ScanUnion _),
     "q_p1_prefix_project" -> (p1PrefixProject _),
     "q_p6_filters" -> (p6Filters _),
@@ -382,6 +406,18 @@ object RelationalQueries {
     "q_s9_temp_view_sql" -> (s9TempViewSql _))
 
   val oracles: Map[String, String] = Map(
+    "q_star_join" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28, 6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
     "q_s1_scan_union" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
         |FROM lineitem WHERE l_shipdate < '1997-01-01'

@@ -120,6 +120,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("star join broadcasts every dim; dq report is one aggregation pass") {
+    val (starSh, starBc) = exchanges("q_star_join")
+    // fact⋈orders pays the real exchanges (+ the final rollup); the
+    // customer→nation→region chain must all broadcast at this scale
+    assert(starSh <= 3, s"q_star_join expected <=3 shuffles, got $starSh")
+    assert(starBc >= 3, s"q_star_join dims no longer broadcast (got $starBc)")
+    // one scan; the uniqueness rule's exact countDistinct adds the
+    // standard distinct-expand exchange on top of the final agg exchange
+    val (dqSh, _) = exchanges("q_dq_report")
+    assert(dqSh <= 2, s"q_dq_report expected <=2 shuffles, got $dqSh")
+  }
+
   test("as-of joins once on the key; range join never goes nested-loop") {
     val (sh, _) = exchanges("q_asof_join")
     assert(sh == 1, s"as-of union-window expected 1 shuffle, got $sh")
