@@ -35,6 +35,10 @@ class GraphCCSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L) && got.size == 12)
   }
 
+  test("an empty edge list yields an empty labeling, not an error") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
   test("a 10^4-node path converges within maxIter via pointer jumping") {
     // Diameter 9999 ≫ 25 rounds: pure min-propagation would fail here;
     // pointer jumping closes it in ~log2(n) rounds.

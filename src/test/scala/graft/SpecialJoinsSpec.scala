@@ -27,6 +27,15 @@ class SpecialJoinsSpec extends AnyFunSuite {
       (102L, None, None)))          // no prior right row for key 2
   }
 
+  test("as-of join with an empty right side keeps all left rows with nulls") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "rt", "rid")
+    val got = SpecialJoins.asOfJoin(left, right, "k", "t", "rt", "rid",
+        Seq("rid", "rt"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSeq
+    assert(got == Seq((100L, None)))
+  }
+
   test("band join attaches exactly the covering band, whatever the width") {
     val facts = Seq(0.0, 999.99, 1000.0, 3999.0, 4000.0, 511999.9)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
