@@ -113,6 +113,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_p6 filter no longer pushed to the parquet reader")
   }
 
+  test("no gate plan contains an accidental cross join") {
+    // Sweep the lazily-planned gates (eagerly-executing gates — e2e jobs,
+    // CC, lifecycle, JDBC — are excluded to keep the suite fast; their
+    // shapes are pinned individually or audited via Explain).
+    // BNLJ is allowed only where the broadcast side is tiny BY
+    // CONSTRUCTION: the disjunctive dim join (SURVEY J2), the brute-force
+    // ANN family (≤ nQueries broadcast rows against one corpus scan — the
+    // documented O(n·q) contract), and TF-IDF's one-row corpus-size join.
+    val swept = Seq(
+      "q_j1_broadcast_dims", "q_j2_disjunctive_join", "q_j5_coalesce_lookup",
+      "q_j11_inner_attach", "q_dedup_exact", "q_dedup_jaccard",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
+      "q_dedup_incremental", "q_sim_cosine_topk", "q_sim_lsh_topk",
+      "q_sim_ivf_topk", "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf",
+      "q_txt_boilerplate", "q_txt_contamination", "q_mix_sample",
+      "q_split_assign", "q_split_leakage", "q_sample_stratified",
+      "q_star_join", "q_asof_join", "q_range_join", "q_dq_report",
+      "q_u2_union_precedence", "q_w1_latest_wins", "q_w2_hist_grain",
+      "q_events_funnel", "q_events_attribution", "q_events_wau")
+    val allowedBnlj = Set("q_j2_disjunctive_join", "q_sim_cosine_topk",
+      "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (q <- swept) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+      }.isEmpty, s"$q plans a CartesianProduct")
+      val bnlj = plan.collect {
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
+      }
+      assert(bnlj.isEmpty || allowedBnlj(q), s"$q plans a BroadcastNestedLoopJoin")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("distinct-style aggregations stay within the two-phase budget") {
     for (q <- Seq("q_sketch_theta", "q_corpus_stats", "q_events_transitions")) {
       val (sh, _) = exchanges(q)
