@@ -24,7 +24,8 @@ object SparkEntry {
       EventQueries.queries ++ SpecialJoins.queries ++ DataQuality.queries ++
       Sketches.queries ++ GraphCC.queries ++ PackQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      LifecycleQueries.queries ++ graft.pipeline.mls.MlsJob1Gate.queries ++
+      LifecycleQueries.queries ++ graft.sources.CatalogBucketing.queries ++
+      graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
       graft.pipeline.mls.MlsJob3Gate.queries ++
       graft.pipeline.mls.MlsEnrichMssqlGate.queries
@@ -36,7 +37,8 @@ object SparkEntry {
       EventQueries.oracles ++ SpecialJoins.oracles ++ DataQuality.oracles ++
       Sketches.oracles ++ GraphCC.oracles ++ PackQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      LifecycleQueries.oracles ++ graft.pipeline.mls.MlsJob1Gate.oracles ++
+      LifecycleQueries.oracles ++ graft.sources.CatalogBucketing.oracles ++
+      graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++
       graft.pipeline.mls.MlsJob3Gate.oracles ++
       graft.pipeline.mls.MlsEnrichMssqlGate.oracles

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.TableIO.table
+
+/** Native Spark catalog bucketing — the co-located-join layout for tables
+  * that are JOINED repeatedly on the same key (the manual key-hash layout
+  * in [[BucketedTable]] solves the delta-MERGE problem; this one solves
+  * repeated join shuffles). Both sides written with `bucketBy(n, key)` +
+  * `sortBy(key)` join with NO exchange and NO sort: each task zips bucket
+  * i of both tables, so a 100 TB fact ⋈ 100 TB fact join moves zero
+  * bytes over the network — the shuffle was paid once at write time and
+  * amortizes over every subsequent join, the defining trade of a
+  * warehouse layout. Bucket counts must match (or divide) across tables;
+  * size buckets so one bucket of the bigger table fits a task's memory.
+  * (The per-bucket in-task sort remains by default — Spark ≥ 3.0 only
+  * reports bucket sort order under the legacy
+  * `bucketedTableScan.outputOrdering` conf, valid when every bucket is a
+  * single file, which [[writeBucketed]]'s pre-write repartition
+  * guarantees.)
+  */
+object CatalogBucketing {
+
+  /** Write `df` as a bucketed+sorted catalog table at `path`. The
+    * pre-write repartition on the bucket key gives ONE file per bucket
+    * (bucketBy alone writes tasks × buckets files — a small-file
+    * explosion AND it forces a sort back into later joins, since sorted
+    * reads only hold within a single file per bucket). */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+                    nBuckets: Int, key: String): Unit =
+    df.repartition(nBuckets, col(key))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(name)
+
+  /** q_bucketed_join: documents and embeddings land as 8-bucket tables on
+    * the shared id, then join bucket-to-bucket — the plan has no exchange
+    * and no sort on the join (pinned by PlanShapeSpec); only the final
+    * per-label rollup shuffles. The oracle replays the join from the raw
+    * parquet — bucketing must be invisible to results. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+    writeBucketed(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "graft_bkt_docs", s"$wh/docs", nBuckets = 8, key = "doc_id")
+    writeBucketed(
+      table(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label")),
+      "graft_bkt_emb", s"$wh/emb", nBuckets = 8, key = "doc_id")
+    s.table("graft_bkt_docs").join(s.table("graft_bkt_emb"), "doc_id")
+      .groupBy(col("label"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** The join alone (tables must already exist) — used by the plan-shape
+    * pin so the write isn't re-measured. */
+  def joinOnly(s: SparkSession): DataFrame =
+    s.table("graft_bkt_docs").join(s.table("graft_bkt_emb"), "doc_id")
+      .groupBy(col("label"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_join" -> (bucketedJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT e.label, d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY e.label, d.lang""".stripMargin)
+}

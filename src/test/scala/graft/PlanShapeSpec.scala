@@ -113,6 +113,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_p6 filter no longer pushed to the parquet reader")
   }
 
+  test("bucketed tables join with no exchange and no sort") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // disable broadcast: at gate scale the small side would broadcast and
+    // hide the property under test — the 100 TB case is big ⋈ big, where
+    // the bucketed layout is what saves the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.CatalogBucketing.bucketedJoin(spark, dir).count()
+      val plan = graft.sources.CatalogBucketing.joinOnly(spark)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a shuffled-family join over buckets")
+      // the join subtree must be exchange-free: the bucket layout already
+      // co-locates both sides, so nothing crosses the network. (An
+      // in-task SortExec per bucket remains — since 3.0 Spark doesn't
+      // trust bucket sort order by default; the legacy
+      // bucketedTableScan.outputOrdering conf restores sort-free reads
+      // when every bucket is one file, which writeBucketed guarantees.)
+      joins.foreach { j =>
+        assert(j.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "bucketed join grew an exchange")
+      }
+      val totalSh = plan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(totalSh == 1, s"expected only the rollup exchange, got $totalSh")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("no gate plan contains an accidental cross join") {
     // Sweep the lazily-planned gates (eagerly-executing gates — e2e jobs,
     // CC, lifecycle, JDBC — are excluded to keep the suite fast; their
