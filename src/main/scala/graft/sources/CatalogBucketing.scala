@@ -64,10 +64,37 @@ object CatalogBucketing {
       .groupBy(col("label"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** q_partitioned_scan: Hive-style `partitionBy` layout + partition
+    * pruning — the directory-level complement of row-group pruning. The
+    * corpus lands partitioned by language; a language-filtered read then
+    * LISTS only that partition's directory (the filter resolves against
+    * partition values in the driver — `PartitionFilters` in the scan, no
+    * data files of other partitions are even opened). At 100 TB with
+    * date+source partitions this is the difference between touching a
+    * day's directory and listing the lake. The aggregate result is
+    * layout-invariant — the oracle reads the raw parquet. */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_partitioned").getAbsolutePath
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(root)
+    s.read.parquet(root)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bucketed_join" -> (bucketedJoin _))
+    "q_bucketed_join" -> (bucketedJoin _),
+    "q_partitioned_scan" -> (partitionedScan _))
 
   val oracles: Map[String, String] = Map(
+    "q_partitioned_scan" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source""".stripMargin,
     "q_bucketed_join" ->
       """SELECT e.label, d.lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens

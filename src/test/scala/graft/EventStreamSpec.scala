@@ -109,6 +109,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
   }
 
+  test("sessionization state survives a stop/restart from checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val min = 60L * 1000000L
+    val base = 1000L
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // memory sink can't recover from a checkpoint; the parquet sink can
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+    val stream = MemoryStream[Event]
+    def start() = EventStream.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    stream.addData(Event(1, 1, (base + 0) * min, "a", 1.0))
+    q1.processAllAvailable(); q1.stop()
+
+    // restart from the same checkpoint: the in-gap event must land in the
+    // RESTORED session 1, not a fresh session — state came from the store
+    val q2 = start()
+    stream.addData(
+      Event(2, 1, (base + 10) * min, "a", 1.0),  // 10 min later → session 1
+      Event(3, 1, (base + 90) * min, "a", 1.0))  // 80-min gap → session 2
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir).as[(Long, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("streaming attribution carries last-view state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     implicit val sp = spark

@@ -148,6 +148,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned scan prunes to the filtered partition") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_partitioned_scan")(spark, dir)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      // the lang filter must resolve at partition-listing time, and only
+      // the en/ directory's files may be selected
+      assert(scans.exists(_.metadata.getOrElse("PartitionFilters", "")
+        .contains("lang")), "lang filter not applied as a partition filter")
+      scans.foreach { s =>
+        assert(s.selectedPartitions.partitionCount == 1,
+          s"expected 1 pruned partition, got ${s.selectedPartitions.partitionCount}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no gate plan contains an accidental cross join") {
     // Sweep the lazily-planned gates (eagerly-executing gates — e2e jobs,
     // CC, lifecycle, JDBC — are excluded to keep the suite fast; their
