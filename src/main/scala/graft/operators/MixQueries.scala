@@ -215,11 +215,17 @@ object MixQueries {
     * docs incident to a near-dup pair), so AQE broadcasts the left join;
     * the split draw itself is scan-side — the operator adds ONE broadcast
     * join on top of the dedup pipeline the corpus already runs. */
-  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val clusters = GraphCC.dedupClusters(s, dir)
-      .select(col("doc_id"), col("cluster_id"))
-    table(s, dir, "documents")
-      .select(col("doc_id"))
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageFrom(
+      table(s, dir, "documents").select(col("doc_id")),
+      GraphCC.dedupClusters(s, dir).select(col("doc_id"), col("cluster_id")))
+
+  /** Split assignment from an EXISTING cluster labeling — lets a pipeline
+    * that already ran the dedup (CurationDemo) reuse it instead of paying
+    * the pair-generation + components pass twice. `clusters` carries
+    * (doc_id, cluster_id) for clustered docs only. */
+  def splitLeakageFrom(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket", saltedDraw(groupSplitSalt, col("group_id")) % 100L)
@@ -228,7 +234,6 @@ object MixQueries {
           .when(col("bucket") < 95, "validation")
           .otherwise("test"))
       .select(col("doc_id"), col("group_id"), col("split"))
-  }
 
   /** q_sample_stratified: fixed-count per-stratum sample — `nPer`
     * documents from every source, the holdout/inspection draw that a

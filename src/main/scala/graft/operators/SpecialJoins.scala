@@ -33,25 +33,40 @@ object SpecialJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightTieBreak: String, payload: Seq[String]): DataFrame = {
+    // The payload travels as ONE struct, not as independent columns: a
+    // per-column last(ignoreNulls) would skip a null FIELD of the latest
+    // right row and stitch in that field from an older row — a "torn"
+    // combination existing in no input row. The struct itself is
+    // non-null on every right row, so last(ignoreNulls) carries the
+    // whole matched row or nothing.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("_t", col(leftTime)).withColumn("_r", lit(0))
       .withColumn("_tb", lit(null).cast(right.schema(rightTieBreak).dataType))
+      .withColumn("_p", lit(null).cast(payloadType))
     val r = right.select((key +: rightTime +: rightTieBreak +: payload).distinct
         .map(col): _*)
       .withColumn("_t", col(rightTime)).withColumn("_r", lit(1))
       .withColumn("_tb", col(rightTieBreak))
-    val unioned = l.unionByName(
-      r.drop((Seq(rightTime, rightTieBreak) diff payload): _*),
-      allowMissingColumns = true)
+      .withColumn("_p", struct(payload.map(col): _*))
+      .drop((Seq(rightTime, rightTieBreak) diff payload): _*)
+      .drop(payload: _*)
+    require(payload.forall(!left.columns.contains(_)),
+      s"payload columns ${payload.mkString(",")} must not collide with left columns")
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort BEFORE left rows at equal time (_r desc) → the
     // carried value at a left row includes same-timestamp right rows
     // (inclusive <=); among right ties the greatest _tb lands last.
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t").asc, col("_r").desc, col("_tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried.filter(col("_r") === 0).drop("_t", "_r", "_tb")
+    val carried = unioned
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    val unpacked = payload.foldLeft(carried)((df, c) =>
+      df.withColumn(c, col("_p").getField(c)))
+    unpacked.filter(col("_r") === 0).drop("_t", "_r", "_tb", "_p")
   }
 
   /** Generic range (band) join: attach to each fact row the band whose
@@ -65,9 +80,14 @@ object SpecialJoins {
     * pick bucketWidth near the median band width. */
   def bandJoin(facts: DataFrame, bands: DataFrame, valueCol: String,
                loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    // upper bucket from hi itself, NOT hi-ε: a bucket boundary falling
+    // inside (hi-ε, hi) would otherwise lose the band's last bucket and
+    // silently drop facts in it — a spurious extra bucket is harmless
+    // (the residual interval filter removes it), a missing one is an
+    // unrecoverable false negative.
     val exploded = bands.withColumn("_bucket", explode(sequence(
       floor(col(loCol) / bucketWidth).cast("long"),
-      floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+      floor(col(hiCol) / bucketWidth).cast("long"))))
     facts.withColumn("_bucket", floor(col(valueCol) / bucketWidth).cast("long"))
       .join(exploded, "_bucket")
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))

@@ -51,15 +51,18 @@ object CurationDemo {
     val docs = graft.sources.TableIO.table(spark, sfDir, "documents")
     val n0 = docs.count()
 
-    // 2. near-dup clustering: drop every non-canonical cluster member
-    val dropIds = GraphCC.dedupClusters(spark, sfDir)
-      .filter(col("is_canonical") === 0).select("doc_id")
+    // 2. near-dup clustering, run ONCE — both the drop set and the
+    // cluster-aware split derive from the same labeling (the checkpoint
+    // inside connectedComponents makes the reuse free)
+    val clusters = GraphCC.dedupClusters(spark, sfDir)
+    val dropIds = clusters.filter(col("is_canonical") === 0).select("doc_id")
     // 3. quality filter
     val quality = TextQueries.txtQuality(spark, sfDir)
       .select(col("doc_id"), col("quality_score"), col("n_tokens"))
     // 4. leakage-safe split (cluster-aware, computed BEFORE the drop so
     // the canonical keeps its cluster's assignment)
-    val splits = MixQueries.splitLeakage(spark, sfDir).select("doc_id", "split")
+    val splits = MixQueries.splitLeakageFrom(docs,
+      clusters.select(col("doc_id"), col("cluster_id"))).select("doc_id", "split")
 
     val curated = docs
       .join(dropIds, Seq("doc_id"), "left_anti")

@@ -183,7 +183,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_dedup_incremental", "q_sim_cosine_topk", "q_sim_lsh_topk",
       "q_sim_ivf_topk", "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf",
       "q_txt_boilerplate", "q_txt_contamination", "q_mix_sample",
-      "q_split_assign", "q_split_leakage", "q_sample_stratified",
+      "q_split_assign", "q_sample_stratified",
       "q_star_join", "q_asof_join", "q_range_join", "q_dq_report",
       "q_u2_union_precedence", "q_w1_latest_wins", "q_w2_hist_grain",
       "q_events_funnel", "q_events_attribution", "q_events_wau")

@@ -27,6 +27,19 @@ class SpecialJoinsSpec extends AnyFunSuite {
       (102L, None, None)))          // no prior right row for key 2
   }
 
+  test("as-of join carries the whole matched row, never a torn mix") {
+    val left = Seq((1L, 3L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 1L, 1L, Some("a")), (1L, 2L, 2L, None))
+      .toDF("k", "rt", "rid", "x")
+    val got = SpecialJoins.asOfJoin(left, right, "k", "t", "rt", "rid",
+        Seq("rid", "x"))
+      .select("lid", "rid", "x").as[(Long, Option[Long], Option[String])]
+      .collect().toSeq
+    // the latest right row is (rid=2, x=NULL); per-column carry would
+    // stitch (rid=2, x="a") — a row that exists nowhere
+    assert(got == Seq((100L, Some(2L), None)))
+  }
+
   test("as-of join with an empty right side keeps all left rows with nulls") {
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
     val right = Seq.empty[(Long, Long, Long)].toDF("k", "rt", "rid")
