@@ -75,6 +75,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals the brute-force latest-prior pick on any input") {
+    val asofGen: Gen[(List[(Int, Int, Int)], List[(Int, Int, Int)])] = for {
+      l <- Gen.listOf(for { k <- Gen.chooseNum(1, 4); t <- Gen.chooseNum(0, 20)
+                            id <- Gen.chooseNum(100, 999) } yield (k, t, id))
+      r <- Gen.listOf(for { k <- Gen.chooseNum(1, 4); t <- Gen.chooseNum(0, 20)
+                            tb <- Gen.chooseNum(1, 99) } yield (k, t, tb))
+    } yield (l, r)
+    for ((lRows, rRows) <- cases(asofGen) if lRows.nonEmpty) {
+      val left = lRows.map { case (k, t, id) => (k.toLong, t.toLong, id.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rRows.map { case (k, t, tb) => (k.toLong, t.toLong, tb.toLong) }
+        .toDF("k", "rt", "tb")
+      val got = graft.operators.SpecialJoins
+        .asOfJoin(left, right, "k", "t", "rt", "tb", Seq("tb", "rt"))
+        .select("k", "t", "lid", "tb", "rt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      // brute force: per left row, the (rt, tb)-max right row with rt <= t
+      val expected = lRows.map { case (k, t, id) =>
+        val best = rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption
+        (k.toLong, t.toLong, id.toLong,
+          best.map(_._3.toLong), best.map(_._2.toLong))
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
+  test("band join equals the brute-force interval filter for any bands") {
+    val bandGen: Gen[(List[Int], List[Int])] = for {
+      vals <- Gen.nonEmptyListOf(Gen.chooseNum(0, 200))
+      cuts <- Gen.nonEmptyListOf(Gen.chooseNum(0, 200))
+    } yield (vals, cuts)
+    for (((vals, cuts), i) <- cases(bandGen).zipWithIndex if cuts.distinct.size >= 2) {
+      val edges = cuts.distinct.sorted
+      val bands = edges.zip(edges.tail).zipWithIndex
+        .map { case ((lo, hi), j) => (s"b$j", lo.toDouble, hi.toDouble) }
+      val facts = vals.zipWithIndex
+        .map { case (v, id) => (id.toLong, v.toDouble) }.toDF("id", "v")
+      val width = Seq(3.0, 7.0, 50.0)(i % 3) // wildly mis-sized on purpose
+      val got = graft.operators.SpecialJoins
+        .bandJoin(facts, bands.toDF("band", "lo", "hi"), "v", "lo", "hi", width)
+        .select("id", "band").as[(Long, String)].collect().toSet
+      val expected = (for {
+        (v, id) <- vals.zipWithIndex
+        (b, lo, hi) <- bands if v >= lo && v < hi
+      } yield (id.toLong, b)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("salted top-k equals windowed top-k for any k") {
     for ((rows, i) <- cases(rowGen).zipWithIndex if rows.nonEmpty) {
       val k = 1 + (i % 4)
