@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, StructType}
 import graft.sources.TableIO.table
 
 /** The two join shapes Spark SQL has no native operator for — as-of and
@@ -33,38 +33,46 @@ object SpecialJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightTieBreak: String, payload: Seq[String]): DataFrame = {
+    val pay = payload.distinct
+    val reserved = Seq("_t", "_r", "_tb", "_p")
+    require(pay.forall(!left.columns.contains(_)),
+      s"payload columns ${pay.mkString(",")} must not collide with left columns")
+    require(reserved.forall(c =>
+        !left.columns.contains(c) && !right.columns.contains(c)),
+      s"columns ${reserved.mkString(",")} are reserved by asOfJoin")
     // The payload travels as ONE struct, not as independent columns: a
     // per-column last(ignoreNulls) would skip a null FIELD of the latest
     // right row and stitch in that field from an older row — a "torn"
     // combination existing in no input row. The struct itself is
     // non-null on every right row, so last(ignoreNulls) carries the
     // whole matched row or nothing.
-    val payloadType = org.apache.spark.sql.types.StructType(
-      payload.map(c => org.apache.spark.sql.types.StructField(
-        c, right.schema(c).dataType, nullable = true)))
+    val payloadType = StructType(pay.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("_t", col(leftTime)).withColumn("_r", lit(0))
       .withColumn("_tb", lit(null).cast(right.schema(rightTieBreak).dataType))
       .withColumn("_p", lit(null).cast(payloadType))
-    val r = right.select((key +: rightTime +: rightTieBreak +: payload).distinct
+    val r = right.select((key +: rightTime +: rightTieBreak +: pay).distinct
         .map(col): _*)
       .withColumn("_t", col(rightTime)).withColumn("_r", lit(1))
       .withColumn("_tb", col(rightTieBreak))
-      .withColumn("_p", struct(payload.map(col): _*))
-      .drop((Seq(rightTime, rightTieBreak) diff payload): _*)
-      .drop(payload: _*)
-    require(payload.forall(!left.columns.contains(_)),
-      s"payload columns ${payload.mkString(",")} must not collide with left columns")
+      .withColumn("_p", struct(pay.map(col): _*))
+      .drop((Seq(rightTime, rightTieBreak) diff pay): _*)
+      .drop(pay: _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort BEFORE left rows at equal time (_r desc) → the
     // carried value at a left row includes same-timestamp right rows
-    // (inclusive <=); among right ties the greatest _tb lands last.
+    // (inclusive <=); among right ties the greatest _tb lands last, and
+    // rows fully tied on (time, tiebreak) fall back to a hash of the
+    // payload itself — the pick among true duplicates stays deterministic
+    // across shuffles instead of depending on physical arrival order.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t").asc, col("_r").desc, col("_tb").asc_nulls_first)
+      .orderBy(col("_t").asc, col("_r").desc, col("_tb").asc_nulls_first,
+        hash(col("_p")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
-    val unpacked = payload.foldLeft(carried)((df, c) =>
+    val unpacked = pay.foldLeft(carried)((df, c) =>
       df.withColumn(c, col("_p").getField(c)))
     unpacked.filter(col("_r") === 0).drop("_t", "_r", "_tb", "_p")
   }

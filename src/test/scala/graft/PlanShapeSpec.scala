@@ -168,6 +168,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("leakage split attaches clusters with an equi-join, never a loop") {
+    // q_split_leakage's eager CC half keeps it out of the sweep below;
+    // guard the lazy half directly with an inline cluster labeling.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.sources.TableIO.table(spark, dir, "documents")
+      val clusters = Seq((3L, 1L), (7L, 1L)).toDF("doc_id", "cluster_id")
+      val plan = graft.operators.MixQueries.splitLeakageFrom(docs, clusters)
+        .queryExecution.executedPlan
+      val loops = plan.collect {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
+      }
+      assert(loops.isEmpty, "cluster attach degenerated to a nested loop")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no gate plan contains an accidental cross join") {
     // Sweep the lazily-planned gates (eagerly-executing gates — e2e jobs,
     // CC, lifecycle, JDBC — are excluded to keep the suite fast; their
