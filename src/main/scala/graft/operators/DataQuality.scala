@@ -29,12 +29,17 @@ object DataQuality {
     * (rule, n_violations, passed) per rule. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "data-quality check needs at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"data-quality rule names must be distinct, got: ${rules.map(_.name).mkString(", ")}")
+    // Packed agg aliases are namespaced so a rule named like a df column
+    // can't be shadowed in the explode stage below.
+    def alias(r: Rule) = s"_dq_${r.name}"
     val packed = df.agg(
-      rules.head.violations.cast("long").as(rules.head.name),
-      rules.tail.map(r => r.violations.cast("long").as(r.name)): _*)
+      rules.head.violations.cast("long").as(alias(rules.head)),
+      rules.tail.map(r => r.violations.cast("long").as(alias(r))): _*)
     packed.select(explode(array(rules.map(r =>
         struct(lit(r.name).as("rule"),
-          coalesce(col(r.name), lit(0L)).as("n_violations"))): _*)).as("c"))
+          coalesce(col(alias(r)), lit(0L)).as("n_violations"))): _*)).as("c"))
       .select(col("c.rule"), col("c.n_violations"),
         (col("c.n_violations") === 0L).as("passed"))
   }

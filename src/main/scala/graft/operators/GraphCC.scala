@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   * is detected from the propagation result alone (a propagation fixed
   * point is provably fully-converged: the max label in a component at a
   * fixed point spreads to the whole component, and labels are node ids
-  * bounded below by the component minimum), and the check is a scan of
-  * the round's checkpoint — the old label rides the aggregation as
-  * `self_label`, so no extra join per round.
+  * bounded below by the component minimum). The old label rides the
+  * aggregation as `self_label`, so no extra join per round, and the
+  * convergence count is read off the SAME driver action that materializes
+  * the round's propagation (persist + one count) — one action per round,
+  * not checkpoint-then-scan.
   *
   * Scale posture: the adjacency is checkpointed once (upstream pair
   * generation never re-executes), labels are checkpointed per round so the
@@ -63,21 +65,33 @@ object GraphCC {
       .localCheckpoint()
     var converged = false
     var rounds = 0
+    var prevRound: Option[DataFrame] = None
     while (!converged && rounds < maxIter) {
       // Propagate. The self-loop row (dst==src) carries dst's own current
       // label through the join, so min() can only lower it AND the group
       // knows its pre-round label — convergence needs no join against the
       // previous table.
+      //
+      // ONE driver action per round: the propagation result is persisted
+      // and the not-yet-converged count is read off the SAME job that
+      // materializes it (count() fills the cache as it scans) — previously
+      // this was a checkpoint-materialize job PLUS a separate isEmpty
+      // scan. The plan above the persist stays constant-size because its
+      // inputs (`adj`, `labels`) are themselves checkpoints.
       val next = adj
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("component")).as("component"),
           min(when(col("src") === col("dst"), col("component")))
             .as("self_label"))
-        .localCheckpoint()
-      converged = next.filter(col("component") < col("self_label")).isEmpty
+        .persist()
+      converged = next.filter(col("component") < col("self_label")).count() == 0L
       labels =
-        if (converged) next.select(col("node"), col("component"))
+        if (converged)
+          // Final labels detach from the cache (reading it, so this last
+          // checkpoint job is a cache scan) and the round cache unpins
+          // below — nothing stays persisted after the call.
+          next.select(col("node"), col("component")).localCheckpoint()
         else {
           // Pointer jump: label ← label(label). Every label value is a
           // node id in the same component, so the inner self-join always
@@ -90,6 +104,11 @@ object GraphCC {
             .select(col("x.node").as("node"), col("y.jc").as("component"))
             .localCheckpoint()
         }
+      // The previous round's propagation cache is dead once this round's
+      // labels (checkpointed) exist.
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = if (converged) { next.unpersist(blocking = false); None }
+                  else Some(next)
       rounds += 1
     }
     if (!converged)

@@ -87,15 +87,32 @@ object SpecialJoins {
     * (every fact × every band). Replication = bands' width/bucketWidth;
     * pick bucketWidth near the median band width. */
   def bandJoin(facts: DataFrame, bands: DataFrame, valueCol: String,
-               loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+               loCol: String, hiCol: String, bucketWidth: Double,
+               maxBucketsPerBand: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, s"bandJoin: bucketWidth must be > 0, got $bucketWidth")
+    require(maxBucketsPerBand > 0,
+      s"bandJoin: maxBucketsPerBand must be > 0, got $maxBucketsPerBand")
     // upper bucket from hi itself, NOT hi-ε: a bucket boundary falling
     // inside (hi-ε, hi) would otherwise lose the band's last bucket and
     // silently drop facts in it — a spurious extra bucket is harmless
     // (the residual interval filter removes it), a missing one is an
     // unrecoverable false negative.
-    val exploded = bands.withColumn("_bucket", explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
+    //
+    // A band much wider than bucketWidth explodes into width/bucketWidth
+    // rows; a mis-sized bucketWidth would OOM one task with no diagnostic,
+    // so the explode fails loudly past `maxBucketsPerBand` instead.
+    val lastBucket = floor(col(hiCol) / bucketWidth).cast("long")
+    val firstBucket = floor(col(loCol) / bucketWidth).cast("long")
+    val guardedLast = when(lastBucket - firstBucket < lit(maxBucketsPerBand),
+        lastBucket)
+      .otherwise(raise_error(concat(
+        lit(s"bandJoin: band ["), col(loCol).cast("string"), lit(", "),
+        col(hiCol).cast("string"),
+        lit(s") explodes into > $maxBucketsPerBand buckets of width " +
+          s"$bucketWidth; raise bucketWidth or maxBucketsPerBand"))
+        .cast("string")).cast("long"))
+    val exploded = bands.withColumn("_bucket",
+      explode(sequence(firstBucket, guardedLast)))
     facts.withColumn("_bucket", floor(col(valueCol) / bucketWidth).cast("long"))
       .join(exploded, "_bucket")
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))

@@ -24,6 +24,12 @@ object CurationDemo {
   private val hardRules = Set("doc_id_unique", "text_complete", "n_chars_consistent")
 
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.pipeline.CurationDemo <sfDir> <outDir>\n" +
+          "  e.g. graft.pipeline.CurationDemo /root/testdata/sf0.001 /tmp/graft_curation")
+      sys.exit(1)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .master("local[4]")

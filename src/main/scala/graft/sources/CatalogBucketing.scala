@@ -22,6 +22,22 @@ import graft.sources.TableIO.table
   */
 object CatalogBucketing {
 
+  /** Scratch layout + table names are PER-PROCESS (pid-suffixed) and the
+    * gate writes are memoized per source dir: two concurrent JVMs (bench +
+    * sbt test) previously shared one tmpdir path and could Overwrite each
+    * other's files mid-read, and every timed bench pass re-paid the write.
+    * With the suffix + memo, the write-side shuffle is paid once per
+    * process (the warehouse-layout amortization this operator exists to
+    * demonstrate) and the timed passes measure the exchange-free join. */
+  private val pid = ProcessHandle.current().pid()
+  private def scratch(kind: String): String = new java.io.File(
+    System.getProperty("java.io.tmpdir"), s"graft_${kind}_$pid").getAbsolutePath
+  // kind -> source dir currently materialized (re-written when it changes)
+  private val written = scala.collection.mutable.Map[String, String]()
+
+  private[sources] def docsTable = s"graft_bkt_docs_$pid"
+  private[sources] def embTable = s"graft_bkt_emb_$pid"
+
   /** Write `df` as a bucketed+sorted catalog table at `path`. The
     * pre-write repartition on the bucket key gives ONE file per bucket
     * (bucketBy alone writes tasks × buckets files — a small-file
@@ -43,24 +59,26 @@ object CatalogBucketing {
     * per-label rollup shuffles. The oracle replays the join from the raw
     * parquet — bucketing must be invisible to results. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val wh = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
-    writeBucketed(
-      table(s, dir, "documents").select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")),
-      "graft_bkt_docs", s"$wh/docs", nBuckets = 8, key = "doc_id")
-    writeBucketed(
-      table(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label")),
-      "graft_bkt_emb", s"$wh/emb", nBuckets = 8, key = "doc_id")
-    s.table("graft_bkt_docs").join(s.table("graft_bkt_emb"), "doc_id")
-      .groupBy(col("label"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    written.synchronized {
+      if (!written.get("bkt").contains(dir)) {
+        val wh = scratch("bucketed")
+        writeBucketed(
+          table(s, dir, "documents").select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          docsTable, s"$wh/docs", nBuckets = 8, key = "doc_id")
+        writeBucketed(
+          table(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label")),
+          embTable, s"$wh/emb", nBuckets = 8, key = "doc_id")
+        written("bkt") = dir
+      }
+    }
+    joinOnly(s)
   }
 
   /** The join alone (tables must already exist) — used by the plan-shape
     * pin so the write isn't re-measured. */
   def joinOnly(s: SparkSession): DataFrame =
-    s.table("graft_bkt_docs").join(s.table("graft_bkt_emb"), "doc_id")
+    s.table(docsTable).join(s.table(embTable), "doc_id")
       .groupBy(col("label"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
@@ -74,11 +92,15 @@ object CatalogBucketing {
     * day's directory and listing the lake. The aggregate result is
     * layout-invariant — the oracle reads the raw parquet. */
   def partitionedScan(s: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_partitioned").getAbsolutePath
-    table(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
-      .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(root)
+    val root = scratch("partitioned")
+    written.synchronized {
+      if (!written.get("part").contains(dir)) {
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(root)
+        written("part") = dir
+      }
+    }
     s.read.parquet(root)
       .filter(col("lang") === "en")
       .groupBy(col("source"))
