@@ -95,6 +95,36 @@ object LifecycleQueries {
     BucketedTable.read(s, root)
   }
 
+  /** Full bucketed-table LIFECYCLE (the 100 TB path): create a 16-bucket
+    * versioned table from the ≤1994 order slice, chain TWO delta-proportional
+    * merges (an unconditional upsert, then a conditional update/DELETE —
+    * each rewriting only the buckets its delta touches), VACUUM down to the
+    * live manifest, and read back through it. Reading AFTER vacuum proves
+    * retention is manifest-reachability, not version age: untouched buckets
+    * still live in v0 and must survive. Reference cycle:
+    * mls_listings_curated.py:329-353 (MERGE) + :366-368 (vacuum). */
+  def lifecycleBucketed(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("lifecycle_bucketed")
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    val base = shaped(col("o_orderdate") <= lit("1994-12-31"), "base")
+    val d1 = shaped(col("o_orderdate").between(lit("1994-07-01"),
+      lit("1995-06-30")), "d1")
+    val d2 = shaped(col("o_orderdate").between(lit("1995-01-01"),
+      lit("1995-12-31")), "d2")
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    BucketedTable.merge(s, root, d1)
+    BucketedTable.merge(s, root, d2,
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))))
+    BucketedTable.vacuum(root, keep = 1)
+    BucketedTable.read(s, root)
+  }
+
   /** Surrogate-key reconciliation (S12): existing (name → id) mappings are
     * preserved verbatim; new natural keys get max(existing) + their rank in
     * natural-key order — computed with the parallel sort+zipWithIndex path,
@@ -181,6 +211,7 @@ object LifecycleQueries {
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_bucketed_merge" -> (bucketedMerge _),
+    "q_lifecycle_bucketed" -> (lifecycleBucketed _),
     "q_s12_surrogate_keys" -> (surrogateKeys _),
     "q_s7_orc_mirror" -> (orcMirror _),
     "q_s10_external_table" -> (externalTable _),
@@ -272,6 +303,40 @@ object LifecycleQueries {
         |SELECT l96.cust, l96.last_dt, l96.n_orders, l96.total
         |FROM l96 LEFT JOIN l95 ON l96.cust = l95.cust
         |WHERE l95.cust IS NULL OR l96.last_dt > l95.last_dt""".stripMargin,
+    "q_lifecycle_bucketed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
+        |  FROM orders WHERE o_orderdate <= DATE '1994-12-31'),
+        |d1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1995-06-30'),
+        |d2 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'd2' AS tag
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+        |m1 AS (
+        |  SELECT coalesce(d.k, b.k) AS k,
+        |    CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
+        |    CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
+        |    CASE WHEN d.k IS NOT NULL THEN d.dt ELSE b.dt END AS dt,
+        |    CASE WHEN d.k IS NOT NULL THEN d.tag ELSE b.tag END AS tag
+        |  FROM base b FULL OUTER JOIN d1 d ON b.k = d.k)
+        |SELECT coalesce(d.k, m.k) AS k,
+        |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE m.st END AS st,
+        |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE m.total END AS total,
+        |  CASE WHEN d.k IS NOT NULL THEN d.dt ELSE m.dt END AS dt,
+        |  CASE WHEN d.k IS NOT NULL THEN d.tag ELSE m.tag END AS tag
+        |FROM m1 m FULL OUTER JOIN d2 d ON m.k = d.k
+        |WHERE (m.k IS NOT NULL AND d.k IS NULL)
+        |   OR (d.k IS NOT NULL AND m.k IS NULL)
+        |   OR (m.k IS NOT NULL AND d.k IS NOT NULL AND d.st <> 'F')""".stripMargin,
     "q_bucketed_merge" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -39,8 +39,10 @@ object BucketedTable {
   private def bucketCol(keys: Seq[String], nBuckets: Int) =
     pmod(hash(keys.map(col): _*), lit(nBuckets))
 
-  private def readMeta(root: String): Meta = {
-    val v = Files.readString(latestFile(root)).trim.toInt
+  private def readMeta(root: String): Meta =
+    readMetaAt(root, Files.readString(latestFile(root)).trim.toInt)
+
+  private def readMetaAt(root: String, v: Int): Meta = {
     val lines = Files.readAllLines(Paths.get(root, s"v$v", "_manifest")).asScala
     val header = lines.head.split(",") // nBuckets,key1;key2
     Meta(v, header(0).toInt, header(1).split(";").toIndexedSeq,
@@ -135,5 +137,39 @@ object BucketedTable {
     }
     writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
     srcB.unpersist()
+  }
+
+  /** VACUUM for the bucketed layout (reference semantics:
+    * DeltaTable.vacuum, mls_listings_curated.py:366-368). Unlike
+    * [[ManagedTable.vacuum]], old version dirs cannot simply be dropped by
+    * age: the live manifest carries untouched buckets forward BY REFERENCE,
+    * so an old dir may still host live data. Retention is therefore
+    * manifest-reachability — keep the newest `keep` manifests, keep every
+    * bucket dir some retained manifest references, and delete the rest
+    * (unreferenced bucket dirs, then version dirs left with nothing).
+    * Deletion cost is proportional to the GARBAGE, never the table. */
+  def vacuum(root: String, keep: Int = 1): Unit = {
+    val live = Files.readString(latestFile(root)).trim.toInt
+    val retained = (math.max(0, live - keep + 1) to live)
+      .filter(v => Files.exists(Paths.get(root, s"v$v", "_manifest")))
+    val referenced: Set[(Int, String)] = retained.flatMap { v =>
+      readMetaAt(root, v).manifest.toSeq.map { case (b, ver) => (b, ver) }
+    }.toSet
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+")).toList
+      .foreach { vdir =>
+        val vname = vdir.getFileName.toString
+        Files.list(vdir).iterator().asScala
+          .filter(_.getFileName.toString.matches("b\\d{5}")).toList
+          .foreach { bdir =>
+            val b = bdir.getFileName.toString.drop(1).toInt
+            if (!referenced((b, vname))) ScratchDirs.deleteRecursively(bdir)
+          }
+        if (!retained.contains(vname.drop(1).toInt)) {
+          val hostsLiveBuckets = Files.list(vdir).iterator().asScala
+            .exists(_.getFileName.toString.matches("b\\d{5}"))
+          if (!hostsLiveBuckets) ScratchDirs.deleteRecursively(vdir)
+        }
+      }
   }
 }

@@ -37,6 +37,42 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(manifest.count(_.endsWith(",v0")) >= 14)
   }
 
+  test("vacuum keeps manifest-reachable buckets, drops superseded ones") {
+    val root = Files.createTempDirectory("graft_bt_vac").toString
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+    // two merges touching the same small key set → v1's rewrites of those
+    // buckets are superseded by v2 and become garbage
+    val s1 = Seq((5L, "A"), (2000L, "B")).toDF("k", "v")
+    val s2 = Seq((5L, "A2"), (2000L, "B2"), (7L, "C")).toDF("k", "v")
+    BucketedTable.merge(spark, root, s1)
+    BucketedTable.merge(spark, root, s2)
+
+    def bucketDirs(ver: String): Set[String] =
+      if (!Files.exists(Paths.get(root, ver))) Set.empty
+      else Files.list(Paths.get(root, ver)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("b")).toSet
+    val v1Before = bucketDirs("v1")
+    assert(v1Before.nonEmpty)
+
+    BucketedTable.vacuum(root, keep = 1)
+
+    // v2's manifest references only v0 + v2 dirs → every v1 bucket dir
+    // (superseded by the second merge over the same keys) is garbage
+    val manifest = Files.readAllLines(Paths.get(root, "v2", "_manifest"))
+      .asScala.tail.map(_.split(","))
+    assert(manifest.forall(a => a(1) == "v0" || a(1) == "v2"))
+    assert(bucketDirs("v1").isEmpty)
+    // untouched buckets carried by reference in v0 must SURVIVE vacuum
+    assert(bucketDirs("v0").nonEmpty)
+    // and the post-vacuum read equals the chained full-table merge
+    val expected = Merge.mergeFrames(
+      Merge.mergeFrames(target, s1, Seq("k")), s2, Seq("k"))
+      .collect().map(_.toSeq).toSet
+    val got = BucketedTable.read(spark, root).collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
   test("matched-delete empties a bucket without breaking reads") {
     val root = Files.createTempDirectory("graft_bt_del").toString
     val target = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
