@@ -25,6 +25,16 @@ import org.apache.spark.sql.SparkSession
   * RDD and periodically nudge a GC so broadcast/checkpoint cleanup keeps
   * pace. A real cluster job never meets this shape (one query per app);
   * the cleanup models that isolation without restarting the JVM.
+  *
+  * Load sentinel: the r08 record shipped a 2x drift on unchanged queries
+  * that a later isolation re-run disproved — the bench had run on a loaded
+  * machine. The JSON therefore carries a `sentinel` object: the time of a
+  * fixed data-independent calibration job (codegen'd sum over
+  * spark.range, run before and after the suite) and the OS 1-minute load
+  * average at both points. A skewed record is now machine-detectable:
+  * calibration far above its known-quiet time (~0.1-0.3 s at 32 cores) or
+  * load average far above the core count invalidates the record without
+  * needing a re-run to prove it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,6 +65,21 @@ object Bench {
       sinceGc += 1
       if (stale.nonEmpty || sinceGc >= 16) { System.gc(); sinceGc = 0 }
     }
+
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    // Fixed CPU-bound calibration job (no IO, whole-stage codegen): its
+    // wall time depends only on machine conditions, never on this repo's
+    // code, so drift in it flags a contended bench session.
+    def calibrate(): Double = {
+      spark.range(1L << 28).selectExpr("sum(id * 2 + 1)").collect() // JIT
+      val t0 = System.nanoTime()
+      spark.range(1L << 28).selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val loadStart = loadAvg
+    val calibStart = calibrate()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
@@ -89,7 +114,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val calibEnd = calibrate()
+    val loadEnd = loadAvg
+    val sentinel =
+      f"""{"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,""" +
+      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sentinel":$sentinel,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

@@ -166,7 +166,8 @@ object TextQueries {
     * ultra-frequent shingles (stop-shingles) before the join and/or the
     * MinHash-LSH variant (q_dedup_minhash) which bounds candidates per band
     * bucket; semantics of surviving pairs are identical. */
-  def dedupJaccardShingle(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dedupJaccardShingle(s: SparkSession, dir: String, threshold: Double = 0.5,
+                          stopDfFrac: Option[Double] = None): DataFrame = {
     // Shingles are 64-bit-hashed once (collision odds ~1e-11 at this shingle
     // cardinality, far below any oracle-visible effect) so all downstream
     // joins move longs, not strings.
@@ -183,38 +184,7 @@ object TextQueries {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
       .repartition(col("doc_id"))
 
-    // PPJoin-style prefix filtering (lossless for J >= t): order each doc's
-    // shingles by ascending global document frequency; two docs with
-    // J >= t MUST share a shingle within both prefixes of length
-    // n - ceil(t*n) + 1. Candidate generation joins only the prefixes —
-    // the sum-of-df² blowup shrinks by ~4x AND concentrates on rare
-    // shingles — then candidates are verified with the exact intersection.
-    val inv = sh.select(col("doc_id"), col("n_sh"),
-      explode(col("shingles")).as("sh"))
-    val docFreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    // The prefix frame self-joins below (alias a/b): pin a repartition
-    // exchange on the join key so both sides read one ReusedExchange —
-    // without it a broadcast self-join recomputes the docFreq join +
-    // window per side. The exchange doubles as the join's co-location.
-    val prefix = inv.join(docFreq, "sh")
-      .withColumn("_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("df").asc, col("sh").asc)))
-      .filter(col("_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("doc_id"), col("sh"), col("n_sh"))
-      .repartition(col("sh"))
-
-    // Length filter: J >= t forces t <= |A|/|B| <= 1/t — prune size-
-    // incompatible pairs inside the join before they materialize.
-    val cand = prefix.alias("a")
-      .join(prefix.alias("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n_sh") >= col("b.n_sh") * threshold &&
-          col("b.n_sh") >= col("a.n_sh") * threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-    cand
+    jaccardCandidates(sh, threshold, stopDfFrac)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
         col("n_sh").as("na")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
@@ -224,6 +194,66 @@ object TextQueries {
         (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Candidate-pair generation for [[dedupJaccardShingle]] (exposed at
+    * package scope so the fan-out bound is directly testable).
+    *
+    * PPJoin-style prefix filtering (lossless for J >= t): order each doc's
+    * shingles by ascending global document frequency; two docs with
+    * J >= t MUST share a shingle within both prefixes of length
+    * n - ceil(t*n) + 1. Candidate generation joins only the prefixes —
+    * the sum-of-df² blowup shrinks by ~4x AND concentrates on rare
+    * shingles — then the caller verifies candidates with the exact
+    * intersection.
+    *
+    * `stopDfFrac` is the 100 TB stop-shingle guard: shingles appearing in
+    * more than max(2, frac·N) documents (template boilerplate, headers) are
+    * excluded from candidate generation, bounding per-shingle join fan-out
+    * at (frac·N)² instead of N². Prefixes are then drawn from the rarest
+    * SURVIVING shingles at unchanged prefix length, so recall loss is
+    * confined to pairs whose overlap is boilerplate-only — exactly the
+    * pairs near-dup removal should not key on — and exact verification
+    * keeps precision at 1 regardless. `None` (the gate default) keeps the
+    * strictly lossless PPJoin behavior. */
+  private[graft] def jaccardCandidates(sh: DataFrame, threshold: Double,
+                                       stopDfFrac: Option[Double] = None): DataFrame = {
+    val inv = sh.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val docFreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val withDf = inv.join(docFreq, "sh")
+    // The df-cap compares against a 1-row corpus count — a crossJoin against
+    // a scalar aggregate (broadcast, no shuffle), same idiom as the TF-IDF
+    // and boilerplate gates; the lossless path skips it entirely.
+    val capped = stopDfFrac match {
+      case Some(frac) =>
+        val n = sh.select(count(lit(1)).as("_n_docs"))
+        withDf.crossJoin(n)
+          .filter(col("df") <= greatest(lit(2), ceil(col("_n_docs") * frac)))
+          .drop("_n_docs")
+      case None => withDf
+    }
+    // The prefix frame self-joins below (alias a/b): pin a repartition
+    // exchange on the join key so both sides read one ReusedExchange —
+    // without it a broadcast self-join recomputes the docFreq join +
+    // window per side. The exchange doubles as the join's co-location.
+    val prefix = capped
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .filter(col("_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+      .repartition(col("sh"))
+
+    // Length filter: J >= t forces t <= |A|/|B| <= 1/t — prune size-
+    // incompatible pairs inside the join before they materialize.
+    prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= col("b.n_sh") * threshold &&
+          col("b.n_sh") >= col("a.n_sh") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Exact per-group quantiles via window math (rank == ceil(q·n)) —

@@ -73,6 +73,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("stop-shingle df-cap bounds candidate fan-out on a hot shingle") {
+    import spark.implicits._
+    // 40 docs that share ONE hot shingle (999) and are otherwise unique —
+    // with only 2 shingles each, the PPJoin prefix is the whole set, so the
+    // hot shingle alone fans out into ~N²/2 candidates. Docs 100/101 are a
+    // genuine near-dup pair sharing rare shingles 77/78.
+    val docs = (1 to 40).map(i => (i.toLong, Array(999L, 1000L + i))) ++
+      Seq((100L, Array(999L, 77L, 78L)), (101L, Array(999L, 77L, 78L)))
+    val sh = docs.toDF("doc_id", "shingles")
+      .withColumn("n_sh", size(col("shingles")))
+    def pairs(cap: Option[Double]): Set[(Long, Long)] =
+      TextQueries.jaccardCandidates(sh, 0.5, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = pairs(None)
+    assert(unguarded.size >= 40 * 39 / 2, s"expected hot fan-out, got ${unguarded.size}")
+    // cap at 20% of 42 docs ≈ 9 → the df-42 hot shingle is excluded from
+    // candidate generation; the rare-shingle pair must survive
+    val capped = pairs(Some(0.2))
+    assert(capped == Set((100L, 101L)), s"got $capped")
+  }
+
   test("leakage-safe split assigns every cluster to exactly one split") {
     val sl = MixQueries.splitLeakage(spark, dir)
     val perGroup = sl.groupBy("group_id")
