@@ -111,11 +111,15 @@ object GraphCC {
                   else Some(next)
       rounds += 1
     }
-    if (!converged)
+    if (!converged) {
+      // Drain the last round's cache before failing — a caller catching
+      // the error must not inherit pinned blocks.
+      prevRound.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds - " +
           "component pointer depth exceeds the bound (~2^maxIter diameter " +
           "with jumping); raise maxIter")
+    }
     labels
   }
 

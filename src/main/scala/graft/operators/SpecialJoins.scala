@@ -103,11 +103,17 @@ object SpecialJoins {
     // so the explode fails loudly past `maxBucketsPerBand` instead.
     val lastBucket = floor(col(hiCol) / bucketWidth).cast("long")
     val firstBucket = floor(col(loCol) / bucketWidth).cast("long")
-    val guardedLast = when(lastBucket - firstBucket < lit(maxBucketsPerBand),
-        lastBucket)
+    // Null lo/hi keeps the pre-guard drop semantics (sequence(null) is
+    // null, explode drops the row) instead of falling into the error
+    // branch; the message coalesces each bound so a one-sided null can
+    // never null the diagnostic itself away.
+    val guardedLast = when(firstBucket.isNull || lastBucket.isNull,
+        lit(null).cast("long"))
+      .when(lastBucket - firstBucket < lit(maxBucketsPerBand), lastBucket)
       .otherwise(raise_error(concat(
-        lit(s"bandJoin: band ["), col(loCol).cast("string"), lit(", "),
-        col(hiCol).cast("string"),
+        lit(s"bandJoin: band ["),
+        coalesce(col(loCol).cast("string"), lit("null")), lit(", "),
+        coalesce(col(hiCol).cast("string"), lit("null")),
         lit(s") explodes into > $maxBucketsPerBand buckets of width " +
           s"$bucketWidth; raise bucketWidth or maxBucketsPerBand"))
         .cast("string")).cast("long"))

@@ -28,12 +28,31 @@ object CatalogBucketing {
     * other's files mid-read, and every timed bench pass re-paid the write.
     * With the suffix + memo, the write-side shuffle is paid once per
     * process (the warehouse-layout amortization this operator exists to
-    * demonstrate) and the timed passes measure the exchange-free join. */
+    * demonstrate) and the timed passes measure the exchange-free join.
+    *
+    * The catalog-table memo is additionally keyed on the applicationId and
+    * double-checked against `catalog.tableExists`: catalog entries die with
+    * the SparkContext, so a process-global memo alone would skip the write
+    * after a context restart and leave `s.table(...)` resolving nothing.
+    * Parquet scratch (partitionedScan) instead lands under a per-DIR
+    * subpath, so a different source dir writes a different path and frames
+    * returned earlier never have files swapped underneath them. All scratch
+    * roots are reaped by a JVM shutdown hook — repeated bench/test runs do
+    * not accumulate per-pid corpus copies. */
   private val pid = ProcessHandle.current().pid()
   private def scratch(kind: String): String = new java.io.File(
     System.getProperty("java.io.tmpdir"), s"graft_${kind}_$pid").getAbsolutePath
-  // kind -> source dir currently materialized (re-written when it changes)
-  private val written = scala.collection.mutable.Map[String, String]()
+  // (kind, qualifier) -> source dir currently materialized
+  private val written = scala.collection.mutable.Map[(String, String), String]()
+  private val createdRoots = scala.collection.mutable.Set[String]()
+  private lazy val reaperInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdRoots.synchronized(createdRoots.foreach(r =>
+        ScratchDirs.deleteRecursively(java.nio.file.Paths.get(r))))))
+  private def cleanupAtExit(root: String): Unit = {
+    reaperInstalled
+    createdRoots.synchronized { createdRoots += root }
+  }
 
   private[sources] def docsTable = s"graft_bkt_docs_$pid"
   private[sources] def embTable = s"graft_bkt_emb_$pid"
@@ -60,8 +79,11 @@ object CatalogBucketing {
     * parquet — bucketing must be invisible to results. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     written.synchronized {
-      if (!written.get("bkt").contains(dir)) {
+      val key = ("bkt", s.sparkContext.applicationId)
+      val live = s.catalog.tableExists(docsTable) && s.catalog.tableExists(embTable)
+      if (!written.get(key).contains(dir) || !live) {
         val wh = scratch("bucketed")
+        cleanupAtExit(wh)
         writeBucketed(
           table(s, dir, "documents").select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
@@ -69,7 +91,7 @@ object CatalogBucketing {
         writeBucketed(
           table(s, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label")),
           embTable, s"$wh/emb", nBuckets = 8, key = "doc_id")
-        written("bkt") = dir
+        written(key) = dir
       }
     }
     joinOnly(s)
@@ -92,13 +114,18 @@ object CatalogBucketing {
     * day's directory and listing the lake. The aggregate result is
     * layout-invariant — the oracle reads the raw parquet. */
   def partitionedScan(s: SparkSession, dir: String): DataFrame = {
-    val root = scratch("partitioned")
+    // Per-dir subpath: a new source dir writes somewhere NEW, so frames
+    // returned for an earlier dir keep reading intact files.
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir))
+    val root = s"${scratch("partitioned")}/$tag"
     written.synchronized {
-      if (!written.get("part").contains(dir)) {
+      if (!written.get(("part", dir)).contains(dir)) {
+        cleanupAtExit(scratch("partitioned"))
         table(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
           .write.mode(SaveMode.Overwrite).partitionBy("lang").parquet(root)
-        written("part") = dir
+        written(("part", dir)) = dir
       }
     }
     s.read.parquet(root)

@@ -60,4 +60,22 @@ class SpecialJoinsSpec extends AnyFunSuite {
     assert(got == Map(0L -> "a", 1L -> "a", 2L -> "b", 3L -> "b",
       4L -> "c", 5L -> "c"))
   }
+
+  test("band join drops null-bounded bands silently; explode bomb still errors") {
+    val facts = Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v")
+    val bands = Seq(("ok", Some(0.0), Some(10.0)),
+      ("no_lo", None, Some(100.0)), ("no_hi", Some(0.0), None))
+      .toDF("band", "lo", "hi")
+    val got = SpecialJoins.bandJoin(facts, bands, "v", "lo", "hi",
+        bucketWidth = 10.0)
+      .select("id", "band").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "ok")) // null-bounded bands match nothing, no error
+    // the guard still fires for a real explode bomb, with a usable message
+    val bomb = Seq(("wide", 0.0, 1e12)).toDF("band", "lo", "hi")
+    val e = intercept[Exception] {
+      SpecialJoins.bandJoin(facts, bomb, "v", "lo", "hi", bucketWidth = 1.0,
+        maxBucketsPerBand = 100L).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("explodes into"))
+  }
 }
