@@ -25,6 +25,7 @@ object SparkEntry {
       Sketches.queries ++ GraphCC.queries ++ PackQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.sources.CatalogBucketing.queries ++
+      graft.streaming.StreamGates.queries ++
       graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
       graft.pipeline.mls.MlsJob3Gate.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       Sketches.oracles ++ GraphCC.oracles ++ PackQueries.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.sources.CatalogBucketing.oracles ++
+      graft.streaming.StreamGates.oracles ++
       graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++
       graft.pipeline.mls.MlsJob3Gate.oracles ++
