@@ -26,6 +26,7 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.sources.CatalogBucketing.queries ++
       graft.streaming.StreamGates.queries ++
+      graft.enrich.EnrichGuardGate.queries ++
       graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
       graft.pipeline.mls.MlsJob3Gate.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.sources.CatalogBucketing.oracles ++
       graft.streaming.StreamGates.oracles ++
+      graft.enrich.EnrichGuardGate.oracles ++
       graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++
       graft.pipeline.mls.MlsJob3Gate.oracles ++
