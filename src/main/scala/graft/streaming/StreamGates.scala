@@ -54,12 +54,82 @@ object StreamGates {
     s.table(sink)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_neardup" -> (streamNearDup _))
+  /** q_stream_hourly: the STATEFUL streaming twin — EventStream.hourlyCounts
+    * (watermarked tumbling-hour aggregation, append mode) replayed
+    * deterministically across THREE restarts of the same checkpointed query:
+    *
+    *  1. events are cut into 3 time-CONTIGUOUS slices (equal spans of
+    *     [min ts, max ts], computed with a scalar-aggregate crossJoin, no
+    *     global window);
+    *  2. slice k lands as parquet in the source dir, then one
+    *     Trigger.AvailableNow run processes it as a single micro-batch and
+    *     terminates — writes never race file discovery, and the checkpoint
+    *     carries the watermark into the next run (the restart-resume
+    *     contract, previously spec-only, now under the hash bar);
+    *  3. contiguity makes the replay late-data-free BY CONSTRUCTION: slice
+    *     k+1's earliest event is ≥ slice k's max, which sits 1 hour AHEAD
+    *     of the post-k watermark, so no row is ever dropped and the final
+    *     emitted set is exactly the windows the final watermark closed —
+    *     windows with end ≤ max(event ms) − 1 h, which the oracle
+    *     recomputes relationally (open windows near the stream head are
+    *     deliberately absent: append mode emits only finalized windows).
+    *
+    * The sink is the exactly-once parquet file sink (its commit log, like
+    * the source offsets, lives in the checkpoint), read back as the gate
+    * frame. */
+  def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.ScratchDirs.fresh("stream_hourly")
+    val ev = table(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    val nSlices = 3
+    val bounds = ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
+    val sliced = ev.crossJoin(bounds).withColumn("_slice",
+      least(lit(nSlices - 1),
+        floor((col("ts_us") - col("_mn")).cast("double") * nSlices /
+          (col("_mx") - col("_mn") + 1).cast("double")).cast("int")))
+    val out = s"$root/agg"
+    (0 until nSlices).foreach { k =>
+      sliced.filter(col("_slice") === k).drop("_slice", "_mn", "_mx")
+        .write.mode("append").parquet(s"$root/in")
+      val q = EventStream.hourlyCounts(
+          s.readStream.schema(ev.schema).parquet(s"$root/in")
+            .withColumn("ts", timestamp_micros(col("ts_us"))))
+        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+  }
 
-  /** Same relational definition as q_dedup_incremental — the streaming
-    * replay must land exactly where the batch operator lands. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_neardup" -> (streamNearDup _),
+    "q_stream_hourly" -> (streamHourly _))
+
+  /** q_stream_neardup: same relational definition as q_dedup_incremental —
+    * the streaming replay must land exactly where the batch operator lands.
+    * q_stream_hourly: the batch hourly rollup restricted to watermark-closed
+    * windows — watermark ms = floor(max event µs / 1000) − 3 600 000, and a
+    * window [s, s+1h) is emitted iff its end ≤ that. */
   val oracles: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |         event_type, value
+        |  FROM events),
+        |wm AS (SELECT (max(us) // 1000) - 3600000 AS wm_ms FROM e)
+        |SELECT hour_epoch, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        |FROM e CROSS JOIN wm
+        |GROUP BY hour_epoch, event_type, wm_ms
+        |HAVING (hour_epoch + 3600) * 1000 <= wm_ms""".stripMargin,
     "q_stream_neardup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
