@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/verify JVM executes ~300 codegen-heavy queries in one
+  // process; the JDK-default 240m code cache fills mid-suite and the
+  // resulting JIT flushing/deopt showed up as ~1.5s on the 134-col e2e
+  // gates (in-suite 8.4s vs 6.2s isolated; 6.7s in-suite with the cache
+  // enlarged). Production executors run one job per JVM and never meet
+  // this shape, but sizing the cache models that isolation.
+  "-XX:ReservedCodeCacheSize=512m",
 )
