@@ -72,6 +72,14 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // Hypervisor steal ticks (field 8 of /proc/stat cpu line): round-9
+    // record attempts on an idle guest still spread 65-81 s total, which
+    // load average and the calibration probe cannot explain — steal is
+    // the one host-contention signal the guest can see. -1 off-Linux.
+    def stealTicks: Long = try {
+      scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
     // Fixed CPU-bound calibration job (no IO, whole-stage codegen): its
     // wall time depends only on machine conditions, never on this repo's
     // code, so drift in it flags a contended bench session.
@@ -82,6 +90,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val loadStart = loadAvg
+    val stealStart = stealTicks
     val calibStart = calibrate()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -119,9 +128,11 @@ object Bench {
     val total = results.map(_._2).sum
     val calibEnd = calibrate()
     val loadEnd = loadAvg
+    val stealDelta = stealTicks - stealStart
     val sentinel =
       f"""{"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,""" +
-      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":$cpus}"""
+      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
+      f""""steal_ticks":$stealDelta%d,"cpus":$cpus}"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sentinel":$sentinel,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

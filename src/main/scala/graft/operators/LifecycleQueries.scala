@@ -207,9 +207,33 @@ object LifecycleQueries {
     LatestWins.dedupeAll(fresh, curated, Seq("cust", "dt"), Seq(col("k").desc))
   }
 
+  /** OPTIMIZE gate: fragment a lineitem projection into 64 small files
+    * (the end state of a merge-heavy table), OPTIMIZE with z-order on
+    * (part, supp), VACUUM the fragmented version away, and read the
+    * compacted snapshot back. The hash gate pins CONTENT preservation —
+    * the one property a layout rewrite must never break; the layout
+    * properties themselves (file count hits the bin-packing target,
+    * per-file z-ranges pairwise disjoint) are asserted in
+    * ManagedTableSpec, where file-system shape is visible. */
+  def tableOptimize(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("optimize")
+    val li = table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-12-31"))
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("part"), col("l_suppkey").as("supp"),
+        col("l_quantity").cast(DoubleType).as("qty"),
+        col("l_extendedprice").cast(DoubleType).as("price"))
+    ManagedTable.overwrite(root, li.repartition(64))
+    ManagedTable.optimize(s, root, targetFileBytes = 8L << 20,
+      zorderBy = Seq("part", "supp"))
+    ManagedTable.vacuum(root, keep = 1)
+    ManagedTable.read(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
+    "q_table_optimize" -> (tableOptimize _),
     "q_bucketed_merge" -> (bucketedMerge _),
     "q_lifecycle_bucketed" -> (lifecycleBucketed _),
     "q_s12_surrogate_keys" -> (surrogateKeys _),
@@ -225,6 +249,11 @@ object LifecycleQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_table_optimize" ->
+      """SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS part,
+        |  l_suppkey AS supp, CAST(l_quantity AS DOUBLE) AS qty,
+        |  CAST(l_extendedprice AS DOUBLE) AS price
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-12-31'""".stripMargin,
     "q_s7_orc_mirror" -> ordersMirrorSql,
     "q_s11_jdbc_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,

@@ -93,6 +93,72 @@ object ManagedTable {
     overwrite(root, resolved)
   }
 
+  /** OPTIMIZE — bin-packing compaction with optional z-order layout,
+    * published as a new immutable version (content-identical; only the
+    * file layout changes). The reference ecosystem gets this from Delta's
+    * `OPTIMIZE [ZORDER BY]`; at 100 TB it is the difference between a
+    * merge-heavy table degrading into millions of KB-files (every scan
+    * pays per-file open/footer costs) and scans that read large
+    * contiguous row groups with data-skipping locality.
+    *
+    *  - Compaction: the live snapshot's byte size divided by
+    *    `targetFileBytes` sets the output file count — a plain
+    *    round-robin `repartition` when no layout columns are given.
+    *  - Z-order: each layout column is quantized to an equal-width
+    *    8-bit bucket (scalar min/max aggregate crossJoined — no
+    *    driver-side stats pass), the buckets' bits are interleaved into
+    *    one z-value, and the data is range-partitioned + sorted by it.
+    *    Files then own pairwise-disjoint z-ranges, so every layout
+    *    column's per-file min/max spans shrink together — parquet
+    *    row-group stats skip multi-dimensionally on read.
+    *
+    * The rewrite is one shuffle of the snapshot (range exchange on the
+    * z-value) — same cost class as the merge it cleans up after. */
+  def optimize(spark: SparkSession, root: String,
+               targetFileBytes: Long = 128L << 20,
+               zorderBy: Seq[String] = Nil): Unit = {
+    val live = currentVersion(root)
+    val snapBytes = Files.walk(Paths.get(root, s"v$live")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(snapBytes.toDouble / targetFileBytes).toInt)
+    val cur = read(spark, root)
+    val laid =
+      if (zorderBy.isEmpty) cur.repartition(nFiles)
+      else {
+        val aggCols = zorderBy.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"_mn_$c"),
+          max(col(c).cast("double")).as(s"_mx_$c")))
+        val bounds = cur.agg(aggCols.head, aggCols.tail: _*)
+        val buckets = zorderBy.map { c =>
+          val (mn, mx) = (col(s"_mn_$c"), col(s"_mx_$c"))
+          when(mx === mn, lit(0)).otherwise(
+            least(lit(255), greatest(lit(0),
+              floor((col(c).cast("double") - mn) / (mx - mn) * 256).cast("int"))))
+        }
+        cur.crossJoin(broadcast(bounds))
+          .withColumn("_z", interleaveBits(buckets))
+          .repartitionByRange(nFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop((Seq("_z") ++ zorderBy.flatMap(c =>
+            Seq(s"_mn_$c", s"_mx_$c"))): _*)
+      }
+    overwrite(root, laid)
+  }
+
+  /** Morton interleave: bit i of layout column c lands at position
+    * i·nCols + (nCols−1−c), so all columns contribute equally to every
+    * z-value prefix. Pure integer shifts — whole-stage codegen. */
+  private[graft] def interleaveBits(buckets: Seq[Column],
+                                    bitsPer: Int = 8): Column = {
+    val n = buckets.size
+    val terms = for {
+      (b, c) <- buckets.zipWithIndex
+      i <- 0 until bitsPer
+    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + (n - 1 - c))
+    terms.reduce(_ + _).cast("long")
+  }
+
   /** Drop all but the newest `keep` published versions.
     * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
   def vacuum(root: String, keep: Int = 1): Unit = {

@@ -28,6 +28,56 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == 3)
   }
 
+  test("optimize compacts small files and preserves content exactly") {
+    val root = Files.createTempDirectory("graft_tbl_o").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_orderkey AS k", "l_linenumber AS ln",
+        "CAST(l_partkey AS DOUBLE) AS part", "CAST(l_suppkey AS DOUBLE) AS supp")
+    ManagedTable.overwrite(root, df.repartition(32))
+    def files(v: Int) = Files.list(Paths.get(root, s"v$v")).iterator()
+    def nParquet(v: Int) = {
+      import scala.jdk.CollectionConverters._
+      files(v).asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    assert(nParquet(0) == 32)
+    val before = ManagedTable.read(spark, root).collect().toSet
+    ManagedTable.optimize(spark, root, targetFileBytes = 1L << 30,
+      zorderBy = Seq("part", "supp"))
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(nParquet(1) == 1) // 1 GiB target bin-packs this table to one file
+    assert(ManagedTable.read(spark, root).collect().toSet == before)
+  }
+
+  test("z-order layout gives files pairwise-disjoint z-ranges") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_z").toString
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr("l_orderkey AS k", "CAST(l_partkey AS DOUBLE) AS part",
+        "CAST(l_suppkey AS DOUBLE) AS supp")
+    ManagedTable.overwrite(root, df.repartition(16))
+    // ~16 KB target so the optimize produces several z-range files.
+    ManagedTable.optimize(spark, root, targetFileBytes = 16L << 10,
+      zorderBy = Seq("part", "supp"))
+    val opt = ManagedTable.read(spark, root)
+    val Array(mnP, mxP, mnS, mxS) = opt
+      .agg(min("part"), max("part"), min("supp"), max("supp"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    def bucket(c: org.apache.spark.sql.Column, mn: Double, mx: Double) =
+      least(lit(255), greatest(lit(0),
+        floor((c - lit(mn)) / lit(mx - mn) * 256).cast("int")))
+    val z = ManagedTable.interleaveBits(Seq(
+      bucket(col("part"), mnP, mxP), bucket(col("supp"), mnS, mxS)))
+    val ranges = opt.withColumn("_f", input_file_name())
+      .groupBy("_f").agg(min(z).as("lo"), max(z).as("hi"))
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3))
+    assert(ranges.length > 1) // the compaction target really made several files
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))
