@@ -96,14 +96,37 @@ object Clustering {
       assignCluster(col("v"), centroids).as("cluster"))
   }
 
+  /** Cluster-balanced sampling — the curation op the assignment exists
+    * for: cap each k-means cluster at `cap` members so no dense region
+    * dominates the training mix (the cluster-level analogue of the
+    * per-stratum cap in `q_sample_stratified`). Selection within a
+    * cluster is by md5(vec_id) — a deterministic portable shuffle, same
+    * device the mixing suite uses — so the sample is reproducible and
+    * engine-independent. One window over the assignment: at scale this
+    * shuffles once on cluster id; k is small but each cluster's rows
+    * spread across the cluster's whole hash range, so no single-partition
+    * hotspot beyond the per-cluster sort the cap requires. */
+  def clusterBalancedSample(s: SparkSession, dir: String, k: Int = 8,
+                            iters: Int = 2, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    kmeansAssign(s, dir, k, iters)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_cluster_kmeans" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)))
+    "q_cluster_kmeans" -> ((s: SparkSession, d: String) => kmeansAssign(s, d)),
+    "q_cluster_sample" -> ((s: SparkSession, d: String) =>
+      clusterBalancedSample(s, d)))
 
   /** The oracle unrolls both Lloyd rounds as CTEs: same init, same
     * quantization, same op-for-op centroid division, same
-    * (distance, cid) tie-break via row_number. */
-  val oracles: Map[String, String] = Map(
-    "q_cluster_kmeans" ->
+    * (distance, cid) tie-break via row_number. Shared by the assignment
+    * gate and the balanced-sample gate built on top of it. */
+  private val kmeansOracle =
       """WITH emb AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
@@ -158,9 +181,19 @@ object Clustering {
         |  SELECT e.vec_id, i.cid,
         |    list_reduce(list_transform(range(1, 65),
         |      j -> (e.v[j] - i.c[j]) * (e.v[j] - i.c[j])), (a, b) -> a + b) AS dist
-        |  FROM emb e CROSS JOIN c2 i)
-        |SELECT vec_id, cid AS cluster FROM (
-        |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |  FROM df) WHERE rn = 1""".stripMargin)
+        |  FROM emb e CROSS JOIN c2 i),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM df) WHERE rn = 1)
+        |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_cluster_kmeans" -> (kmeansOracle + "SELECT vec_id, cluster FROM asg"),
+    "q_cluster_sample" -> (kmeansOracle +
+      """SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM asg) WHERE rn <= 20""".stripMargin))
 }

@@ -152,6 +152,27 @@ object LifecycleQueries {
     s.read.orc(root)
   }
 
+  /** CSV round-trip (source-format breadth, sibling of the S7 ORC mirror
+    * and S8 JSON-lines sink): write a projection as headered CSV — with a
+    * deliberately hostile synthesized column (embedded comma + double
+    * quote) so the writer's quote/escape path and the reader's unescape
+    * path are both on the line — then read it back with an explicit
+    * schema (no inference: at 100 TB schema inference is a full extra
+    * pass). Doubles survive exactly: the writer emits Java's shortest
+    * round-trip decimal form. The oracle recomputes the projection
+    * relationally from the original parquet, so any quoting/typing loss
+    * hash-fails. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("csv_rt")
+    val df = table(s, dir, "customer").select(
+      col("c_custkey").as("k"), col("c_name").as("name"),
+      concat(col("c_mktsegment"), lit(", \"segment\"")).as("hostile"),
+      col("c_acctbal").as("bal"), col("c_nationkey").as("nk"))
+    df.repartition(2).write.mode("overwrite")
+      .option("header", "true").csv(s"$root/csv")
+    s.read.schema(df.schema).option("header", "true").csv(s"$root/csv")
+  }
+
   /** External ORC table gate (S10): write the serving mirror, register a
     * location-backed external table over it with GENERATED DDL
     * (ExternalDdl ↔ ddl/listings.sql:1-131), and read back THROUGH THE
@@ -234,6 +255,7 @@ object LifecycleQueries {
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
     "q_lifecycle_bucketed" -> (lifecycleBucketed _),
     "q_s12_surrogate_keys" -> (surrogateKeys _),
@@ -255,6 +277,11 @@ object LifecycleQueries {
         |  CAST(l_extendedprice AS DOUBLE) AS price
         |FROM lineitem WHERE l_shipdate <= DATE '1998-12-31'""".stripMargin,
     "q_s7_orc_mirror" -> ordersMirrorSql,
+    "q_csv_roundtrip" ->
+      """SELECT c_custkey AS k, c_name AS name,
+        |  c_mktsegment || ', "segment"' AS hostile,
+        |  c_acctbal AS bal, c_nationkey AS nk
+        |FROM customer""".stripMargin,
     "q_s11_jdbc_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
         |  CAST(n_regionkey AS BIGINT) AS rk
