@@ -78,6 +78,20 @@ class ManagedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("interleaveBits is a bijection on the full 8-bit bucket grid") {
+    import org.apache.spark.sql.functions._
+    // 256×256 bucket pairs → 65536 DISTINCT z-values inside [0, 65536):
+    // any collision or range escape breaks the disjoint-z-range layout
+    // contract (two files could then own the same z).
+    val pairs = spark.range(256L * 256)
+      .select((col("id") / 256).cast("int").as("b1"),
+        (col("id") % 256).cast("int").as("b2"))
+    val z = ManagedTable.interleaveBits(Seq(col("b1"), col("b2")))
+    val Seq(n, mn, mx) = pairs.agg(countDistinct(z), min(z), max(z))
+      .collect().head.toSeq.map(_.toString.toLong)
+    assert(n == 65536L && mn == 0L && mx == 65535L)
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))

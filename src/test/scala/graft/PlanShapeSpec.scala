@@ -277,4 +277,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(sh <= 3, s"expected <=3 shuffles, got $sh")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("k-means assignment is map-only; balanced sample adds one shuffle") {
+    // Centroids ride the plan as literals, so the assignment itself must
+    // be a pure projection over the scan — an exchange here means the
+    // argmin stopped being broadcast-shaped and the corpus is moving.
+    // (The Lloyd training rounds execute eagerly inside the call; these
+    // pins are on the returned frame's plan.)
+    val (shA, _) = exchanges("q_cluster_kmeans")
+    assert(shA == 0, s"q_cluster_kmeans assignment grew a shuffle ($shA)")
+    // The per-cluster cap is one window over the assignment: exactly one
+    // exchange on cluster id.
+    val (shS, _) = exchanges("q_cluster_sample")
+    assert(shS == 1, s"q_cluster_sample expected 1 shuffle, got $shS")
+  }
 }
