@@ -77,8 +77,10 @@ object Bench {
     // load average and the calibration probe cannot explain — steal is
     // the one host-contention signal the guest can see. -1 off-Linux.
     def stealTicks: Long = try {
-      scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next()
         .trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+      finally src.close()
     } catch { case _: Throwable => -1L }
     // Fixed CPU-bound calibration job (no IO, whole-stage codegen): its
     // wall time depends only on machine conditions, never on this repo's
@@ -128,7 +130,11 @@ object Bench {
     val total = results.map(_._2).sum
     val calibEnd = calibrate()
     val loadEnd = loadAvg
-    val stealDelta = stealTicks - stealStart
+    // -1 (unavailable) must survive into the record: a raw subtraction
+    // would emit 0 off-Linux — indistinguishable from a steal-free session.
+    val stealEnd = stealTicks
+    val stealDelta =
+      if (stealStart < 0 || stealEnd < 0) -1L else stealEnd - stealStart
     val sentinel =
       f"""{"calib_start_sec":$calibStart%.3f,"calib_end_sec":$calibEnd%.3f,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +

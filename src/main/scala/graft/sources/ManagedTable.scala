@@ -118,9 +118,12 @@ object ManagedTable {
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil): Unit = {
     val live = currentVersion(root)
-    val snapBytes = Files.walk(Paths.get(root, s"v$live")).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    val walk = Files.walk(Paths.get(root, s"v$live"))
+    val snapBytes =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally walk.close()
     val nFiles = math.max(1, math.ceil(snapBytes.toDouble / targetFileBytes).toInt)
     val cur = read(spark, root)
     val laid =
@@ -148,15 +151,20 @@ object ManagedTable {
 
   /** Morton interleave: bit i of layout column c lands at position
     * i·nCols + (nCols−1−c), so all columns contribute equally to every
-    * z-value prefix. Pure integer shifts — whole-stage codegen. */
+    * z-value prefix. Pure integer shifts — whole-stage codegen. Shifts
+    * run on LONG: with int operands a 4-column interleave puts a bit at
+    * position 31 (sign) and ≥33 total bits wrap mod 32 and collide. */
   private[graft] def interleaveBits(buckets: Seq[Column],
                                     bitsPer: Int = 8): Column = {
     val n = buckets.size
+    require(n * bitsPer <= 63,
+      s"z-value needs $n*$bitsPer bits; at most 63 fit a signed long")
     val terms = for {
       (b, c) <- buckets.zipWithIndex
       i <- 0 until bitsPer
-    } yield shiftleft(shiftright(b, i).bitwiseAND(lit(1)), i * n + (n - 1 - c))
-    terms.reduce(_ + _).cast("long")
+    } yield shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + (n - 1 - c))
+    terms.reduce(_ + _)
   }
 
   /** Drop all but the newest `keep` published versions.

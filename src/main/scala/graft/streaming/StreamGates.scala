@@ -100,12 +100,37 @@ object StreamGates {
     * frame. */
   def streamHourly(s: SparkSession, dir: String): DataFrame =
       withReplayParallelism(s) {
-    val root = graft.sources.ScratchDirs.fresh("stream_hourly")
-    val ev = table(s, dir, "events")
+    replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_hourly") {
+      incoming =>
+        EventStream.hourlyCounts(
+            incoming.withColumn("ts", timestamp_micros(col("ts_us"))))
+          .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+            col("event_type"), col("n_events"), col("sum_value"))
+    }
+  }
+
+  /** The narrow events frame every replay slices: ts kept as epoch µs
+    * (the nanos-as-long reader convention — matches the oracles'
+    * `epoch_us(ts)`). */
+  private def eventsNarrow(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("value"))
-    val nSlices = 3
+
+  /** Shared restart-replay harness: cut the frame into `nSlices`
+    * time-CONTIGUOUS slices (equal spans of [min ts_us, max ts_us],
+    * computed with a scalar-aggregate crossJoin — the cut is a pure
+    * function of ts, so equal-ts events always share a slice), then per
+    * slice: land it as parquet in the file-source dir and run ONE
+    * checkpointed `Trigger.AvailableNow` pass of the query `transform`
+    * builds over the stream — writes never race file discovery, and the
+    * checkpoint carries watermark AND state store into the next run.
+    * Returns the exactly-once parquet sink's final frame. Data stays
+    * distributed throughout (no driver-side feeding). */
+  private def replaySlices(s: SparkSession, ev: DataFrame, nSlices: Int,
+      name: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val root = graft.sources.ScratchDirs.fresh(name)
     val bounds = ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
     val sliced = ev.crossJoin(bounds).withColumn("_slice",
       least(lit(nSlices - 1),
@@ -115,11 +140,7 @@ object StreamGates {
     (0 until nSlices).foreach { k =>
       sliced.filter(col("_slice") === k).drop("_slice", "_mn", "_mx")
         .write.mode("append").parquet(s"$root/in")
-      val q = EventStream.hourlyCounts(
-          s.readStream.schema(ev.schema).parquet(s"$root/in")
-            .withColumn("ts", timestamp_micros(col("ts_us"))))
-        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
-          col("event_type"), col("n_events"), col("sum_value"))
+      val q = transform(s.readStream.schema(ev.schema).parquet(s"$root/in"))
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", s"$root/ckpt")
@@ -147,34 +168,12 @@ object StreamGates {
       withReplayParallelism(s) {
     import s.implicits._
     implicit val sp: SparkSession = s
-    val root = graft.sources.ScratchDirs.fresh("stream_attr")
-    val ev = table(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("event_type"), col("value"))
-    val nSlices = 2
-    val bounds = ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
-    val sliced = ev.crossJoin(bounds).withColumn("_slice",
-      least(lit(nSlices - 1),
-        floor((col("ts_us") - col("_mn")).cast("double") * nSlices /
-          (col("_mx") - col("_mn") + 1).cast("double")).cast("int")))
-    val out = s"$root/agg"
-    (0 until nSlices).foreach { k =>
-      sliced.filter(col("_slice") === k).drop("_slice", "_mn", "_mx")
-        .write.mode("append").parquet(s"$root/in")
-      val events = s.readStream.schema(ev.schema).parquet(s"$root/in")
-        .as[EventStream.Event]
-      val q = EventStream.attribute(events, horizonMinutes = 20L * 366 * 24 * 60)
-        .withColumn("gap_us", col("purchase_us") - col("last_view_us"))
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    replaySlices(s, eventsNarrow(s, dir), nSlices = 2, "stream_attr") {
+      incoming =>
+        EventStream.attribute(incoming.as[EventStream.Event],
+            horizonMinutes = 20L * 366 * 24 * 60)
+          .withColumn("gap_us", col("purchase_us") - col("last_view_us"))
     }
-    s.read.parquet(out)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,18 +187,11 @@ object StreamGates {
     * windows — watermark ms = floor(max event µs / 1000) − 3 600 000, and a
     * window [s, s+1h) is emitted iff its end ≤ that. */
   val oracles: Map[String, String] = Map(
+    // The streaming replay must land EXACTLY where the batch operator
+    // lands, so the gate shares the batch oracle by reference — an edit
+    // to one bar is an edit to both.
     "q_stream_attribution" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
-        |m AS (SELECT *,
-        |    MAX(CASE WHEN event_type = 'view' THEN us END) OVER (
-        |      PARTITION BY user_id ORDER BY us ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
-        |  FROM e)
-        |SELECT event_id, user_id, us AS purchase_us, last_view_us,
-        |  us - last_view_us AS gap_us
-        |FROM m WHERE event_type = 'purchase'""".stripMargin,
+      graft.operators.EventQueries.oracles("q_events_attribution"),
     "q_stream_hourly" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
