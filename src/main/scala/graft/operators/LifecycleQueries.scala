@@ -251,10 +251,33 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Data-skipping gate: fragment a lineitem projection, OPTIMIZE with
+    * z-order on (part, supp), ANALYZE the layout columns into the
+    * per-file min/max manifest, then answer a two-sided range predicate
+    * through `readWhere` — which opens only files whose manifest span
+    * intersects both ranges. The hash gate pins that skipping loses no
+    * row and admits no extra row (DuckDB recomputes the predicate over
+    * the full table); the file-count reduction itself is asserted in
+    * ManagedTableSpec where the scan's inputFiles are visible. */
+  def tableSkipping(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("skipping")
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("part"), col("l_suppkey").as("supp"),
+        col("l_quantity").cast(DoubleType).as("qty"))
+    ManagedTable.overwrite(root, li.repartition(64))
+    ManagedTable.optimize(s, root, targetFileBytes = 256L << 10,
+      zorderBy = Seq("part", "supp"))
+    ManagedTable.analyze(s, root, Seq("part", "supp"))
+    ManagedTable.readWhere(s, root,
+      Seq(("part", 10, 120), ("supp", 1, 50)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
+    "q_table_skipping" -> (tableSkipping _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
     "q_lifecycle_bucketed" -> (lifecycleBucketed _),
@@ -271,6 +294,12 @@ object LifecycleQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_table_skipping" ->
+      """SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS part,
+        |  l_suppkey AS supp, CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 120
+        |  AND l_suppkey BETWEEN 1 AND 50""".stripMargin,
     "q_table_optimize" ->
       """SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS part,
         |  l_suppkey AS supp, CAST(l_quantity AS DOUBLE) AS qty,

@@ -167,6 +167,104 @@ object ManagedTable {
     terms.reduce(_ + _)
   }
 
+  /** ANALYZE — record a per-file min/max manifest for `statsCols` inside
+    * the live snapshot dir (`_stats.tsv`; the `_` prefix keeps it
+    * invisible to the parquet reader, like `_SUCCESS`). This is the
+    * read-side half of z-order: OPTIMIZE makes per-file column spans
+    * tight, the manifest makes them visible WITHOUT opening footers, and
+    * [[readWhere]] turns them into file-level skipping — the Delta/
+    * Iceberg data-skipping protocol on the same immutable-snapshot
+    * layout. Versions are immutable, so a manifest can never go stale;
+    * vacuum removes it with its snapshot.
+    *
+    * Cost: one column-pruned scan of only `statsCols` (columnar read —
+    * a small fraction of the table) aggregated per file; one manifest
+    * row per (file, column), driver-held only as that bounded artifact.
+    * At 100 TB the production refinement is reading parquet footer
+    * stats instead of re-scanning (same manifest, ~KB per file of IO);
+    * the scan keeps this implementation engine-pure.
+    *
+    * Stats are stored as doubles — exact for integral values < 2^53;
+    * `statsCols` must be numeric. */
+  def analyze(spark: SparkSession, root: String, statsCols: Seq[String]): Unit = {
+    val live = currentVersion(root)
+    val snap = spark.read.parquet(s"$root/v$live")
+    val numericTypes = Set("byte", "short", "int", "integer", "long",
+      "float", "double", "date") // date: days-since-epoch ordering
+    statsCols.foreach { c =>
+      val f = snap.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"analyze: no column '$c' in ${snap.columns.mkString(",")}"))
+      require(numericTypes.exists(f.dataType.typeName.startsWith) ||
+        f.dataType.typeName.startsWith("decimal"),
+        s"analyze: column '$c' is ${f.dataType.typeName}, not numeric")
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")))
+    val rows = snap.withColumn("_file", input_file_name())
+      .groupBy("_file").agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one manifest row per data file
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val leaf = r.getString(0).split('/').last
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        def cell(k: Int) = if (r.isNullAt(k)) "null" else r.getDouble(k).toString
+        sb.append(s"$leaf\t$c\t${cell(1 + 2 * i)}\t${cell(2 + 2 * i)}\n")
+      }
+    }
+    val tmp = Paths.get(root, s"v$live", s"_stats.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, Paths.get(root, s"v$live", "_stats.tsv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Data-skipping read: rows of the live snapshot satisfying ALL the
+    * closed-interval `ranges` (`col between lo and hi`, null fails) —
+    * but files whose manifest span cannot intersect a range are never
+    * opened, so a selective read of a z-ordered table touches a handful
+    * of files instead of the whole snapshot. Files without manifest
+    * rows (or with no manifest at all) are conservatively read; an
+    * all-null file for a range column is skipped (no null satisfies a
+    * range predicate). Bounds keep their native type in the row-level
+    * predicate so parquet row-group pushdown survives inside the files
+    * that ARE read. */
+  def readWhere(spark: SparkSession, root: String,
+                ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "readWhere: empty ranges — use read()")
+    val live = currentVersion(root)
+    val dir = s"$root/v$live"
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    val statsPath = Paths.get(dir, "_stats.tsv")
+    if (!Files.exists(statsPath)) return spark.read.parquet(dir).where(pred)
+    def toD(a: Any): Double = a match {
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    val stats: Map[(String, String), (Option[Double], Option[Double])] =
+      Files.readString(statsPath).linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(f, c, mn, mx) = line.split('\t')
+        def p(s: String) = if (s == "null") None else Some(s.toDouble)
+        (f, c) -> (p(mn), p(mx))
+      }.toMap
+    val listing = Files.list(Paths.get(dir))
+    val allFiles =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toVector.sorted
+      finally listing.close()
+    val keep = allFiles.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        stats.get((f, c)) match {
+          case Some((Some(mn), Some(mx))) => mn <= toD(hi) && mx >= toD(lo)
+          case Some((None, None)) => false // all-null: no row can match
+          case _ => true                   // unknown file/col: stay safe
+        }
+      }
+    }
+    if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(keep.map(f => s"$dir/$f"): _*).where(pred)
+  }
+
   /** Drop all but the newest `keep` published versions.
     * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
   def vacuum(root: String, keep: Int = 1): Unit = {

@@ -92,6 +92,44 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(n == 65536L && mn == 0L && mx == 65535L)
   }
 
+  test("analyze + readWhere skip files a z-ordered range query cannot need") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_s").toString
+    // 100×100 grid: after z-order, (a, b) spans per file are tight, so a
+    // narrow box must touch only a corner of the file set.
+    val df = spark.range(10000L)
+      .select((col("id") / 100).cast("int").as("a"),
+        (col("id") % 100).cast("int").as("b"), col("id").as("payload"))
+    ManagedTable.overwrite(root, df.repartition(16))
+    ManagedTable.optimize(spark, root, targetFileBytes = 8L << 10,
+      zorderBy = Seq("a", "b"))
+    ManagedTable.analyze(spark, root, Seq("a", "b"))
+    val full = ManagedTable.read(spark, root)
+    val nFilesTotal = full.inputFiles.length
+    assert(nFilesTotal > 4) // the 8 KB target really fragmented the snapshot
+    val pruned = ManagedTable.readWhere(spark, root,
+      Seq(("a", 10, 20), ("b", 30, 40)))
+    assert(pruned.inputFiles.length < nFilesTotal)
+    // Skipping loses no row and admits no extra row.
+    val expect = full.filter(col("a").between(10, 20) &&
+      col("b").between(30, 40)).collect().toSet
+    assert(expect.nonEmpty && pruned.collect().toSet == expect)
+    // A box outside the data prunes every file and still answers cleanly.
+    val none = ManagedTable.readWhere(spark, root, Seq(("a", 500, 600)))
+    assert(none.count() == 0 && none.columns.toSeq == full.columns.toSeq)
+  }
+
+  test("readWhere without a manifest degrades to a plain filtered read") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_nm").toString
+    val df = spark.range(1000L).select(col("id").cast("int").as("a"))
+    ManagedTable.overwrite(root, df.repartition(8))
+    val got = ManagedTable.readWhere(spark, root, Seq(("a", 100, 199)))
+    assert(got.inputFiles.length ==
+      ManagedTable.read(spark, root).inputFiles.length)
+    assert(got.count() == 100)
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))
