@@ -273,11 +273,59 @@ object LifecycleQueries {
       Seq(("part", 10, 120), ("supp", 1, 50)))
   }
 
+  /** Shared lifecycle for the time-travel and CDF gates: empty init,
+    * v1 = upsert of the ≤1995 per-customer state, v2 = conditional
+    * update/delete merge of the ≤1996 state — the same cycle as
+    * q_lifecycle_table but WITHOUT the vacuum, so history survives. */
+  private def twoMergeHistory(s: SparkSession, dir: String,
+                              changeFeed: Boolean): String = {
+    val root = freshRoot("history")
+    def custState(upTo: String): DataFrame =
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") <= lit(upTo))
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(col("o_orderdate")).cast(StringType).as("last_dt"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    val b95 = custState("1995-12-31")
+    ManagedTable.createEmpty(s, root, b95)                       // v0
+    ManagedTable.merge(s, root, b95, Seq("cust"),
+      changeFeed = changeFeed)                                   // v1
+    ManagedTable.merge(s, root, custState("1996-12-31"), Seq("cust"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.last_dt") > col("t.last_dt")),
+        deleteWhen = Some(lit(true))),
+      changeFeed = changeFeed)                                   // v2
+    root
+  }
+
+  /** Time-travel gate (Delta `versionAsOf`): after both merges the live
+    * pointer is v2, but the gate returns v1 — the ≤1995 state — proving
+    * a pinned read really resolves the historical snapshot, not the
+    * pointer. DuckDB recomputes the ≤1995 state from orders. */
+  def tableTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val root = twoMergeHistory(s, dir, changeFeed = false)
+    ManagedTable.readVersion(s, root, 1)
+  }
+
+  /** Change-data-feed gate (Delta `table_changes`): the v2 merge records
+    * its row-level changes — `update` (post-image) where the ≤1996 state
+    * has newer activity, `delete` (pre-image) for matched-but-unchanged
+    * customers, `insert` for customers first active in 1996. DuckDB
+    * re-derives every action from the two relational states. */
+  def tableCdf(s: SparkSession, dir: String): DataFrame = {
+    val root = twoMergeHistory(s, dir, changeFeed = true)
+    ManagedTable.changes(s, root, 2)
+      .withColumnRenamed(Merge.ActionCol, "action")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
     "q_table_skipping" -> (tableSkipping _),
+    "q_table_timetravel" -> (tableTimetravel _),
+    "q_table_cdf" -> (tableCdf _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
     "q_lifecycle_bucketed" -> (lifecycleBucketed _),
@@ -294,6 +342,33 @@ object LifecycleQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_table_timetravel" ->
+      """SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1""".stripMargin,
+    "q_table_cdf" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+        |s AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1)
+        |SELECT s.cust,
+        |  CASE WHEN t.cust IS NULL OR s.last_dt > t.last_dt
+        |       THEN s.last_dt ELSE t.last_dt END AS last_dt,
+        |  CASE WHEN t.cust IS NULL OR s.last_dt > t.last_dt
+        |       THEN s.n_orders ELSE t.n_orders END AS n_orders,
+        |  CASE WHEN t.cust IS NULL OR s.last_dt > t.last_dt
+        |       THEN s.total ELSE t.total END AS total,
+        |  CASE WHEN t.cust IS NULL THEN 'insert'
+        |       WHEN s.last_dt > t.last_dt THEN 'update'
+        |       ELSE 'delete' END AS action
+        |FROM s LEFT JOIN t ON s.cust = t.cust""".stripMargin,
     "q_table_skipping" ->
       """SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS part,
         |  l_suppkey AS supp, CAST(l_quantity AS DOUBLE) AS qty

@@ -32,7 +32,31 @@ object Merge {
     * ignore); the output projects exactly the target's columns. */
   def mergeFrames(target: DataFrame, source: DataFrame, keys: Seq[String],
                   clauses: MergeClauses.Spec = MergeClauses.Spec(),
-                  nullSafeKeys: Boolean = true): DataFrame = {
+                  nullSafeKeys: Boolean = true): DataFrame =
+    mergeFramesTagged(target, source, keys, clauses, nullSafeKeys)
+      .filter(col(ActionCol) =!= lit("delete")).drop(ActionCol)
+
+  /** Name of the action column [[mergeFramesTagged]] appends. */
+  val ActionCol = "_action"
+
+  /** The same MERGE resolution, with each surviving-or-deleted row tagged
+    * by the clause that produced it — the change-data-feed primitive:
+    *
+    *  - `insert`: not-matched source row admitted by the insert clause
+    *    (source values);
+    *  - `update`: matched row rewritten by the update clause (post-image
+    *    source values);
+    *  - `delete`: matched row removed by the delete clause (pre-image
+    *    TARGET values — the row the merge destroyed);
+    *  - `keep`: target row the merge left untouched (unmatched, or
+    *    matched with no clause firing).
+    *
+    * The post-merge table is exactly the non-`delete` rows; the change
+    * feed is exactly the non-`keep` rows. Same single full-outer join
+    * and projection as [[mergeFrames]] — tagging adds no shuffle. */
+  def mergeFramesTagged(target: DataFrame, source: DataFrame, keys: Seq[String],
+                        clauses: MergeClauses.Spec = MergeClauses.Spec(),
+                        nullSafeKeys: Boolean = true): DataFrame = {
     val cols = target.columns.toIndexedSeq
     val t = target.withColumn("__t_present", lit(true)).alias("t")
     // Delta MERGE errors when multiple source rows match ONE TARGET row;
@@ -66,8 +90,13 @@ object Merge {
     val doInsert = (sPresent && !tPresent) && clauses.insertWhen.getOrElse(lit(true))
     val keepRow = doUpdate || doInsert || (tPresent && !doDelete && !doUpdate)
     val takeSource = doUpdate || doInsert
+    val action = when(doUpdate, lit("update"))
+      .when(doDelete, lit("delete"))
+      .when(doInsert, lit("insert"))
+      .otherwise(lit("keep"))
 
-    joined.filter(dupGuard && keepRow).select(
-      cols.map(c => when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    joined.filter(dupGuard && (keepRow || doDelete)).select(
+      cols.map(c => when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)) :+
+        action.as(ActionCol): _*)
   }
 }

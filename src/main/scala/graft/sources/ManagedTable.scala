@@ -55,6 +55,30 @@ object ManagedTable {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/v${currentVersion(root)}")
 
+  /** Time travel — read a specific published version (Delta's
+    * `versionAsOf`). Versions are immutable, so this is just a scan of
+    * the pinned snapshot dir; it fails clearly when the version was
+    * vacuumed away or never published. */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val dir = Paths.get(root, s"v$version")
+    require(Files.exists(dir),
+      s"version $version of $root is not on disk (vacuumed or never published); " +
+        s"live is v${currentVersion(root)}")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Read the change feed a `merge(..., changeFeed = true)` recorded when
+    * it published `version` — one row per insert/update/delete with an
+    * `_action` tag (updates carry post-image values, deletes the destroyed
+    * pre-image). Delta's table_changes() on this layout. */
+  def changes(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val dir = Paths.get(root, "_changes", s"v$version")
+    require(Files.exists(dir),
+      s"no change feed for version $version of $root (merge ran without " +
+        "changeFeed, version vacuumed, or not a merge-published version)")
+    spark.read.parquet(dir.toString)
+  }
+
   /** Create an empty table carrying only the schema, like the reference's
     * `limit(0).write.format("delta")` init (mls_listings_curated.py:325). */
   def createEmpty(spark: SparkSession, root: String, like: DataFrame): Unit =
@@ -83,14 +107,34 @@ object ManagedTable {
   def merge(spark: SparkSession, root: String, source: DataFrame,
             keys: Seq[String],
             clauses: MergeClauses.Spec = MergeClauses.Spec(),
-            nullSafeKeys: Boolean = true): Unit = {
+            nullSafeKeys: Boolean = true,
+            changeFeed: Boolean = false): Unit = {
     val target = read(spark, root)
-    val resolved = graft.operators.Merge.mergeFrames(target, source, keys,
-      clauses, nullSafeKeys)
-    // The resolver's plan still reads the live snapshot lazily; materialize
-    // the next version before the pointer swap so readers never see a
-    // half-written state.
-    overwrite(root, resolved)
+    if (!changeFeed) {
+      val resolved = graft.operators.Merge.mergeFrames(target, source, keys,
+        clauses, nullSafeKeys)
+      // The resolver's plan still reads the live snapshot lazily; materialize
+      // the next version before the pointer swap so readers never see a
+      // half-written state.
+      overwrite(root, resolved)
+    } else {
+      // One merge join resolves BOTH outputs: a lazy localCheckpoint
+      // materializes the tagged resolution on the feed write and the
+      // snapshot write reuses those blocks instead of re-joining.
+      import graft.operators.Merge
+      val tagged = Merge.mergeFramesTagged(target, source, keys,
+        clauses, nullSafeKeys).localCheckpoint(eager = false)
+      val next = if (exists(root)) currentVersion(root) + 1 else 0
+      try {
+        tagged.filter(col(Merge.ActionCol) =!= lit("keep"))
+          .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+        // The feed lands before the pointer swap: a published version
+        // either has its complete feed or was not published at all.
+        overwrite(root,
+          tagged.filter(col(Merge.ActionCol) =!= lit("delete"))
+            .drop(Merge.ActionCol))
+      } finally tagged.unpersist()
+    }
   }
 
   /** OPTIMIZE — bin-packing compaction with optional z-order layout,
@@ -269,10 +313,16 @@ object ManagedTable {
     * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
   def vacuum(root: String, keep: Int = 1): Unit = {
     val live = currentVersion(root)
-    val dir = Paths.get(root)
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+"))
-      .filter(p => p.getFileName.toString.drop(1).toInt <= live - keep)
-      .foreach(ScratchDirs.deleteRecursively)
+    def prune(dir: Path): Unit =
+      if (Files.exists(dir)) {
+        val listing = Files.list(dir)
+        try listing.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v\\d+"))
+          .filter(p => p.getFileName.toString.drop(1).toInt <= live - keep)
+          .foreach(ScratchDirs.deleteRecursively)
+        finally listing.close()
+      }
+    prune(Paths.get(root))                // snapshots
+    prune(Paths.get(root, "_changes"))    // their change feeds age out too
   }
 }

@@ -130,6 +130,48 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(got.count() == 100)
   }
 
+  test("time travel pins a historical version; vacuum makes it unreadable") {
+    val root = Files.createTempDirectory("graft_tbl_tt").toString
+    ManagedTable.overwrite(root, Seq((1, "a")).toDF("k", "v"))          // v0
+    ManagedTable.merge(spark, root, Seq((2, "b")).toDF("k", "v"), Seq("k")) // v1
+    ManagedTable.merge(spark, root, Seq((3, "c")).toDF("k", "v"), Seq("k")) // v2
+    assert(ManagedTable.readVersion(spark, root, 1).count() == 2)
+    assert(ManagedTable.readVersion(spark, root, 2).count() == 3)
+    ManagedTable.vacuum(root, keep = 1)
+    intercept[IllegalArgumentException] {
+      ManagedTable.readVersion(spark, root, 1)
+    }
+    assert(ManagedTable.readVersion(spark, root, 2).count() == 3)
+  }
+
+  test("change feed records row-level actions; vacuum ages feeds out") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_cdf").toString
+    ManagedTable.overwrite(root, Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0
+    val changed = !(col("t.v") <=> col("s.v"))
+    ManagedTable.merge(spark, root,
+      Seq((1, "a"), (2, "B"), (3, "c")).toDF("k", "v"), Seq("k"),
+      graft.sources.MergeClauses.Spec(
+        updateWhen = Some(changed), deleteWhen = Some(lit(true))),
+      changeFeed = true)                                                 // v1
+    val feed = ManagedTable.changes(spark, root, 1)
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    // k=1 unchanged → delete pre-image; k=2 → update post-image; k=3 → insert.
+    assert(feed.toSeq == Seq((1, "a", "delete"), (2, "B", "update"),
+      (3, "c", "insert")))
+    // The published snapshot is consistent with replaying the feed.
+    val live = ManagedTable.read(spark, root)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(live.toSeq == Seq((2, "B"), (3, "c")))
+    ManagedTable.merge(spark, root, Seq((4, "d")).toDF("k", "v"), Seq("k"),
+      changeFeed = true)                                                 // v2
+    ManagedTable.vacuum(root, keep = 1)
+    intercept[IllegalArgumentException] {
+      ManagedTable.changes(spark, root, 1)
+    }
+    assert(ManagedTable.changes(spark, root, 2).count() == 1) // insert of k=4
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))

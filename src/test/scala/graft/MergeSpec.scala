@@ -27,6 +27,27 @@ class MergeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, "a"), (2, "CHANGED"), (3, "c")))
   }
 
+  test("tagged merge labels every row with the clause that produced it") {
+    val source = Seq((1, "a", 10), (2, "B2", 20), (4, "d", 40)).toDF("k", "v", "n")
+    val changed = !(col("t.v") <=> col("s.v"))
+    val tagged = Merge.mergeFramesTagged(target, source, Seq("k"),
+      MergeClauses.Spec(
+        updateWhen = Some(changed),
+        deleteWhen = Some(lit(true))))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(3)))
+      .sortBy(_._1)
+    // k=1 matched+unchanged → delete (PRE-image "a"); k=2 → update
+    // (post-image "B2"); k=3 unmatched target → keep; k=4 → insert.
+    assert(tagged.toSeq == Seq((1, "a", "delete"), (2, "B2", "update"),
+      (3, "c", "keep"), (4, "d", "insert")))
+    // mergeFrames is exactly the tagged resolution minus the deletes.
+    val viaTag = tagged.filter(_._3 != "delete").map(t => (t._1, t._2))
+    val direct = Merge.mergeFrames(target, source, Seq("k"),
+      MergeClauses.Spec(updateWhen = Some(changed), deleteWhen = Some(lit(true))))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(direct.toSeq == viaTag.toSeq)
+  }
+
   test("matched-delete clause removes no-change rows (hist-job shape)") {
     val source = Seq((1, "a", 10), (2, "B2", 20)).toDF("k", "v", "n")
     val changed = !(col("t.v") <=> col("s.v"))
