@@ -319,7 +319,30 @@ object LifecycleQueries {
       .withColumnRenamed(Merge.ActionCol, "action")
   }
 
+  /** Schema-evolution gate (Delta autoMerge): the target is the ≤1994
+    * per-customer order count; the source re-derives the 1995 window
+    * WITH A NEW COLUMN (`total`). The evolved merge appends the column
+    * — updated/inserted rows carry source values, kept rows carry the
+    * null backfill — and the published snapshot is read back with the
+    * widened schema. DuckDB recomputes it as a full outer join. */
+  def mergeEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("evolution")
+    val pre94 = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1994-12-31"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("n_orders"))
+    val y95 = table(s, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1995-01-01"), lit("1995-12-31")))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    ManagedTable.overwrite(root, pre94)
+    ManagedTable.merge(s, root, y95, Seq("cust"), schemaEvolution = true)
+    ManagedTable.read(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
@@ -342,6 +365,21 @@ object LifecycleQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_merge_evolution" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS cust, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate <= DATE '1994-12-31' GROUP BY 1),
+        |s AS (
+        |  SELECT o_custkey AS cust, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |  GROUP BY 1)
+        |SELECT coalesce(s.cust, t.cust) AS cust,
+        |  CASE WHEN s.cust IS NOT NULL THEN s.n_orders
+        |       ELSE t.n_orders END AS n_orders,
+        |  s.total AS total
+        |FROM t FULL JOIN s ON t.cust = s.cust""".stripMargin,
     "q_table_timetravel" ->
       """SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
         |  COUNT(*) AS n_orders,

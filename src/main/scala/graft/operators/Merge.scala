@@ -32,8 +32,10 @@ object Merge {
     * ignore); the output projects exactly the target's columns. */
   def mergeFrames(target: DataFrame, source: DataFrame, keys: Seq[String],
                   clauses: MergeClauses.Spec = MergeClauses.Spec(),
-                  nullSafeKeys: Boolean = true): DataFrame =
-    mergeFramesTagged(target, source, keys, clauses, nullSafeKeys)
+                  nullSafeKeys: Boolean = true,
+                  schemaEvolution: Boolean = false): DataFrame =
+    mergeFramesTagged(target, source, keys, clauses, nullSafeKeys,
+      schemaEvolution)
       .filter(col(ActionCol) =!= lit("delete")).drop(ActionCol)
 
   /** Name of the action column [[mergeFramesTagged]] appends. */
@@ -53,11 +55,27 @@ object Merge {
     *
     * The post-merge table is exactly the non-`delete` rows; the change
     * feed is exactly the non-`keep` rows. Same single full-outer join
-    * and projection as [[mergeFrames]] — tagging adds no shuffle. */
+    * and projection as [[mergeFrames]] — tagging adds no shuffle.
+    *
+    * `schemaEvolution` gives Delta `autoMerge` semantics: source-only
+    * columns are APPENDED to the output schema; rows the merge does not
+    * rewrite (keeps, deletes, and updates where the source lacks a
+    * target column) carry null in the new columns, exactly the
+    * null-backfill a metadata-only schema change produces at 100 TB.
+    * Off (the default), the source must carry the target's column set
+    * and the output schema is the target's, unchanged. */
   def mergeFramesTagged(target: DataFrame, source: DataFrame, keys: Seq[String],
                         clauses: MergeClauses.Spec = MergeClauses.Spec(),
-                        nullSafeKeys: Boolean = true): DataFrame = {
-    val cols = target.columns.toIndexedSeq
+                        nullSafeKeys: Boolean = true,
+                        schemaEvolution: Boolean = false): DataFrame = {
+    val cols: IndexedSeq[String] =
+      if (!schemaEvolution) {
+        val missing = target.columns.filterNot(source.columns.contains)
+        require(missing.isEmpty, "MERGE source lacks target column(s) " +
+          s"${missing.mkString(", ")}; pass schemaEvolution = true to evolve")
+        target.columns.toIndexedSeq
+      } else target.columns.toIndexedSeq ++
+        source.columns.filterNot(target.columns.contains)
     val t = target.withColumn("__t_present", lit(true)).alias("t")
     // Delta MERGE errors when multiple source rows match ONE TARGET row;
     // duplicate source keys that match no target row are legal and fan
@@ -95,8 +113,13 @@ object Merge {
       .when(doInsert, lit("insert"))
       .otherwise(lit("keep"))
 
+    val tCols = target.columns.toSet
+    val sCols = source.columns.toSet
+    def side(alias: String, has: Set[String])(c: String): Column =
+      if (has(c)) col(s"$alias.$c") else lit(null)
     joined.filter(dupGuard && (keepRow || doDelete)).select(
-      cols.map(c => when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)) :+
+      cols.map(c => when(takeSource, side("s", sCols)(c))
+        .otherwise(side("t", tCols)(c)).as(c)) :+
         action.as(ActionCol): _*)
   }
 }

@@ -108,11 +108,12 @@ object ManagedTable {
             keys: Seq[String],
             clauses: MergeClauses.Spec = MergeClauses.Spec(),
             nullSafeKeys: Boolean = true,
-            changeFeed: Boolean = false): Unit = {
+            changeFeed: Boolean = false,
+            schemaEvolution: Boolean = false): Unit = {
     val target = read(spark, root)
     if (!changeFeed) {
       val resolved = graft.operators.Merge.mergeFrames(target, source, keys,
-        clauses, nullSafeKeys)
+        clauses, nullSafeKeys, schemaEvolution)
       // The resolver's plan still reads the live snapshot lazily; materialize
       // the next version before the pointer swap so readers never see a
       // half-written state.
@@ -123,7 +124,7 @@ object ManagedTable {
       // snapshot write reuses those blocks instead of re-joining.
       import graft.operators.Merge
       val tagged = Merge.mergeFramesTagged(target, source, keys,
-        clauses, nullSafeKeys).localCheckpoint(eager = false)
+        clauses, nullSafeKeys, schemaEvolution).localCheckpoint(eager = false)
       val next = if (exists(root)) currentVersion(root) + 1 else 0
       try {
         tagged.filter(col(Merge.ActionCol) =!= lit("keep"))

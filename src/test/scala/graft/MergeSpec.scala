@@ -48,6 +48,29 @@ class MergeSpec extends AnyFunSuite {
     assert(direct.toSeq == viaTag.toSeq)
   }
 
+  test("schema evolution appends source-only columns with null backfill") {
+    val source = Seq((2, "B", 99, 2.5), (4, "d", 40, 4.5))
+      .toDF("k", "v", "n", "score")
+    val out = Merge.mergeFrames(target, source, Seq("k"),
+      schemaEvolution = true)
+    assert(out.columns.toSeq == Seq("k", "v", "n", "score"))
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sortBy(_._1)
+    // kept rows (1, 3) carry the null backfill; updated/inserted carry source.
+    assert(rows.toSeq == Seq((1, "a", None), (2, "B", Some(2.5)),
+      (3, "c", None), (4, "d", Some(4.5))))
+  }
+
+  test("without evolution, a source missing target columns is rejected") {
+    val source = Seq((2, "B")).toDF("k", "v") // lacks target column n
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeFrames(target, source, Seq("k"))
+    }
+    assert(e.getMessage.contains("schemaEvolution"))
+  }
+
   test("matched-delete clause removes no-change rows (hist-job shape)") {
     val source = Seq((1, "a", 10), (2, "B2", 20)).toDF("k", "v", "n")
     val changed = !(col("t.v") <=> col("s.v"))
