@@ -341,7 +341,35 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Bucketed (delta-proportional) change-data-feed gate: the 100 TB CDC
+    * path. Create the 16-bucket table from the ≤1994 slice, merge the
+    * 1994H2-1995H1 delta with update-when-not-F / delete-when-F clauses
+    * and the feed on — only buckets containing delta keys are read or
+    * rewritten, yet the emitted feed equals the whole-table merge's feed
+    * (changes can only happen in touched buckets). DuckDB re-derives
+    * every action from the two slices. */
+  def bucketedCdf(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed_cdf")
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    val base = shaped(col("o_orderdate") <= lit("1994-12-31"), "base")
+    val delta = shaped(col("o_orderdate").between(lit("1994-07-01"),
+      lit("1995-06-30")), "delta")
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    BucketedTable.merge(s, root, delta,
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))),
+      changeFeed = true)
+    BucketedTable.changes(s, root, 1)
+      .withColumnRenamed(Merge.ActionCol, "action")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
@@ -365,6 +393,26 @@ object LifecycleQueries {
       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_bucketed_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
+        |  FROM orders WHERE o_orderdate <= DATE '1994-12-31'),
+        |d AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'delta' AS tag
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1995-06-30')
+        |SELECT d.k,
+        |  CASE WHEN base.k IS NULL OR d.st <> 'F' THEN d.st ELSE base.st END AS st,
+        |  CASE WHEN base.k IS NULL OR d.st <> 'F' THEN d.total ELSE base.total END AS total,
+        |  CASE WHEN base.k IS NULL OR d.st <> 'F' THEN d.dt ELSE base.dt END AS dt,
+        |  CASE WHEN base.k IS NULL OR d.st <> 'F' THEN d.tag ELSE base.tag END AS tag,
+        |  CASE WHEN base.k IS NULL THEN 'insert'
+        |       WHEN d.st <> 'F' THEN 'update' ELSE 'delete' END AS action
+        |FROM d LEFT JOIN base ON d.k = base.k""".stripMargin,
     "q_merge_evolution" ->
       """WITH t AS (
         |  SELECT o_custkey AS cust, COUNT(*) AS n_orders

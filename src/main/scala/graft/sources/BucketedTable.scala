@@ -100,9 +100,16 @@ object BucketedTable {
     spark.read.parquet(paths: _*)
   }
 
-  /** Keyed MERGE touching only the buckets that contain source keys. */
+  /** Keyed MERGE touching only the buckets that contain source keys.
+    * With `changeFeed`, the merge also lands its row-level changes as
+    * `_changes/v<next>` BEFORE the pointer swap — and because a merge can
+    * only insert/update/delete inside buckets containing source keys, the
+    * delta-proportional feed equals the feed a whole-table merge would
+    * produce: CDC cost scales with the delta, never the table. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-            clauses: MergeClauses.Spec = MergeClauses.Spec()): Unit = {
+            clauses: MergeClauses.Spec = MergeClauses.Spec(),
+            changeFeed: Boolean = false): Unit = {
+    import graft.operators.Merge
     val meta = readMeta(root)
     val srcB = source.withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
       .persist()
@@ -118,11 +125,20 @@ object BucketedTable {
       if (targetPaths.isEmpty) srcB.drop("_bucket").limit(0)
       else spark.read.parquet(targetPaths.toIndexedSeq: _*)
 
-    val merged = graft.operators.Merge
-      .mergeFrames(target, srcB.drop("_bucket"), meta.keys, clauses)
-      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
-
     val next = meta.version + 1
+    // With a feed, one merge join resolves snapshot AND feed (lazy
+    // localCheckpoint — materialized by the feed write, reused by the
+    // snapshot write); without one, the plain plan is left untouched.
+    val taggedRaw = Merge
+      .mergeFramesTagged(target, srcB.drop("_bucket"), meta.keys, clauses)
+    val tagged =
+      if (changeFeed) taggedRaw.localCheckpoint(eager = false) else taggedRaw
+    if (changeFeed)
+      tagged.filter(col(Merge.ActionCol) =!= lit("keep"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    val merged = tagged
+      .filter(col(Merge.ActionCol) =!= lit("delete")).drop(Merge.ActionCol)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
     merged.write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$root/v$next/_data")
     touched.foreach { b =>
@@ -136,7 +152,19 @@ object BucketedTable {
       b -> (if (touchedSet(b)) s"v$next" else ver)
     }
     writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
+    if (changeFeed) tagged.unpersist()
     srcB.unpersist()
+  }
+
+  /** Read the change feed `merge(..., changeFeed = true)` recorded when it
+    * published `version` — delta-sized rows tagged insert / update
+    * (post-image) / delete (pre-image). */
+  def changes(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val dir = Paths.get(root, "_changes", s"v$version")
+    require(Files.exists(dir),
+      s"no change feed for version $version of $root (merge ran without " +
+        "changeFeed, feed vacuumed, or not a merge-published version)")
+    spark.read.parquet(dir.toString)
   }
 
   /** VACUUM for the bucketed layout (reference semantics:
@@ -171,5 +199,16 @@ object BucketedTable {
           if (!hostsLiveBuckets) ScratchDirs.deleteRecursively(vdir)
         }
       }
+    // Change feeds age with their version's manifest retention (a feed is
+    // never referenced by a later manifest, so age alone decides).
+    val changesDir = Paths.get(root, "_changes")
+    if (Files.exists(changesDir)) {
+      val listing = Files.list(changesDir)
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d+"))
+        .filter(p => !retained.contains(p.getFileName.toString.drop(1).toInt))
+        .toList.foreach(ScratchDirs.deleteRecursively)
+      finally listing.close()
+    }
   }
 }

@@ -73,6 +73,37 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bucketed change feed equals the whole-table feed at delta cost") {
+    val root = Files.createTempDirectory("graft_bt_cdf").toString
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i", i % 7)).toDF("k", "v", "n")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+    val source = Seq((5L, "v5", 5 % 7), (7L, "UPDATED", 99), (2000L, "NEW", 1))
+      .toDF("k", "v", "n")
+    val changed = !(col("t.v") <=> col("s.v")) || !(col("t.n") <=> col("s.n"))
+    val spec = MergeClauses.Spec(
+      updateWhen = Some(changed), deleteWhen = Some(lit(true)))
+    BucketedTable.merge(spark, root, source, spec, changeFeed = true)
+    val feed = BucketedTable.changes(spark, root, 1)
+      .as[(Long, String, Int, String)].collect().sortBy(_._1)
+    // k=5 matched+unchanged → delete pre-image; k=7 → update; k=2000 → insert.
+    // No keep rows — in particular NONE from the ~14 untouched buckets.
+    assert(feed.toSeq == Seq((5L, "v5", 5, "delete"),
+      (7L, "UPDATED", 99, "update"), (2000L, "NEW", 1, "insert")))
+    // The feed is exactly what a whole-table tagged merge would emit.
+    val whole = Merge.mergeFramesTagged(target, source, Seq("k"), spec)
+      .filter(col(Merge.ActionCol) =!= "keep")
+      .as[(Long, String, Int, String)].collect().sortBy(_._1)
+    assert(feed.toSeq == whole.toSeq)
+    // Vacuum ages the feed out with its version's retention.
+    BucketedTable.merge(spark, root, Seq((3000L, "X", 0)).toDF("k", "v", "n"),
+      changeFeed = true)
+    BucketedTable.vacuum(root, keep = 1)
+    intercept[IllegalArgumentException] {
+      BucketedTable.changes(spark, root, 1)
+    }
+    assert(BucketedTable.changes(spark, root, 2).count() == 1)
+  }
+
   test("matched-delete empties a bucket without breaking reads") {
     val root = Files.createTempDirectory("graft_bt_del").toString
     val target = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
