@@ -277,8 +277,8 @@ object LifecycleQueries {
     * v1 = upsert of the ≤1995 per-customer state, v2 = conditional
     * update/delete merge of the ≤1996 state — the same cycle as
     * q_lifecycle_table but WITHOUT the vacuum, so history survives. */
-  private def twoMergeHistory(s: SparkSession, dir: String,
-                              changeFeed: Boolean): String = {
+  private[graft] def twoMergeHistory(s: SparkSession, dir: String,
+                                     changeFeed: Boolean): String = {
     val root = freshRoot("history")
     def custState(upTo: String): DataFrame =
       table(s, dir, "orders")

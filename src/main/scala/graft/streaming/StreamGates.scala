@@ -176,10 +176,55 @@ object StreamGates {
     }
   }
 
+  /** q_stream_cdc_replica: CDC REPLICATION — the consumer side of the
+    * change feed. A source-of-truth versioned table runs two feed-recording
+    * merges (insert-everything, then update-when-newer/delete-when-stale);
+    * a file-source stream over the feeds applies each micro-batch to an
+    * independent REPLICA table via a foreachBatch merge whose clauses
+    * interpret the `_action` tag (delete removes, insert/update upsert the
+    * post-image). Feeds land version-by-version with a checkpointed
+    * AvailableNow pass each — the exactly-once contract (source offsets in
+    * the checkpoint) means pass 2 applies only v2. The gate returns the
+    * REPLICA, and the oracle is the source-of-truth state — replication
+    * through delta-sized feeds must land exactly where the table itself
+    * landed. Within one version each key carries one action, so the apply
+    * is batch-cut-invariant. At 100 TB the consumer reads delta-sized
+    * feeds, never snapshots — this is the scale story the feed exists for. */
+  def streamCdcReplica(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    import graft.operators.Merge
+    import graft.sources.{ManagedTable, MergeClauses, ScratchDirs}
+    val tableRoot = graft.operators.LifecycleQueries
+      .twoMergeHistory(s, dir, changeFeed = true)
+    val root = ScratchDirs.fresh("stream_cdc")
+    val feed1 = s.read.parquet(s"$tableRoot/_changes/v1")
+    val replica = s"$root/replica"
+    ManagedTable.createEmpty(s, replica, feed1.drop(Merge.ActionCol))
+    val applySpec = MergeClauses.Spec(
+      updateWhen = Some(col(s"s.${Merge.ActionCol}") =!= lit("delete")),
+      deleteWhen = Some(lit(true)),
+      insertWhen = Some(col(s"s.${Merge.ActionCol}") =!= lit("delete")))
+    (1 to 2).foreach { v =>
+      s.read.parquet(s"$tableRoot/_changes/v$v")
+        .write.mode("append").parquet(s"$root/in")
+      val q = s.readStream.schema(feed1.schema).parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          ManagedTable.merge(s, replica, batch, Seq("cust"), applySpec)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManagedTable.read(s, replica)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_neardup" -> (streamNearDup _),
     "q_stream_hourly" -> (streamHourly _),
-    "q_stream_attribution" -> (streamAttribution _))
+    "q_stream_attribution" -> (streamAttribution _),
+    "q_stream_cdc_replica" -> (streamCdcReplica _))
 
   /** q_stream_neardup: same relational definition as q_dedup_incremental —
     * the streaming replay must land exactly where the batch operator lands.
@@ -192,6 +237,10 @@ object StreamGates {
     // to one bar is an edit to both.
     "q_stream_attribution" ->
       graft.operators.EventQueries.oracles("q_events_attribution"),
+    // Replication must land exactly where the source-of-truth table
+    // landed, so the replica gate shares the lifecycle state oracle.
+    "q_stream_cdc_replica" ->
+      graft.operators.LifecycleQueries.oracles("q_lifecycle_table"),
     "q_stream_hourly" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
