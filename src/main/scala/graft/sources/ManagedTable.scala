@@ -79,6 +79,19 @@ object ManagedTable {
     spark.read.parquet(dir.toString)
   }
 
+  /** Change feeds across a CLOSED version range, each row stamped with its
+    * `_version` — Delta's `table_changes(from, to)`. Every version in the
+    * range must have a recorded feed (a silent gap would silently corrupt
+    * any downstream replica). */
+  def changes(spark: SparkSession, root: String,
+              fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"empty version range [$fromVersion, $toVersion]")
+    (fromVersion to toVersion)
+      .map(v => changes(spark, root, v).withColumn("_version", lit(v)))
+      .reduce(_ unionByName _)
+  }
+
   /** Create an empty table carrying only the schema, like the reference's
     * `limit(0).write.format("delta")` init (mls_listings_curated.py:325). */
   def createEmpty(spark: SparkSession, root: String, like: DataFrame): Unit =
@@ -192,6 +205,17 @@ object ManagedTable {
             Seq(s"_mn_$c", s"_mx_$c"))): _*)
       }
     overwrite(root, laid)
+    // A z-ordered layout without file stats cannot be skipped against —
+    // record the manifest for the layout columns as part of OPTIMIZE
+    // (numeric ones; the z-quantization is numeric-only anyway).
+    val numeric = {
+      val fields = read(spark, root).schema.fields
+        .map(f => f.name -> f.dataType.typeName).toMap
+      zorderBy.filter(c => fields.get(c).exists(t =>
+        Set("byte", "short", "integer", "long", "float", "double",
+          "date").contains(t) || t.startsWith("decimal")))
+    }
+    if (numeric.nonEmpty) analyze(spark, root, numeric)
   }
 
   /** Morton interleave: bit i of layout column c lands at position

@@ -101,9 +101,11 @@ class ManagedTableSpec extends AnyFunSuite {
       .select((col("id") / 100).cast("int").as("a"),
         (col("id") % 100).cast("int").as("b"), col("id").as("payload"))
     ManagedTable.overwrite(root, df.repartition(16))
+    // No explicit analyze: a z-order OPTIMIZE records the manifest itself.
     ManagedTable.optimize(spark, root, targetFileBytes = 8L << 10,
       zorderBy = Seq("a", "b"))
-    ManagedTable.analyze(spark, root, Seq("a", "b"))
+    assert(Files.exists(Paths.get(root,
+      s"v${ManagedTable.currentVersion(root)}", "_stats.tsv")))
     val full = ManagedTable.read(spark, root)
     val nFilesTotal = full.inputFiles.length
     assert(nFilesTotal > 4) // the 8 KB target really fragmented the snapshot
@@ -165,6 +167,14 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(live.toSeq == Seq((2, "B"), (3, "c")))
     ManagedTable.merge(spark, root, Seq((4, "d")).toDF("k", "v"), Seq("k"),
       changeFeed = true)                                                 // v2
+    // Range read stamps each row's version (table_changes(from, to)).
+    val ranged = ManagedTable.changes(spark, root, 1, 2)
+      .as[(Int, String, String, Int)].collect().sortBy(r => (r._4, r._1))
+    assert(ranged.map(_._4).toSeq == Seq(1, 1, 1, 2))
+    assert(ranged.last == ((4, "d", "insert", 2)))
+    intercept[IllegalArgumentException] { // v3 has no feed: loud, not silent
+      ManagedTable.changes(spark, root, 1, 3)
+    }
     ManagedTable.vacuum(root, keep = 1)
     intercept[IllegalArgumentException] {
       ManagedTable.changes(spark, root, 1)
