@@ -127,6 +127,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("data-skipping read equals the full-scan filter for any range box") {
+    import graft.sources.ManagedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_prop_skip").toString
+    val df = spark.range(4096L)
+      .select((org.apache.spark.sql.functions.col("id") / 64).cast("int").as("a"),
+        (org.apache.spark.sql.functions.col("id") % 64).cast("int").as("b"))
+    ManagedTable.overwrite(root, df.repartition(8))
+    ManagedTable.optimize(spark, root, targetFileBytes = 4L << 10,
+      zorderBy = Seq("a", "b")) // auto-analyzed
+    val full = ManagedTable.read(spark, root)
+    val boxGen: Gen[(Int, Int, Int, Int)] = for {
+      aLo <- Gen.chooseNum(-5, 70); aW <- Gen.chooseNum(0, 40)
+      bLo <- Gen.chooseNum(-5, 70); bW <- Gen.chooseNum(0, 40)
+    } yield (aLo, aLo + aW, bLo, bLo + bW)
+    for ((aLo, aHi, bLo, bHi) <- cases(boxGen, n = 10)) {
+      val pruned = ManagedTable.readWhere(spark, root,
+        Seq(("a", aLo, aHi), ("b", bLo, bHi)))
+        .as[(Int, Int)].collect().sorted.toSeq
+      val expect = full
+        .filter(org.apache.spark.sql.functions.col("a").between(aLo, aHi) &&
+          org.apache.spark.sql.functions.col("b").between(bLo, bHi))
+        .as[(Int, Int)].collect().sorted.toSeq
+      assert(pruned == expect, s"box a[$aLo,$aHi] b[$bLo,$bHi]")
+    }
+  }
+
   test("salted top-k equals windowed top-k for any k") {
     for ((rows, i) <- cases(rowGen).zipWithIndex if rows.nonEmpty) {
       val k = 1 + (i % 4)
