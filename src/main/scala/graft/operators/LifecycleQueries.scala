@@ -266,9 +266,9 @@ object LifecycleQueries {
         col("l_partkey").as("part"), col("l_suppkey").as("supp"),
         col("l_quantity").cast(DoubleType).as("qty"))
     ManagedTable.overwrite(root, li.repartition(64))
+    // optimize auto-records the manifest for its numeric layout columns
     ManagedTable.optimize(s, root, targetFileBytes = 256L << 10,
       zorderBy = Seq("part", "supp"))
-    ManagedTable.analyze(s, root, Seq("part", "supp"))
     ManagedTable.readWhere(s, root,
       Seq(("part", 10, 120), ("supp", 1, 50)))
   }

@@ -125,11 +125,18 @@ class ManagedTableSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_tbl_nm").toString
     val df = spark.range(1000L).select(col("id").cast("int").as("a"))
-    ManagedTable.overwrite(root, df.repartition(8))
+    ManagedTable.overwrite(root, df.repartitionByRange(8, col("a")))
     val got = ManagedTable.readWhere(spark, root, Seq(("a", 100, 199)))
     assert(got.inputFiles.length ==
       ManagedTable.read(spark, root).inputFiles.length)
     assert(got.count() == 100)
+    // Explicit analyze (no OPTIMIZE involved) makes the same read prune:
+    // the range-partitioned files have tight per-file spans.
+    ManagedTable.analyze(spark, root, Seq("a"))
+    val pruned = ManagedTable.readWhere(spark, root, Seq(("a", 100, 199)))
+    assert(pruned.inputFiles.length <
+      ManagedTable.read(spark, root).inputFiles.length)
+    assert(pruned.count() == 100)
   }
 
   test("time travel pins a historical version; vacuum makes it unreadable") {
