@@ -368,7 +368,42 @@ object LifecycleQueries {
       .withColumnRenamed(Merge.ActionCol, "action")
   }
 
+  /** Shared builder for the DML gates: v0 = the ≤1995 order projection,
+    * v1 = UPDATE non-F rows (+1000.0 on total, evaluated on the
+    * pre-update row), v2 = DELETE pre-1996H2 rows. */
+  private def dmlHistory(s: SparkSession, dir: String): String = {
+    val root = freshRoot("dml")
+    val base = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1997-12-31"))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(DoubleType).as("total"),
+        col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(root, base)                                  // v0
+    ManagedTable.update(s, root,
+      Map("total" -> (col("total") + lit(1000.0))),
+      where = col("st") =!= lit("F"))                                   // v1
+    ManagedTable.delete(s, root, col("dt") < lit("1996-07-01"))         // v2
+    root
+  }
+
+  /** DML gate (Delta UPDATE + DELETE command parity): the post-delete
+    * head state. DuckDB recomputes both commands relationally. */
+  def tableDml(s: SparkSession, dir: String): DataFrame =
+    ManagedTable.read(s, dmlHistory(s, dir))
+
+  /** RESTORE gate: roll the DML table back to v1 (post-update,
+    * pre-delete). The rollback republishes v1's content as v3 —
+    * history stays linear — and the gate returns the new head, which
+    * must equal the update-only state. */
+  def tableRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = dmlHistory(s, dir)
+    ManagedTable.restore(s, root, 1)                                    // v3
+    ManagedTable.read(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_dml" -> (tableDml _),
+    "q_table_restore" -> (tableRestore _),
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
@@ -392,7 +427,18 @@ object LifecycleQueries {
       |  CAST(o_orderdate AS VARCHAR) AS dt
       |FROM orders""".stripMargin
 
+  private val dmlUpdatedSql =
+    """SELECT o_orderkey AS k, o_orderstatus AS st,
+      |  CASE WHEN o_orderstatus <> 'F'
+      |       THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+      |       ELSE CAST(o_totalprice AS DOUBLE) END AS total,
+      |  CAST(o_orderdate AS VARCHAR) AS dt
+      |FROM orders WHERE o_orderdate <= DATE '1997-12-31'""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_table_dml" ->
+      (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
+    "q_table_restore" -> dmlUpdatedSql,
     "q_bucketed_cdf" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -151,6 +151,58 @@ object ManagedTable {
     }
   }
 
+  /** DELETE command (Delta `DELETE FROM ... WHERE`): publish a new version
+    * without the rows satisfying `where`. Rows where the predicate
+    * evaluates to null are KEPT — SQL DELETE semantics, not filter
+    * semantics. With `changeFeed`, the deleted pre-images land as
+    * `_changes/v<next>` before the pointer swap. */
+  def delete(spark: SparkSession, root: String, where: Column,
+             changeFeed: Boolean = false): Unit = {
+    val cur = read(spark, root)
+    val hit = coalesce(where, lit(false))
+    if (changeFeed) {
+      val next = currentVersion(root) + 1
+      cur.filter(hit)
+        .withColumn(graft.operators.Merge.ActionCol, lit("delete"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    }
+    overwrite(root, cur.filter(!hit))
+  }
+
+  /** UPDATE command (Delta `UPDATE ... SET ... WHERE`): rows satisfying
+    * `where` get each column in `set` re-evaluated (expressions see the
+    * pre-update row); all other rows and columns pass through. Null
+    * predicate rows are untouched, like SQL UPDATE. With `changeFeed`,
+    * post-image rows land as `_changes/v<next>` before the swap. */
+  def update(spark: SparkSession, root: String, set: Map[String, Column],
+             where: Column = lit(true), changeFeed: Boolean = false): Unit = {
+    val cur = read(spark, root)
+    val bad = set.keySet -- cur.columns.toSet
+    require(bad.isEmpty, s"UPDATE SET references missing column(s): " +
+      bad.mkString(", "))
+    // The hit flag is evaluated on the PRE-update row and carried through
+    // the projection — re-evaluating `where` on post-images would misfeed
+    // self-referential updates (e.g. WHERE total < 100 SET total += 1000).
+    val flagged = cur.withColumn("__hit", coalesce(where, lit(false)))
+    val updated = flagged.select(cur.columns.toIndexedSeq.map(c =>
+      when(col("__hit"), set.getOrElse(c, col(c))).otherwise(col(c)).as(c)) :+
+      col("__hit"): _*)
+    if (changeFeed) {
+      val next = currentVersion(root) + 1
+      updated.filter(col("__hit")).drop("__hit")
+        .withColumn(graft.operators.Merge.ActionCol, lit("update"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    }
+    overwrite(root, updated.drop("__hit"))
+  }
+
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): republish an
+    * old version's CONTENT as the new head, preserving linear history —
+    * the rollback is itself a versioned event, so it can be time-traveled
+    * past or restored again. */
+  def restore(spark: SparkSession, root: String, version: Int): Unit =
+    overwrite(root, readVersion(spark, root, version))
+
   /** OPTIMIZE — bin-packing compaction with optional z-order layout,
     * published as a new immutable version (content-identical; only the
     * file layout changes). The reference ecosystem gets this from Delta's

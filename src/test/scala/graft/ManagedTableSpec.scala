@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Merge
 import graft.sources.ManagedTable
 
 class ManagedTableSpec extends AnyFunSuite {
@@ -187,6 +188,48 @@ class ManagedTableSpec extends AnyFunSuite {
       ManagedTable.changes(spark, root, 1)
     }
     assert(ManagedTable.changes(spark, root, 2).count() == 1) // insert of k=4
+  }
+
+  test("UPDATE evaluates SET and the feed on the pre-update row") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_u").toString
+    ManagedTable.overwrite(root, Seq((1, 50.0), (2, 500.0)).toDF("k", "total"))
+    // Self-referential: WHERE total < 100 SET total += 1000. The post-image
+    // (1050.0) no longer satisfies the predicate — the feed must still
+    // carry it.
+    ManagedTable.update(spark, root,
+      Map("total" -> (col("total") + lit(1000.0))),
+      where = col("total") < 100.0, changeFeed = true)
+    val live = ManagedTable.read(spark, root)
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(live.toSeq == Seq((1, 1050.0), (2, 500.0)))
+    val feed = ManagedTable.changes(spark, root, 1)
+      .as[(Int, Double, String)].collect()
+    assert(feed.toSeq == Seq((1, 1050.0, "update")))
+  }
+
+  test("DELETE keeps null-predicate rows (SQL semantics) and feeds pre-images") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_d").toString
+    ManagedTable.overwrite(root,
+      Seq((1, Some(5)), (2, None), (3, Some(1))).toDF("k", "n"))
+    ManagedTable.delete(spark, root, col("n") > 3, changeFeed = true)
+    val live = ManagedTable.read(spark, root)
+      .select("k").as[Int].collect().sorted
+    assert(live.toSeq == Seq(2, 3)) // null predicate row 2 is KEPT
+    val feed = ManagedTable.changes(spark, root, 1)
+      .select("k", Merge.ActionCol).as[(Int, String)].collect()
+    assert(feed.toSeq == Seq((1, "delete")))
+  }
+
+  test("RESTORE republishes old content as a new head, history linear") {
+    val root = Files.createTempDirectory("graft_tbl_r").toString
+    ManagedTable.overwrite(root, Seq((1, "a")).toDF("k", "v"))          // v0
+    ManagedTable.merge(spark, root, Seq((2, "b")).toDF("k", "v"), Seq("k")) // v1
+    ManagedTable.restore(spark, root, 0)                                // v2
+    assert(ManagedTable.currentVersion(root) == 2)
+    assert(ManagedTable.read(spark, root).count() == 1)     // v0 content
+    assert(ManagedTable.readVersion(spark, root, 1).count() == 2) // intact
   }
 
   test("createEmpty publishes schema-only snapshot (limit 0)") {
