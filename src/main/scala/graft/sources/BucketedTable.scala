@@ -67,6 +67,16 @@ object BucketedTable {
   private def bucketDir(root: String, ver: String, b: Int): String =
     f"$root/$ver/b$b%05d"
 
+  /** Scoped directory listing — `Files.list` holds an OS directory handle
+    * until closed; consume the iterator inside `f` only. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val st = Files.list(dir)
+    try f(st.iterator().asScala) finally st.close()
+  }
+
+  private def hasParquet(dir: String): Boolean =
+    listDir(Paths.get(dir))(_.exists(_.getFileName.toString.endsWith(".parquet")))
+
   /** Remove the partitionBy staging dir once its buckets are moved out. */
   private def dropStaging(root: String, ver: Int): Unit = {
     ScratchDirs.deleteRecursively(Paths.get(s"$root/v$ver/_data"))
@@ -95,8 +105,7 @@ object BucketedTable {
     val meta = readMeta(root)
     val paths = meta.manifest.toSeq.sortBy(_._1)
       .map { case (b, ver) => bucketDir(root, ver, b) }
-      .filter(p => Files.list(Paths.get(p)).iterator().asScala
-        .exists(_.getFileName.toString.endsWith(".parquet")))
+      .filter(hasParquet)
     spark.read.parquet(paths: _*)
   }
 
@@ -119,8 +128,7 @@ object BucketedTable {
 
     val targetPaths = touched
       .map(b => bucketDir(root, meta.manifest(b), b))
-      .filter(p => Files.list(Paths.get(p)).iterator().asScala
-        .exists(_.getFileName.toString.endsWith(".parquet")))
+      .filter(hasParquet)
     val target =
       if (targetPaths.isEmpty) srcB.drop("_bucket").limit(0)
       else spark.read.parquet(targetPaths.toIndexedSeq: _*)
@@ -183,19 +191,18 @@ object BucketedTable {
     val referenced: Set[(Int, String)] = retained.flatMap { v =>
       readMetaAt(root, v).manifest.toSeq.map { case (b, ver) => (b, ver) }
     }.toSet
-    Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d+")).toList
+    listDir(Paths.get(root))(
+        _.filter(_.getFileName.toString.matches("v\\d+")).toList)
       .foreach { vdir =>
         val vname = vdir.getFileName.toString
-        Files.list(vdir).iterator().asScala
-          .filter(_.getFileName.toString.matches("b\\d{5}")).toList
+        listDir(vdir)(_.filter(_.getFileName.toString.matches("b\\d{5}")).toList)
           .foreach { bdir =>
             val b = bdir.getFileName.toString.drop(1).toInt
             if (!referenced((b, vname))) ScratchDirs.deleteRecursively(bdir)
           }
         if (!retained.contains(vname.drop(1).toInt)) {
-          val hostsLiveBuckets = Files.list(vdir).iterator().asScala
-            .exists(_.getFileName.toString.matches("b\\d{5}"))
+          val hostsLiveBuckets = listDir(vdir)(
+            _.exists(_.getFileName.toString.matches("b\\d{5}")))
           if (!hostsLiveBuckets) ScratchDirs.deleteRecursively(vdir)
         }
       }
