@@ -391,6 +391,71 @@ object LifecycleQueries {
   def tableDml(s: SparkSession, dir: String): DataFrame =
     ManagedTable.read(s, dmlHistory(s, dir))
 
+  /** Shared setup for the incremental-view gates: a keyed order fact
+    * (≤1995), one merge of a HOSTILE delta — updates change the measure
+    * AND move rows between groups (cust % 500), matched 'F' rows are
+    * deleted, new keys insert — recorded as a pre-image change feed.
+    * Returns (view-spec base fact, feed, post-merge fact). Measures stay
+    * DecimalType end-to-end so incremental sums are exact (the operator's
+    * exactness contract). */
+  private def viewFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val root = freshRoot("ivm")
+    def orders0 = table(s, dir, "orders")
+    val base = orders0.filter(col("o_orderdate") <= lit("1995-12-31"))
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total"),
+        col("o_orderstatus").as("st"))
+    val delta = orders0.filter(col("o_orderdate")
+        .between(lit("1995-07-01"), lit("1996-06-30")))
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % lit(500)).as("cust"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) +
+          lit(100).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as("total"),
+        col("o_orderstatus").as("st"))
+    ManagedTable.overwrite(root, base)
+    ManagedTable.merge(s, root, delta, Seq("k"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))),
+      changeFeed = true, preImageFeed = true)
+    (base, ManagedTable.changes(s, root, 1), ManagedTable.read(s, root))
+  }
+
+  /** Incremental-view gate (algebraic COUNT/SUM): the per-customer view
+    * is initialized from the base fact, then advanced PURELY from the
+    * merge's pre-image change feed — the post-merge fact is never
+    * aggregated. DuckDB recomputes the merge and the aggregate from
+    * scratch; a hash match proves insert/update/delete contributions
+    * (including group MOVES via the update pre-image) retract and apply
+    * exactly. */
+  def viewIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (base, feed, _) = viewFixture(s, dir)
+    val spec = IncrementalView.Spec(Seq("cust"), Seq("total"))
+    val view0 = IncrementalView.initialize(base, spec)
+    IncrementalView.applyChanges(view0, feed, spec)
+      .select(col("cust"), col("n"),
+        col("sum_total").cast(DoubleType).as("total_sum"))
+  }
+
+  /** Delta-proportional refresh gate (non-algebraic MIN/MAX): touched
+    * groups — post-image keys, update pre-image keys, delete keys — are
+    * recomputed from the post-merge fact; untouched groups carry forward
+    * by anti-join without being read. DuckDB recomputes everything from
+    * scratch, so a hash match proves the touched-group set was complete
+    * (a missed moved-row pre-image group would ship a stale extremum). */
+  def viewRefresh(s: SparkSession, dir: String): DataFrame = {
+    val (base, feed, merged) = viewFixture(s, dir)
+    val aggs = Seq(count(lit(1)).as("n"),
+      min(col("total")).as("mn"), max(col("total")).as("mx"))
+    val view0 = IncrementalView.initializeWith(base, Seq("cust"), aggs)
+    IncrementalView.refreshGroups(view0, feed, merged, Seq("cust"), aggs)
+      .select(col("cust"), col("n"),
+        col("mn").cast(DoubleType).as("mn"),
+        col("mx").cast(DoubleType).as("mx"))
+  }
+
   /** RESTORE gate: roll the DML table back to v1 (post-update,
     * pre-delete). The rollback republishes v1's content as v3 —
     * history stays linear — and the gate returns the new head, which
@@ -404,6 +469,8 @@ object LifecycleQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_dml" -> (tableDml _),
     "q_table_restore" -> (tableRestore _),
+    "q_view_incremental" -> (viewIncremental _),
+    "q_view_refresh" -> (viewRefresh _),
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
@@ -435,7 +502,40 @@ object LifecycleQueries {
       |  CAST(o_orderdate AS VARCHAR) AS dt
       |FROM orders WHERE o_orderdate <= DATE '1997-12-31'""".stripMargin
 
+  /** Shared oracle CTE for the incremental-view gates: DuckDB recomputes
+    * the fixture's merge (update-when-not-F / delete-when-F / insert)
+    * from scratch — keeps ∪ updates ∪ inserts. */
+  private val viewMergedCte =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS cust,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderstatus AS st
+      |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+      |d AS (
+      |  SELECT o_orderkey AS k, o_custkey % 500 AS cust,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      |         + CAST(100 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS total,
+      |    o_orderstatus AS st
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30'),
+      |merged AS (
+      |  SELECT base.cust AS cust, base.total AS total
+      |  FROM base LEFT JOIN d ON base.k = d.k WHERE d.k IS NULL
+      |  UNION ALL
+      |  SELECT d.cust, d.total FROM base JOIN d ON base.k = d.k
+      |  WHERE d.st <> 'F'
+      |  UNION ALL
+      |  SELECT d.cust, d.total FROM d LEFT JOIN base ON d.k = base.k
+      |  WHERE base.k IS NULL)
+      |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_view_incremental" -> (viewMergedCte +
+      """SELECT cust, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total_sum
+        |FROM merged GROUP BY cust""".stripMargin),
+    "q_view_refresh" -> (viewMergedCte +
+      """SELECT cust, COUNT(*) AS n, CAST(MIN(total) AS DOUBLE) AS mn,
+        |  CAST(MAX(total) AS DOUBLE) AS mx
+        |FROM merged GROUP BY cust""".stripMargin),
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
     "q_table_restore" -> dmlUpdatedSql,

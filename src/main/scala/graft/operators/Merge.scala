@@ -41,6 +41,10 @@ object Merge {
   /** Name of the action column [[mergeFramesTagged]] appends. */
   val ActionCol = "_action"
 
+  /** Name of the pre-image struct column appended when
+    * `preImage = true`. */
+  val PreCol = "_pre"
+
   /** The same MERGE resolution, with each surviving-or-deleted row tagged
     * by the clause that produced it — the change-data-feed primitive:
     *
@@ -63,11 +67,23 @@ object Merge {
     * target column) carry null in the new columns, exactly the
     * null-backfill a metadata-only schema change produces at 100 TB.
     * Off (the default), the source must carry the target's column set
-    * and the output schema is the target's, unchanged. */
+    * and the output schema is the target's, unchanged.
+    *
+    * `preImage` additionally appends a [[PreCol]] struct holding the
+    * pre-update TARGET values of an `update` row (null for every other
+    * action — an insert has no pre-image, a delete row IS its pre-image,
+    * a keep is unchanged). This is the Delta CDF `update_preimage` /
+    * `update_postimage` pair folded into one row: downstream incremental
+    * view maintenance needs BOTH sides of an update to retract the old
+    * contribution and add the new one, including when the update moves
+    * the row between groups. Same single join — the struct is projected
+    * from the target side already present in the joined row, so the
+    * pre-image costs no extra shuffle or scan. */
   def mergeFramesTagged(target: DataFrame, source: DataFrame, keys: Seq[String],
                         clauses: MergeClauses.Spec = MergeClauses.Spec(),
                         nullSafeKeys: Boolean = true,
-                        schemaEvolution: Boolean = false): DataFrame = {
+                        schemaEvolution: Boolean = false,
+                        preImage: Boolean = false): DataFrame = {
     val cols: IndexedSeq[String] =
       if (!schemaEvolution) {
         val missing = target.columns.filterNot(source.columns.contains)
@@ -117,9 +133,13 @@ object Merge {
     val sCols = source.columns.toSet
     def side(alias: String, has: Set[String])(c: String): Column =
       if (has(c)) col(s"$alias.$c") else lit(null)
-    joined.filter(dupGuard && (keepRow || doDelete)).select(
-      cols.map(c => when(takeSource, side("s", sCols)(c))
-        .otherwise(side("t", tCols)(c)).as(c)) :+
-        action.as(ActionCol): _*)
+    val base = cols.map(c => when(takeSource, side("s", sCols)(c))
+      .otherwise(side("t", tCols)(c)).as(c)) :+ action.as(ActionCol)
+    val withPre =
+      if (!preImage) base
+      else base :+ when(doUpdate, struct(
+        target.columns.toIndexedSeq.map(c => col(s"t.$c").as(c)): _*))
+        .as(PreCol)
+    joined.filter(dupGuard && (keepRow || doDelete)).select(withPre: _*)
   }
 }

@@ -117,7 +117,8 @@ object BucketedTable {
     * produce: CDC cost scales with the delta, never the table. */
   def merge(spark: SparkSession, root: String, source: DataFrame,
             clauses: MergeClauses.Spec = MergeClauses.Spec(),
-            changeFeed: Boolean = false): Unit = {
+            changeFeed: Boolean = false,
+            preImageFeed: Boolean = false): Unit = {
     import graft.operators.Merge
     val meta = readMeta(root)
     val srcB = source.withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
@@ -138,14 +139,16 @@ object BucketedTable {
     // localCheckpoint — materialized by the feed write, reused by the
     // snapshot write); without one, the plain plan is left untouched.
     val taggedRaw = Merge
-      .mergeFramesTagged(target, srcB.drop("_bucket"), meta.keys, clauses)
+      .mergeFramesTagged(target, srcB.drop("_bucket"), meta.keys, clauses,
+        preImage = preImageFeed)
     val tagged =
       if (changeFeed) taggedRaw.localCheckpoint(eager = false) else taggedRaw
     if (changeFeed)
       tagged.filter(col(Merge.ActionCol) =!= lit("keep"))
         .write.mode("overwrite").parquet(s"$root/_changes/v$next")
     val merged = tagged
-      .filter(col(Merge.ActionCol) =!= lit("delete")).drop(Merge.ActionCol)
+      .filter(col(Merge.ActionCol) =!= lit("delete"))
+      .drop(Merge.ActionCol, Merge.PreCol) // PreCol-drop is a no-op sans feed
       .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
     merged.write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$root/v$next/_data")

@@ -122,7 +122,8 @@ object ManagedTable {
             clauses: MergeClauses.Spec = MergeClauses.Spec(),
             nullSafeKeys: Boolean = true,
             changeFeed: Boolean = false,
-            schemaEvolution: Boolean = false): Unit = {
+            schemaEvolution: Boolean = false,
+            preImageFeed: Boolean = false): Unit = {
     val target = read(spark, root)
     if (!changeFeed) {
       val resolved = graft.operators.Merge.mergeFrames(target, source, keys,
@@ -137,7 +138,8 @@ object ManagedTable {
       // snapshot write reuses those blocks instead of re-joining.
       import graft.operators.Merge
       val tagged = Merge.mergeFramesTagged(target, source, keys,
-        clauses, nullSafeKeys, schemaEvolution).localCheckpoint(eager = false)
+        clauses, nullSafeKeys, schemaEvolution,
+        preImage = preImageFeed).localCheckpoint(eager = false)
       val next = if (exists(root)) currentVersion(root) + 1 else 0
       try {
         tagged.filter(col(Merge.ActionCol) =!= lit("keep"))
@@ -146,7 +148,7 @@ object ManagedTable {
         // either has its complete feed or was not published at all.
         overwrite(root,
           tagged.filter(col(Merge.ActionCol) =!= lit("delete"))
-            .drop(Merge.ActionCol))
+            .drop(Merge.ActionCol, Merge.PreCol))
       } finally tagged.unpersist()
     }
   }
