@@ -125,6 +125,62 @@ object LifecycleQueries {
     BucketedTable.read(s, root)
   }
 
+  /** Shared fixture for the bucketed time-travel and compaction gates:
+    * the lifecycleBucketed cycle's first half — create from the ≤1994
+    * slice, one unconditional upsert of the 1994H2-1995H1 delta. */
+  private def bucketedHistory(s: SparkSession, dir: String,
+                              createPartitions: Int): String = {
+    val root = freshRoot("bucketed_hist")
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    val base = shaped(col("o_orderdate") <= lit("1994-12-31"), "base")
+    val d1 = shaped(col("o_orderdate").between(lit("1994-07-01"),
+      lit("1995-06-30")), "d1")
+    BucketedTable.create(root, base.repartition(createPartitions),
+      Seq("k"), nBuckets = 16)
+    BucketedTable.merge(s, root, d1)                                  // v1
+    root
+  }
+
+  /** Bucketed time-travel gate (Delta `versionAsOf` on the manifest
+    * layout): after the v1 merge AND a further conditional v2 merge, the
+    * gate reads v1 through its HISTORICAL manifest — untouched buckets
+    * resolve into v0 by reference, touched ones into v1 — proving a
+    * pinned manifest still addresses exactly the files live at publish
+    * time. DuckDB recomputes the post-v1 state. */
+  def bucketedTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val root = bucketedHistory(s, dir, createPartitions = 4)
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    BucketedTable.merge(s, root,
+      shaped(col("o_orderdate").between(lit("1995-01-01"),
+        lit("1995-12-31")), "d2"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))))                                // v2
+    BucketedTable.readVersion(s, root, 1)
+  }
+
+  /** Bucketed OPTIMIZE gate: the table is created deliberately
+    * fragmented (48-way write → dozens of files per bucket), merged, then
+    * compacted to one file per fragmented bucket and vacuumed down to the
+    * live manifest. The hash gate pins that the layout-only rewrite
+    * preserves content exactly through the manifest indirection; the
+    * partial-rewrite property (healthy buckets carried by reference) is
+    * asserted in BucketedTableSpec where the filesystem is visible. */
+  def bucketedOptimize(s: SparkSession, dir: String): DataFrame = {
+    val root = bucketedHistory(s, dir, createPartitions = 48)
+    BucketedTable.compact(s, root, maxFilesPerBucket = 2)
+    BucketedTable.vacuum(root, keep = 1)
+    BucketedTable.read(s, root)
+  }
+
   /** Surrogate-key reconciliation (S12): existing (name → id) mappings are
     * preserved verbatim; new natural keys get max(existing) + their rank in
     * natural-key order — computed with the parallel sort+zipWithIndex path,
@@ -456,6 +512,26 @@ object LifecycleQueries {
         col("mx").cast(DoubleType).as("mx"))
   }
 
+  /** SCD Type-2 gate: a per-customer dimension (latest order date +
+    * order count) is initialized from the ≤1995 snapshot effective
+    * 1996-01-01, then merged with the ≤1996 snapshot effective
+    * 1997-01-01. Customers active in 1996 change → their first version
+    * is CLOSED and a second opened; dormant customers keep one open
+    * version; first-time-in-1996 customers insert. DuckDB re-derives
+    * every branch from the two snapshots, so a hash match pins the
+    * close/open/carry logic including the validity window stamps. */
+  def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    def snap(upTo: String): DataFrame =
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") <= lit(upTo))
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(max(col("o_orderdate")).cast(StringType).as("last_dt"),
+          count(lit(1)).as("n_orders"))
+    val dim1 = Scd2.initialize(snap("1995-12-31"), lit("1996-01-01"))
+    Scd2.merge(dim1, snap("1996-12-31"), Seq("cust"),
+      Seq("last_dt", "n_orders"), lit("1997-01-01"))
+  }
+
   /** RESTORE gate: roll the DML table back to v1 (post-update,
     * pre-delete). The rollback republishes v1's content as v3 —
     * history stays linear — and the gate returns the new head, which
@@ -471,6 +547,7 @@ object LifecycleQueries {
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
     "q_view_refresh" -> (viewRefresh _),
+    "q_scd2_dim" -> (scd2Dim _),
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
@@ -481,6 +558,8 @@ object LifecycleQueries {
     "q_table_cdf" -> (tableCdf _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
+    "q_bucketed_timetravel" -> (bucketedTimetravel _),
+    "q_bucketed_optimize" -> (bucketedOptimize _),
     "q_lifecycle_bucketed" -> (lifecycleBucketed _),
     "q_s12_surrogate_keys" -> (surrogateKeys _),
     "q_s7_orc_mirror" -> (orcMirror _),
@@ -493,6 +572,27 @@ object LifecycleQueries {
       |  CAST(o_totalprice AS DOUBLE) AS total,
       |  CAST(o_orderdate AS VARCHAR) AS dt
       |FROM orders""".stripMargin
+
+  /** Post-v1 state of the bucketedHistory fixture: an unconditional
+    * upsert of the 1994H2-1995H1 delta into the ≤1994 base. */
+  private val bucketedPostV1Sql =
+    """WITH b AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DOUBLE) AS total,
+      |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
+      |  FROM orders WHERE o_orderdate <= DATE '1994-12-31'),
+      |d AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DOUBLE) AS total,
+      |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1995-06-30')
+      |SELECT coalesce(d.k, b.k) AS k,
+      |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
+      |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
+      |  CASE WHEN d.k IS NOT NULL THEN d.dt ELSE b.dt END AS dt,
+      |  CASE WHEN d.k IS NOT NULL THEN d.tag ELSE b.tag END AS tag
+      |FROM b FULL OUTER JOIN d ON b.k = d.k""".stripMargin
 
   private val dmlUpdatedSql =
     """SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -536,6 +636,35 @@ object LifecycleQueries {
       """SELECT cust, COUNT(*) AS n, CAST(MIN(total) AS DOUBLE) AS mn,
         |  CAST(MAX(total) AS DOUBLE) AS mx
         |FROM merged GROUP BY cust""".stripMargin),
+    "q_scd2_dim" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+        |s2 AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1),
+        |chg AS (
+        |  SELECT s1.cust FROM s1 JOIN s2 ON s1.cust = s2.cust
+        |  WHERE s1.last_dt <> s2.last_dt OR s1.n_orders <> s2.n_orders)
+        |SELECT s1.cust, s1.last_dt, s1.n_orders,
+        |  '1996-01-01' AS valid_from, '1997-01-01' AS valid_to,
+        |  FALSE AS is_current
+        |FROM s1 WHERE s1.cust IN (SELECT cust FROM chg)
+        |UNION ALL
+        |SELECT s2.cust, s2.last_dt, s2.n_orders,
+        |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
+        |FROM s2 WHERE s2.cust IN (SELECT cust FROM chg)
+        |UNION ALL
+        |SELECT s1.cust, s1.last_dt, s1.n_orders,
+        |  '1996-01-01', CAST(NULL AS VARCHAR), TRUE
+        |FROM s1 JOIN s2 ON s1.cust = s2.cust
+        |WHERE s1.cust NOT IN (SELECT cust FROM chg)
+        |UNION ALL
+        |SELECT s2.cust, s2.last_dt, s2.n_orders,
+        |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
+        |FROM s2 LEFT JOIN s1 ON s2.cust = s1.cust WHERE s1.cust IS NULL""".stripMargin,
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
     "q_table_restore" -> dmlUpdatedSql,
@@ -695,6 +824,8 @@ object LifecycleQueries {
         |SELECT l96.cust, l96.last_dt, l96.n_orders, l96.total
         |FROM l96 LEFT JOIN l95 ON l96.cust = l95.cust
         |WHERE l95.cust IS NULL OR l96.last_dt > l95.last_dt""".stripMargin,
+    "q_bucketed_timetravel" -> bucketedPostV1Sql,
+    "q_bucketed_optimize" -> bucketedPostV1Sql,
     "q_lifecycle_bucketed" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -103,6 +103,28 @@ object BucketedTable {
   /** Read the live table (all buckets via the manifest). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val meta = readMeta(root)
+    readAt(spark, root, meta)
+  }
+
+  /** Time travel (Delta `versionAsOf` on the bucketed layout): resolve a
+    * HISTORICAL manifest and read through it. Version dirs are immutable
+    * and untouched buckets are carried by reference, so the old manifest
+    * still addresses exactly the files that were live then — unless
+    * vacuum's reachability sweep has reclaimed them, which fails here
+    * with a clear error instead of a silent partial read. */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    require(Files.exists(Paths.get(root, s"v$version", "_manifest")),
+      s"version $version of $root is not on disk (vacuumed or never " +
+        s"published); live is ${Files.readString(latestFile(root)).trim}")
+    val meta = readMetaAt(root, version)
+    meta.manifest.foreach { case (b, ver) =>
+      require(Files.exists(Paths.get(bucketDir(root, ver, b))),
+        s"bucket $b of version $version ($ver) was vacuumed away")
+    }
+    readAt(spark, root, meta)
+  }
+
+  private def readAt(spark: SparkSession, root: String, meta: Meta): DataFrame = {
     val paths = meta.manifest.toSeq.sortBy(_._1)
       .map { case (b, ver) => bucketDir(root, ver, b) }
       .filter(hasParquet)
@@ -165,6 +187,53 @@ object BucketedTable {
     writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
     if (changeFeed) tagged.unpersist()
     srcB.unpersist()
+  }
+
+  /** OPTIMIZE for the bucketed layout: every merge leaves its touched
+    * buckets as fresh single-write dirs, but a bucket that keeps catching
+    * deltas accumulates one rewrite per merge only — the real
+    * fragmentation at 100 TB comes from high-frequency SMALL merges
+    * writing many small files per touched bucket. `compact` rewrites ONLY
+    * buckets fragmented past `maxFilesPerBucket` into one file each,
+    * published as a new version whose manifest carries every healthy
+    * bucket forward by reference — the same delta-proportional contract
+    * as the merge itself: rewrite cost scales with the FRAGMENTED bytes,
+    * never the table. Content is untouched (a layout-only version, like
+    * [[ManagedTable.optimize]]); readers of prior versions are
+    * unaffected, and vacuum's reachability sweep reclaims the fragmented
+    * dirs once no retained manifest references them. */
+  def compact(spark: SparkSession, root: String,
+              maxFilesPerBucket: Int = 4): Unit = {
+    val meta = readMeta(root)
+    def nFiles(b: Int): Int = {
+      val dir = Paths.get(bucketDir(root, meta.manifest(b), b))
+      if (!Files.exists(dir)) 0
+      else listDir(dir)(_.count(_.getFileName.toString.endsWith(".parquet")))
+    }
+    val fragmented = meta.manifest.keys.toSeq.sorted
+      .filter(nFiles(_) > maxFilesPerBucket)
+    if (fragmented.isEmpty) return
+    val next = meta.version + 1
+    val paths = fragmented.map(b => bucketDir(root, meta.manifest(b), b))
+    // One partition per fragmented bucket: rows hash-route by the bucket
+    // id itself, so each partitionBy dir receives exactly one file.
+    val compacted = spark.read.parquet(paths: _*)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+      .repartition(fragmented.size, col("_bucket"))
+    compacted.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/v$next/_data")
+    fragmented.foreach { b =>
+      val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
+      val dst = Paths.get(bucketDir(root, s"v$next", b))
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst) // all-empty files compacted away
+    }
+    dropStaging(root, next)
+    val fragSet = fragmented.toSet
+    writeVersion(root, next, meta.nBuckets, meta.keys,
+      meta.manifest.map { case (b, ver) =>
+        b -> (if (fragSet(b)) s"v$next" else ver)
+      })
   }
 
   /** Read the change feed `merge(..., changeFeed = true)` recorded when it

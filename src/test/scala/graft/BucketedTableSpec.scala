@@ -124,4 +124,71 @@ class BucketedTableSpec extends AnyFunSuite {
       .filter(_.getFileName.toString.endsWith(".parquet"))
     assert(files.isEmpty)
   }
+
+  test("compact rewrites only fragmented buckets; healthy ones carry") {
+    val root = Files.createTempDirectory("graft_bt_cmp").toString
+    val target = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // 10-way write → every bucket collects ~10 small files
+    BucketedTable.create(root, target.repartition(10), Seq("k"), nBuckets = 4)
+    // one bucket gets healed by a merge first (merge rewrites it with the
+    // test session's 4 shuffle partitions → ≤4 files)
+    val healKey = 5L
+    val healedBucket = spark.range(1).select(
+      pmod(hash(lit(healKey)), lit(4))).head().getInt(0)
+    BucketedTable.merge(spark, root,
+      Seq((healKey, "HEALED")).toDF("k", "v"))                        // v1
+
+    def nFiles(ver: String, b: Int): Int = {
+      val dir = Paths.get(root, ver, f"b$b%05d")
+      if (!Files.exists(dir)) 0
+      else Files.list(dir).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    assert((0 until 4).count(b => nFiles("v0", b) > 5) >= 3)
+    val before = BucketedTable.read(spark, root).collect().map(_.toSeq).toSet
+
+    BucketedTable.compact(spark, root, maxFilesPerBucket = 5)         // v2
+
+    val manifest = Files.readAllLines(Paths.get(root, "v2", "_manifest"))
+      .asScala.tail.map { l => val Array(b, v) = l.split(","); b.toInt -> v }
+      .toMap
+    // the merge-healed bucket is carried BY REFERENCE, the rest rewritten
+    assert(manifest(healedBucket) == "v1")
+    assert(manifest.count { case (_, v) => v == "v2" } == 3)
+    (0 until 4).filter(_ != healedBucket).foreach { b =>
+      assert(nFiles("v2", b) == 1) // compacted to a single file
+    }
+    // content is untouched by the layout-only version
+    assert(BucketedTable.read(spark, root).collect().map(_.toSeq).toSet
+      == before)
+    // compacting a healthy table is a no-op (no empty version published)
+    BucketedTable.compact(spark, root, maxFilesPerBucket = 5)
+    assert(!Files.exists(Paths.get(root, "v3")))
+  }
+
+  test("readVersion resolves historical manifests until vacuumed") {
+    val root = Files.createTempDirectory("graft_bt_tt").toString
+    val target = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 4)
+    BucketedTable.merge(spark, root, Seq((5L, "A")).toDF("k", "v"))   // v1
+    BucketedTable.merge(spark, root, Seq((5L, "B"), (200L, "N"))
+      .toDF("k", "v"))                                                // v2
+
+    def vAt(ver: Int, k: Long): String =
+      BucketedTable.readVersion(spark, root, ver)
+        .filter(col("k") === k).select("v").as[String].head()
+    assert(vAt(0, 5L) == "v5")
+    assert(vAt(1, 5L) == "A")
+    assert(vAt(2, 5L) == "B")
+    assert(BucketedTable.readVersion(spark, root, 0).count() == 100)
+    assert(BucketedTable.readVersion(spark, root, 2).count() == 101)
+
+    BucketedTable.vacuum(root, keep = 1)
+    // live head unaffected; pinned v1 read now fails loudly (its manifest
+    // aged out even though some of its bucket dirs still host live data)
+    assert(BucketedTable.read(spark, root).count() == 101)
+    intercept[IllegalArgumentException] {
+      BucketedTable.readVersion(spark, root, 1)
+    }
+  }
 }
