@@ -532,6 +532,116 @@ object LifecycleQueries {
       Seq("last_dt", "n_orders"), lit("1997-01-01"))
   }
 
+  /** SHALLOW-CLONE gate (Delta `SHALLOW CLONE` on the bucketed layout):
+    * the ≤1994 base becomes the SOURCE table; a metadata-only clone
+    * branches it (zero bytes copied — asserted in BucketedTableSpec where
+    * the filesystem is visible), and the 1994H2-1995H1 delta merges into
+    * the CLONE copy-on-write: touched buckets materialize under the clone
+    * root, untouched ones still resolve into the source's immutable v0
+    * dirs by absolute reference. The gate reads the post-merge clone;
+    * DuckDB recomputes the upsert relationally — a hash match proves the
+    * cross-root manifest indirection loses nothing. Source isolation
+    * (the source table is byte-identical after the clone's merge) is
+    * pinned in the spec. */
+  def bucketedClone(s: SparkSession, dir: String): DataFrame = {
+    val srcRoot = freshRoot("clone_src")
+    val cloneRoot = freshRoot("clone_dst")
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    // testdata orders span 1995-01-01..2001-08-01 — the ≤1995 base slice
+    // is materially populated, so the clone genuinely references source
+    // bytes and the merge genuinely hits matched rows
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), "base")
+    val d1 = shaped(col("o_orderdate").between(lit("1995-07-01"),
+      lit("1996-06-30")), "d1")
+    BucketedTable.create(srcRoot, base, Seq("k"), nBuckets = 16)
+    BucketedTable.shallowClone(srcRoot, cloneRoot)
+    BucketedTable.merge(s, cloneRoot, d1)
+    BucketedTable.read(s, cloneRoot)
+  }
+
+  /** Snapshot-DIFF gate (ManagedTable): reconstruct the row-level changes
+    * between v0 and v2 of the DML table — an UPDATE then a DELETE, both
+    * run WITHOUT a change feed — purely from the two immutable snapshots.
+    * Deleted rows surface with their v0 pre-image (the original total,
+    * not the updated one), updated rows with their v2 post-image, and the
+    * never-touched rows (F-status rows surviving the delete window) are
+    * absent. DuckDB re-derives every branch from orders. */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = dmlHistory(s, dir)
+    ManagedTable.diff(s, root, 0, 2, Seq("k"))
+      .withColumnRenamed(Merge.ActionCol, "action")
+  }
+
+  /** Manifest-pruned DIFF gate (BucketedTable): the lifecycleBucketed
+    * cycle's two merges — an unconditional upsert then a conditional
+    * update/delete — followed by `diff(v0, v2)` computed from the two
+    * MANIFESTS: buckets whose entries are identical in both versions are
+    * provably unchanged and never opened (pinned in BucketedTableSpec via
+    * inputFiles), so the diff reads delta-proportional bytes on both
+    * sides. DuckDB chains both merges relationally and diffs against the
+    * base with null-safe comparison. */
+  def bucketedDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed_diff")
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    // windows sit inside the testdata's 1995+ date range so v0 holds real
+    // rows and the diff exercises all three actions, not just inserts
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), "base")
+    val d1 = shaped(col("o_orderdate").between(lit("1995-07-01"),
+      lit("1996-06-30")), "d1")
+    val d2 = shaped(col("o_orderdate").between(lit("1996-01-01"),
+      lit("1996-12-31")), "d2")
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    BucketedTable.merge(s, root, d1)
+    BucketedTable.merge(s, root, d2,
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))))
+    BucketedTable.diff(s, root, 0, 2)
+      .withColumnRenamed(Merge.ActionCol, "action")
+  }
+
+  /** CHECK-constraint gate (Delta `ADD CONSTRAINT` + the reference's
+    * validate-split pattern at the table boundary): the ≤1995 base table
+    * gets two constraints (non-negative total, known status codes); the
+    * 1995H2-1996H1 delta arrives with synthesized violations (every
+    * 10th key's total negated, every 13th key's status corrupted).
+    * Quarantine-mode ingestion splits the delta — violating rows are
+    * diverted, clean rows merge through the ENFORCED write path (the
+    * publish itself re-checks every row) — and the gate returns the live
+    * table and the quarantine zone in one tagged frame. DuckDB recomputes
+    * both zones relationally. */
+  def tableConstraints(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("constraints")
+    def shaped(f: org.apache.spark.sql.Column): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"))
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"))
+    ManagedTable.overwrite(root, base)
+    ManagedTable.addConstraint(s, root, "total_nonneg", "total >= 0")
+    ManagedTable.addConstraint(s, root, "known_status", "st IN ('F','O','P')")
+    val delta = shaped(col("o_orderdate").between(lit("1995-07-01"),
+        lit("1996-06-30")))
+      .withColumn("total",
+        when(col("k") % 10 === 0, -col("total")).otherwise(col("total")))
+      .withColumn("st",
+        when(col("k") % 13 === 0, lit("X")).otherwise(col("st")))
+    val (clean, quarantined) =
+      graft.sources.Constraints.split(delta, ManagedTable.constraintsOf(root))
+    ManagedTable.merge(s, root, clean, Seq("k"))
+    ManagedTable.read(s, root).withColumn("zone", lit("live"))
+      .unionByName(quarantined.withColumn("zone", lit("quarantine")))
+  }
+
   /** RESTORE gate: roll the DML table back to v1 (post-update,
     * pre-delete). The rollback republishes v1's content as v3 —
     * history stays linear — and the gate returns the new head, which
@@ -543,6 +653,10 @@ object LifecycleQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucketed_clone" -> (bucketedClone _),
+    "q_table_diff" -> (tableDiff _),
+    "q_bucketed_diff" -> (bucketedDiff _),
+    "q_table_constraints" -> (tableConstraints _),
     "q_table_dml" -> (tableDml _),
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
@@ -628,7 +742,116 @@ object LifecycleQueries {
       |  WHERE base.k IS NULL)
       |""".stripMargin
 
+  /** Unconditional upsert of the 1995H2-1996H1 delta into the ≤1995 base
+    * — the relational effect of the clone gate's copy-on-write merge. */
+  private val cloneUpsertSql =
+    """WITH b AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DOUBLE) AS total,
+      |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
+      |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+      |d AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DOUBLE) AS total,
+      |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30')
+      |SELECT coalesce(d.k, b.k) AS k,
+      |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
+      |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
+      |  CASE WHEN d.k IS NOT NULL THEN d.dt ELSE b.dt END AS dt,
+      |  CASE WHEN d.k IS NOT NULL THEN d.tag ELSE b.tag END AS tag
+      |FROM b FULL OUTER JOIN d ON b.k = d.k""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_bucketed_clone" -> cloneUpsertSql,
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders WHERE o_orderdate <= DATE '1997-12-31')
+        |SELECT k, st,
+        |  CASE WHEN dt >= '1996-07-01' THEN total + 1000.0 ELSE total END AS total,
+        |  dt,
+        |  CASE WHEN dt < '1996-07-01' THEN 'delete' ELSE 'update' END AS action
+        |FROM base
+        |WHERE dt < '1996-07-01' OR st <> 'F'""".stripMargin,
+    "q_bucketed_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+        |d1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30'),
+        |d2 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt, 'd2' AS tag
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
+        |m1 AS (
+        |  SELECT coalesce(d.k, b.k) AS k,
+        |    CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
+        |    CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
+        |    CASE WHEN d.k IS NOT NULL THEN d.dt ELSE b.dt END AS dt,
+        |    CASE WHEN d.k IS NOT NULL THEN d.tag ELSE b.tag END AS tag
+        |  FROM base b FULL OUTER JOIN d1 d ON b.k = d.k),
+        |m2 AS (
+        |  SELECT coalesce(d.k, m.k) AS k,
+        |    CASE WHEN d.k IS NOT NULL THEN d.st ELSE m.st END AS st,
+        |    CASE WHEN d.k IS NOT NULL THEN d.total ELSE m.total END AS total,
+        |    CASE WHEN d.k IS NOT NULL THEN d.dt ELSE m.dt END AS dt,
+        |    CASE WHEN d.k IS NOT NULL THEN d.tag ELSE m.tag END AS tag
+        |  FROM m1 m FULL OUTER JOIN d2 d ON m.k = d.k
+        |  WHERE (m.k IS NOT NULL AND d.k IS NULL)
+        |     OR (d.k IS NOT NULL AND m.k IS NULL)
+        |     OR (m.k IS NOT NULL AND d.k IS NOT NULL AND d.st <> 'F'))
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NOT NULL THEN a.st ELSE b.st END AS st,
+        |  CASE WHEN a.k IS NOT NULL THEN a.total ELSE b.total END AS total,
+        |  CASE WHEN a.k IS NOT NULL THEN a.dt ELSE b.dt END AS dt,
+        |  CASE WHEN a.k IS NOT NULL THEN a.tag ELSE b.tag END AS tag,
+        |  CASE WHEN b.k IS NULL THEN 'insert'
+        |       WHEN a.k IS NULL THEN 'delete'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN m2 a ON b.k = a.k
+        |WHERE b.k IS NULL OR a.k IS NULL
+        |   OR a.st IS DISTINCT FROM b.st
+        |   OR a.total IS DISTINCT FROM b.total
+        |   OR a.dt IS DISTINCT FROM b.dt
+        |   OR a.tag IS DISTINCT FROM b.tag""".stripMargin,
+    "q_table_constraints" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+        |d AS (
+        |  SELECT k, CASE WHEN k % 13 = 0 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 10 = 0 THEN -total ELSE total END AS total, dt
+        |  FROM (
+        |    SELECT o_orderkey AS k, o_orderstatus AS st,
+        |      CAST(o_totalprice AS DOUBLE) AS total,
+        |      CAST(o_orderdate AS VARCHAR) AS dt
+        |    FROM orders
+        |    WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30')),
+        |good AS (SELECT * FROM d WHERE total >= 0 AND st IN ('F','O','P')),
+        |bad AS (SELECT * FROM d WHERE NOT (total >= 0 AND st IN ('F','O','P'))),
+        |merged AS (
+        |  SELECT coalesce(g.k, b.k) AS k,
+        |    CASE WHEN g.k IS NOT NULL THEN g.st ELSE b.st END AS st,
+        |    CASE WHEN g.k IS NOT NULL THEN g.total ELSE b.total END AS total,
+        |    CASE WHEN g.k IS NOT NULL THEN g.dt ELSE b.dt END AS dt
+        |  FROM base b FULL OUTER JOIN good g ON b.k = g.k)
+        |SELECT k, st, total, dt, 'live' AS zone FROM merged
+        |UNION ALL
+        |SELECT k, st, total, dt, 'quarantine' AS zone FROM bad""".stripMargin,
     "q_view_incremental" -> (viewMergedCte +
       """SELECT cust, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total_sum
         |FROM merged GROUP BY cust""".stripMargin),

@@ -47,7 +47,7 @@ object BucketedTable {
     val header = lines.head.split(",") // nBuckets,key1;key2
     Meta(v, header(0).toInt, header(1).split(";").toIndexedSeq,
       lines.tail.map { l =>
-        val Array(b, ver) = l.split(","); b.toInt -> ver
+        val Array(b, ver) = l.split(",", 2); b.toInt -> ver
       }.toMap)
   }
 
@@ -64,8 +64,12 @@ object BucketedTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** A manifest entry is either a local version name ("v3") or — after a
+    * [[shallowClone]] — an ABSOLUTE version-dir path into another table's
+    * root ("/…/src/v3"): the clone's untouched buckets resolve straight
+    * into the source table's immutable files, zero bytes copied. */
   private def bucketDir(root: String, ver: String, b: Int): String =
-    f"$root/$ver/b$b%05d"
+    if (ver.startsWith("/")) f"$ver/b$b%05d" else f"$root/$ver/b$b%05d"
 
   /** Scoped directory listing — `Files.list` holds an OS directory handle
     * until closed; consume the iterator inside `f` only. */
@@ -129,6 +133,72 @@ object BucketedTable {
       .map { case (b, ver) => bucketDir(root, ver, b) }
       .filter(hasParquet)
     spark.read.parquet(paths: _*)
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): publish a
+    * new table at `cloneRoot` whose v0 manifest references the SOURCE
+    * table's live bucket dirs by absolute path — a metadata-only
+    * operation: zero data bytes move, cost is O(nBuckets) manifest lines.
+    * Subsequent merges into the clone are copy-on-write: touched buckets
+    * materialize under the clone's own root while untouched ones keep
+    * resolving into the source's immutable version dirs. At 100 TB this
+    * branches a table for a dev/test/backfill experiment in milliseconds
+    * and pays storage only for what diverges; the source is never written.
+    *
+    * Caveat (Delta shallow clones share it): VACUUM on the SOURCE sweeps
+    * only the source's own retained manifests, so it can reclaim dirs a
+    * clone still references — retain enough source versions for the
+    * clone's lifetime. The clone's own vacuum walks only `cloneRoot` and
+    * can never delete source files. */
+  def shallowClone(sourceRoot: String, cloneRoot: String): Unit = {
+    require(!exists(cloneRoot), s"clone target $cloneRoot already exists")
+    val meta = readMeta(sourceRoot)
+    val srcAbs = Paths.get(sourceRoot).toAbsolutePath.toString
+    writeVersion(cloneRoot, 0, meta.nBuckets, meta.keys,
+      meta.manifest.map { case (b, ver) =>
+        b -> (if (ver.startsWith("/")) ver else s"$srcAbs/$ver")
+      })
+  }
+
+  /** Snapshot DIFF driven by the manifests (no recorded change feed
+    * needed): insert/update/delete rows between two published versions,
+    * tagged in `_action` ([[graft.operators.SnapshotDiff]] semantics —
+    * deletes carry the pre-image, updates the post-image, identical rows
+    * dropped). Buckets whose manifest entries are IDENTICAL in both
+    * versions are provably unchanged (version dirs are immutable) and are
+    * never opened: diffing two adjacent daily versions of a 100 TB table
+    * reads only the buckets the day's merges touched, on BOTH sides. */
+  def diff(spark: SparkSession, root: String,
+           fromVersion: Int, toVersion: Int): DataFrame = {
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(Files.exists(Paths.get(root, s"v$v", "_manifest")),
+        s"version $v of $root is not on disk (vacuumed or never published)")
+    }
+    val mA = readMetaAt(root, fromVersion)
+    val mB = readMetaAt(root, toVersion)
+    require(mA.nBuckets == mB.nBuckets && mA.keys == mB.keys,
+      s"diff across re-bucketing: v$fromVersion is (${mA.nBuckets}, " +
+        s"${mA.keys.mkString(",")}), v$toVersion is (${mB.nBuckets}, " +
+        s"${mB.keys.mkString(",")})")
+    val changedBuckets = mA.manifest.keys.toSeq.sorted
+      .filter(b => mA.manifest(b) != mB.manifest(b))
+    def paths(meta: Meta): Seq[String] =
+      changedBuckets.map(b => bucketDir(root, meta.manifest(b), b))
+        .filter(hasParquet)
+    val (pA, pB) = (paths(mA), paths(mB))
+    // A side can be file-less (a version published before any data landed,
+    // or a merge that emptied its buckets) — borrow the schema from
+    // whichever side has files. Both sides empty → nothing ever differed.
+    lazy val schemaOnly: DataFrame =
+      spark.read.parquet((pA ++ pB).head).limit(0)
+    def side(p: Seq[String]): DataFrame =
+      if (p.nonEmpty) spark.read.parquet(p: _*) else schemaOnly
+    if (pA.isEmpty && pB.isEmpty)
+      // no bucket of either version holds a row the other could lack;
+      // an all-empty table has no schema on disk to type a frame with
+      return spark.emptyDataFrame
+        .withColumn(graft.operators.Merge.ActionCol, lit(""))
+    graft.operators.SnapshotDiff.diffFrames(side(pA), side(pB), mB.keys)
   }
 
   /** Keyed MERGE touching only the buckets that contain source keys.

@@ -92,15 +92,82 @@ object ManagedTable {
       .reduce(_ unionByName _)
   }
 
+  /** Snapshot DIFF between two published versions — CDC reconstruction
+    * when the merges ran WITHOUT `changeFeed`: one full-outer key join of
+    * the two immutable snapshots, rows tagged insert / update (post-image)
+    * / delete (pre-image), identical rows dropped
+    * ([[graft.operators.SnapshotDiff]]). Unlike [[changes]], this needs no
+    * recorded feed and can span any version range in one join. */
+  def diff(spark: SparkSession, root: String, fromVersion: Int,
+           toVersion: Int, keys: Seq[String]): DataFrame =
+    graft.operators.SnapshotDiff.diffFrames(
+      readVersion(spark, root, fromVersion),
+      readVersion(spark, root, toVersion), keys)
+
   /** Create an empty table carrying only the schema, like the reference's
     * `limit(0).write.format("delta")` init (mls_listings_curated.py:325). */
   def createEmpty(spark: SparkSession, root: String, like: DataFrame): Unit =
     overwrite(root, like.limit(0))
 
-  /** Publish `df` as the next immutable version, then swap the pointer. */
+  private def constraintsFile(root: String): Path =
+    Paths.get(root, "_constraints")
+
+  /** CHECK constraints currently attached to the table (empty when none
+    * were ever added). Stored as one `name\texpr` line per check in
+    * `<root>/_constraints`, swapped atomically like the version pointer. */
+  def constraintsOf(root: String): Seq[Constraints.Check] = {
+    val f = constraintsFile(root)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(name, sqlExpr) = line.split("\t", 2)
+      Constraints.Check(name, sqlExpr)
+    }.toSeq
+  }
+
+  private def writeConstraints(root: String,
+                               checks: Seq[Constraints.Check]): Unit = {
+    val tmp = Paths.get(root, "_constraints.tmp")
+    Files.writeString(tmp,
+      checks.map(c => s"${c.name}\t${c.sqlExpr}").mkString("\n"))
+    Files.move(tmp, constraintsFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta CheckConstraint semantics): the
+    * expression must hold on every EXISTING row — one validation scan now
+    * buys write-time-only enforcement forever after ([[overwrite]] folds
+    * the checks into each subsequent write's plan; see
+    * [[Constraints.enforce]]). A row violates only when the expression is
+    * exactly FALSE — null passes, like ANSI CHECK. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sqlExpr: String): Unit = {
+    val c = Constraints.Check(name, sqlExpr)
+    val existing = constraintsOf(root)
+    require(!existing.exists(_.name == name),
+      s"constraint '$name' already exists on $root")
+    val nBad = read(spark, root).filter(Constraints.violated(c)).count()
+    require(nBad == 0,
+      s"cannot add CHECK constraint '$name' ($sqlExpr): " +
+        s"$nBad existing row(s) violate it")
+    writeConstraints(root, existing :+ c)
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT. */
+  def dropConstraint(root: String, name: String): Unit = {
+    val existing = constraintsOf(root)
+    require(existing.exists(_.name == name),
+      s"no constraint '$name' on $root")
+    writeConstraints(root, existing.filterNot(_.name == name))
+  }
+
+  /** Publish `df` as the next immutable version, then swap the pointer.
+    * Attached CHECK constraints are enforced inside the write itself —
+    * a violating row aborts the publish before the pointer ever swaps,
+    * so readers can never observe a constraint-breaking version. */
   def overwrite(root: String, df: DataFrame): Unit = {
     val next = if (exists(root)) currentVersion(root) + 1 else 0
-    df.write.mode("overwrite").parquet(s"$root/v$next")
+    Constraints.enforce(df, constraintsOf(root))
+      .write.mode("overwrite").parquet(s"$root/v$next")
     val tmp = Paths.get(root, s"_latest.tmp$next")
     Files.createDirectories(Paths.get(root))
     Files.writeString(tmp, next.toString)

@@ -166,6 +166,48 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(root, "v3")))
   }
 
+  test("shallow clone is zero-copy; clone merges never touch the source") {
+    val srcRoot = Files.createTempDirectory("graft_bt_src").toString
+    val cloneRoot = Files.createTempDirectory("graft_bt_cln").toString + "/t"
+    val base = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketedTable.create(srcRoot, base, Seq("k"), nBuckets = 16)
+    val srcBytes = Files.walk(Paths.get(srcRoot)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(p => p -> Files.size(p)).toMap
+
+    BucketedTable.shallowClone(srcRoot, cloneRoot)
+    // zero-copy: the clone holds ONLY metadata (manifest + pointer)
+    val cloneFiles = Files.walk(Paths.get(cloneRoot)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+    assert(cloneFiles.sorted == Seq("_latest", "_manifest"))
+    assert(BucketedTable.read(spark, cloneRoot).count() == 1000)
+
+    // copy-on-write: a merge into the clone materializes only touched
+    // buckets under the clone root and leaves the source byte-identical
+    BucketedTable.merge(spark, cloneRoot,
+      Seq((5L, "CLONE-EDIT"), (2000L, "NEW")).toDF("k", "v"))
+    val v1Buckets = Files.list(Paths.get(cloneRoot, "v1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSeq
+    assert(v1Buckets.size <= 2)
+    val srcAfter = Files.walk(Paths.get(srcRoot)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(p => p -> Files.size(p)).toMap
+    assert(srcAfter == srcBytes)
+    assert(BucketedTable.read(spark, srcRoot)
+      .filter(col("k") === 5L).select("v").as[String].head() == "v5")
+    assert(BucketedTable.read(spark, cloneRoot)
+      .filter(col("k") === 5L).select("v").as[String].head() == "CLONE-EDIT")
+    assert(BucketedTable.read(spark, cloneRoot).count() == 1001)
+
+    // the clone's vacuum walks only the clone root — source survives
+    BucketedTable.vacuum(cloneRoot, keep = 1)
+    assert(Files.walk(Paths.get(srcRoot)).iterator().asScala
+      .filter(Files.isRegularFile(_)).size == srcBytes.size)
+    assert(BucketedTable.read(spark, cloneRoot).count() == 1001)
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException] {
+      BucketedTable.shallowClone(srcRoot, cloneRoot)
+    }
+  }
+
   test("readVersion resolves historical manifests until vacuumed") {
     val root = Files.createTempDirectory("graft_bt_tt").toString
     val target = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
