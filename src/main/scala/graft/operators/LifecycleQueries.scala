@@ -96,13 +96,14 @@ object LifecycleQueries {
   }
 
   /** Full bucketed-table LIFECYCLE (the 100 TB path): create a 16-bucket
-    * versioned table from the ≤1994 order slice, chain TWO delta-proportional
+    * versioned table from the ≤1995 order slice, chain TWO delta-proportional
     * merges (an unconditional upsert, then a conditional update/DELETE —
     * each rewriting only the buckets its delta touches), VACUUM down to the
     * live manifest, and read back through it. Reading AFTER vacuum proves
-    * retention is manifest-reachability, not version age: untouched buckets
-    * still live in v0 and must survive. Reference cycle:
-    * mls_listings_curated.py:329-353 (MERGE) + :366-368 (vacuum). */
+    * retention is manifest-reachability, not version age. The windows sit
+    * inside the testdata's 1995-01-01..2001-08-01 date range, so the base
+    * is populated and both merges hit genuine matched rows. Reference
+    * cycle: mls_listings_curated.py:329-353 (MERGE) + :366-368 (vacuum). */
   def lifecycleBucketed(s: SparkSession, dir: String): DataFrame = {
     val root = freshRoot("lifecycle_bucketed")
     def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
@@ -110,11 +111,11 @@ object LifecycleQueries {
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           col("o_totalprice").cast(DoubleType).as("total"),
           col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
-    val base = shaped(col("o_orderdate") <= lit("1994-12-31"), "base")
-    val d1 = shaped(col("o_orderdate").between(lit("1994-07-01"),
-      lit("1995-06-30")), "d1")
-    val d2 = shaped(col("o_orderdate").between(lit("1995-01-01"),
-      lit("1995-12-31")), "d2")
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), "base")
+    val d1 = shaped(col("o_orderdate").between(lit("1995-07-01"),
+      lit("1996-06-30")), "d1")
+    val d2 = shaped(col("o_orderdate").between(lit("1996-01-01"),
+      lit("1996-12-31")), "d2")
     BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
     BucketedTable.merge(s, root, d1)
     BucketedTable.merge(s, root, d2,
@@ -126,8 +127,9 @@ object LifecycleQueries {
   }
 
   /** Shared fixture for the bucketed time-travel and compaction gates:
-    * the lifecycleBucketed cycle's first half — create from the ≤1994
-    * slice, one unconditional upsert of the 1994H2-1995H1 delta. */
+    * the lifecycleBucketed cycle's first half — create from the ≤1995
+    * slice (populated: testdata dates start 1995-01-01), one
+    * unconditional upsert of the 1995H2-1996H1 delta. */
   private def bucketedHistory(s: SparkSession, dir: String,
                               createPartitions: Int): String = {
     val root = freshRoot("bucketed_hist")
@@ -136,9 +138,9 @@ object LifecycleQueries {
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           col("o_totalprice").cast(DoubleType).as("total"),
           col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
-    val base = shaped(col("o_orderdate") <= lit("1994-12-31"), "base")
-    val d1 = shaped(col("o_orderdate").between(lit("1994-07-01"),
-      lit("1995-06-30")), "d1")
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), "base")
+    val d1 = shaped(col("o_orderdate").between(lit("1995-07-01"),
+      lit("1996-06-30")), "d1")
     BucketedTable.create(root, base.repartition(createPartitions),
       Seq("k"), nBuckets = 16)
     BucketedTable.merge(s, root, d1)                                  // v1
@@ -159,8 +161,8 @@ object LifecycleQueries {
           col("o_totalprice").cast(DoubleType).as("total"),
           col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
     BucketedTable.merge(s, root,
-      shaped(col("o_orderdate").between(lit("1995-01-01"),
-        lit("1995-12-31")), "d2"),
+      shaped(col("o_orderdate").between(lit("1996-01-01"),
+        lit("1996-12-31")), "d2"),
       MergeClauses.Spec(
         updateWhen = Some(col("s.st") =!= lit("F")),
         deleteWhen = Some(lit(true))))                                // v2
@@ -375,31 +377,33 @@ object LifecycleQueries {
       .withColumnRenamed(Merge.ActionCol, "action")
   }
 
-  /** Schema-evolution gate (Delta autoMerge): the target is the ≤1994
-    * per-customer order count; the source re-derives the 1995 window
+  /** Schema-evolution gate (Delta autoMerge): the target is the ≤1995
+    * per-customer order count; the source re-derives the 1996 window
     * WITH A NEW COLUMN (`total`). The evolved merge appends the column
     * — updated/inserted rows carry source values, kept rows carry the
     * null backfill — and the published snapshot is read back with the
-    * widened schema. DuckDB recomputes it as a full outer join. */
+    * widened schema (the populated target makes the null backfill of
+    * kept rows observable, not vacuous). DuckDB recomputes it as a full
+    * outer join. */
   def mergeEvolution(s: SparkSession, dir: String): DataFrame = {
     val root = freshRoot("evolution")
-    val pre94 = table(s, dir, "orders")
-      .filter(col("o_orderdate") <= lit("1994-12-31"))
+    val pre95 = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1995-12-31"))
       .groupBy(col("o_custkey").as("cust"))
       .agg(count(lit(1)).as("n_orders"))
-    val y95 = table(s, dir, "orders")
-      .filter(col("o_orderdate").between(lit("1995-01-01"), lit("1995-12-31")))
+    val y96 = table(s, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1996-12-31")))
       .groupBy(col("o_custkey").as("cust"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
-    ManagedTable.overwrite(root, pre94)
-    ManagedTable.merge(s, root, y95, Seq("cust"), schemaEvolution = true)
+    ManagedTable.overwrite(root, pre95)
+    ManagedTable.merge(s, root, y96, Seq("cust"), schemaEvolution = true)
     ManagedTable.read(s, root)
   }
 
   /** Bucketed (delta-proportional) change-data-feed gate: the 100 TB CDC
-    * path. Create the 16-bucket table from the ≤1994 slice, merge the
-    * 1994H2-1995H1 delta with update-when-not-F / delete-when-F clauses
+    * path. Create the 16-bucket table from the ≤1995 slice, merge the
+    * 1995H2-1996H1 delta with update-when-not-F / delete-when-F clauses
     * and the feed on — only buckets containing delta keys are read or
     * rewritten, yet the emitted feed equals the whole-table merge's feed
     * (changes can only happen in touched buckets). DuckDB re-derives
@@ -411,9 +415,9 @@ object LifecycleQueries {
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
           col("o_totalprice").cast(DoubleType).as("total"),
           col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
-    val base = shaped(col("o_orderdate") <= lit("1994-12-31"), "base")
-    val delta = shaped(col("o_orderdate").between(lit("1994-07-01"),
-      lit("1995-06-30")), "delta")
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), "base")
+    val delta = shaped(col("o_orderdate").between(lit("1995-07-01"),
+      lit("1996-06-30")), "delta")
     BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
     BucketedTable.merge(s, root, delta,
       MergeClauses.Spec(
@@ -533,9 +537,9 @@ object LifecycleQueries {
   }
 
   /** SHALLOW-CLONE gate (Delta `SHALLOW CLONE` on the bucketed layout):
-    * the ≤1994 base becomes the SOURCE table; a metadata-only clone
+    * the ≤1995 base becomes the SOURCE table; a metadata-only clone
     * branches it (zero bytes copied — asserted in BucketedTableSpec where
-    * the filesystem is visible), and the 1994H2-1995H1 delta merges into
+    * the filesystem is visible), and the 1995H2-1996H1 delta merges into
     * the CLONE copy-on-write: touched buckets materialize under the clone
     * root, untouched ones still resolve into the source's immutable v0
     * dirs by absolute reference. The gate reads the post-merge clone;
@@ -687,20 +691,21 @@ object LifecycleQueries {
       |  CAST(o_orderdate AS VARCHAR) AS dt
       |FROM orders""".stripMargin
 
-  /** Post-v1 state of the bucketedHistory fixture: an unconditional
-    * upsert of the 1994H2-1995H1 delta into the ≤1994 base. */
+  /** Post-v1 state of the bucketedHistory fixture AND the clone gate's
+    * copy-on-write result: an unconditional upsert of the 1995H2-1996H1
+    * delta into the ≤1995 base. */
   private val bucketedPostV1Sql =
     """WITH b AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS st,
       |    CAST(o_totalprice AS DOUBLE) AS total,
       |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
-      |  FROM orders WHERE o_orderdate <= DATE '1994-12-31'),
+      |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
       |d AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS st,
       |    CAST(o_totalprice AS DOUBLE) AS total,
       |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
       |  FROM orders
-      |  WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1995-06-30')
+      |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30')
       |SELECT coalesce(d.k, b.k) AS k,
       |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
       |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
@@ -742,29 +747,8 @@ object LifecycleQueries {
       |  WHERE base.k IS NULL)
       |""".stripMargin
 
-  /** Unconditional upsert of the 1995H2-1996H1 delta into the ≤1995 base
-    * — the relational effect of the clone gate's copy-on-write merge. */
-  private val cloneUpsertSql =
-    """WITH b AS (
-      |  SELECT o_orderkey AS k, o_orderstatus AS st,
-      |    CAST(o_totalprice AS DOUBLE) AS total,
-      |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
-      |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
-      |d AS (
-      |  SELECT o_orderkey AS k, o_orderstatus AS st,
-      |    CAST(o_totalprice AS DOUBLE) AS total,
-      |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
-      |  FROM orders
-      |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30')
-      |SELECT coalesce(d.k, b.k) AS k,
-      |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
-      |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE b.total END AS total,
-      |  CASE WHEN d.k IS NOT NULL THEN d.dt ELSE b.dt END AS dt,
-      |  CASE WHEN d.k IS NOT NULL THEN d.tag ELSE b.tag END AS tag
-      |FROM b FULL OUTER JOIN d ON b.k = d.k""".stripMargin
-
   val oracles: Map[String, String] = Map(
-    "q_bucketed_clone" -> cloneUpsertSql,
+    "q_bucketed_clone" -> bucketedPostV1Sql,
     "q_table_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -896,13 +880,13 @@ object LifecycleQueries {
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DOUBLE) AS total,
         |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
-        |  FROM orders WHERE o_orderdate <= DATE '1994-12-31'),
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
         |d AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DOUBLE) AS total,
         |    CAST(o_orderdate AS VARCHAR) AS dt, 'delta' AS tag
         |  FROM orders
-        |  WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1995-06-30')
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30')
         |SELECT d.k,
         |  CASE WHEN base.k IS NULL OR d.st <> 'F' THEN d.st ELSE base.st END AS st,
         |  CASE WHEN base.k IS NULL OR d.st <> 'F' THEN d.total ELSE base.total END AS total,
@@ -914,12 +898,12 @@ object LifecycleQueries {
     "q_merge_evolution" ->
       """WITH t AS (
         |  SELECT o_custkey AS cust, COUNT(*) AS n_orders
-        |  FROM orders WHERE o_orderdate <= DATE '1994-12-31' GROUP BY 1),
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
         |s AS (
         |  SELECT o_custkey AS cust, COUNT(*) AS n_orders,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders
-        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
         |  GROUP BY 1)
         |SELECT coalesce(s.cust, t.cust) AS cust,
         |  CASE WHEN s.cust IS NOT NULL THEN s.n_orders
@@ -1054,19 +1038,19 @@ object LifecycleQueries {
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DOUBLE) AS total,
         |    CAST(o_orderdate AS VARCHAR) AS dt, 'base' AS tag
-        |  FROM orders WHERE o_orderdate <= DATE '1994-12-31'),
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
         |d1 AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DOUBLE) AS total,
         |    CAST(o_orderdate AS VARCHAR) AS dt, 'd1' AS tag
         |  FROM orders
-        |  WHERE o_orderdate BETWEEN DATE '1994-07-01' AND DATE '1995-06-30'),
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30'),
         |d2 AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DOUBLE) AS total,
         |    CAST(o_orderdate AS VARCHAR) AS dt, 'd2' AS tag
         |  FROM orders
-        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'),
         |m1 AS (
         |  SELECT coalesce(d.k, b.k) AS k,
         |    CASE WHEN d.k IS NOT NULL THEN d.st ELSE b.st END AS st,
