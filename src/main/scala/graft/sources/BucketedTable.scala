@@ -86,9 +86,27 @@ object BucketedTable {
     ScratchDirs.deleteRecursively(Paths.get(s"$root/v$ver/_data"))
   }
 
+  /** CHECK constraints attached to this table (shared semantics and
+    * storage with [[ManagedTable]] — see [[Constraints]]). Enforcement
+    * rides [[create]] and [[merge]] writes; a violating row aborts the
+    * publish before the pointer swaps. */
+  def constraintsOf(root: String): Seq[Constraints.Check] =
+    Constraints.load(root)
+
+  /** ALTER TABLE ADD CONSTRAINT — validates every existing row first
+    * (one scan through the live manifest). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sqlExpr: String): Unit =
+    Constraints.add(root, read(spark, root), name, sqlExpr)
+
+  /** ALTER TABLE DROP CONSTRAINT. */
+  def dropConstraint(root: String, name: String): Unit =
+    Constraints.drop(root, name)
+
   /** Initial full write: every bucket lands in v0. */
   def create(root: String, df: DataFrame, keys: Seq[String], nBuckets: Int): Unit = {
-    val withB = df.withColumn("_bucket", bucketCol(keys, nBuckets))
+    val withB = Constraints.enforce(df, Constraints.load(root))
+      .withColumn("_bucket", bucketCol(keys, nBuckets))
     withB.write.mode("overwrite").partitionBy("_bucket")
       .parquet(s"$root/v0/_data")
     // Rename spark's _bucket=N dirs into stable bucket dirs so the manifest
@@ -215,6 +233,17 @@ object BucketedTable {
     val meta = readMeta(root)
     val srcB = source.withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
       .persist()
+    // try/finally: an aborted merge (e.g. a CHECK-constraint violation in
+    // the write) must not leave the source cache or the feed checkpoint
+    // pinned in a session that catches the failure.
+    try mergeInner(spark, root, meta, srcB, clauses, changeFeed, preImageFeed)
+    finally srcB.unpersist()
+  }
+
+  private def mergeInner(spark: SparkSession, root: String, meta: Meta,
+                         srcB: DataFrame, clauses: MergeClauses.Spec,
+                         changeFeed: Boolean, preImageFeed: Boolean): Unit = {
+    import graft.operators.Merge
     val touched = srcB.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val touchedSet = touched.toSet
@@ -235,28 +264,32 @@ object BucketedTable {
         preImage = preImageFeed)
     val tagged =
       if (changeFeed) taggedRaw.localCheckpoint(eager = false) else taggedRaw
-    if (changeFeed)
-      tagged.filter(col(Merge.ActionCol) =!= lit("keep"))
-        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
-    val merged = tagged
-      .filter(col(Merge.ActionCol) =!= lit("delete"))
-      .drop(Merge.ActionCol, Merge.PreCol) // PreCol-drop is a no-op sans feed
-      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
-    merged.write.mode("overwrite").partitionBy("_bucket")
-      .parquet(s"$root/v$next/_data")
-    touched.foreach { b =>
-      val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
-      val dst = Paths.get(bucketDir(root, s"v$next", b))
-      if (Files.exists(src)) Files.move(src, dst)
-      else Files.createDirectories(dst) // bucket emptied by matched-delete
+    try {
+      if (changeFeed)
+        tagged.filter(col(Merge.ActionCol) =!= lit("keep"))
+          .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+      val merged = Constraints.enforce(
+          tagged
+            .filter(col(Merge.ActionCol) =!= lit("delete"))
+            .drop(Merge.ActionCol, Merge.PreCol), // PreCol-drop no-op sans feed
+          Constraints.load(root))
+        .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+      merged.write.mode("overwrite").partitionBy("_bucket")
+        .parquet(s"$root/v$next/_data")
+      touched.foreach { b =>
+        val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
+        val dst = Paths.get(bucketDir(root, s"v$next", b))
+        if (Files.exists(src)) Files.move(src, dst)
+        else Files.createDirectories(dst) // bucket emptied by matched-delete
+      }
+      dropStaging(root, next)
+      val manifest = meta.manifest.map { case (b, ver) =>
+        b -> (if (touchedSet(b)) s"v$next" else ver)
+      }
+      writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
+    } finally {
+      if (changeFeed) tagged.unpersist()
     }
-    dropStaging(root, next)
-    val manifest = meta.manifest.map { case (b, ver) =>
-      b -> (if (touchedSet(b)) s"v$next" else ver)
-    }
-    writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
-    if (changeFeed) tagged.unpersist()
-    srcB.unpersist()
   }
 
   /** OPTIMIZE for the bucketed layout: every merge leaves its touched

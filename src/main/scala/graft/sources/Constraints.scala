@@ -62,4 +62,49 @@ object Constraints {
     val bad = checks.map(violated).foldLeft(lit(false))(_ || _)
     (df.filter(!bad), df.filter(bad))
   }
+
+  // ---- persistence (shared by ManagedTable and BucketedTable) ----
+  // One `name\texpr` line per check in `<root>/_constraints`, swapped
+  // atomically like the version pointer so readers never see a torn set.
+
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  def load(root: String): Seq[Check] = {
+    val f = Paths.get(root, "_constraints")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(name, sqlExpr) = line.split("\t", 2)
+      Check(name, sqlExpr)
+    }.toSeq
+  }
+
+  def store(root: String, checks: Seq[Check]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "_constraints.tmp")
+    Files.writeString(tmp,
+      checks.map(c => s"${c.name}\t${c.sqlExpr}").mkString("\n"))
+    Files.move(tmp, Paths.get(root, "_constraints"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Shared ADD CONSTRAINT body: validate `live` (the current table
+    * state), reject duplicates, persist. */
+  private[sources] def add(root: String, live: DataFrame, name: String,
+                           sqlExpr: String): Unit = {
+    val c = Check(name, sqlExpr)
+    val existing = load(root)
+    require(!existing.exists(_.name == name),
+      s"constraint '$name' already exists on $root")
+    val nBad = live.filter(violated(c)).count()
+    require(nBad == 0,
+      s"cannot add CHECK constraint '$name' ($sqlExpr): " +
+        s"$nBad existing row(s) violate it")
+    store(root, existing :+ c)
+  }
+
+  private[sources] def drop(root: String, name: String): Unit = {
+    val existing = load(root)
+    require(existing.exists(_.name == name), s"no constraint '$name' on $root")
+    store(root, existing.filterNot(_.name == name))
+  }
 }

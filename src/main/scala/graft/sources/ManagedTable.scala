@@ -109,29 +109,10 @@ object ManagedTable {
   def createEmpty(spark: SparkSession, root: String, like: DataFrame): Unit =
     overwrite(root, like.limit(0))
 
-  private def constraintsFile(root: String): Path =
-    Paths.get(root, "_constraints")
-
   /** CHECK constraints currently attached to the table (empty when none
-    * were ever added). Stored as one `name\texpr` line per check in
-    * `<root>/_constraints`, swapped atomically like the version pointer. */
-  def constraintsOf(root: String): Seq[Constraints.Check] = {
-    val f = constraintsFile(root)
-    if (!Files.exists(f)) Seq.empty
-    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(name, sqlExpr) = line.split("\t", 2)
-      Constraints.Check(name, sqlExpr)
-    }.toSeq
-  }
-
-  private def writeConstraints(root: String,
-                               checks: Seq[Constraints.Check]): Unit = {
-    val tmp = Paths.get(root, "_constraints.tmp")
-    Files.writeString(tmp,
-      checks.map(c => s"${c.name}\t${c.sqlExpr}").mkString("\n"))
-    Files.move(tmp, constraintsFile(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+    * were ever added). */
+  def constraintsOf(root: String): Seq[Constraints.Check] =
+    Constraints.load(root)
 
   /** ALTER TABLE ADD CONSTRAINT (Delta CheckConstraint semantics): the
     * expression must hold on every EXISTING row — one validation scan now
@@ -140,25 +121,12 @@ object ManagedTable {
     * [[Constraints.enforce]]). A row violates only when the expression is
     * exactly FALSE — null passes, like ANSI CHECK. */
   def addConstraint(spark: SparkSession, root: String, name: String,
-                    sqlExpr: String): Unit = {
-    val c = Constraints.Check(name, sqlExpr)
-    val existing = constraintsOf(root)
-    require(!existing.exists(_.name == name),
-      s"constraint '$name' already exists on $root")
-    val nBad = read(spark, root).filter(Constraints.violated(c)).count()
-    require(nBad == 0,
-      s"cannot add CHECK constraint '$name' ($sqlExpr): " +
-        s"$nBad existing row(s) violate it")
-    writeConstraints(root, existing :+ c)
-  }
+                    sqlExpr: String): Unit =
+    Constraints.add(root, read(spark, root), name, sqlExpr)
 
   /** ALTER TABLE DROP CONSTRAINT. */
-  def dropConstraint(root: String, name: String): Unit = {
-    val existing = constraintsOf(root)
-    require(existing.exists(_.name == name),
-      s"no constraint '$name' on $root")
-    writeConstraints(root, existing.filterNot(_.name == name))
-  }
+  def dropConstraint(root: String, name: String): Unit =
+    Constraints.drop(root, name)
 
   /** Publish `df` as the next immutable version, then swap the pointer.
     * Attached CHECK constraints are enforced inside the write itself —

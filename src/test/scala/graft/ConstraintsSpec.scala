@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{Constraints, ManagedTable}
+import graft.sources.{BucketedTable, Constraints, ManagedTable}
 
 class ConstraintsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -58,6 +58,33 @@ class ConstraintsSpec extends AnyFunSuite {
     // enforce: the null row must NOT raise
     assert(Constraints.enforce(df.filter(col("k") =!= 3), Seq(chk))
       .count() == 2)
+  }
+
+  test("bucketed table enforces constraints on the delta-merge path") {
+    val root = Files.createTempDirectory("graft_chk_bkt").toString + "/t"
+    val base = (1 to 100).map(i => (i.toLong, "O", i * 1.0))
+      .toDF("k", "st", "total")
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 4)
+    BucketedTable.addConstraint(spark, root, "total_nonneg", "total >= 0")
+    // violating delta aborts before the pointer swaps
+    intercept[Exception] {
+      BucketedTable.merge(spark, root,
+        Seq((5L, "O", -1.0)).toDF("k", "st", "total"))
+    }
+    assert(ManagedTable // pointer check via the shared _latest protocol
+      .currentVersion(root) == 0)
+    assert(BucketedTable.read(spark, root).count() == 100)
+    // clean delta passes through the same enforced path
+    BucketedTable.merge(spark, root,
+      Seq((5L, "O", 5.0), (200L, "O", 1.0)).toDF("k", "st", "total"))
+    assert(BucketedTable.read(spark, root).count() == 101)
+    // a pre-loaded constraint also guards CREATE
+    val root2 = Files.createTempDirectory("graft_chk_bkt2").toString + "/t"
+    Constraints.store(root2, Seq(Constraints.Check("pos", "total >= 0")))
+    intercept[Exception] {
+      BucketedTable.create(root2,
+        Seq((1L, "O", -1.0)).toDF("k", "st", "total"), Seq("k"), 4)
+    }
   }
 
   test("split partitions on ANY violated check; dropConstraint removes") {
