@@ -175,9 +175,76 @@ object Sketches {
       .agg(countDistinct(col("h")).as("n_sampled"),
         (countDistinct(col("h")) * 16).as("est_distinct"))
 
+  /** Exact heavy hitters at stream-summary cost: every token whose global
+    * count exceeds N/k, via the classic two-pass candidate/verify shape
+    * (Misra-Gries '82; mergeability per Agarwal et al., "Mergeable
+    * Summaries", PODS '12):
+    *
+    *  1. CANDIDATES — one scan with a k-counter Misra-Gries summary per
+    *     partition (`mapPartitions`: genuinely imperative per-partition
+    *     state, the F1 pattern). Pigeonhole gives the superset guarantee:
+    *     a token with global count > N/k must exceed N_p/k in at least
+    *     one partition, so it survives that partition's summary. Each
+    *     partition also emits its token total on the same pass.
+    *  2. VERIFY — exact counts for candidate tokens only: a broadcast
+    *     semi-join (≤ partitions×k candidates, never the vocabulary)
+    *     filters the token stream before the count shuffle, so the
+    *     exchange carries candidate tokens instead of the full vocab.
+    *
+    * The output is a pure function of the data — "count > N/k", no
+    * sketch artifacts — which is what makes the DuckDB oracle exact.
+    * Decrement-all amortizes: each eviction event destroys k+1 count
+    * units, so total eviction work is O(N) per partition. Driver never
+    * holds tokens; the candidate set and the 1-row total stay
+    * distributed (broadcast by the planner, same as the IVF codebook
+    * contract). */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import s.implicits._
+    heavyHittersTokens(s, table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).as[String], k)
+  }
+
+  /** Core of [[heavyHitters]] over an arbitrary token stream. */
+  def heavyHittersTokens(s: SparkSession,
+                         toks: org.apache.spark.sql.Dataset[String],
+                         k: Int): DataFrame = {
+    import s.implicits._
+    require(k > 1, s"heavy-hitter capacity k=$k must exceed 1")
+    // (tok, 0) candidate rows + one (null, partitionTotal) row per partition
+    val summary = toks.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None => // full: decrement-all, drop zeros (the new token dies too)
+            val dead = List.newBuilder[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.map(t => (t, 0L)) ++ Iterator.single((null: String, n))
+    }.toDF("tok", "n")
+    val candidates = summary.filter(col("tok").isNotNull)
+      .select("tok").distinct()
+    val total = summary.filter(col("tok").isNull)
+      .agg(sum(col("n")).as("n_total"))
+    toks.toDF("tok")
+      .join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") / lit(k.toDouble))
+      .select(col("tok"), col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
+    "q_sketch_heavy" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
     "q_sketch_theta" -> (sketchThetaDistinct _))
 
   /** The MinHash+LSH pipeline (verified candidates) must reproduce exact
@@ -187,6 +254,13 @@ object Sketches {
     * live bit-votes, sign-packing, 8×8-bit banding, and the Hamming
     * verify — exact, not statistical. */
   val oracles: Map[String, String] = Map(
+    "q_sketch_heavy" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT tok, COUNT(*) AS cnt
+        |FROM toks GROUP BY tok
+        |HAVING COUNT(*) > (SELECT n FROM tot) / 200.0""".stripMargin,
     "q_sketch_theta" ->
       s"""WITH toks AS (
          |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
