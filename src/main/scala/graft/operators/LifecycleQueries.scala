@@ -612,6 +612,41 @@ object LifecycleQueries {
       .withColumnRenamed(Merge.ActionCol, "action")
   }
 
+  /** Bucketed RESTORE gate: after the v1 upsert AND a destructive v2
+    * merge (conditional update/delete), roll back to v1 — a
+    * metadata-only republish of v1's manifest as v3. The gate reads the
+    * new head, which must equal the post-v1 state exactly; a restore
+    * that resolved stale or partial bucket refs would hash-fail. */
+  def bucketedRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = bucketedHistory(s, dir, createPartitions = 4)
+    def shaped(f: org.apache.spark.sql.Column, tag: String): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"), lit(tag).as("tag"))
+    BucketedTable.merge(s, root,
+      shaped(col("o_orderdate").between(lit("1996-01-01"),
+        lit("1996-12-31")), "d2"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))))                                // v2
+    BucketedTable.restore(s, root, 1)                                 // v3
+    BucketedTable.read(s, root)
+  }
+
+  /** Point-lookup gate (the 100 TB "read one key" path): look up the
+    * five smallest keys of the live bucketed table — the scan opens only
+    * the manifest-resolved bucket dirs those keys hash into (pinned in
+    * BucketedTableSpec via inputFiles), never the table. The driver
+    * holds exactly the five requested key values. DuckDB recomputes the
+    * same five rows relationally. */
+  def bucketedLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = bucketedHistory(s, dir, createPartitions = 4)
+    val keys = BucketedTable.read(s, root).select("k").orderBy("k")
+      .limit(5).collect().map(_.getLong(0)).toSeq // bounded: 5 values
+    BucketedTable.lookup(s, root, keys)
+  }
+
   /** CHECK-constraint gate (Delta `ADD CONSTRAINT` + the reference's
     * validate-split pattern at the table boundary): the ≤1995 base table
     * gets two constraints (non-negative total, known status codes); the
@@ -658,6 +693,8 @@ object LifecycleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucketed_clone" -> (bucketedClone _),
+    "q_bucketed_restore" -> (bucketedRestore _),
+    "q_bucketed_lookup" -> (bucketedLookup _),
     "q_table_diff" -> (tableDiff _),
     "q_bucketed_diff" -> (bucketedDiff _),
     "q_table_constraints" -> (tableConstraints _),
@@ -749,6 +786,11 @@ object LifecycleQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bucketed_clone" -> bucketedPostV1Sql,
+    "q_bucketed_restore" -> bucketedPostV1Sql,
+    "q_bucketed_lookup" ->
+      (s"WITH m AS (\n$bucketedPostV1Sql\n)\n" +
+        """SELECT k, st, total, dt, tag FROM m
+          |WHERE k IN (SELECT k FROM m ORDER BY k LIMIT 5)""".stripMargin),
     "q_table_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -153,6 +153,47 @@ object BucketedTable {
     spark.read.parquet(paths: _*)
   }
 
+  /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF` on the bucketed
+    * layout): republish a historical version's MANIFEST as the new head —
+    * a metadata-only rollback (zero data bytes move; bucket dirs are
+    * immutable and simply become referenced again). History stays linear:
+    * the rollback is itself a version, so it can be time-traveled past or
+    * restored again, and vacuum's reachability sweep protects every
+    * bucket the restored manifest references. */
+  def restore(spark: SparkSession, root: String, version: Int): Unit = {
+    val meta = readMetaAt(root, version)
+    meta.manifest.foreach { case (b, ver) =>
+      require(Files.exists(Paths.get(bucketDir(root, ver, b))),
+        s"cannot restore to v$version: bucket $b ($ver) was vacuumed away")
+    }
+    val live = Files.readString(latestFile(root)).trim.toInt
+    writeVersion(root, live + 1, meta.nBuckets, meta.keys, meta.manifest)
+  }
+
+  /** Point lookup — the 100 TB "read one key" path: the key hashes to
+    * exactly one bucket, the live manifest names the one version dir
+    * holding that bucket, and the scan opens ONLY those dirs —
+    * 1/nBuckets of the table per looked-up key, however large the table.
+    * Values must match the key column's stored type exactly (Murmur3 of
+    * an int and a long differ). Single-column keys; composite-keyed
+    * tables filter through [[read]]. The bucket ids are computed by one
+    * length-bounded local job so driver and executors share one hash
+    * implementation. */
+  def lookup(spark: SparkSession, root: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "lookup needs at least one key value")
+    val meta = readMeta(root)
+    require(meta.keys.size == 1,
+      s"point lookup supports single-column keys; table has ${meta.keys}")
+    val bucketCols = values.map(v => pmod(hash(lit(v)), lit(meta.nBuckets)))
+    val row = spark.range(1).select(bucketCols: _*).head()
+    val buckets = values.indices.map(row.getInt).distinct.sorted
+    val paths = buckets.map(b => bucketDir(root, meta.manifest(b), b))
+      .filter(hasParquet)
+    val key = meta.keys.head
+    if (paths.isEmpty) readAt(spark, root, meta).limit(0)
+    else spark.read.parquet(paths: _*).filter(col(key).isin(values: _*))
+  }
+
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): publish a
     * new table at `cloneRoot` whose v0 manifest references the SOURCE
     * table's live bucket dirs by absolute path — a metadata-only

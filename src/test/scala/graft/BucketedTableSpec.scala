@@ -208,6 +208,39 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("restore republishes a manifest metadata-only; lookup prunes buckets") {
+    val root = Files.createTempDirectory("graft_bt_rst").toString
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+    BucketedTable.merge(spark, root, Seq((5L, "A")).toDF("k", "v"))   // v1
+    BucketedTable.merge(spark, root,
+      Seq((5L, "B"), (6L, "C")).toDF("k", "v"))                       // v2
+    val dataFilesBefore = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+
+    BucketedTable.restore(spark, root, 1)                             // v3
+    // metadata-only: not one data file added or removed
+    val dataFilesAfter = Files.walk(Paths.get(root)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+    assert(dataFilesAfter == dataFilesBefore)
+    assert(BucketedTable.read(spark, root)
+      .filter(col("k") === 5L).select("v").as[String].head() == "A")
+    assert(BucketedTable.read(spark, root).count() == 1000)
+    // restoring past a vacuum fails loudly
+    BucketedTable.vacuum(root, keep = 1)
+    intercept[Exception] { BucketedTable.restore(spark, root, 2) }
+
+    // lookup: reads only the buckets its keys hash into
+    val hit = BucketedTable.lookup(spark, root, Seq(5L, 17L))
+    assert(hit.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((5L, "A"), (17L, "v17")))
+    val touched = hit.inputFiles.map(_.replaceFirst("/[^/]*$", "")).distinct
+    assert(touched.length <= 2,
+      s"lookup opened ${touched.length} bucket dirs for 2 keys")
+    // a key that does not exist resolves to its bucket and returns nothing
+    assert(BucketedTable.lookup(spark, root, Seq(99999L)).count() == 0)
+  }
+
   test("readVersion resolves historical manifests until vacuumed") {
     val root = Files.createTempDirectory("graft_bt_tt").toString
     val target = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")

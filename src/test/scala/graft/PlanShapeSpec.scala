@@ -202,12 +202,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_dedup_incremental", "q_sim_cosine_topk", "q_sim_lsh_topk",
       "q_sim_ivf_topk", "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf",
       "q_txt_boilerplate", "q_txt_contamination", "q_mix_sample",
-      "q_split_assign", "q_sample_stratified",
+      "q_split_assign", "q_sample_stratified", "q_sketch_heavy",
       "q_star_join", "q_asof_join", "q_range_join", "q_dq_report",
       "q_u2_union_precedence", "q_w1_latest_wins", "q_w2_hist_grain",
       "q_events_funnel", "q_events_attribution", "q_events_wau")
+    // q_sketch_heavy's one-row total attaches via crossJoin(broadcast),
+    // the same tiny-by-construction contract as TF-IDF's corpus size.
     val allowedBnlj = Set("q_j2_disjunctive_join", "q_sim_cosine_topk",
-      "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf")
+      "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf", "q_sketch_heavy")
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try for (q <- swept) {
@@ -219,6 +221,43 @@ class PlanShapeSpec extends AnyFunSuite {
         case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
       }
       assert(bnlj.isEmpty || allowedBnlj(q), s"$q plans a BroadcastNestedLoopJoin")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("snapshot diff is one full-outer join; heavy hitters broadcast") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.functions._
+      // diffFrames: one exchange per side of the full-outer key join —
+      // a third exchange or a nested-loop fallback would break the
+      // "same cost class as the MERGE" contract
+      val orders = spark.read
+        .parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("total"))
+      val before = orders.filter(col("k") % 3 =!= 0)
+      val after = orders.filter(col("k") % 2 =!= 0)
+      val dPlan = graft.operators.SnapshotDiff
+        .diffFrames(before, after, Seq("k"))
+        .queryExecution.executedPlan
+      assert(dPlan.collect {
+        case e: ShuffleExchangeExec => e }.size <= 2)
+      assert(dPlan.collect {
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+      }.isEmpty, "diff must stay an equi-join")
+
+      // heavy hitters: the candidate semi-join must BROADCAST the
+      // candidates (≤ partitions×k rows) — shuffling the token stream
+      // for it would move the full corpus
+      val hPlan = SparkEntry.queries("q_sketch_heavy")(spark, dir)
+        .queryExecution.executedPlan
+      val semiJoins = hPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.sql == "LEFT SEMI" => j
+      }
+      assert(semiJoins.nonEmpty, "candidate filter is no longer a broadcast semi-join")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
