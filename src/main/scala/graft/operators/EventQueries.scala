@@ -13,23 +13,14 @@ import graft.sources.TableIO.table
   */
 object EventQueries {
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4's
-    * TimestampType (micros) rejects outright. Read nanos as long and convert
-    * explicitly — `div 1000` truncation matches DuckDB's `epoch_us` on a
-    * TIMESTAMP_NS value, keeping the oracle exact.
-    *
-    * The required `nanosAsLong` flag is a SESSION-build setting (Bench/
-    * Verify/Explain/tests all set it): mutating session conf from inside a
-    * query builder would be a hidden side effect on every other query in
-    * flight, so this fails fast instead. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events is TIMESTAMP(NANOS) parquet: set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "when building the SparkSession")
-    table(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+  /** The events table, normalized to the epoch-µs discipline regardless of
+    * how the parquet writer encoded `ts` (nanos-as-long BIGINT, TIMESTAMP,
+    * or TIMESTAMP_NTZ) — see `TableIO.withEpochMicros` for the dispatch.
+    * `ts` is re-derived from `ts_us` so every downstream operator sees one
+    * canonical (UTC, µs) TimestampType column. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TableIO.events(s, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
-  }
 
   /** Tumbling-window aggregation: events per (hour, type) with exact sums.
     * Streaming equivalent: `groupBy(window($"ts", "1 hour"), $"event_type")`

@@ -331,6 +331,26 @@ object LifecycleQueries {
       Seq(("part", 10, 120), ("supp", 1, 50)))
   }
 
+  /** String data-skipping gate: the reference's hottest filter is a string
+    * `load_date BETWEEN 'a' AND 'b'` (mls_listings_curated.py:73) — ISO
+    * dates, where lexicographic order IS chronological order. Lay orders
+    * out range-clustered by the string date (tight per-file spans), ANALYZE
+    * the string column into the manifest, and answer the range through
+    * [[ManagedTable.readWhere]]'s lexicographic file pruning. The hash gate
+    * pins skipping loses/admits no row vs DuckDB's full-table recompute. */
+  def tableSkippingStr(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("skipping_str")
+    val o = table(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderdate").cast(DateType).cast(StringType).as("odate"),
+        col("o_totalprice").cast(DoubleType).as("price"))
+    ManagedTable.overwrite(root,
+      o.repartitionByRange(32, col("odate")).sortWithinPartitions("odate"))
+    ManagedTable.analyze(s, root, Seq("odate", "price"))
+    ManagedTable.readWhere(s, root,
+      Seq(("odate", "1995-01-01", "1995-12-31")))
+  }
+
   /** Shared lifecycle for the time-travel and CDF gates: empty init,
     * v1 = upsert of the ≤1995 per-customer state, v2 = conditional
     * update/delete merge of the ≤1996 state — the same cycle as
@@ -536,6 +556,16 @@ object LifecycleQueries {
       Seq("last_dt", "n_orders"), lit("1997-01-01"))
   }
 
+  /** SCD2 point-in-time gate: read the two-merge dimension AS OF a date
+    * strictly inside the first validity window. Changed customers must
+    * surface their CLOSED first version (not the current one), unchanged
+    * customers their open version, and 1996-only customers (opened
+    * 1997-01-01) must be absent — pinning `valid_from <= asOf < valid_to`
+    * with the open upper bound. DuckDB re-derives the same slice from the
+    * snapshots. */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame =
+    Scd2.asOf(scd2Dim(s, dir), lit("1996-06-15"))
+
   /** SHALLOW-CLONE gate (Delta `SHALLOW CLONE` on the bucketed layout):
     * the ≤1995 base becomes the SOURCE table; a metadata-only clone
     * branches it (zero bytes copied — asserted in BucketedTableSpec where
@@ -703,12 +733,14 @@ object LifecycleQueries {
     "q_view_incremental" -> (viewIncremental _),
     "q_view_refresh" -> (viewRefresh _),
     "q_scd2_dim" -> (scd2Dim _),
+    "q_scd2_asof" -> (scd2AsOf _),
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
     "q_table_skipping" -> (tableSkipping _),
+    "q_table_skipping_str" -> (tableSkippingStr _),
     "q_table_timetravel" -> (tableTimetravel _),
     "q_table_cdf" -> (tableCdf _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
@@ -914,6 +946,24 @@ object LifecycleQueries {
         |SELECT s2.cust, s2.last_dt, s2.n_orders,
         |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
         |FROM s2 LEFT JOIN s1 ON s2.cust = s1.cust WHERE s1.cust IS NULL""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+        |s2 AS (
+        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |    COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1),
+        |chg AS (
+        |  SELECT s1.cust FROM s1 JOIN s2 ON s1.cust = s2.cust
+        |  WHERE s1.last_dt <> s2.last_dt OR s1.n_orders <> s2.n_orders)
+        |SELECT s1.cust, s1.last_dt, s1.n_orders,
+        |  '1996-01-01' AS valid_from,
+        |  CASE WHEN s1.cust IN (SELECT cust FROM chg)
+        |       THEN '1997-01-01' ELSE CAST(NULL AS VARCHAR) END AS valid_to,
+        |  s1.cust NOT IN (SELECT cust FROM chg) AS is_current
+        |FROM s1""".stripMargin,
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
     "q_table_restore" -> dmlUpdatedSql,
@@ -985,6 +1035,13 @@ object LifecycleQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 10 AND 120
         |  AND l_suppkey BETWEEN 1 AND 50""".stripMargin,
+    "q_table_skipping_str" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+        |  CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |WHERE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |  BETWEEN '1995-01-01' AND '1995-12-31'""".stripMargin,
     "q_table_optimize" ->
       """SELECT l_orderkey AS k, l_linenumber AS ln, l_partkey AS part,
         |  l_suppkey AS supp, CAST(l_quantity AS DOUBLE) AS qty,

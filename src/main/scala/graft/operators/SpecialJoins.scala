@@ -139,9 +139,7 @@ object SpecialJoins {
     * attribution gate's (purchase ← view). Timestamps emitted as epoch
     * micros (bigint) per the cross-engine timestamp discipline. */
   def asofClicksErrors(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events is TIMESTAMP(NANOS) parquet: set spark.sql.legacy.parquet.nanosAsLong=true")
-    val e = table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val e = graft.sources.TableIO.events(s, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val errors = e.filter(col("event_type") === "error")

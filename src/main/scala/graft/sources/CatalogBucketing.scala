@@ -93,8 +93,13 @@ object CatalogBucketing {
           embTable, s"$wh/emb", nBuckets = 8, key = "doc_id")
         written(key) = dir
       }
+      // Frame built INSIDE the lock: a concurrent call for a different
+      // source dir re-Overwrites the catalog tables, and a plan resolved
+      // against the old files would read swapped-out data. Plan
+      // construction is driver-cheap; execution happens later against
+      // whatever snapshot the caller then holds.
+      joinOnly(s)
     }
-    joinOnly(s)
   }
 
   /** The join alone (tables must already exist) — used by the plan-shape

@@ -295,16 +295,17 @@ object ManagedTable {
       }
     overwrite(root, laid)
     // A z-ordered layout without file stats cannot be skipped against —
-    // record the manifest for the layout columns as part of OPTIMIZE
-    // (numeric ones; the z-quantization is numeric-only anyway).
-    val numeric = {
+    // record the manifest for the layout columns as part of OPTIMIZE.
+    // (The z-quantization itself is numeric-only, but string layout
+    // columns still get lexicographic min/max stats for readWhere.)
+    val statable = {
       val fields = read(spark, root).schema.fields
         .map(f => f.name -> f.dataType.typeName).toMap
       zorderBy.filter(c => fields.get(c).exists(t =>
         Set("byte", "short", "integer", "long", "float", "double",
-          "date").contains(t) || t.startsWith("decimal")))
+          "date", "string").contains(t) || t.startsWith("decimal")))
     }
-    if (numeric.nonEmpty) analyze(spark, root, numeric)
+    if (statable.nonEmpty) analyze(spark, root, statable)
   }
 
   /** Morton interleave: bit i of layout column c lands at position
@@ -342,32 +343,44 @@ object ManagedTable {
     * stats instead of re-scanning (same manifest, ~KB per file of IO);
     * the scan keeps this implementation engine-pure.
     *
-    * Stats are stored as doubles — exact for integral values < 2^53;
-    * `statsCols` must be numeric. */
+    * Numeric stats are stored as doubles — exact for integral values
+    * < 2^53; string columns keep their min/max verbatim (URL-encoded
+    * for TSV safety) and prune by lexicographic order — the reference's
+    * hottest filter is a string `load_date BETWEEN`
+    * (mls_listings_curated.py:73), which zero-pads its dates so
+    * lexicographic == chronological. */
   def analyze(spark: SparkSession, root: String, statsCols: Seq[String]): Unit = {
     val live = currentVersion(root)
     val snap = spark.read.parquet(s"$root/v$live")
     val numericTypes = Set("byte", "short", "int", "integer", "long",
       "float", "double", "date") // date: days-since-epoch ordering
-    statsCols.foreach { c =>
+    val kinds: Map[String, String] = statsCols.map { c =>
       val f = snap.schema.fields.find(_.name == c).getOrElse(
         sys.error(s"analyze: no column '$c' in ${snap.columns.mkString(",")}"))
-      require(numericTypes.exists(f.dataType.typeName.startsWith) ||
-        f.dataType.typeName.startsWith("decimal"),
-        s"analyze: column '$c' is ${f.dataType.typeName}, not numeric")
+      val tn = f.dataType.typeName
+      val kind =
+        if (numericTypes.exists(tn.startsWith) || tn.startsWith("decimal")) "num"
+        else if (tn == "string") "str"
+        else sys.error(s"analyze: column '$c' is $tn, not numeric or string")
+      c -> kind
+    }.toMap
+    val aggs = statsCols.flatMap { c =>
+      val v = if (kinds(c) == "num") col(c).cast("double") else col(c)
+      Seq(min(v).as(s"_mn_$c"), max(v).as(s"_mx_$c"))
     }
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"_mn_$c"),
-      max(col(c).cast("double")).as(s"_mx_$c")))
     val rows = snap.withColumn("_file", input_file_name())
       .groupBy("_file").agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one manifest row per data file
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val sb = new StringBuilder
     rows.foreach { r =>
       val leaf = r.getString(0).split('/').last
       statsCols.zipWithIndex.foreach { case (c, i) =>
-        def cell(k: Int) = if (r.isNullAt(k)) "null" else r.getDouble(k).toString
-        sb.append(s"$leaf\t$c\t${cell(1 + 2 * i)}\t${cell(2 + 2 * i)}\n")
+        def cell(k: Int) =
+          if (r.isNullAt(k)) "null"
+          else if (kinds(c) == "num") r.getDouble(k).toString
+          else enc(r.getString(k))
+        sb.append(s"$leaf\t$c\t${kinds(c)}\t${cell(1 + 2 * i)}\t${cell(2 + 2 * i)}\n")
       }
     }
     val tmp = Paths.get(root, s"v$live", s"_stats.tmp")
@@ -399,11 +412,18 @@ object ManagedTable {
       case n: Number => n.doubleValue()
       case other => other.toString.toDouble
     }
-    val stats: Map[(String, String), (Option[Double], Option[Double])] =
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    // (kind, mn, mx): kind "num" spans compare as doubles, "str" spans
+    // lexicographically. Legacy 4-field lines (pre-string manifests) are
+    // numeric by construction.
+    val stats: Map[(String, String), (String, Option[String], Option[String])] =
       Files.readString(statsPath).linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(f, c, mn, mx) = line.split('\t')
-        def p(s: String) = if (s == "null") None else Some(s.toDouble)
-        (f, c) -> (p(mn), p(mx))
+        def p(s: String) = if (s == "null") None else Some(s)
+        line.split('\t') match {
+          case Array(f, c, kind, mn, mx) => (f, c) -> ((kind, p(mn), p(mx)))
+          case Array(f, c, mn, mx) => (f, c) -> (("num", p(mn), p(mx)))
+          case other => sys.error(s"readWhere: bad manifest line '$line'")
+        }
       }.toMap
     val listing = Files.list(Paths.get(dir))
     val allFiles =
@@ -413,9 +433,12 @@ object ManagedTable {
     val keep = allFiles.filter { f =>
       ranges.forall { case (c, lo, hi) =>
         stats.get((f, c)) match {
-          case Some((Some(mn), Some(mx))) => mn <= toD(hi) && mx >= toD(lo)
-          case Some((None, None)) => false // all-null: no row can match
-          case _ => true                   // unknown file/col: stay safe
+          case Some(("num", Some(mn), Some(mx))) =>
+            mn.toDouble <= toD(hi) && mx.toDouble >= toD(lo)
+          case Some(("str", Some(mn), Some(mx))) =>
+            dec(mn) <= hi.toString && dec(mx) >= lo.toString
+          case Some((_, None, None)) => false // all-null: no row can match
+          case _ => true                      // unknown file/col: stay safe
         }
       }
     }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers and sinks for the engine (SURVEY §2.1 S1-S2, S7-S8).
   *
@@ -16,6 +17,35 @@ object TableIO {
   /** Read one testdata table (`<dir>/<name>.parquet`). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-adaptive epoch-µs derivation for an event-time column. Parquet
+    * writers have shipped the events `ts` column as TIMESTAMP(NANOS) (which
+    * Spark 4 only reads as BIGINT nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), as TIMESTAMP_NTZ
+    * (µs, isAdjustedToUTC=false) and as TIMESTAMP — so the derivation
+    * dispatches on the *observed* dtype instead of assuming one encoding:
+    *   - BIGINT → nanos-as-long legacy read → `div 1000` (truncation matches
+    *     DuckDB `epoch_us` on a TIMESTAMP_NS value);
+    *   - TIMESTAMP_NTZ / TIMESTAMP → `unix_micros(cast)` — exact because
+    *     every session in this repo pins `spark.sql.session.timeZone=UTC`,
+    *     matching DuckDB's `epoch_us(ts)` on the naive value.
+    * All downstream event operators consume only `ts_us` (epoch µs BIGINT),
+    * the cross-engine timestamp discipline. */
+  def withEpochMicros(df: DataFrame, tsCol: String = "ts",
+                      usCol: String = "ts_us"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(usCol, expr(s"`$tsCol` div 1000"))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(usCol, unix_micros(col(tsCol).cast(TimestampType)))
+      case other => throw new IllegalArgumentException(
+        s"$tsCol: expected BIGINT (nanos-as-long), TIMESTAMP or TIMESTAMP_NTZ, got $other")
+    }
+
+  /** The events table with the epoch-µs discipline applied (see
+    * [[withEpochMicros]]) — the single reader behind every event operator. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    withEpochMicros(table(spark, dir, "events"))
 
   /** Multi-directory scan + positional union, each dir filtered before the
     * union so the predicate pushes into every individual scan.

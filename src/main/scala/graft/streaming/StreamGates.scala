@@ -110,11 +110,10 @@ object StreamGates {
   }
 
   /** The narrow events frame every replay slices: ts kept as epoch µs
-    * (the nanos-as-long reader convention — matches the oracles'
+    * (schema-adaptive via `TableIO.withEpochMicros` — matches the oracles'
     * `epoch_us(ts)`). */
   private def eventsNarrow(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.sources.TableIO.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("value"))
 

@@ -111,6 +111,44 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 7, 3L, 7, true)))
   }
 
+  test("events ts dtype drift: bigint-ns and timestamp-µs encodings hash identically") {
+    // The driver has regenerated events.parquet with ts as TIMESTAMP(NANOS)
+    // (nanos-as-long under the legacy flag) AND as timestamp[us]/NTZ. The
+    // reader must produce byte-identical results for both encodings of the
+    // same instants — this pins the schema-adaptive dispatch in
+    // TableIO.withEpochMicros so the next regeneration breaks a spec, not
+    // the round.
+    def ns(sec: Long) = sec * 1000000000L
+    val rows = Seq(
+      (1L, ns(3601), 1L, "view"), (2L, ns(3723), 1L, "click"),
+      (3L, ns(7201), 2L, "view"), (4L, ns(7500), 2L, "purchase"))
+    def base = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val dirNs = java.nio.file.Files.createTempDirectory("curation").toString
+    base.write.mode("overwrite").parquet(s"$dirNs/events.parquet")
+    val dirTs = java.nio.file.Files.createTempDirectory("curation").toString
+    base.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      .write.mode("overwrite").parquet(s"$dirTs/events.parquet")
+    // one TimestampType dir, one TimestampNTZ dir — cover both branches
+    val dirNtz = java.nio.file.Files.createTempDirectory("curation").toString
+    base.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .write.mode("overwrite").parquet(s"$dirNtz/events.parquet")
+    def run(dir: String) = Seq(
+      graft.operators.EventQueries.eventsHourly(spark, dir),
+      graft.operators.EventQueries.eventsSessionize(spark, dir),
+      graft.operators.SpecialJoins.asofClicksErrors(spark, dir))
+      .map(_.collect().map(_.toSeq).toSet)
+    val (a, b, c) = (run(dirNs), run(dirTs), run(dirNtz))
+    assert(a == b, "nanos-as-long vs timestamp[us] drifted")
+    assert(a == c, "nanos-as-long vs timestamp_ntz drifted")
+    assert(a.head.nonEmpty)
+  }
+
   test("event funnel: stage order is enforced, not per-type minima") {
     val dir = java.nio.file.Files.createTempDirectory("curation").toString
     def ns(sec: Long) = sec * 1000000000L

@@ -18,12 +18,12 @@ class EventStreamSpec extends AnyFunSuite {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // schema from a batch read of the same files — the spec must not bake in
+    // one ts encoding (the testdata has shipped nanos-as-long AND timestamp[us])
+    val schema = spark.read.parquet(dir.toString).schema
     def shape(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.sources.TableIO.withEpochMicros(df)
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
 
     val streamIn = shape(spark.readStream.schema(schema).parquet(dir.toString))
     val q = EventStream.hourlyCounts(streamIn).writeStream

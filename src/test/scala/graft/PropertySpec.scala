@@ -153,6 +153,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("string data-skipping read equals the full-scan filter for any range") {
+    import graft.sources.ManagedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_prop_skipstr").toString
+    // ISO-date-shaped strings: lexicographic == chronological
+    val df = spark.range(2048L)
+      .select(org.apache.spark.sql.functions.col("id").as("k"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.date_add(
+            org.apache.spark.sql.functions.lit("2024-01-01").cast("date"),
+            (org.apache.spark.sql.functions.col("id") % 365).cast("int")),
+          "yyyy-MM-dd").as("dt"))
+    ManagedTable.overwrite(root,
+      df.repartitionByRange(16, org.apache.spark.sql.functions.col("dt")))
+    ManagedTable.analyze(spark, root, Seq("dt"))
+    val full = ManagedTable.read(spark, root)
+    val rangeGen: Gen[(Int, Int)] = for {
+      lo <- Gen.chooseNum(-10, 380); w <- Gen.chooseNum(0, 120)
+    } yield (lo, lo + w)
+    def d(off: Int) = java.time.LocalDate.of(2024, 1, 1).plusDays(off).toString
+    for ((lo, hi) <- cases(rangeGen, n = 8)) {
+      val pruned = ManagedTable.readWhere(spark, root, Seq(("dt", d(lo), d(hi))))
+        .as[(Long, String)].collect().sorted.toSeq
+      val expect = full
+        .filter(org.apache.spark.sql.functions.col("dt").between(d(lo), d(hi)))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(pruned == expect, s"range [${d(lo)}, ${d(hi)}]")
+    }
+  }
+
   test("salted top-k equals windowed top-k for any k") {
     for ((rows, i) <- cases(rowGen).zipWithIndex if rows.nonEmpty) {
       val k = 1 + (i % 4)
