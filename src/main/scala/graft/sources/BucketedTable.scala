@@ -27,20 +27,16 @@ import scala.jdk.CollectionConverters._
   * buckets' rows. Readers always see one consistent manifest (immutable
   * version dirs + atomic pointer swap, same protocol as ManagedTable).
   */
-object BucketedTable {
-
-  private def latestFile(root: String): Path = Paths.get(root, "_latest")
+object BucketedTable extends VersionedLayout {
 
   final case class Meta(version: Int, nBuckets: Int, keys: Seq[String],
                         manifest: Map[Int, String])
-
-  def exists(root: String): Boolean = Files.exists(latestFile(root))
 
   private def bucketCol(keys: Seq[String], nBuckets: Int) =
     pmod(hash(keys.map(col): _*), lit(nBuckets))
 
   private def readMeta(root: String): Meta =
-    readMetaAt(root, Files.readString(latestFile(root)).trim.toInt)
+    readMetaAt(root, currentVersion(root))
 
   private def readMetaAt(root: String, v: Int): Meta = {
     val lines = Files.readAllLines(Paths.get(root, s"v$v", "_manifest")).asScala
@@ -58,10 +54,7 @@ object BucketedTable {
     val body = (s"$nBuckets,${keys.mkString(";")}" +:
       manifest.toSeq.sortBy(_._1).map { case (b, v) => s"$b,$v" }).mkString("\n")
     Files.writeString(dir.resolve("_manifest"), body)
-    val tmp = Paths.get(root, s"_latest.tmp$version")
-    Files.writeString(tmp, version.toString)
-    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    swapPointer(root, version)
   }
 
   /** A manifest entry is either a local version name ("v3") or — after a
@@ -85,23 +78,6 @@ object BucketedTable {
   private def dropStaging(root: String, ver: Int): Unit = {
     ScratchDirs.deleteRecursively(Paths.get(s"$root/v$ver/_data"))
   }
-
-  /** CHECK constraints attached to this table (shared semantics and
-    * storage with [[ManagedTable]] — see [[Constraints]]). Enforcement
-    * rides [[create]] and [[merge]] writes; a violating row aborts the
-    * publish before the pointer swaps. */
-  def constraintsOf(root: String): Seq[Constraints.Check] =
-    Constraints.load(root)
-
-  /** ALTER TABLE ADD CONSTRAINT — validates every existing row first
-    * (one scan through the live manifest). */
-  def addConstraint(spark: SparkSession, root: String, name: String,
-                    sqlExpr: String): Unit =
-    Constraints.add(root, read(spark, root), name, sqlExpr)
-
-  /** ALTER TABLE DROP CONSTRAINT. */
-  def dropConstraint(root: String, name: String): Unit =
-    Constraints.drop(root, name)
 
   /** Initial full write: every bucket lands in v0. */
   def create(root: String, df: DataFrame, keys: Seq[String], nBuckets: Int): Unit = {
@@ -137,7 +113,7 @@ object BucketedTable {
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     require(Files.exists(Paths.get(root, s"v$version", "_manifest")),
       s"version $version of $root is not on disk (vacuumed or never " +
-        s"published); live is ${Files.readString(latestFile(root)).trim}")
+        s"published); live is v${currentVersion(root)}")
     val meta = readMetaAt(root, version)
     meta.manifest.foreach { case (b, ver) =>
       require(Files.exists(Paths.get(bucketDir(root, ver, b))),
@@ -166,7 +142,7 @@ object BucketedTable {
       require(Files.exists(Paths.get(bucketDir(root, ver, b))),
         s"cannot restore to v$version: bucket $b ($ver) was vacuumed away")
     }
-    val live = Files.readString(latestFile(root)).trim.toInt
+    val live = currentVersion(root)
     writeVersion(root, live + 1, meta.nBuckets, meta.keys, meta.manifest)
   }
 
@@ -380,17 +356,6 @@ object BucketedTable {
       })
   }
 
-  /** Read the change feed `merge(..., changeFeed = true)` recorded when it
-    * published `version` — delta-sized rows tagged insert / update
-    * (post-image) / delete (pre-image). */
-  def changes(spark: SparkSession, root: String, version: Int): DataFrame = {
-    val dir = Paths.get(root, "_changes", s"v$version")
-    require(Files.exists(dir),
-      s"no change feed for version $version of $root (merge ran without " +
-        "changeFeed, feed vacuumed, or not a merge-published version)")
-    spark.read.parquet(dir.toString)
-  }
-
   /** VACUUM for the bucketed layout (reference semantics:
     * DeltaTable.vacuum, mls_listings_curated.py:366-368). Unlike
     * [[ManagedTable.vacuum]], old version dirs cannot simply be dropped by
@@ -401,7 +366,7 @@ object BucketedTable {
     * (unreferenced bucket dirs, then version dirs left with nothing).
     * Deletion cost is proportional to the GARBAGE, never the table. */
   def vacuum(root: String, keep: Int = 1): Unit = {
-    val live = Files.readString(latestFile(root)).trim.toInt
+    val live = currentVersion(root)
     val retained = (math.max(0, live - keep + 1) to live)
       .filter(v => Files.exists(Paths.get(root, s"v$v", "_manifest")))
     val referenced: Set[(Int, String)] = retained.flatMap { v =>

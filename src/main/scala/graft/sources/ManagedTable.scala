@@ -43,13 +43,7 @@ object MergeClauses {
       insertWhen: Option[Column] = None)   // None = unconditional insert-*
 }
 
-object ManagedTable {
-  private def latestFile(root: String): Path = Paths.get(root, "_latest")
-
-  def exists(root: String): Boolean = Files.exists(latestFile(root))
-
-  def currentVersion(root: String): Int =
-    Files.readString(latestFile(root)).trim.toInt
+object ManagedTable extends VersionedLayout {
 
   /** Read the live snapshot. Reference: delta scan at mls_listings_curated.py:124. */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -65,31 +59,6 @@ object ManagedTable {
       s"version $version of $root is not on disk (vacuumed or never published); " +
         s"live is v${currentVersion(root)}")
     spark.read.parquet(dir.toString)
-  }
-
-  /** Read the change feed a `merge(..., changeFeed = true)` recorded when
-    * it published `version` — one row per insert/update/delete with an
-    * `_action` tag (updates carry post-image values, deletes the destroyed
-    * pre-image). Delta's table_changes() on this layout. */
-  def changes(spark: SparkSession, root: String, version: Int): DataFrame = {
-    val dir = Paths.get(root, "_changes", s"v$version")
-    require(Files.exists(dir),
-      s"no change feed for version $version of $root (merge ran without " +
-        "changeFeed, version vacuumed, or not a merge-published version)")
-    spark.read.parquet(dir.toString)
-  }
-
-  /** Change feeds across a CLOSED version range, each row stamped with its
-    * `_version` — Delta's `table_changes(from, to)`. Every version in the
-    * range must have a recorded feed (a silent gap would silently corrupt
-    * any downstream replica). */
-  def changes(spark: SparkSession, root: String,
-              fromVersion: Int, toVersion: Int): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"empty version range [$fromVersion, $toVersion]")
-    (fromVersion to toVersion)
-      .map(v => changes(spark, root, v).withColumn("_version", lit(v)))
-      .reduce(_ unionByName _)
   }
 
   /** Snapshot DIFF between two published versions — CDC reconstruction
@@ -109,25 +78,6 @@ object ManagedTable {
   def createEmpty(spark: SparkSession, root: String, like: DataFrame): Unit =
     overwrite(root, like.limit(0))
 
-  /** CHECK constraints currently attached to the table (empty when none
-    * were ever added). */
-  def constraintsOf(root: String): Seq[Constraints.Check] =
-    Constraints.load(root)
-
-  /** ALTER TABLE ADD CONSTRAINT (Delta CheckConstraint semantics): the
-    * expression must hold on every EXISTING row — one validation scan now
-    * buys write-time-only enforcement forever after ([[overwrite]] folds
-    * the checks into each subsequent write's plan; see
-    * [[Constraints.enforce]]). A row violates only when the expression is
-    * exactly FALSE — null passes, like ANSI CHECK. */
-  def addConstraint(spark: SparkSession, root: String, name: String,
-                    sqlExpr: String): Unit =
-    Constraints.add(root, read(spark, root), name, sqlExpr)
-
-  /** ALTER TABLE DROP CONSTRAINT. */
-  def dropConstraint(root: String, name: String): Unit =
-    Constraints.drop(root, name)
-
   /** Publish `df` as the next immutable version, then swap the pointer.
     * Attached CHECK constraints are enforced inside the write itself —
     * a violating row aborts the publish before the pointer ever swaps,
@@ -136,11 +86,7 @@ object ManagedTable {
     val next = if (exists(root)) currentVersion(root) + 1 else 0
     Constraints.enforce(df, constraintsOf(root))
       .write.mode("overwrite").parquet(s"$root/v$next")
-    val tmp = Paths.get(root, s"_latest.tmp$next")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    swapPointer(root, next)
   }
 
   /** Keyed MERGE (upsert with optional conditions and matched-delete),

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Protocol shared by the two versioned table layouts ([[ManagedTable]]'s
+  * whole-snapshot dirs, [[BucketedTable]]'s manifest-routed buckets):
+  *
+  *  - the `_latest` pointer file — readers resolve it, writers publish a
+  *    new immutable version dir and then atomically swap the pointer, the
+  *    same tip-swap discipline Delta/Iceberg put on their log head (a
+  *    conditional-put on object storage);
+  *  - CHECK constraints ([[Constraints]] storage + enforcement contract);
+  *  - the `_changes/v<N>` change-feed dirs a `merge(..., changeFeed=true)`
+  *    records before its pointer swap.
+  *
+  * Keeping this in one place stops the two layouts drifting apart on the
+  * pieces whose semantics MUST agree (a reader of either layout sees the
+  * same pointer/constraint/CDF behavior); everything layout-specific —
+  * snapshot shape, time travel resolution, vacuum reachability, merge
+  * routing — stays in the concrete objects.
+  */
+private[sources] trait VersionedLayout {
+
+  /** Read the live version of the table at `root`. */
+  def read(spark: SparkSession, root: String): DataFrame
+
+  // ---- pointer protocol -------------------------------------------------
+
+  protected final def latestFile(root: String): Path = Paths.get(root, "_latest")
+
+  final def exists(root: String): Boolean = Files.exists(latestFile(root))
+
+  /** The live published version number. */
+  final def currentVersion(root: String): Int =
+    Files.readString(latestFile(root)).trim.toInt
+
+  /** Atomically publish `version` as the live pointer. The version dir
+    * must already be fully materialized — after this move, any reader may
+    * resolve it. */
+  protected final def swapPointer(root: String, version: Int): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_latest.tmp$version")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- CHECK constraints ------------------------------------------------
+
+  /** CHECK constraints currently attached to the table (empty when none
+    * were ever added). Enforcement rides every publish — a violating row
+    * aborts the write before the pointer swaps, so readers can never
+    * observe a constraint-breaking version. */
+  final def constraintsOf(root: String): Seq[Constraints.Check] =
+    Constraints.load(root)
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta CheckConstraint semantics): the
+    * expression must hold on every EXISTING row — one validation scan now
+    * buys write-time-only enforcement forever after. A row violates only
+    * when the expression is exactly FALSE — null passes, like ANSI CHECK. */
+  final def addConstraint(spark: SparkSession, root: String, name: String,
+                          sqlExpr: String): Unit =
+    Constraints.add(root, read(spark, root), name, sqlExpr)
+
+  /** ALTER TABLE DROP CONSTRAINT. */
+  final def dropConstraint(root: String, name: String): Unit =
+    Constraints.drop(root, name)
+
+  // ---- change feed ------------------------------------------------------
+
+  /** Read the change feed a `merge(..., changeFeed = true)` recorded when
+    * it published `version` — delta-sized rows tagged insert / update
+    * (post-image) / delete (pre-image with `preImageFeed`). Delta's
+    * `table_changes()` on these layouts. */
+  final def changes(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val dir = Paths.get(root, "_changes", s"v$version")
+    require(Files.exists(dir),
+      s"no change feed for version $version of $root (merge ran without " +
+        "changeFeed, feed vacuumed, or not a merge-published version)")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** Change feeds across a CLOSED version range, each row stamped with its
+    * `_version` — Delta's `table_changes(from, to)`. Every version in the
+    * range must have a recorded feed (a silent gap would silently corrupt
+    * any downstream replica). */
+  final def changes(spark: SparkSession, root: String,
+                    fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"empty version range [$fromVersion, $toVersion]")
+    (fromVersion to toVersion)
+      .map(v => changes(spark, root, v).withColumn("_version", lit(v)))
+      .reduce(_ unionByName _)
+  }
+}
