@@ -421,6 +421,31 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Bucketed schema-evolution gate: the 100 TB version of Delta
+    * autoMerge. The 16-bucket target holds the ≤1995 per-customer count;
+    * the 1996 source carries a NEW `total` column. The evolving merge
+    * rewrites ONLY buckets containing 1996 customers, records the widened
+    * schema in the new manifest, and reads fill the untouched buckets'
+    * missing column with nulls — evolution never rewrites a bucket it
+    * didn't touch. DuckDB recomputes the widened state as a full outer
+    * join; the hash match pins both the merge values AND the null
+    * backfill of never-touched buckets. */
+  def bucketedEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed_evo")
+    val pre95 = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1995-12-31"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("n_orders"))
+    val y96 = table(s, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1996-12-31")))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    BucketedTable.create(root, pre95, Seq("cust"), nBuckets = 16)
+    BucketedTable.merge(s, root, y96, schemaEvolution = true)
+    BucketedTable.read(s, root)
+  }
+
   /** Bucketed (delta-proportional) change-data-feed gate: the 100 TB CDC
     * path. Create the 16-bucket table from the ≤1995 slice, merge the
     * 1995H2-1996H1 delta with update-when-not-F / delete-when-F clauses
@@ -736,6 +761,7 @@ object LifecycleQueries {
     "q_scd2_asof" -> (scd2AsOf _),
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
+    "q_bucketed_evolution" -> (bucketedEvolution _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
@@ -988,6 +1014,21 @@ object LifecycleQueries {
         |       WHEN d.st <> 'F' THEN 'update' ELSE 'delete' END AS action
         |FROM d LEFT JOIN base ON d.k = base.k""".stripMargin,
     "q_merge_evolution" ->
+      """WITH t AS (
+        |  SELECT o_custkey AS cust, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+        |s AS (
+        |  SELECT o_custkey AS cust, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY 1)
+        |SELECT coalesce(s.cust, t.cust) AS cust,
+        |  CASE WHEN s.cust IS NOT NULL THEN s.n_orders
+        |       ELSE t.n_orders END AS n_orders,
+        |  s.total AS total
+        |FROM t FULL JOIN s ON t.cust = s.cust""".stripMargin,
+    "q_bucketed_evolution" ->
       """WITH t AS (
         |  SELECT o_custkey AS cust, COUNT(*) AS n_orders
         |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),

@@ -29,8 +29,17 @@ import scala.jdk.CollectionConverters._
   */
 object BucketedTable extends VersionedLayout {
 
+  /** `schema` is the table's LOGICAL schema, versioned with the manifest
+    * (`_schema.json`, the Delta/Iceberg schema-in-the-log design): after a
+    * schema-evolving merge, untouched buckets still hold files WITHOUT the
+    * new columns — reading through the recorded schema fills them with
+    * nulls (the parquet reader's missing-column behavior), so evolution
+    * never rewrites a bucket it didn't touch. `None` only for tables
+    * created before schemas were recorded (reads fall back to
+    * file-inferred schema). */
   final case class Meta(version: Int, nBuckets: Int, keys: Seq[String],
-                        manifest: Map[Int, String])
+                        manifest: Map[Int, String],
+                        schema: Option[org.apache.spark.sql.types.StructType])
 
   private def bucketCol(keys: Seq[String], nBuckets: Int) =
     pmod(hash(keys.map(col): _*), lit(nBuckets))
@@ -41,21 +50,37 @@ object BucketedTable extends VersionedLayout {
   private def readMetaAt(root: String, v: Int): Meta = {
     val lines = Files.readAllLines(Paths.get(root, s"v$v", "_manifest")).asScala
     val header = lines.head.split(",") // nBuckets,key1;key2
+    val schemaFile = Paths.get(root, s"v$v", "_schema.json")
+    val schema =
+      if (Files.exists(schemaFile))
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(Files.readString(schemaFile))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else None
     Meta(v, header(0).toInt, header(1).split(";").toIndexedSeq,
       lines.tail.map { l =>
         val Array(b, ver) = l.split(",", 2); b.toInt -> ver
-      }.toMap)
+      }.toMap, schema)
   }
 
   private def writeVersion(root: String, version: Int, nBuckets: Int,
-                           keys: Seq[String], manifest: Map[Int, String]): Unit = {
+                           keys: Seq[String], manifest: Map[Int, String],
+                           schema: Option[org.apache.spark.sql.types.StructType])
+      : Unit = {
     val dir = Paths.get(root, s"v$version")
     Files.createDirectories(dir)
+    schema.foreach(s0 => Files.writeString(dir.resolve("_schema.json"), s0.json))
     val body = (s"$nBuckets,${keys.mkString(";")}" +:
       manifest.toSeq.sortBy(_._1).map { case (b, v) => s"$b,$v" }).mkString("\n")
     Files.writeString(dir.resolve("_manifest"), body)
     swapPointer(root, version)
   }
+
+  /** A reader pinned to the meta's recorded schema when one exists —
+    * bucket files predating a schema evolution lack the new columns and
+    * must read as null-filled, not fail or drop them. */
+  private def readerFor(spark: SparkSession, meta: Meta) =
+    meta.schema.fold(spark.read)(s0 => spark.read.schema(s0))
 
   /** A manifest entry is either a local version name ("v3") or — after a
     * [[shallowClone]] — an ABSOLUTE version-dir path into another table's
@@ -95,7 +120,7 @@ object BucketedTable extends VersionedLayout {
     }
     dropStaging(root, 0)
     writeVersion(root, 0, nBuckets, keys,
-      (0 until nBuckets).map(_ -> "v0").toMap)
+      (0 until nBuckets).map(_ -> "v0").toMap, Some(df.schema))
   }
 
   /** Read the live table (all buckets via the manifest). */
@@ -126,7 +151,7 @@ object BucketedTable extends VersionedLayout {
     val paths = meta.manifest.toSeq.sortBy(_._1)
       .map { case (b, ver) => bucketDir(root, ver, b) }
       .filter(hasParquet)
-    spark.read.parquet(paths: _*)
+    readerFor(spark, meta).parquet(paths: _*)
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF` on the bucketed
@@ -143,7 +168,10 @@ object BucketedTable extends VersionedLayout {
         s"cannot restore to v$version: bucket $b ($ver) was vacuumed away")
     }
     val live = currentVersion(root)
-    writeVersion(root, live + 1, meta.nBuckets, meta.keys, meta.manifest)
+    // The restored head carries the restored version's SCHEMA too — a
+    // rollback past a schema evolution narrows the table back.
+    writeVersion(root, live + 1, meta.nBuckets, meta.keys, meta.manifest,
+      meta.schema)
   }
 
   /** Point lookup — the 100 TB "read one key" path: the key hashes to
@@ -167,7 +195,8 @@ object BucketedTable extends VersionedLayout {
       .filter(hasParquet)
     val key = meta.keys.head
     if (paths.isEmpty) readAt(spark, root, meta).limit(0)
-    else spark.read.parquet(paths: _*).filter(col(key).isin(values: _*))
+    else readerFor(spark, meta).parquet(paths: _*)
+      .filter(col(key).isin(values: _*))
   }
 
   /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): publish a
@@ -192,7 +221,7 @@ object BucketedTable extends VersionedLayout {
     writeVersion(cloneRoot, 0, meta.nBuckets, meta.keys,
       meta.manifest.map { case (b, ver) =>
         b -> (if (ver.startsWith("/")) ver else s"$srcAbs/$ver")
-      })
+      }, meta.schema)
   }
 
   /** Snapshot DIFF driven by the manifests (no recorded change feed
@@ -224,16 +253,18 @@ object BucketedTable extends VersionedLayout {
     // A side can be file-less (a version published before any data landed,
     // or a merge that emptied its buckets) — borrow the schema from
     // whichever side has files. Both sides empty → nothing ever differed.
+    // Each side reads through its OWN version's recorded schema, so a
+    // diff across a schema evolution sees pre-evolution rows null-filled.
     lazy val schemaOnly: DataFrame =
       spark.read.parquet((pA ++ pB).head).limit(0)
-    def side(p: Seq[String]): DataFrame =
-      if (p.nonEmpty) spark.read.parquet(p: _*) else schemaOnly
+    def side(meta: Meta, p: Seq[String]): DataFrame =
+      if (p.nonEmpty) readerFor(spark, meta).parquet(p: _*) else schemaOnly
     if (pA.isEmpty && pB.isEmpty)
       // no bucket of either version holds a row the other could lack;
       // an all-empty table has no schema on disk to type a frame with
       return spark.emptyDataFrame
         .withColumn(graft.operators.Merge.ActionCol, lit(""))
-    graft.operators.SnapshotDiff.diffFrames(side(pA), side(pB), mB.keys)
+    graft.operators.SnapshotDiff.diffFrames(side(mA, pA), side(mB, pB), mB.keys)
   }
 
   /** Keyed MERGE touching only the buckets that contain source keys.
@@ -245,7 +276,8 @@ object BucketedTable extends VersionedLayout {
   def merge(spark: SparkSession, root: String, source: DataFrame,
             clauses: MergeClauses.Spec = MergeClauses.Spec(),
             changeFeed: Boolean = false,
-            preImageFeed: Boolean = false): Unit = {
+            preImageFeed: Boolean = false,
+            schemaEvolution: Boolean = false): Unit = {
     import graft.operators.Merge
     val meta = readMeta(root)
     val srcB = source.withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
@@ -253,13 +285,15 @@ object BucketedTable extends VersionedLayout {
     // try/finally: an aborted merge (e.g. a CHECK-constraint violation in
     // the write) must not leave the source cache or the feed checkpoint
     // pinned in a session that catches the failure.
-    try mergeInner(spark, root, meta, srcB, clauses, changeFeed, preImageFeed)
+    try mergeInner(spark, root, meta, srcB, clauses, changeFeed, preImageFeed,
+      schemaEvolution)
     finally srcB.unpersist()
   }
 
   private def mergeInner(spark: SparkSession, root: String, meta: Meta,
                          srcB: DataFrame, clauses: MergeClauses.Spec,
-                         changeFeed: Boolean, preImageFeed: Boolean): Unit = {
+                         changeFeed: Boolean, preImageFeed: Boolean,
+                         schemaEvolution: Boolean): Unit = {
     import graft.operators.Merge
     val touched = srcB.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -268,9 +302,16 @@ object BucketedTable extends VersionedLayout {
     val targetPaths = touched
       .map(b => bucketDir(root, meta.manifest(b), b))
       .filter(hasParquet)
+    // Touched buckets may predate a schema evolution — read them through
+    // the recorded table schema (null-filled), not file inference.
     val target =
-      if (targetPaths.isEmpty) srcB.drop("_bucket").limit(0)
-      else spark.read.parquet(targetPaths.toIndexedSeq: _*)
+      if (targetPaths.nonEmpty)
+        readerFor(spark, meta).parquet(targetPaths.toIndexedSeq: _*)
+      else meta.schema match {
+        case Some(s0) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s0)
+        case None => srcB.drop("_bucket").limit(0)
+      }
 
     val next = meta.version + 1
     // With a feed, one merge join resolves snapshot AND feed (lazy
@@ -278,7 +319,7 @@ object BucketedTable extends VersionedLayout {
     // snapshot write); without one, the plain plan is left untouched.
     val taggedRaw = Merge
       .mergeFramesTagged(target, srcB.drop("_bucket"), meta.keys, clauses,
-        preImage = preImageFeed)
+        schemaEvolution = schemaEvolution, preImage = preImageFeed)
     val tagged =
       if (changeFeed) taggedRaw.localCheckpoint(eager = false) else taggedRaw
     try {
@@ -303,7 +344,10 @@ object BucketedTable extends VersionedLayout {
       val manifest = meta.manifest.map { case (b, ver) =>
         b -> (if (touchedSet(b)) s"v$next" else ver)
       }
-      writeVersion(root, next, meta.nBuckets, meta.keys, manifest)
+      // An evolving merge widens the recorded schema; untouched buckets
+      // keep their narrow files and read null-filled through it.
+      writeVersion(root, next, meta.nBuckets, meta.keys, manifest,
+        Some(merged.drop("_bucket").schema))
     } finally {
       if (changeFeed) tagged.unpersist()
     }
@@ -337,7 +381,7 @@ object BucketedTable extends VersionedLayout {
     val paths = fragmented.map(b => bucketDir(root, meta.manifest(b), b))
     // One partition per fragmented bucket: rows hash-route by the bucket
     // id itself, so each partitionBy dir receives exactly one file.
-    val compacted = spark.read.parquet(paths: _*)
+    val compacted = readerFor(spark, meta).parquet(paths: _*)
       .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
       .repartition(fragmented.size, col("_bucket"))
     compacted.write.mode("overwrite").partitionBy("_bucket")
@@ -353,7 +397,7 @@ object BucketedTable extends VersionedLayout {
     writeVersion(root, next, meta.nBuckets, meta.keys,
       meta.manifest.map { case (b, ver) =>
         b -> (if (fragSet(b)) s"v$next" else ver)
-      })
+      }, meta.schema)
   }
 
   /** VACUUM for the bucketed layout (reference semantics:

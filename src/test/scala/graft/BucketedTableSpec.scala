@@ -37,6 +37,44 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(manifest.count(_.endsWith(",v0")) >= 14)
   }
 
+  test("schema evolution widens only touched buckets; restore narrows back") {
+    val root = Files.createTempDirectory("graft_bt_evo").toString
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+
+    // evolving merge: source carries a NEW column `extra`
+    val source = Seq((5L, "UPDATED", 1.5), (2000L, "NEW", 2.5))
+      .toDF("k", "v", "extra")
+    BucketedTable.merge(spark, root, source, schemaEvolution = true)
+
+    val after = BucketedTable.read(spark, root)
+    assert(after.columns.toSeq == Seq("k", "v", "extra"))
+    val got = after.as[(Long, String, Option[Double])].collect()
+      .map { case (k, v, e) => k -> ((v, e)) }.toMap
+    assert(got(5L) == (("UPDATED", Some(1.5))))
+    assert(got(2000L) == (("NEW", Some(2.5))))
+    // never-touched bucket rows read null-filled through the wide schema
+    assert(got(1L) == (("v1", None)))
+    assert(got.size == 1001)
+
+    // scale contract: the evolving merge rewrote <=2 buckets; the rest
+    // still resolve into v0's NARROW files by manifest reference
+    val v1Buckets = Files.list(Paths.get(root, "v1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSeq
+    assert(v1Buckets.size <= 2)
+    val manifest = Files.readAllLines(Paths.get(root, "v1", "_manifest"))
+      .asScala.tail
+    assert(manifest.count(_.endsWith(",v0")) >= 14)
+
+    // time travel reads v0 with its own narrow schema; restore republishes
+    // it as the live head, narrowing the table back
+    assert(BucketedTable.readVersion(spark, root, 0).columns.toSeq ==
+      Seq("k", "v"))
+    BucketedTable.restore(spark, root, 0)
+    assert(BucketedTable.read(spark, root).columns.toSeq == Seq("k", "v"))
+    assert(BucketedTable.read(spark, root).count() == 1000)
+  }
+
   test("vacuum keeps manifest-reachable buckets, drops superseded ones") {
     val root = Files.createTempDirectory("graft_bt_vac").toString
     val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -175,10 +213,11 @@ class BucketedTableSpec extends AnyFunSuite {
       .filter(Files.isRegularFile(_)).map(p => p -> Files.size(p)).toMap
 
     BucketedTable.shallowClone(srcRoot, cloneRoot)
-    // zero-copy: the clone holds ONLY metadata (manifest + pointer)
+    // zero-copy: the clone holds ONLY metadata (manifest + pointer +
+    // recorded schema) — no data bytes
     val cloneFiles = Files.walk(Paths.get(cloneRoot)).iterator().asScala
       .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
-    assert(cloneFiles.sorted == Seq("_latest", "_manifest"))
+    assert(cloneFiles.sorted == Seq("_latest", "_manifest", "_schema.json"))
     assert(BucketedTable.read(spark, cloneRoot).count() == 1000)
 
     // copy-on-write: a merge into the clone materializes only touched
