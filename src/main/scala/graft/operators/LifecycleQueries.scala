@@ -421,6 +421,26 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Deletion-vector gate — DELETE at delta cost: two stacked
+    * `deleteVectorized` calls publish versions that SHARE the base
+    * snapshot's files and record only deleted-row addresses (the
+    * Delta/Iceberg-v3 position-delete design); the read anti-joins the
+    * cumulative tombstones. No data file is rewritten (pinned at IO
+    * level in ManagedTableSpec); DuckDB recomputes both predicates over
+    * the raw table, so the hash match pins the tombstone addressing —
+    * a wrong (file, pos) pair would surface as a missing or extra row. */
+  def tableDeleteDv(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("delete_dv")
+    val o = table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast(DoubleType).as("total"),
+      col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(root, o.repartition(8))
+    ManagedTable.deleteVectorized(s, root, col("st") === lit("F"))
+    ManagedTable.deleteVectorized(s, root, col("total") > lit(250000.0))
+    ManagedTable.read(s, root)
+  }
+
   /** Bucketed schema-evolution gate: the 100 TB version of Delta
     * autoMerge. The 16-bucket target holds the ≤1995 per-customer count;
     * the 1996 source carries a NEW `total` column. The evolving merge
@@ -754,6 +774,7 @@ object LifecycleQueries {
     "q_bucketed_diff" -> (bucketedDiff _),
     "q_table_constraints" -> (tableConstraints _),
     "q_table_dml" -> (tableDml _),
+    "q_table_delete_dv" -> (tableDeleteDv _),
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
     "q_view_refresh" -> (viewRefresh _),
@@ -992,6 +1013,13 @@ object LifecycleQueries {
         |FROM s1""".stripMargin,
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
+    "q_table_delete_dv" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(o_orderdate AS VARCHAR) AS dt
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F')
+        |  AND NOT (CAST(o_totalprice AS DOUBLE) > 250000.0)""".stripMargin,
     "q_table_restore" -> dmlUpdatedSql,
     "q_bucketed_cdf" ->
       """WITH base AS (

@@ -47,18 +47,105 @@ object ManagedTable extends VersionedLayout {
 
   /** Read the live snapshot. Reference: delta scan at mls_listings_curated.py:124. */
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/v${currentVersion(root)}")
+    readVersion(spark, root, currentVersion(root))
 
   /** Time travel — read a specific published version (Delta's
     * `versionAsOf`). Versions are immutable, so this is just a scan of
-    * the pinned snapshot dir; it fails clearly when the version was
-    * vacuumed away or never published. */
+    * the pinned snapshot dir (minus the version's deletion vector when it
+    * was published by [[deleteVectorized]]); it fails clearly when the
+    * version was vacuumed away or never published. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
     val dir = Paths.get(root, s"v$version")
     require(Files.exists(dir),
       s"version $version of $root is not on disk (vacuumed or never published); " +
         s"live is v${currentVersion(root)}")
-    spark.read.parquet(dir.toString)
+    dvBaseOf(root, version) match {
+      case None => spark.read.parquet(dir.toString)
+      case Some(base) =>
+        val dv = spark.read.parquet(s"$root/v$version/_dv")
+        addressed(spark, s"$root/v$base")
+          .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+          .drop(DvFileCol, DvPosCol)
+    }
+  }
+
+  // ---- deletion vectors -------------------------------------------------
+
+  /** Column names for a row's stable physical address: the leaf file name
+    * (files are immutable once published) and the row's index within it
+    * (the parquet reader's `_metadata.row_index`). */
+  private val DvFileCol = "_dv_file"
+  private val DvPosCol = "_dv_pos"
+
+  /** The FULL version whose files a DV version shares, or None when
+    * `version` is itself a full snapshot. */
+  private def dvBaseOf(root: String, version: Int): Option[Int] = {
+    val f = Paths.get(root, s"v$version", "_dv_base")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+  }
+
+  /** The base snapshot with each row's stable (file, position) address
+    * attached — the join side every deletion-vector read/write uses. */
+  private def addressed(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(baseDir)
+      .withColumn(DvFileCol,
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  /** DELETE at delta cost — the deletion-vector form of [[delete]]
+    * (Delta deletion vectors / Iceberg v3 position deletes, from the
+    * public designs): instead of rewriting the snapshot without the
+    * matching rows, publish a version that SHARES the base snapshot's
+    * files and records only the deleted rows' (file, position) addresses:
+    *
+    * {{{
+    *   <root>/v3/              full snapshot (immutable files)
+    *   <root>/v4/_dv_base      "3" — v4 serves v3's files ...
+    *   <root>/v4/_dv/          ... minus these (file, pos) tombstones
+    * }}}
+    *
+    * Write cost is one scan emitting the MATCHED rows' addresses (delta-
+    * sized output; at 100 TB deleting 0.1% writes ~GBs of tombstones, not
+    * a 100 TB rewrite). Reads anti-join the tombstones — delta-sized, so
+    * AQE broadcasts them (the engine-level stand-in for Delta's per-file
+    * roaring bitmaps). Tombstones are CUMULATIVE relative to the base:
+    * stacked deletes union their addresses, so any version resolves with
+    * exactly one base + one tombstone set — no recursive chain. The
+    * underscore dir keeps tombstone files invisible to plain snapshot
+    * scans (Spark's FileIndex skips `_`-prefixed paths).
+    *
+    * Rows where `where` is null are KEPT — SQL DELETE semantics, like
+    * [[delete]]. A later [[optimize]] (or any full rewrite) purges the
+    * vectors back into a plain snapshot; [[vacuum]] keeps a DV version's
+    * base alive for as long as the DV version is retained. */
+  def deleteVectorized(spark: SparkSession, root: String, where: Column,
+                       changeFeed: Boolean = false): Unit = {
+    val live = currentVersion(root)
+    val base = dvBaseOf(root, live).getOrElse(live)
+    val hit = coalesce(where, lit(false))
+    val addr = addressed(spark, s"$root/v$base")
+    val liveView = dvBaseOf(root, live) match {
+      case None => addr
+      case Some(_) =>
+        addr.join(spark.read.parquet(s"$root/v$live/_dv"),
+          Seq(DvFileCol, DvPosCol), "left_anti")
+    }
+    val next = live + 1
+    if (changeFeed)
+      liveView.filter(hit).drop(DvFileCol, DvPosCol)
+        .withColumn(graft.operators.Merge.ActionCol, lit("delete"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    val newTombs = liveView.filter(hit).select(col(DvFileCol), col(DvPosCol))
+    val cumulative = dvBaseOf(root, live) match {
+      case None => newTombs
+      case Some(_) =>
+        spark.read.parquet(s"$root/v$live/_dv").unionByName(newTombs)
+    }
+    cumulative.write.mode("overwrite").parquet(s"$root/v$next/_dv")
+    // The base marker lands before the pointer swap: a published DV
+    // version always knows its base.
+    Files.writeString(Paths.get(root, s"v$next", "_dv_base"), base.toString)
+    swapPointer(root, next)
   }
 
   /** Snapshot DIFF between two published versions — CDC reconstruction
@@ -211,7 +298,10 @@ object ManagedTable extends VersionedLayout {
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil): Unit = {
     val live = currentVersion(root)
-    val walk = Files.walk(Paths.get(root, s"v$live"))
+    // A DV version holds no data files of its own — size its base
+    // snapshot (an upper bound; the rewrite purges the tombstones).
+    val sizedDir = dvBaseOf(root, live).fold(s"v$live")(b => s"v$b")
+    val walk = Files.walk(Paths.get(root, sizedDir))
     val snapBytes =
       try walk.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
@@ -297,6 +387,10 @@ object ManagedTable extends VersionedLayout {
     * lexicographic == chronological. */
   def analyze(spark: SparkSession, root: String, statsCols: Seq[String]): Unit = {
     val live = currentVersion(root)
+    require(dvBaseOf(root, live).isEmpty,
+      s"analyze: v$live is a deletion-vector version sharing v" +
+        s"${dvBaseOf(root, live).get}'s files — OPTIMIZE first to purge " +
+        "the vectors into a full snapshot, then analyze")
     val snap = spark.read.parquet(s"$root/v$live")
     val numericTypes = Set("byte", "short", "int", "integer", "long",
       "float", "double", "date") // date: days-since-epoch ordering
@@ -349,11 +443,27 @@ object ManagedTable extends VersionedLayout {
                 ranges: Seq[(String, Any, Any)]): DataFrame = {
     require(ranges.nonEmpty, "readWhere: empty ranges — use read()")
     val live = currentVersion(root)
-    val dir = s"$root/v$live"
+    // A deletion-vector version serves its base's files: prune against
+    // the BASE's listing+manifest (spans are conservative upper bounds —
+    // deleted rows can only shrink true spans), then subtract the
+    // tombstones from whatever survives pruning.
+    val dvBase = dvBaseOf(root, live)
+    val dir = dvBase.fold(s"$root/v$live")(b => s"$root/v$b")
+    def subtractDv(df: DataFrame): DataFrame = dvBase match {
+      case None => df
+      case Some(_) =>
+        df.withColumn(DvFileCol,
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(spark.read.parquet(s"$root/v$live/_dv"),
+            Seq(DvFileCol, DvPosCol), "left_anti")
+          .drop(DvFileCol, DvPosCol)
+    }
     val pred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     val statsPath = Paths.get(dir, "_stats.tsv")
-    if (!Files.exists(statsPath)) return spark.read.parquet(dir).where(pred)
+    if (!Files.exists(statsPath))
+      return subtractDv(spark.read.parquet(dir)).where(pred)
     def toD(a: Any): Double = a match {
       case n: Number => n.doubleValue()
       case other => other.toString.toDouble
@@ -389,23 +499,32 @@ object ManagedTable extends VersionedLayout {
       }
     }
     if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
-    else spark.read.parquet(keep.map(f => s"$dir/$f"): _*).where(pred)
+    else subtractDv(spark.read.parquet(keep.map(f => s"$dir/$f"): _*))
+      .where(pred)
   }
 
-  /** Drop all but the newest `keep` published versions.
+  /** Drop all but the newest `keep` published versions — plus, like
+    * [[BucketedTable.vacuum]]'s reachability sweep, the FULL base version
+    * of any retained deletion-vector version: a DV version serves its
+    * base's files, so the base must outlive every DV version that
+    * references it even when the base itself has aged out.
     * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
   def vacuum(root: String, keep: Int = 1): Unit = {
     val live = currentVersion(root)
-    def prune(dir: Path): Unit =
+    val retained = (math.max(0, live - keep + 1) to live)
+      .filter(v => Files.exists(Paths.get(root, s"v$v")))
+    val reachable: Set[Int] =
+      (retained ++ retained.flatMap(v => dvBaseOf(root, v))).toSet
+    def prune(dir: Path, keepSet: Set[Int]): Unit =
       if (Files.exists(dir)) {
         val listing = Files.list(dir)
         try listing.iterator().asScala
           .filter(p => p.getFileName.toString.matches("v\\d+"))
-          .filter(p => p.getFileName.toString.drop(1).toInt <= live - keep)
+          .filter(p => !keepSet(p.getFileName.toString.drop(1).toInt))
           .foreach(ScratchDirs.deleteRecursively)
         finally listing.close()
       }
-    prune(Paths.get(root))                // snapshots
-    prune(Paths.get(root, "_changes"))    // their change feeds age out too
+    prune(Paths.get(root), reachable)               // snapshots
+    prune(Paths.get(root, "_changes"), retained.toSet) // feeds age by time only
   }
 }

@@ -232,6 +232,53 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.readVersion(spark, root, 1).count() == 2) // intact
   }
 
+  test("deletion vectors: no data file rewritten; stacked, vacuumed, purged") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_dv").toString
+    val df = (1 to 1000).map(i => (i.toLong, i % 10)).toDF("k", "m")
+    ManagedTable.overwrite(root, df.repartition(8))
+    def files(v: Int) = Files.list(Paths.get(root, s"v$v")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val baseFiles = files(0)
+    assert(baseFiles.size == 8)
+
+    // first vectorized delete: base files untouched, v1 is metadata+dv only
+    ManagedTable.deleteVectorized(spark, root, col("m") === 0)
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(files(0) == baseFiles)
+    assert(files(1).isEmpty) // no top-level data files in the DV version
+    assert(Files.exists(Paths.get(root, "v1", "_dv_base")))
+    val got1 = ManagedTable.read(spark, root).as[(Long, Int)].collect()
+    assert(got1.length == 900 && got1.forall(_._2 != 0))
+
+    // stacked delete accumulates tombstones against the SAME base
+    ManagedTable.deleteVectorized(spark, root, col("m") === 1)
+    assert(Files.readString(Paths.get(root, "v2", "_dv_base")).trim == "0")
+    val got2 = ManagedTable.read(spark, root).as[(Long, Int)].collect()
+    assert(got2.length == 800 && got2.forall(r => r._2 != 0 && r._2 != 1))
+    // time travel still resolves each stage
+    assert(ManagedTable.readVersion(spark, root, 0).count() == 1000)
+    assert(ManagedTable.readVersion(spark, root, 1).count() == 900)
+
+    // vacuum(keep=1) retains v0: the live DV version references its files
+    ManagedTable.vacuum(root, keep = 1)
+    assert(Files.exists(Paths.get(root, "v0")))
+    assert(!Files.exists(Paths.get(root, "v1")))
+    assert(ManagedTable.read(spark, root).count() == 800)
+
+    // OPTIMIZE purges the vectors into a plain full snapshot
+    ManagedTable.optimize(spark, root)
+    val live = ManagedTable.currentVersion(root)
+    assert(files(live).nonEmpty)
+    assert(!Files.exists(Paths.get(root, s"v$live", "_dv_base")))
+    assert(ManagedTable.read(spark, root).count() == 800)
+    // ... after which vacuum can finally drop the base
+    ManagedTable.vacuum(root, keep = 1)
+    assert(!Files.exists(Paths.get(root, "v0")))
+    assert(ManagedTable.read(spark, root).count() == 800)
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))
