@@ -333,20 +333,21 @@ object LifecycleQueries {
 
   /** String data-skipping gate: the reference's hottest filter is a string
     * `load_date BETWEEN 'a' AND 'b'` (mls_listings_curated.py:73) — ISO
-    * dates, where lexicographic order IS chronological order. Lay orders
-    * out range-clustered by the string date (tight per-file spans), ANALYZE
-    * the string column into the manifest, and answer the range through
-    * [[ManagedTable.readWhere]]'s lexicographic file pruning. The hash gate
-    * pins skipping loses/admits no row vs DuckDB's full-table recompute. */
+    * dates, where lexicographic order IS chronological order. OPTIMIZE
+    * z-orders the fragmented table on the string date (via the monotone
+    * byte-prefix surrogate) + the price, auto-records lexicographic
+    * min/max into the manifest, and [[ManagedTable.readWhere]] answers the
+    * range with file-level pruning. The hash gate pins skipping
+    * loses/admits no row vs DuckDB's full-table recompute. */
   def tableSkippingStr(s: SparkSession, dir: String): DataFrame = {
     val root = freshRoot("skipping_str")
     val o = table(s, dir, "orders")
       .select(col("o_orderkey").as("k"),
         col("o_orderdate").cast(DateType).cast(StringType).as("odate"),
         col("o_totalprice").cast(DoubleType).as("price"))
-    ManagedTable.overwrite(root,
-      o.repartitionByRange(32, col("odate")).sortWithinPartitions("odate"))
-    ManagedTable.analyze(s, root, Seq("odate", "price"))
+    ManagedTable.overwrite(root, o.repartition(32))
+    ManagedTable.optimize(s, root, targetFileBytes = 256L << 10,
+      zorderBy = Seq("odate", "price"))
     ManagedTable.readWhere(s, root,
       Seq(("odate", "1995-01-01", "1995-12-31")))
   }

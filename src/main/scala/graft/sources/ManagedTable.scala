@@ -309,27 +309,62 @@ object ManagedTable extends VersionedLayout {
       finally walk.close()
     val nFiles = math.max(1, math.ceil(snapBytes.toDouble / targetFileBytes).toInt)
     val cur = read(spark, root)
+    var zorderCuts: Map[String, Seq[Double]] = Map.empty
     val laid =
       if (zorderBy.isEmpty) cur.repartition(nFiles)
       else {
-        val aggCols = zorderBy.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"_mn_$c"),
-          max(col(c).cast("double")).as(s"_mx_$c")))
-        val bounds = cur.agg(aggCols.head, aggCols.tail: _*)
+        // Quantization surrogate per layout column: numerics cast to
+        // double; STRINGS map monotonically to a number via their
+        // NUL-padded 8-char byte prefix (56 bits of it — lexicographic
+        // order on the prefix is preserved; ties past the prefix just
+        // share a bucket). The surrogate only decides WHERE rows land —
+        // content is untouched, and the auto-analyze below records true
+        // (lexicographic for strings) min/max for the skipping manifest.
+        val zExpr: Map[String, Column] = zorderBy.map { c =>
+          val e = cur.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              conv(substring(hex(
+                rpad(coalesce(col(c), lit("")), 8, "\u0000").cast("binary")),
+                1, 14), 16, 10).cast("double")
+            case _ => col(c).cast("double")
+          }
+          c -> e
+        }.toMap
+        // EQUAL-FREQUENCY 8-bit buckets via approxQuantile cut points
+        // (Delta's OPTIMIZE ZORDER quantizes by interleaved range-
+        // partition ids, i.e. quantiles — the same public design). Equal-
+        // width quantization fails whenever the discriminating variation
+        // lives in a narrow or low-order band of the value range (skewed
+        // numerics; date strings whose year dominates the byte prefix) —
+        // quantiles adapt to the distribution. Driver state is bounded:
+        // at most 255 doubles per layout column.
+        val cuts: Map[String, Seq[Double]] = zorderBy.map { c =>
+          c -> cur.select(zExpr(c).as("_s"))
+            .stat.approxQuantile("_s", (1 to 255).map(_ / 256.0).toArray, 0.01)
+            .toSeq.distinct.sorted
+        }.toMap
+        zorderCuts = cuts
+        // bucket = number of cut points <= value (0..255); a null value
+        // sorts lowest (null comparisons drop in filter -> bucket 0)
         val buckets = zorderBy.map { c =>
-          val (mn, mx) = (col(s"_mn_$c"), col(s"_mx_$c"))
-          when(mx === mn, lit(0)).otherwise(
-            least(lit(255), greatest(lit(0),
-              floor((col(c).cast("double") - mn) / (mx - mn) * 256).cast("int"))))
+          size(filter(typedLit(cuts(c)), x => x <= zExpr(c)))
         }
-        cur.crossJoin(broadcast(bounds))
-          .withColumn("_z", interleaveBits(buckets))
+        cur.withColumn("_z", interleaveBits(buckets))
           .repartitionByRange(nFiles, col("_z"))
           .sortWithinPartitions("_z")
-          .drop((Seq("_z") ++ zorderBy.flatMap(c =>
-            Seq(s"_mn_$c", s"_mx_$c"))): _*)
+          .drop("_z")
       }
     overwrite(root, laid)
+    // Record the layout recipe with the version it produced (clustering
+    // metadata, like Delta's log entries): the quantile cut points let
+    // any later reader or test recompute the EXACT z each row was laid
+    // out by — approxQuantile re-runs are not bit-reproducible.
+    if (zorderCuts.nonEmpty) {
+      val rec = zorderBy.map(c =>
+        s"$c\t${zorderCuts(c).mkString(",")}").mkString("\n")
+      Files.writeString(
+        Paths.get(root, s"v${currentVersion(root)}", "_zorder.tsv"), rec)
+    }
     // A z-ordered layout without file stats cannot be skipped against —
     // record the manifest for the layout columns as part of OPTIMIZE.
     // (The z-quantization itself is numeric-only, but string layout
@@ -342,6 +377,20 @@ object ManagedTable extends VersionedLayout {
           "date", "string").contains(t) || t.startsWith("decimal")))
     }
     if (statable.nonEmpty) analyze(spark, root, statable)
+  }
+
+  /** The quantile cut points a z-order OPTIMIZE recorded when it
+    * published `version` (empty when the version was not produced by a
+    * z-order rewrite) — column -> ascending cut values over the layout
+    * surrogate. */
+  def zorderCutsOf(root: String, version: Int): Map[String, Seq[Double]] = {
+    val f = Paths.get(root, s"v$version", "_zorder.tsv")
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(c, cs) = line.split("\t", 2) // limit 2: keep empty cuts field
+      c -> (if (cs.isEmpty) Seq.empty[Double]
+            else cs.split(',').toSeq.map(_.toDouble))
+    }.toMap
   }
 
   /** Morton interleave: bit i of layout column c lands at position

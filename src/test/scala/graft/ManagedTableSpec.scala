@@ -60,14 +60,15 @@ class ManagedTableSpec extends AnyFunSuite {
     ManagedTable.optimize(spark, root, targetFileBytes = 16L << 10,
       zorderBy = Seq("part", "supp"))
     val opt = ManagedTable.read(spark, root)
-    val Array(mnP, mxP, mnS, mxS) = opt
-      .agg(min("part"), max("part"), min("supp"), max("supp"))
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
-    def bucket(c: org.apache.spark.sql.Column, mn: Double, mx: Double) =
-      least(lit(255), greatest(lit(0),
-        floor((c - lit(mn)) / lit(mx - mn) * 256).cast("int")))
-    val z = ManagedTable.interleaveBits(Seq(
-      bucket(col("part"), mnP, mxP), bucket(col("supp"), mnS, mxS)))
+    // recompute the layout's EXACT z from the cut points the optimize
+    // recorded with the version (approxQuantile re-runs aren't
+    // bit-reproducible, the recorded recipe is)
+    val cuts = ManagedTable.zorderCutsOf(
+      root, ManagedTable.currentVersion(root))
+    assert(cuts.keySet == Set("part", "supp"))
+    def bucket(c: String) =
+      size(filter(typedLit(cuts(c)), x => x <= col(c)))
+    val z = ManagedTable.interleaveBits(Seq(bucket("part"), bucket("supp")))
     val ranges = opt.withColumn("_f", input_file_name())
       .groupBy("_f").agg(min(z).as("lo"), max(z).as("hi"))
       .as[(String, Long, Long)].collect().map(r => (r._2, r._3))
@@ -120,6 +121,28 @@ class ManagedTableSpec extends AnyFunSuite {
     // A box outside the data prunes every file and still answers cleanly.
     val none = ManagedTable.readWhere(spark, root, Seq(("a", 500, 600)))
     assert(none.count() == 0 && none.columns.toSeq == full.columns.toSeq)
+  }
+
+  test("string z-order prunes files for a lexicographic date range") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_tbl_zs").toString
+    val df = spark.range(32768L)
+      .select(col("id").as("k"),
+        date_format(date_add(lit("2020-01-01").cast("date"),
+          (col("id") % 1461).cast("int")), "yyyy-MM-dd").as("dt"))
+    ManagedTable.overwrite(root, df.repartition(16))
+    ManagedTable.optimize(spark, root, targetFileBytes = 8L << 10,
+      zorderBy = Seq("dt"))
+    val full = ManagedTable.read(spark, root)
+    val nFilesTotal = full.inputFiles.length
+    assert(nFilesTotal > 4)
+    val pruned = ManagedTable.readWhere(spark, root,
+      Seq(("dt", "2021-02-01", "2021-03-31")))
+    // the surrogate clustering makes the 2-month slice skip most files
+    assert(pruned.inputFiles.length < nFilesTotal / 2)
+    val expect = full.filter(col("dt").between("2021-02-01", "2021-03-31"))
+      .collect().toSet
+    assert(expect.nonEmpty && pruned.collect().toSet == expect)
   }
 
   test("readWhere without a manifest degrades to a plain filtered read") {

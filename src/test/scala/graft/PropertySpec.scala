@@ -164,9 +164,10 @@ class PropertySpec extends AnyFunSuite {
             org.apache.spark.sql.functions.lit("2024-01-01").cast("date"),
             (org.apache.spark.sql.functions.col("id") % 365).cast("int")),
           "yyyy-MM-dd").as("dt"))
-    ManagedTable.overwrite(root,
-      df.repartitionByRange(16, org.apache.spark.sql.functions.col("dt")))
-    ManagedTable.analyze(spark, root, Seq("dt"))
+    ManagedTable.overwrite(root, df.repartition(16))
+    // optimize exercises the string z-order surrogate + auto-analyze path
+    ManagedTable.optimize(spark, root, targetFileBytes = 8L << 10,
+      zorderBy = Seq("dt"))
     val full = ManagedTable.read(spark, root)
     val rangeGen: Gen[(Int, Int)] = for {
       lo <- Gen.chooseNum(-10, 380); w <- Gen.chooseNum(0, 120)
