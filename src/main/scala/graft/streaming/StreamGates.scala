@@ -175,6 +175,28 @@ object StreamGates {
     }
   }
 
+  /** q_stream_sessionize: the SESSION-state streaming twin —
+    * EventStream.sessionize (flatMapGroupsWithState, per-user gap
+    * sessioning with event-time timeout eviction) replayed across THREE
+    * checkpointed AvailableNow restarts on time-contiguous slices. A
+    * session that straddles a slice boundary continues THROUGH THE STATE
+    * STORE (last event time + running session number carry in state), so
+    * the final emitted set must equal the batch window sessionization
+    * exactly — session numbers and all. The watermark horizon is set
+    * beyond the data span: no event is late, no session state is evicted
+    * mid-replay, and the emitted set is the full table (the bounded-
+    * horizon eviction contract stays covered by EventStreamSpec). */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_sess") {
+      incoming =>
+        EventStream.sessionize(incoming.as[EventStream.Event],
+          gapMinutes = 30, horizon = "175200 hours").toDF()
+    }
+  }
+
   /** q_stream_cdc_replica: CDC REPLICATION — the consumer side of the
     * change feed. A source-of-truth versioned table runs two feed-recording
     * merges (insert-everything, then update-when-newer/delete-when-stale);
@@ -223,6 +245,7 @@ object StreamGates {
     "q_stream_neardup" -> (streamNearDup _),
     "q_stream_hourly" -> (streamHourly _),
     "q_stream_attribution" -> (streamAttribution _),
+    "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_cdc_replica" -> (streamCdcReplica _))
 
   /** q_stream_neardup: same relational definition as q_dedup_incremental —
@@ -236,6 +259,10 @@ object StreamGates {
     // to one bar is an edit to both.
     "q_stream_attribution" ->
       graft.operators.EventQueries.oracles("q_events_attribution"),
+    // Sessionization must land exactly where the batch gap-window lands —
+    // session numbers carried through the state store and all.
+    "q_stream_sessionize" ->
+      graft.operators.EventQueries.oracles("q_events_sessionize"),
     // Replication must land exactly where the source-of-truth table
     // landed, so the replica gate shares the lifecycle state oracle.
     "q_stream_cdc_replica" ->
