@@ -338,11 +338,12 @@ object ManagedTable extends VersionedLayout {
         // numerics; date strings whose year dominates the byte prefix) —
         // quantiles adapt to the distribution. Driver state is bounded:
         // at most 255 doubles per layout column.
-        val cuts: Map[String, Seq[Double]] = zorderBy.map { c =>
-          c -> cur.select(zExpr(c).as("_s"))
-            .stat.approxQuantile("_s", (1 to 255).map(_ / 256.0).toArray, 0.01)
-            .toSeq.distinct.sorted
-        }.toMap
+        val cutArrays = cur
+          .select(zorderBy.map(c => zExpr(c).as(s"_s_$c")): _*)
+          .stat.approxQuantile(zorderBy.map(c => s"_s_$c").toArray,
+            (1 to 255).map(_ / 256.0).toArray, 0.01) // ONE pass, all columns
+        val cuts: Map[String, Seq[Double]] = zorderBy.zip(cutArrays)
+          .map { case (c, arr) => c -> arr.toSeq.distinct.sorted }.toMap
         zorderCuts = cuts
         // bucket = number of cut points <= value (0..255); a null value
         // sorts lowest (null comparisons drop in filter -> bucket 0)
