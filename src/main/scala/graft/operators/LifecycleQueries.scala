@@ -422,6 +422,25 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Incremental-compaction gate: a skewed hash layout leaves one healthy
+    * file and a sliver tail; `compactSmall` bin-packs ONLY the slivers and
+    * hard-links the healthy file into the new version (zero data bytes —
+    * pinned by inode in ManagedTableSpec). The oracle recomputes the
+    * projection over raw lineitem: a compaction that loses, duplicates, or
+    * corrupts any row in either the packed or the carried files breaks the
+    * hash. */
+  def tableCompactSmall(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("compact_small")
+    val li = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+        col("l_quantity").cast(DoubleType).as("qty"),
+        col("l_returnflag").as("rf"))
+    ManagedTable.overwrite(root, li.repartition(24,
+      when(col("k") % 10 === 0, col("k") % 7 + 1).otherwise(lit(0))))
+    ManagedTable.compactSmall(s, root, targetFileBytes = 4L << 20)
+    ManagedTable.read(s, root)
+  }
+
   /** Deletion-vector gate — DELETE at delta cost: two stacked
     * `deleteVectorized` calls publish versions that SHARE the base
     * snapshot's files and record only deleted-row addresses (the
@@ -776,6 +795,7 @@ object LifecycleQueries {
     "q_table_constraints" -> (tableConstraints _),
     "q_table_dml" -> (tableDml _),
     "q_table_delete_dv" -> (tableDeleteDv _),
+    "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
     "q_view_refresh" -> (viewRefresh _),
@@ -1014,6 +1034,10 @@ object LifecycleQueries {
         |FROM s1""".stripMargin,
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
+    "q_table_compact_small" ->
+      """SELECT l_orderkey AS k, l_linenumber AS ln,
+        |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf
+        |FROM lineitem""".stripMargin,
     "q_table_delete_dv" ->
       """SELECT o_orderkey AS k, o_orderstatus AS st,
         |  CAST(o_totalprice AS DOUBLE) AS total,

@@ -294,6 +294,74 @@ object ManagedTable extends VersionedLayout {
     *
     * The rewrite is one shuffle of the snapshot (range exchange on the
     * z-value) — same cost class as the merge it cleans up after. */
+  /** Incremental OPTIMIZE — the compaction that scales: [[optimize]]
+    * rewrites the whole snapshot, but real fragmentation accumulates as a
+    * SMALL-FILE TAIL (every small merge/append leaves a few KB-files
+    * while the bulk of the table sits in healthy large files). This
+    * rewrites ONLY files under `targetFileBytes / 2`, bin-packed to the
+    * target, and carries every healthy file into the new version as a
+    * HARD LINK — a metadata-only carry on a real filesystem (the object-
+    * storage production form of the same idea is manifest reference,
+    * which [[BucketedTable]] implements; Delta/Iceberg OPTIMIZE likewise
+    * rewrites only the bin-packing candidates and carries the rest in the
+    * log). Rewrite cost is proportional to the FRAGMENTED bytes, never
+    * the table. Content is untouched; carried files keep their names, so
+    * their per-file rows in the data-skipping manifest stay valid and are
+    * carried with them. Falls back to a byte copy where the filesystem
+    * refuses links. No-op (no new version) when fewer than two small
+    * files exist. */
+  def compactSmall(spark: SparkSession, root: String,
+                   targetFileBytes: Long = 128L << 20): Unit = {
+    val live = currentVersion(root)
+    require(dvBaseOf(root, live).isEmpty,
+      s"compactSmall: v$live is a deletion-vector version — run optimize " +
+        "to purge the vectors first")
+    val dir = Paths.get(root, s"v$live")
+    val listing = Files.list(dir)
+    val all =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.size(p)).toVector
+      finally listing.close()
+    val (small, big) = all.partition(_._2 < targetFileBytes / 2)
+    if (small.size <= 1) return
+    val next = live + 1
+    val nextDir = Paths.get(root, s"v$next")
+    val smallBytes = small.map(_._2).sum
+    val nPacked = math.max(1, math.ceil(
+      smallBytes.toDouble / targetFileBytes).toInt)
+    // Packed writes land in a staging subdir, then move up: spark part-
+    // file names carry a fresh UUID, so they can never collide with the
+    // carried names.
+    val stage = nextDir.resolve("_compact_stage")
+    spark.read.parquet(small.map(f => s"$dir/${f._1}"): _*)
+      .repartition(nPacked)
+      .write.mode("overwrite").parquet(stage.toString)
+    val stageList = Files.list(stage)
+    try stageList.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.move(p, nextDir.resolve(p.getFileName.toString)))
+    finally stageList.close()
+    ScratchDirs.deleteRecursively(stage)
+    big.foreach { case (name, _) =>
+      val (src, dst) = (dir.resolve(name), nextDir.resolve(name))
+      try Files.createLink(dst, src)
+      catch { case _: UnsupportedOperationException => Files.copy(src, dst) }
+    }
+    // Carry the manifest rows of the files that carried (their stats are
+    // still exact); packed files read conservatively until re-analyzed.
+    val statsPath = dir.resolve("_stats.tsv")
+    if (Files.exists(statsPath)) {
+      val carried = big.map(_._1).toSet
+      val kept = Files.readString(statsPath).linesIterator
+        .filter(l => l.nonEmpty && carried(l.split('\t').head))
+        .mkString("\n")
+      if (kept.nonEmpty)
+        Files.writeString(nextDir.resolve("_stats.tsv"), kept)
+    }
+    swapPointer(root, next)
+  }
+
   def optimize(spark: SparkSession, root: String,
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil): Unit = {

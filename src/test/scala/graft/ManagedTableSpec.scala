@@ -302,6 +302,43 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == 800)
   }
 
+  test("compactSmall packs only the small tail; big files carry as links") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_cmp").toString
+    // skewed hash layout: one huge partition (key 0 ~ 90%), many slivers
+    val df = spark.range(200000L)
+      .select(when(col("id") % 10 === 0, col("id") % 7 + 1).otherwise(0L).as("g"),
+        col("id").as("payload"))
+    ManagedTable.overwrite(root, df.repartition(12, col("g")))
+    def files(v: Int) = Files.list(Paths.get(root, s"v$v")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toVector
+    def ino(v: Int, name: String) = Files.getAttribute(
+      Paths.get(root, s"v$v", name), "unix:ino")
+    val before = files(0)
+    val sizes = before.map(f =>
+      f -> Files.size(Paths.get(root, "v0", f))).toMap
+    val bigFiles = before.filter(f => sizes(f) >= (64L << 10) / 2)
+    assert(bigFiles.nonEmpty && bigFiles.size < before.size)
+
+    ManagedTable.compactSmall(spark, root, targetFileBytes = 64L << 10)
+    assert(ManagedTable.currentVersion(root) == 1)
+    val after = files(1)
+    assert(after.size < before.size)
+    // every healthy file carried by NAME and by INODE (hard link, 0 bytes)
+    bigFiles.foreach { f =>
+      assert(after.contains(f))
+      assert(ino(0, f) == ino(1, f))
+    }
+    // content untouched
+    val a = ManagedTable.readVersion(spark, root, 0).collect().toSet
+    val b = ManagedTable.read(spark, root).collect().toSet
+    assert(a == b && b.nonEmpty)
+    // idempotent: a second pass finds <=1 small file and publishes nothing
+    ManagedTable.compactSmall(spark, root, targetFileBytes = 64L << 10)
+    assert(ManagedTable.currentVersion(root) == 1)
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))
