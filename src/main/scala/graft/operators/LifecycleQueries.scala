@@ -422,6 +422,26 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Generated-column gate (Delta GENERATED ALWAYS AS): the table defines
+    * `yr = substring(dt, 1, 4)`; registering it on the populated ≤1995
+    * state publishes a BACKFILL version, and the later full overwrite
+    * supplies only physical columns — the table computes `yr` inside the
+    * write. DuckDB re-derives the expression over raw orders, so the hash
+    * pins both the backfill and the compute-on-write path. */
+  def tableGenerated(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("generated")
+    def shaped(upTo: String): DataFrame =
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") <= lit(upTo))
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(root, shaped("1995-12-31"))
+    ManagedTable.addGeneratedColumn(s, root, "yr", "substring(dt, 1, 4)")
+    ManagedTable.overwrite(root, shaped("1996-12-31"))
+    ManagedTable.read(s, root)
+  }
+
   /** Incremental-compaction gate: a skewed hash layout leaves one healthy
     * file and a sliver tail; `compactSmall` bin-packs ONLY the slivers and
     * hard-links the healthy file into the new version (zero data bytes —
@@ -796,6 +816,7 @@ object LifecycleQueries {
     "q_table_dml" -> (tableDml _),
     "q_table_delete_dv" -> (tableDeleteDv _),
     "q_table_compact_small" -> (tableCompactSmall _),
+    "q_table_generated" -> (tableGenerated _),
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
     "q_view_refresh" -> (viewRefresh _),
@@ -1034,6 +1055,12 @@ object LifecycleQueries {
         |FROM s1""".stripMargin,
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
+    "q_table_generated" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(o_orderdate AS VARCHAR) AS dt,
+        |  substring(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+        |FROM orders WHERE o_orderdate <= DATE '1996-12-31'""".stripMargin,
     "q_table_compact_small" ->
       """SELECT l_orderkey AS k, l_linenumber AS ln,
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf

@@ -171,9 +171,45 @@ object ManagedTable extends VersionedLayout {
     * so readers can never observe a constraint-breaking version. */
   def overwrite(root: String, df: DataFrame): Unit = {
     val next = if (exists(root)) currentVersion(root) + 1 else 0
-    Constraints.enforce(df, constraintsOf(root))
+    Constraints.enforce(
+        GeneratedColumns(df, GeneratedColumns.load(root)),
+        constraintsOf(root))
       .write.mode("overwrite").parquet(s"$root/v$next")
     swapPointer(root, next)
+  }
+
+  /** ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) — register a
+    * generated column ([[GeneratedColumns]] semantics: omitted on write →
+    * computed; supplied → validated). On a non-empty table that lacks the
+    * column, a BACKFILL version is published computing it for every
+    * existing row; a table that already carries the column has every
+    * existing value validated first. */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+                         sqlExpr: String): Unit = {
+    val g = GeneratedColumns.Gen(name, sqlExpr)
+    val gens = GeneratedColumns.load(root)
+    require(!gens.exists(_.name == name),
+      s"generated column '$name' already defined on $root")
+    if (exists(root) && read(spark, root).columns.contains(name)) {
+      val nBad = read(spark, root)
+        .filter(!(col(name) <=> expr(sqlExpr))).count()
+      require(nBad == 0,
+        s"cannot add generated column '$name' ($sqlExpr): " +
+          s"$nBad existing row(s) mismatch it")
+    }
+    GeneratedColumns.store(root, gens :+ g)
+    if (exists(root) && !read(spark, root).columns.contains(name))
+      overwrite(root, read(spark, root)) // backfill through the write hook
+  }
+
+  /** ALTER TABLE ... DROP the generated-column DEFINITION (data columns
+    * already written stay in place, like dropping a Delta generation
+    * expression). */
+  def dropGeneratedColumn(root: String, name: String): Unit = {
+    val gens = GeneratedColumns.load(root)
+    require(gens.exists(_.name == name),
+      s"no generated column '$name' on $root")
+    GeneratedColumns.store(root, gens.filterNot(_.name == name))
   }
 
   /** Keyed MERGE (upsert with optional conditions and matched-delete),

@@ -339,6 +339,38 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.currentVersion(root) == 1)
   }
 
+  test("generated columns: backfill, compute-on-write, validate-on-supply") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_gen").toString
+    ManagedTable.overwrite(root,
+      Seq((1L, "2024-03-05"), (2L, "2025-11-30")).toDF("k", "dt"))
+    // registering on a populated table BACKFILLS a new version
+    ManagedTable.addGeneratedColumn(spark, root, "yr", "substring(dt, 1, 4)")
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(ManagedTable.read(spark, root).as[(Long, String, String)]
+      .collect().toSet == Set((1L, "2024-03-05", "2024"),
+        (2L, "2025-11-30", "2025")))
+    // a writer supplying only physical columns gets the column computed
+    ManagedTable.overwrite(root, Seq((3L, "2026-01-15")).toDF("k", "dt"))
+    assert(ManagedTable.read(spark, root).as[(Long, String, String)]
+      .collect().toSet == Set((3L, "2026-01-15", "2026")))
+    // a writer supplying a WRONG value aborts before the pointer swaps
+    val before = ManagedTable.currentVersion(root)
+    intercept[Exception] {
+      ManagedTable.overwrite(root,
+        Seq((4L, "2027-06-01", "1999")).toDF("k", "dt", "yr"))
+    }
+    assert(ManagedTable.currentVersion(root) == before)
+    // a correct supplied value passes validation
+    ManagedTable.overwrite(root,
+      Seq((5L, "2027-06-01", "2027")).toDF("k", "dt", "yr"))
+    assert(ManagedTable.read(spark, root).count() == 1)
+    // dropping the definition stops the compute
+    ManagedTable.dropGeneratedColumn(root, "yr")
+    ManagedTable.overwrite(root, Seq((6L, "2028-02-02")).toDF("k", "dt"))
+    assert(ManagedTable.read(spark, root).columns.toSeq == Seq("k", "dt"))
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))
