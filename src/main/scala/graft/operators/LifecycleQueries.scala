@@ -387,6 +387,22 @@ object LifecycleQueries {
     ManagedTable.readVersion(s, root, 1)
   }
 
+  /** Timestamp time-travel gate (Delta `timestampAsOf`): the same
+    * two-merge history committed under an injected LOGICAL clock
+    * (1000, 2000, 3000 ms — wall time is not bit-reproducible, which is
+    * exactly why the clock is injectable), then read AS OF t=2500: the
+    * commit log must resolve v1, the ≤1995 state — the same relational
+    * oracle as the version-pinned gate, via a different resolution path. */
+  def tableTimetravelTs(s: SparkSession, dir: String): DataFrame = {
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    val prev = graft.sources.VersionedLayout.commitClock
+    graft.sources.VersionedLayout.commitClock = () => t.addAndGet(1000L)
+    try {
+      val root = twoMergeHistory(s, dir, changeFeed = false)
+      ManagedTable.readAsOf(s, root, 2500L)
+    } finally graft.sources.VersionedLayout.commitClock = prev
+  }
+
   /** Change-data-feed gate (Delta `table_changes`): the v2 merge records
     * its row-level changes — `update` (post-image) where the ≤1996 state
     * has newer activity, `delete` (pre-image) for matched-but-unchanged
@@ -479,6 +495,25 @@ object LifecycleQueries {
     ManagedTable.deleteVectorized(s, root, col("st") === lit("F"))
     ManagedTable.deleteVectorized(s, root, col("total") > lit(250000.0))
     ManagedTable.read(s, root)
+  }
+
+  /** Bucketed DELETE gate: delete the F-status pre-1995H2 rows from the
+    * 16-bucket ≤1996H1 table — one pass finds the buckets holding
+    * matches, only those rewrite (the narrow-predicate IO contract is
+    * pinned in BucketedTableSpec), and the oracle recomputes the surviving
+    * set relationally: a delete that loses a row in a carried bucket or
+    * keeps one in a rewritten bucket breaks the hash. */
+  def bucketedDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed_del")
+    val base = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1996-06-30"))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(DoubleType).as("total"),
+        col("o_orderdate").cast(StringType).as("dt"))
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    BucketedTable.delete(s, root,
+      col("st") === lit("F") && col("dt") < lit("1995-07-01"))
+    BucketedTable.read(s, root)
   }
 
   /** Bucketed schema-evolution gate: the 100 TB version of Delta
@@ -825,12 +860,14 @@ object LifecycleQueries {
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_bucketed_evolution" -> (bucketedEvolution _),
+    "q_bucketed_delete" -> (bucketedDelete _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
     "q_table_skipping" -> (tableSkipping _),
     "q_table_skipping_str" -> (tableSkippingStr _),
     "q_table_timetravel" -> (tableTimetravel _),
+    "q_table_timetravel_ts" -> (tableTimetravelTs _),
     "q_table_cdf" -> (tableCdf _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
@@ -1108,6 +1145,14 @@ object LifecycleQueries {
         |       ELSE t.n_orders END AS n_orders,
         |  s.total AS total
         |FROM t FULL JOIN s ON t.cust = s.cust""".stripMargin,
+    "q_bucketed_delete" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(o_orderdate AS VARCHAR) AS dt
+        |FROM orders
+        |WHERE o_orderdate <= DATE '1996-06-30'
+        |  AND NOT (o_orderstatus = 'F'
+        |           AND CAST(o_orderdate AS VARCHAR) < '1995-07-01')""".stripMargin,
     "q_bucketed_evolution" ->
       """WITH t AS (
         |  SELECT o_custkey AS cust, COUNT(*) AS n_orders
@@ -1124,6 +1169,12 @@ object LifecycleQueries {
         |  s.total AS total
         |FROM t FULL JOIN s ON t.cust = s.cust""".stripMargin,
     "q_table_timetravel" ->
+      """SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1""".stripMargin,
+    // timestampAsOf must land exactly where versionAsOf lands: shared bar.
+    "q_table_timetravel_ts" ->
       """SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -351,6 +351,53 @@ object BucketedTable extends VersionedLayout {
     } finally {
       if (changeFeed) tagged.unpersist()
     }
+  }
+
+  /** DELETE at bucket-delta cost: one pass finds the buckets that hold
+    * matching rows, and ONLY those buckets are rewritten without the
+    * matches — untouched buckets carry forward by manifest reference,
+    * the same delta-proportional contract as [[merge]]. A predicate on
+    * the bucket key touches only the keys' buckets; a broad predicate
+    * degrades gracefully toward a full rewrite (never past it). Rows
+    * where `where` is null are KEPT — SQL DELETE semantics. With
+    * `changeFeed`, deleted pre-images land as `_changes/v<next>` before
+    * the pointer swap. No-op (no version published) when nothing
+    * matches. */
+  def delete(spark: SparkSession, root: String, where: Column,
+             changeFeed: Boolean = false): Unit = {
+    import graft.operators.Merge
+    val meta = readMeta(root)
+    val hit = coalesce(where, lit(false))
+    val withB = readAt(spark, root, meta)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    val touched = withB.filter(hit).select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: <= nBuckets ids
+    if (touched.isEmpty) return
+    val touchedSet = touched.toSet
+    val next = meta.version + 1
+    val touchedPaths = touched
+      .map(b => bucketDir(root, meta.manifest(b), b)).filter(hasParquet)
+    val touchedRows = readerFor(spark, meta)
+      .parquet(touchedPaths.toIndexedSeq: _*)
+    if (changeFeed)
+      touchedRows.filter(hit)
+        .withColumn(Merge.ActionCol, lit("delete"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    val kept = touchedRows.filter(!hit)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    kept.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/v$next/_data")
+    touched.foreach { b =>
+      val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
+      val dst = Paths.get(bucketDir(root, s"v$next", b))
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst) // bucket emptied entirely
+    }
+    dropStaging(root, next)
+    writeVersion(root, next, meta.nBuckets, meta.keys,
+      meta.manifest.map { case (b, ver) =>
+        b -> (if (touchedSet(b)) s"v$next" else ver)
+      }, meta.schema)
   }
 
   /** OPTIMIZE for the bucketed layout: every merge leaves its touched

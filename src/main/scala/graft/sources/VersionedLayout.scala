@@ -26,6 +26,15 @@ private[sources] trait VersionedLayout {
   /** Read the live version of the table at `root`. */
   def read(spark: SparkSession, root: String): DataFrame
 
+  /** Time travel — read a pinned published version. */
+  def readVersion(spark: SparkSession, root: String, version: Int): DataFrame
+
+  /** Time travel by TIMESTAMP (Delta `timestampAsOf`): read the version
+    * that was live at `timestampMs`, resolved through the commit log. */
+  final def readAsOf(spark: SparkSession, root: String,
+                     timestampMs: Long): DataFrame =
+    readVersion(spark, root, versionAsOfTimestamp(root, timestampMs))
+
   // ---- pointer protocol -------------------------------------------------
 
   protected final def latestFile(root: String): Path = Paths.get(root, "_latest")
@@ -38,13 +47,43 @@ private[sources] trait VersionedLayout {
 
   /** Atomically publish `version` as the live pointer. The version dir
     * must already be fully materialized — after this move, any reader may
-    * resolve it. */
+    * resolve it. The commit-history line (version, commit millis) lands
+    * BEFORE the swap: a readable version always has its commit time. */
   protected final def swapPointer(root: String, version: Int): Unit = {
     Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(root, "_history"),
+      s"$version\t${VersionedLayout.commitClock()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     val tmp = Paths.get(root, s"_latest.tmp$version")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, latestFile(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The commit log: (version, commit millis) in publish order —
+    * Delta's DESCRIBE HISTORY spine. Empty for tables created before
+    * histories were recorded. */
+  final def commitHistory(root: String): Seq[(Int, Long)] = {
+    val f = Paths.get(root, "_history")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(v, ts) = line.split("\t", 2)
+      v.toInt -> ts.toLong
+    }.toSeq
+  }
+
+  /** The newest version committed at or before `timestampMs` — Delta's
+    * `timestampAsOf` resolution. Fails clearly when the timestamp
+    * precedes the first commit or no history was recorded. */
+  final def versionAsOfTimestamp(root: String, timestampMs: Long): Int = {
+    val h = commitHistory(root)
+    require(h.nonEmpty, s"no commit history recorded for $root")
+    val at = h.filter(_._2 <= timestampMs)
+    require(at.nonEmpty,
+      s"timestamp $timestampMs precedes the first commit (${h.head._2}) of $root")
+    at.map(_._1).max
   }
 
   // ---- CHECK constraints ------------------------------------------------
@@ -94,4 +133,13 @@ private[sources] trait VersionedLayout {
       .map(v => changes(spark, root, v).withColumn("_version", lit(v)))
       .reduce(_ unionByName _)
   }
+}
+
+object VersionedLayout {
+  /** Wall-clock source for commit timestamps — injectable so tests and
+    * oracle gates can pin a deterministic history (the gate queries must
+    * be bit-reproducible; wall time is not). Production callers never
+    * touch it. */
+  @volatile private[graft] var commitClock: () => Long =
+    () => System.currentTimeMillis()
 }

@@ -75,6 +75,36 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(BucketedTable.read(spark, root).count() == 1000)
   }
 
+  test("delete rewrites only buckets holding matches; feeds pre-images") {
+    val root = Files.createTempDirectory("graft_bt_del").toString
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i", i % 7)).toDF("k", "v", "n")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+
+    // a narrow key predicate touches at most its keys' buckets
+    BucketedTable.delete(spark, root,
+      col("k") === 5L || col("k") === 700L, changeFeed = true)
+    val got = BucketedTable.read(spark, root).as[(Long, String, Int)]
+      .collect().map(_._1).toSet
+    assert(got.size == 998 && !got(5L) && !got(700L))
+    val v1Buckets = Files.list(Paths.get(root, "v1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSeq
+    assert(v1Buckets.size <= 2)
+    val manifest = Files.readAllLines(Paths.get(root, "v1", "_manifest"))
+      .asScala.tail
+    assert(manifest.count(_.endsWith(",v0")) >= 14)
+    // the feed carries exactly the destroyed pre-images
+    val feed = BucketedTable.changes(spark, root, 1)
+    assert(feed.select("k").as[Long].collect().toSet == Set(5L, 700L))
+
+    // null-predicate rows are KEPT (SQL DELETE), and a no-match delete
+    // publishes nothing
+    val before = BucketedTable.currentVersion(root)
+    BucketedTable.delete(spark, root,
+      org.apache.spark.sql.functions.when(col("k") === -1L, true))
+    assert(BucketedTable.currentVersion(root) == before)
+    assert(BucketedTable.read(spark, root).count() == 998)
+  }
+
   test("vacuum keeps manifest-reachable buckets, drops superseded ones") {
     val root = Files.createTempDirectory("graft_bt_vac").toString
     val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -213,11 +243,12 @@ class BucketedTableSpec extends AnyFunSuite {
       .filter(Files.isRegularFile(_)).map(p => p -> Files.size(p)).toMap
 
     BucketedTable.shallowClone(srcRoot, cloneRoot)
-    // zero-copy: the clone holds ONLY metadata (manifest + pointer +
-    // recorded schema) — no data bytes
+    // zero-copy: the clone holds ONLY metadata (commit log, pointer,
+    // manifest, recorded schema) — no data bytes
     val cloneFiles = Files.walk(Paths.get(cloneRoot)).iterator().asScala
       .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
-    assert(cloneFiles.sorted == Seq("_latest", "_manifest", "_schema.json"))
+    assert(cloneFiles.sorted ==
+      Seq("_history", "_latest", "_manifest", "_schema.json"))
     assert(BucketedTable.read(spark, cloneRoot).count() == 1000)
 
     // copy-on-write: a merge into the clone materializes only touched

@@ -371,6 +371,27 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).columns.toSeq == Seq("k", "dt"))
   }
 
+  test("timestampAsOf resolves through the commit log; bounds fail clearly") {
+    import graft.sources.VersionedLayout
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    val prev = VersionedLayout.commitClock
+    VersionedLayout.commitClock = () => t.addAndGet(100L)
+    try {
+      val root = Files.createTempDirectory("graft_ts").toString
+      ManagedTable.overwrite(root, Seq((1, "a")).toDF("k", "v"))   // @100
+      ManagedTable.overwrite(root, Seq((1, "b")).toDF("k", "v"))   // @200
+      ManagedTable.overwrite(root, Seq((1, "c")).toDF("k", "v"))   // @300
+      assert(ManagedTable.commitHistory(root) ==
+        Seq(0 -> 100L, 1 -> 200L, 2 -> 300L))
+      def vAt(ts: Long) = ManagedTable.readAsOf(spark, root, ts)
+        .as[(Int, String)].collect().head._2
+      assert(vAt(100L) == "a") // exactly at a commit: that commit
+      assert(vAt(250L) == "b") // between commits: newest at-or-before
+      assert(vAt(9999L) == "c")
+      intercept[IllegalArgumentException](vAt(50L)) // before first commit
+    } finally VersionedLayout.commitClock = prev
+  }
+
   test("createEmpty publishes schema-only snapshot (limit 0)") {
     val root = Files.createTempDirectory("graft_tbl_e").toString
     ManagedTable.createEmpty(spark, root, Seq((1, "a")).toDF("k", "v"))
