@@ -458,6 +458,29 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Merge-on-read UPDATE gate: an update tombstones its matched base
+    * rows by address and appends their updated copies (no base file
+    * rewritten — pinned by file-set in ManagedTableSpec); a stacked
+    * vectorized DELETE then filters base AND appended rows; a second
+    * UPDATE rewrites matched appended rows. DuckDB replays the three
+    * stages relationally — any mis-addressed tombstone or lost appended
+    * row breaks the hash. */
+  def tableUpdateDv(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("update_dv")
+    val o = table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast(DoubleType).as("total"),
+      col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(root, o.repartition(8))
+    ManagedTable.updateVectorized(s, root,
+      Map("total" -> (col("total") + lit(100000.0))),
+      col("st") === lit("F"))
+    ManagedTable.deleteVectorized(s, root, col("total") > lit(400000.0))
+    ManagedTable.updateVectorized(s, root,
+      Map("st" -> lit("X")), col("dt") < lit("1995-06-01"))
+    ManagedTable.read(s, root)
+  }
+
   /** Incremental-compaction gate: a skewed hash layout leaves one healthy
     * file and a sliver tail; `compactSmall` bin-packs ONLY the slivers and
     * hard-links the healthy file into the new version (zero data bytes —
@@ -850,6 +873,7 @@ object LifecycleQueries {
     "q_table_constraints" -> (tableConstraints _),
     "q_table_dml" -> (tableDml _),
     "q_table_delete_dv" -> (tableDeleteDv _),
+    "q_table_update_dv" -> (tableUpdateDv _),
     "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_generated" -> (tableGenerated _),
     "q_table_restore" -> (tableRestore _),
@@ -1102,6 +1126,19 @@ object LifecycleQueries {
       """SELECT l_orderkey AS k, l_linenumber AS ln,
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf
         |FROM lineitem""".stripMargin,
+    "q_table_update_dv" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CASE WHEN o_orderstatus = 'F'
+        |         THEN CAST(o_totalprice AS DOUBLE) + 100000.0
+        |         ELSE CAST(o_totalprice AS DOUBLE) END AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders),
+        |s2 AS (SELECT * FROM s1 WHERE NOT (total > 400000.0))
+        |SELECT k,
+        |  CASE WHEN dt < '1995-06-01' THEN 'X' ELSE st END AS st,
+        |  total, dt
+        |FROM s2""".stripMargin,
     "q_table_delete_dv" ->
       """SELECT o_orderkey AS k, o_orderstatus AS st,
         |  CAST(o_totalprice AS DOUBLE) AS total,

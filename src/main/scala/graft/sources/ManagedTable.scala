@@ -63,9 +63,11 @@ object ManagedTable extends VersionedLayout {
       case None => spark.read.parquet(dir.toString)
       case Some(base) =>
         val dv = spark.read.parquet(s"$root/v$version/_dv")
-        addressed(spark, s"$root/v$base")
+        val baseRows = addressed(spark, s"$root/v$base")
           .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol)
+        appDirOf(root, version).fold(baseRows)(d =>
+          baseRows.unionByName(spark.read.parquet(d)))
     }
   }
 
@@ -82,6 +84,19 @@ object ManagedTable extends VersionedLayout {
   private def dvBaseOf(root: String, version: Int): Option[Int] = {
     val f = Paths.get(root, s"v$version", "_dv_base")
     if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+  }
+
+  /** The appended-rows dir of a merge-on-read version, when it has data
+    * files ([[updateVectorized]] writes updated copies there). */
+  private def appDirOf(root: String, version: Int): Option[String] = {
+    val d = Paths.get(root, s"v$version", "_append")
+    def hasData = {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    if (Files.exists(d) && hasData) Some(d.toString) else None
   }
 
   /** The base snapshot with each row's stable (file, position) address
@@ -121,29 +136,86 @@ object ManagedTable extends VersionedLayout {
   def deleteVectorized(spark: SparkSession, root: String, where: Column,
                        changeFeed: Boolean = false): Unit = {
     val live = currentVersion(root)
-    val base = dvBaseOf(root, live).getOrElse(live)
+    val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
     val hit = coalesce(where, lit(false))
-    val addr = addressed(spark, s"$root/v$base")
-    val liveView = dvBaseOf(root, live) match {
-      case None => addr
-      case Some(_) =>
-        addr.join(spark.read.parquet(s"$root/v$live/_dv"),
-          Seq(DvFileCol, DvPosCol), "left_anti")
-    }
     val next = live + 1
-    if (changeFeed)
-      liveView.filter(hit).drop(DvFileCol, DvPosCol)
+    if (changeFeed) {
+      val pre = baseLive.filter(hit).drop(DvFileCol, DvPosCol)
+      oldApp.fold(pre)(a => pre.unionByName(a.filter(hit)))
         .withColumn(graft.operators.Merge.ActionCol, lit("delete"))
         .write.mode("overwrite").parquet(s"$root/_changes/v$next")
-    val newTombs = liveView.filter(hit).select(col(DvFileCol), col(DvPosCol))
-    val cumulative = dvBaseOf(root, live) match {
-      case None => newTombs
-      case Some(_) =>
-        spark.read.parquet(s"$root/v$live/_dv").unionByName(newTombs)
     }
-    cumulative.write.mode("overwrite").parquet(s"$root/v$next/_dv")
-    // The base marker lands before the pointer swap: a published DV
-    // version always knows its base.
+    val newTombs = baseLive.filter(hit).select(col(DvFileCol), col(DvPosCol))
+    publishMor(root, next, base,
+      oldDv.fold(newTombs)(_.unionByName(newTombs)),
+      oldApp.map(_.filter(!hit)))
+  }
+
+  /** UPDATE at delta cost — the merge-on-read form of [[update]] (Delta
+    * DV-update / Iceberg merge-on-read, from the public designs): matched
+    * BASE rows are tombstoned by address and their updated copies land in
+    * the version's `_append` dir; matched previously-appended rows are
+    * rewritten in place of the (delta-sized) append set. No base data
+    * file is rewritten — write cost scales with the matched rows. Reads
+    * resolve base − tombstones ∪ appended. `set` expressions see the
+    * PRE-update row, null-predicate rows are untouched (SQL UPDATE, like
+    * [[update]]); CHECK constraints and generated-column validation ride
+    * the appended write, so a violating update aborts before the pointer
+    * swaps. */
+  def updateVectorized(spark: SparkSession, root: String,
+                       set: Map[String, Column], where: Column = lit(true),
+                       changeFeed: Boolean = false): Unit = {
+    val live = currentVersion(root)
+    val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
+    val hit = coalesce(where, lit(false))
+    val cols = baseLive.drop(DvFileCol, DvPosCol).columns.toIndexedSeq
+    val bad = set.keySet -- cols.toSet
+    require(bad.isEmpty, s"UPDATE SET references missing column(s): " +
+      bad.mkString(", "))
+    def applySet(d: DataFrame): DataFrame =
+      d.select(cols.map(c => set.getOrElse(c, col(c)).as(c)): _*)
+    val updated = {
+      val fromBase = applySet(baseLive.filter(hit).drop(DvFileCol, DvPosCol))
+      oldApp.fold(fromBase)(a => fromBase.unionByName(applySet(a.filter(hit))))
+    }
+    val guarded = Constraints.enforce(
+      GeneratedColumns(updated, GeneratedColumns.load(root)),
+      constraintsOf(root))
+    val next = live + 1
+    if (changeFeed)
+      guarded.withColumn(graft.operators.Merge.ActionCol, lit("update"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    val newTombs = baseLive.filter(hit).select(col(DvFileCol), col(DvPosCol))
+    val app2 = oldApp.fold(guarded)(a => a.filter(!hit).unionByName(guarded))
+    publishMor(root, next, base,
+      oldDv.fold(newTombs)(_.unionByName(newTombs)), Some(app2))
+  }
+
+  /** The merge-on-read decomposition of a live version: its FULL base
+    * version, the base rows still live (addressed, tombstones already
+    * subtracted), and the current tombstone / appended-row sets. */
+  private def morParts(spark: SparkSession, root: String, live: Int)
+      : (Int, DataFrame, Option[DataFrame], Option[DataFrame]) = {
+    val base = dvBaseOf(root, live).getOrElse(live)
+    val addr = addressed(spark, s"$root/v$base")
+    dvBaseOf(root, live) match {
+      case None => (base, addr, None, None)
+      case Some(_) =>
+        val dv = spark.read.parquet(s"$root/v$live/_dv")
+        (base, addr.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"),
+          Some(dv), appDirOf(root, live).map(spark.read.parquet))
+    }
+  }
+
+  /** Publish a merge-on-read version: tombstones, optional appended rows,
+    * then the base marker — all before the pointer swap, so a readable
+    * version is always complete. */
+  private def publishMor(root: String, next: Int, base: Int,
+                         tombstones: DataFrame,
+                         appended: Option[DataFrame]): Unit = {
+    tombstones.write.mode("overwrite").parquet(s"$root/v$next/_dv")
+    appended.foreach(_.write.mode("overwrite")
+      .parquet(s"$root/v$next/_append"))
     Files.writeString(Paths.get(root, s"v$next", "_dv_base"), base.toString)
     swapPointer(root, next)
   }
@@ -597,21 +669,25 @@ object ManagedTable extends VersionedLayout {
                 ranges: Seq[(String, Any, Any)]): DataFrame = {
     require(ranges.nonEmpty, "readWhere: empty ranges — use read()")
     val live = currentVersion(root)
-    // A deletion-vector version serves its base's files: prune against
+    // A merge-on-read version serves its base's files: prune against
     // the BASE's listing+manifest (spans are conservative upper bounds —
-    // deleted rows can only shrink true spans), then subtract the
-    // tombstones from whatever survives pruning.
+    // deleted rows can only shrink true spans).
     val dvBase = dvBaseOf(root, live)
     val dir = dvBase.fold(s"$root/v$live")(b => s"$root/v$b")
+    // subtract the tombstones from whatever survives pruning, then union
+    // the (unpruned, delta-sized) appended rows — they pass through the
+    // same row-level predicate below
     def subtractDv(df: DataFrame): DataFrame = dvBase match {
       case None => df
       case Some(_) =>
-        df.withColumn(DvFileCol,
+        val minus = df.withColumn(DvFileCol,
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn(DvPosCol, col("_metadata.row_index"))
           .join(spark.read.parquet(s"$root/v$live/_dv"),
             Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol)
+        appDirOf(root, live).fold(minus)(d =>
+          minus.unionByName(spark.read.parquet(d)))
     }
     val pred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
@@ -652,7 +728,9 @@ object ManagedTable extends VersionedLayout {
         }
       }
     }
-    if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
+    // Even with every base file pruned, appended rows can still match.
+    if (keep.isEmpty)
+      subtractDv(spark.read.parquet(dir).where(lit(false))).where(pred)
     else subtractDv(spark.read.parquet(keep.map(f => s"$dir/$f"): _*))
       .where(pred)
   }

@@ -371,6 +371,52 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).columns.toSeq == Seq("k", "dt"))
   }
 
+  test("merge-on-read UPDATE: base untouched; updated copies appended") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_mor").toString
+    val df = (1 to 1000).map(i => (i.toLong, i % 10, i.toDouble))
+      .toDF("k", "m", "v")
+    ManagedTable.overwrite(root, df.repartition(8))
+    def files(v: Int) = Files.list(Paths.get(root, s"v$v")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val baseFiles = files(0)
+
+    ManagedTable.updateVectorized(spark, root,
+      Map("v" -> (col("v") + 10000.0)), col("m") === 3)
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(files(0) == baseFiles) // no base data file rewritten
+    assert(files(1).isEmpty)      // v1 holds only _dv/_append/_dv_base
+    assert(Files.exists(Paths.get(root, "v1", "_append")))
+    val got1 = ManagedTable.read(spark, root).as[(Long, Int, Double)]
+      .collect()
+    assert(got1.length == 1000)
+    got1.foreach { case (k, m, v) =>
+      assert(v == (if (m == 3) k + 10000.0 else k.toDouble)) }
+
+    // stacked: a vectorized DELETE sees (and filters) the appended rows
+    ManagedTable.deleteVectorized(spark, root, col("v") > 10500.0)
+    val got2 = ManagedTable.read(spark, root).as[(Long, Int, Double)]
+      .collect()
+    assert(got2.forall(_._3 <= 10500.0))
+    assert(got2.count(_._2 == 3) == 50) // 503..993 deleted, 50 remain
+
+    // a second UPDATE rewrites matched appended rows in place of the set
+    ManagedTable.updateVectorized(spark, root,
+      Map("v" -> (col("v") + 1.0)), col("m") === 3)
+    val got3 = ManagedTable.read(spark, root).as[(Long, Int, Double)]
+      .collect().filter(_._2 == 3).map(r => r._1 -> r._3).toMap
+    assert(got3(3L) == 3L + 10000.0 + 1.0)
+    assert(got3.size == 50)
+
+    // OPTIMIZE purges the whole merge-on-read stack into a full snapshot
+    ManagedTable.optimize(spark, root)
+    val live = ManagedTable.currentVersion(root)
+    assert(files(live).nonEmpty)
+    assert(!Files.exists(Paths.get(root, s"v$live", "_dv_base")))
+    assert(ManagedTable.read(spark, root).count() == got2.length)
+  }
+
   test("timestampAsOf resolves through the commit log; bounds fail clearly") {
     import graft.sources.VersionedLayout
     val t = new java.util.concurrent.atomic.AtomicLong(0L)
