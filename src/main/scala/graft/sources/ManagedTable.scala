@@ -514,10 +514,14 @@ object ManagedTable extends VersionedLayout {
         // numerics; date strings whose year dominates the byte prefix) —
         // quantiles adapt to the distribution. Driver state is bounded:
         // at most 255 doubles per layout column.
+        // 6-bit buckets (64 per dimension): the per-row bucket lookup is
+        // a linear pass over the cut array, so cut count is per-row work —
+        // and 64 buckets per dimension already far exceeds any realistic
+        // output file count, so finer quantization buys no extra skipping.
         val cutArrays = cur
           .select(zorderBy.map(c => zExpr(c).as(s"_s_$c")): _*)
           .stat.approxQuantile(zorderBy.map(c => s"_s_$c").toArray,
-            (1 to 255).map(_ / 256.0).toArray, 0.01) // ONE pass, all columns
+            (1 to 63).map(_ / 64.0).toArray, 0.005) // ONE pass, all columns
         val cuts: Map[String, Seq[Double]] = zorderBy.zip(cutArrays)
           .map { case (c, arr) => c -> arr.toSeq.distinct.sorted }.toMap
         zorderCuts = cuts
@@ -526,7 +530,7 @@ object ManagedTable extends VersionedLayout {
         val buckets = zorderBy.map { c =>
           size(filter(typedLit(cuts(c)), x => x <= zExpr(c)))
         }
-        cur.withColumn("_z", interleaveBits(buckets))
+        cur.withColumn("_z", interleaveBits(buckets, bitsPer = 6))
           .repartitionByRange(nFiles, col("_z"))
           .sortWithinPartitions("_z")
           .drop("_z")
