@@ -539,6 +539,24 @@ object LifecycleQueries {
     BucketedTable.read(s, root)
   }
 
+  /** Bucketed UPDATE gate: re-price the F-status rows of the 16-bucket
+    * ≤1996H1 table — only buckets holding matches rewrite (narrow-
+    * predicate IO pinned in BucketedTableSpec), SET expressions see the
+    * pre-update row, and DuckDB replays the CASE relationally. */
+  def bucketedUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed_upd")
+    val base = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1996-06-30"))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(DoubleType).as("total"),
+        col("o_orderdate").cast(StringType).as("dt"))
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    BucketedTable.update(s, root,
+      Map("total" -> (col("total") + lit(50000.0)), "st" -> lit("R")),
+      col("st") === lit("F"))
+    BucketedTable.read(s, root)
+  }
+
   /** Bucketed schema-evolution gate: the 100 TB version of Delta
     * autoMerge. The 16-bucket target holds the ≤1995 per-customer count;
     * the 1996 source carries a NEW `total` column. The evolving merge
@@ -885,6 +903,7 @@ object LifecycleQueries {
     "q_merge_evolution" -> (mergeEvolution _),
     "q_bucketed_evolution" -> (bucketedEvolution _),
     "q_bucketed_delete" -> (bucketedDelete _),
+    "q_bucketed_update" -> (bucketedUpdate _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
@@ -1182,6 +1201,14 @@ object LifecycleQueries {
         |       ELSE t.n_orders END AS n_orders,
         |  s.total AS total
         |FROM t FULL JOIN s ON t.cust = s.cust""".stripMargin,
+    "q_bucketed_update" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'R' ELSE o_orderstatus END AS st,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN CAST(o_totalprice AS DOUBLE) + 50000.0
+        |       ELSE CAST(o_totalprice AS DOUBLE) END AS total,
+        |  CAST(o_orderdate AS VARCHAR) AS dt
+        |FROM orders WHERE o_orderdate <= DATE '1996-06-30'""".stripMargin,
     "q_bucketed_delete" ->
       """SELECT o_orderkey AS k, o_orderstatus AS st,
         |  CAST(o_totalprice AS DOUBLE) AS total,

@@ -400,6 +400,64 @@ object BucketedTable extends VersionedLayout {
       }, meta.schema)
   }
 
+  /** UPDATE at bucket-delta cost — the bucketed twin of
+    * [[ManagedTable.update]]: one pass finds the buckets holding rows
+    * satisfying `where`, only those rewrite with each `set` column
+    * re-evaluated (expressions see the PRE-update row), and untouched
+    * buckets carry by manifest reference. Null-predicate rows are
+    * untouched (SQL UPDATE); CHECK constraints ride the rewrite. With
+    * `changeFeed`, post-images land as `_changes/v<next>` before the
+    * swap. No-op when nothing matches. */
+  def update(spark: SparkSession, root: String, set: Map[String, Column],
+             where: Column = lit(true), changeFeed: Boolean = false): Unit = {
+    import graft.operators.Merge
+    val meta = readMeta(root)
+    val hit = coalesce(where, lit(false))
+    val withB = readAt(spark, root, meta)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    val touched = withB.filter(hit).select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: <= nBuckets ids
+    if (touched.isEmpty) return
+    val touchedSet = touched.toSet
+    val next = meta.version + 1
+    val touchedPaths = touched
+      .map(b => bucketDir(root, meta.manifest(b), b)).filter(hasParquet)
+    val touchedRows = readerFor(spark, meta)
+      .parquet(touchedPaths.toIndexedSeq: _*)
+    val cols = touchedRows.columns.toIndexedSeq
+    val bad = set.keySet -- cols.toSet
+    require(bad.isEmpty, s"UPDATE SET references missing column(s): " +
+      bad.mkString(", "))
+    require((set.keySet & meta.keys.toSet).isEmpty,
+      s"UPDATE SET must not touch bucket key(s) ${meta.keys.mkString(", ")} " +
+        "— a key change moves the row across buckets; use merge")
+    // hit evaluated on the PRE-update row, carried through the projection
+    val flagged = touchedRows.withColumn("__hit", hit)
+    val updated = flagged.select(cols.map(c =>
+      when(col("__hit"), set.getOrElse(c, col(c))).otherwise(col(c)).as(c)) :+
+      col("__hit"): _*)
+    if (changeFeed)
+      updated.filter(col("__hit")).drop("__hit")
+        .withColumn(Merge.ActionCol, lit("update"))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    val rewritten = Constraints.enforce(updated.drop("__hit"),
+        Constraints.load(root))
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    rewritten.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/v$next/_data")
+    touched.foreach { b =>
+      val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
+      val dst = Paths.get(bucketDir(root, s"v$next", b))
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst)
+    }
+    dropStaging(root, next)
+    writeVersion(root, next, meta.nBuckets, meta.keys,
+      meta.manifest.map { case (b, ver) =>
+        b -> (if (touchedSet(b)) s"v$next" else ver)
+      }, meta.schema)
+  }
+
   /** OPTIMIZE for the bucketed layout: every merge leaves its touched
     * buckets as fresh single-write dirs, but a bucket that keeps catching
     * deltas accumulates one rewrite per merge only — the real

@@ -105,6 +105,36 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(BucketedTable.read(spark, root).count() == 998)
   }
 
+  test("update rewrites only buckets holding matches; SET sees pre-rows") {
+    val root = Files.createTempDirectory("graft_bt_upd").toString
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i", i.toDouble))
+      .toDF("k", "v", "x")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+
+    // self-referential SET on a narrow key predicate: pre-row semantics
+    BucketedTable.update(spark, root,
+      Map("x" -> (col("x") + 1000.0)),
+      col("k") === 5L || col("k") === 700L, changeFeed = true)
+    val got = BucketedTable.read(spark, root).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got(5L) == 1005.0 && got(700L) == 1700.0 && got(6L) == 6.0)
+    assert(got.size == 1000)
+    val v1Buckets = Files.list(Paths.get(root, "v1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSeq
+    assert(v1Buckets.size <= 2)
+    // post-image feed
+    assert(BucketedTable.changes(spark, root, 1)
+      .select("x").as[Double].collect().toSet == Set(1005.0, 1700.0))
+    // bucket keys are immutable under UPDATE (a key change moves buckets)
+    intercept[IllegalArgumentException] {
+      BucketedTable.update(spark, root, Map("k" -> lit(9L)), col("k") === 5L)
+    }
+    // no-match update publishes nothing
+    val before = BucketedTable.currentVersion(root)
+    BucketedTable.update(spark, root, Map("x" -> lit(0.0)), col("k") === -1L)
+    assert(BucketedTable.currentVersion(root) == before)
+  }
+
   test("vacuum keeps manifest-reachable buckets, drops superseded ones") {
     val root = Files.createTempDirectory("graft_bt_vac").toString
     val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
