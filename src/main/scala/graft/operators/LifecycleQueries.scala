@@ -458,6 +458,29 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Managed-table SHALLOW-CLONE gate (dir-layout twin of
+    * q_bucketed_clone): the ≤1995 base becomes the source; a clone
+    * branches it by hard link (zero data bytes — pinned by inode in
+    * ManagedTableSpec), and the 1995H2-1996H1 delta merges into the
+    * CLONE only. The gate reads the post-merge clone; DuckDB recomputes
+    * the upsert relationally, and source isolation is pinned in the
+    * spec. */
+  def tableClone(s: SparkSession, dir: String): DataFrame = {
+    val srcRoot = freshRoot("tclone_src")
+    val cloneRoot = freshRoot("tclone_dst")
+    def shaped(f: org.apache.spark.sql.Column): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(srcRoot, shaped(col("o_orderdate") <= lit("1995-12-31")))
+    ManagedTable.shallowClone(s, srcRoot, cloneRoot)
+    ManagedTable.merge(s, cloneRoot,
+      shaped(col("o_orderdate").between(lit("1996-01-01"), lit("1996-06-30"))),
+      Seq("k"))
+    ManagedTable.read(s, cloneRoot)
+  }
+
   /** Merge-on-read UPDATE gate: an update tombstones its matched base
     * rows by address and appends their updated copies (no base file
     * rewritten — pinned by file-set in ManagedTableSpec); a stacked
@@ -894,6 +917,7 @@ object LifecycleQueries {
     "q_table_update_dv" -> (tableUpdateDv _),
     "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_generated" -> (tableGenerated _),
+    "q_table_clone" -> (tableClone _),
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
     "q_view_refresh" -> (viewRefresh _),
@@ -1135,6 +1159,23 @@ object LifecycleQueries {
         |FROM s1""".stripMargin,
     "q_table_dml" ->
       (dmlUpdatedSql + " AND o_orderdate >= DATE '1996-07-01'"),
+    "q_table_clone" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+        |d AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-06-30')
+        |SELECT coalesce(d.k, base.k) AS k,
+        |  CASE WHEN d.k IS NOT NULL THEN d.st ELSE base.st END AS st,
+        |  CASE WHEN d.k IS NOT NULL THEN d.total ELSE base.total END AS total,
+        |  CASE WHEN d.k IS NOT NULL THEN d.dt ELSE base.dt END AS dt
+        |FROM base FULL JOIN d ON base.k = d.k""".stripMargin,
     "q_table_generated" ->
       """SELECT o_orderkey AS k, o_orderstatus AS st,
         |  CAST(o_totalprice AS DOUBLE) AS total,

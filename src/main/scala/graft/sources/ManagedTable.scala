@@ -402,6 +402,48 @@ object ManagedTable extends VersionedLayout {
     *
     * The rewrite is one shuffle of the snapshot (range exchange on the
     * z-value) — same cost class as the merge it cleans up after. */
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src` on the
+    * dir layout): publish a clone table whose v0 HARD-LINKS the source's
+    * live data files — metadata-plus-links only, zero data bytes copied
+    * (the object-storage form is manifest reference, which
+    * [[BucketedTable.shallowClone]] implements). The clone starts its own
+    * independent version history: writes into the clone publish fresh
+    * version dirs and never touch the source's immutable files (links
+    * share bytes, and both sides only ever REPLACE whole versions, never
+    * mutate files in place). CHECK constraints, generated-column
+    * definitions and the live skipping manifest copy over; falls back to
+    * byte copies where the filesystem refuses links. Cloning a
+    * merge-on-read head materializes it is NOT done here — clone the
+    * base or OPTIMIZE first (clear error, like [[compactSmall]]). */
+  def shallowClone(spark: SparkSession, sourceRoot: String,
+                   cloneRoot: String): Unit = {
+    require(!exists(cloneRoot), s"clone target $cloneRoot already exists")
+    val live = currentVersion(sourceRoot)
+    require(dvBaseOf(sourceRoot, live).isEmpty,
+      s"shallowClone: v$live of $sourceRoot is a merge-on-read version — " +
+        "OPTIMIZE first to purge tombstones/appends into a full snapshot")
+    val srcDir = Paths.get(sourceRoot, s"v$live")
+    val dstDir = Paths.get(cloneRoot, "v0")
+    Files.createDirectories(dstDir)
+    val listing = Files.list(srcDir)
+    try listing.iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = dstDir.resolve(p.getFileName.toString)
+        try Files.createLink(dst, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, dst) }
+      }
+    finally listing.close()
+    val stats = srcDir.resolve("_stats.tsv")
+    if (Files.exists(stats))
+      Files.copy(stats, dstDir.resolve("_stats.tsv"))
+    Seq("_constraints", "_generated").foreach { f =>
+      val src = Paths.get(sourceRoot, f)
+      if (Files.exists(src)) Files.copy(src, Paths.get(cloneRoot, f))
+    }
+    swapPointer(cloneRoot, 0)
+  }
+
   /** Incremental OPTIMIZE — the compaction that scales: [[optimize]]
     * rewrites the whole snapshot, but real fragmentation accumulates as a
     * SMALL-FILE TAIL (every small merge/append leaves a few KB-files

@@ -417,6 +417,42 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == got2.length)
   }
 
+  test("shallow clone links files zero-copy; clone writes never touch source") {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = Files.createTempDirectory("graft_mcl_src").toString
+    val cloneRoot = Files.createTempDirectory("graft_mcl").toString + "/t"
+    ManagedTable.overwrite(srcRoot,
+      (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(4))
+    ManagedTable.addConstraint(spark, srcRoot, "k_pos", "k > 0")
+    def ino(dir: String, name: String) =
+      Files.getAttribute(Paths.get(dir, name), "unix:ino")
+    ManagedTable.shallowClone(spark, srcRoot, cloneRoot)
+    val srcFiles = Files.list(Paths.get(srcRoot, "v0")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toVector
+    srcFiles.foreach { f =>
+      assert(ino(s"$srcRoot/v0", f) == ino(s"$cloneRoot/v0", f))
+    }
+    assert(ManagedTable.read(spark, cloneRoot).count() == 500)
+    // constraints travel with the clone
+    assert(ManagedTable.constraintsOf(cloneRoot).map(_.name) == Seq("k_pos"))
+
+    // a merge into the clone leaves the source byte-identical
+    val srcBytes = srcFiles.map(f =>
+      f -> Files.size(Paths.get(srcRoot, "v0", f))).toMap
+    ManagedTable.merge(spark, cloneRoot,
+      Seq((5L, "EDIT"), (9999L, "NEW")).toDF("k", "v"), Seq("k"))
+    assert(ManagedTable.read(spark, cloneRoot).count() == 501)
+    assert(ManagedTable.read(spark, srcRoot).count() == 500)
+    srcFiles.foreach { f =>
+      assert(Files.size(Paths.get(srcRoot, "v0", f)) == srcBytes(f))
+    }
+    // a clone-side constraint violation still aborts (enforcement cloned)
+    intercept[Exception] {
+      ManagedTable.merge(spark, cloneRoot,
+        Seq((-1L, "BAD")).toDF("k", "v"), Seq("k"))
+    }
+  }
+
   test("timestampAsOf resolves through the commit log; bounds fail clearly") {
     import graft.sources.VersionedLayout
     val t = new java.util.concurrent.atomic.AtomicLong(0L)
