@@ -178,6 +178,17 @@ object ManagedTable extends VersionedLayout {
       val fromBase = applySet(baseLive.filter(hit).drop(DvFileCol, DvPosCol))
       oldApp.fold(fromBase)(a => fromBase.unionByName(applySet(a.filter(hit))))
     }
+    // A type-changing SET would make appended files diverge from the base
+    // schema and break the union on read — reject it up front (Delta
+    // likewise refuses type-changing updates without explicit evolution).
+    val baseTypes = baseLive.drop(DvFileCol, DvPosCol).schema
+      .map(f => f.name -> f.dataType)
+    val updTypes = updated.schema.map(f => f.name -> f.dataType)
+    require(updTypes == baseTypes,
+      s"UPDATE SET changes column type(s): " +
+        updTypes.zip(baseTypes).collect {
+          case ((n, t), (_, bt)) if t != bt => s"$n: $bt -> $t"
+        }.mkString(", "))
     val guarded = Constraints.enforce(
       GeneratedColumns(updated, GeneratedColumns.load(root)),
       constraintsOf(root))

@@ -409,6 +409,14 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(got3(3L) == 3L + 10000.0 + 1.0)
     assert(got3.size == 50)
 
+    // a type-changing SET is rejected before anything is published
+    val vBefore = ManagedTable.currentVersion(root)
+    intercept[IllegalArgumentException] {
+      ManagedTable.updateVectorized(spark, root,
+        Map("v" -> lit("not-a-double")), col("m") === 3)
+    }
+    assert(ManagedTable.currentVersion(root) == vBefore)
+
     // OPTIMIZE purges the whole merge-on-read stack into a full snapshot
     ManagedTable.optimize(spark, root)
     val live = ManagedTable.currentVersion(root)
