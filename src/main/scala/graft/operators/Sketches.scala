@@ -241,10 +241,74 @@ object Sketches {
       .select(col("tok"), col("cnt"))
   }
 
+  /** HyperLogLog++ distinct-count certification: per-language token
+    * vocabulary via Spark's `approx_count_distinct` (HLL++, Heule et al.
+    * '13 — mergeable, codegen'd, constant memory per group), certified
+    * against the exact distinct count computed in the same aggregate.
+    *
+    * HLL++ register layouts are engine-internal, so a second engine cannot
+    * reproduce the ESTIMATE bit-for-bit — what IS a pure function of the
+    * data is the certificate `|est - exact| / exact <= tol`, which both
+    * engines agree on (the oracle asserts `true`). The exact side exists
+    * only to certify: at 100 TB you ship the HLL column alone — a
+    * fixed-size register blob per group that merges associatively across
+    * partitions/days, vs `COUNT(DISTINCT)`'s distinct-expand exchange of
+    * the full vocabulary. rsd=0.01 → ~6 KB of registers per group; tol
+    * leaves 5× headroom over the advertised σ. */
+  def sketchHllCertify(s: SparkSession, dir: String,
+                       rsd: Double = 0.01, tol: Double = 0.05): DataFrame =
+    table(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), rsd).as("_est"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("_est") - col("exact_distinct")) <=
+          col("exact_distinct") * tol).as("est_ok"))
+
+  /** Greenwald-Khanna quantile-sketch certification: per-language p50/p90
+    * of tokens-per-document via `percentile_approx(accuracy)`, certified by
+    * the sketch's own rank guarantee instead of a value convention.
+    *
+    * Exact percentiles at 100 TB need a full sort per group; the GK sketch
+    * is the mergeable scale path but its returned element is
+    * engine-specific at tied/boundary ranks, so the gate checks the actual
+    * GK contract: the returned value q must satisfy
+    * `rank<(q)/n <= p + eps` and `rank<=(q)/n >= p - eps` (rank error
+    * <= eps·n with eps = 1/accuracy; `eps` below adds discreteness slack).
+    * Both bounds are convention-free — DuckDB certifies them as `true`
+    * whatever element its own quantile picks. The certificate rides one
+    * broadcast join of the 5-row quantile frame back onto the data. */
+  def sketchQuantileCertify(s: SparkSession, dir: String,
+                            accuracy: Int = 10000, eps: Double = 0.01): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).as("v"))
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("v"),
+        array(lit(0.5), lit(0.9)), lit(accuracy)).as("ap"))
+      .select(col("lang"), col("ap")(0).as("ap50"), col("ap")(1).as("ap90"))
+    def okAt(p: Double, ap: Column): Column = {
+      val n = count(lit(1))
+      val le = sum(when(col("v") <= ap, 1L).otherwise(0L))
+      val lt = sum(when(col("v") < ap, 1L).otherwise(0L))
+      le >= n * lit(p - eps) && lt <= n * lit(p + eps)
+    }
+    // ap50/ap90 are group-constant after the join, so they can sit inside
+    // the aggregate expressions directly (no nested agg needed).
+    docs.join(broadcast(approx), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        okAt(0.5, col("ap50")).as("ok_p50"),
+        okAt(0.9, col("ap90")).as("ok_p90"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> ((s: SparkSession, d: String) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => dedupSimhash(s, d)),
     "q_sketch_heavy" -> ((s: SparkSession, d: String) => heavyHitters(s, d)),
+    "q_sketch_hll" -> ((s: SparkSession, d: String) => sketchHllCertify(s, d)),
+    "q_sketch_quantile" ->
+      ((s: SparkSession, d: String) => sketchQuantileCertify(s, d)),
     "q_sketch_theta" -> (sketchThetaDistinct _))
 
   /** The MinHash+LSH pipeline (verified candidates) must reproduce exact
@@ -254,6 +318,14 @@ object Sketches {
     * live bit-votes, sign-packing, 8×8-bit banding, and the Hamming
     * verify — exact, not statistical. */
   val oracles: Map[String, String] = Map(
+    "q_sketch_hll" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, COUNT(DISTINCT tok) AS exact_distinct, true AS est_ok
+        |FROM toks GROUP BY lang""".stripMargin,
+    "q_sketch_quantile" ->
+      """SELECT lang, COUNT(*) AS n_docs, true AS ok_p50, true AS ok_p90
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_sketch_heavy" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
