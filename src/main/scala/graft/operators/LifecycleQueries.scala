@@ -504,6 +504,39 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Merge-on-read MERGE gate — upsert at delta cost: the first
+    * `mergeVectorized` tombstones matched base rows by address and appends
+    * their post-images plus the inserts (no base file rewritten — pinned
+    * at IO level in ManagedTableSpec); the second stacks a conditional
+    * DELETE clause on top, filtering base AND previously-appended rows.
+    * DuckDB replays both merges relationally — a mis-addressed tombstone,
+    * a lost append survivor, or a wrong clause resolution breaks the
+    * hash. */
+  def tableMergeMor(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("merge_mor")
+    def shaped(f: org.apache.spark.sql.Column): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(root,
+      shaped(col("o_orderdate") <= lit("1995-12-31")).repartition(8))
+    // updates (1995H2 keys exist) + inserts (1996H1 keys are new)
+    ManagedTable.mergeVectorized(s, root,
+      shaped(col("o_orderdate").between(lit("1995-07-01"), lit("1996-06-30")))
+        .withColumn("total", col("total") + lit(50000.0)),
+      Seq("k"))
+    // conditional matched-delete over 1995H1 keys: drop the big orders
+    ManagedTable.mergeVectorized(s, root,
+      shaped(col("o_orderdate").between(lit("1995-01-01"), lit("1995-06-30"))),
+      Seq("k"),
+      MergeClauses.Spec(
+        updateWhen = Some(lit(false)),
+        deleteWhen = Some(col("s.total") > lit(200000.0)),
+        insertWhen = Some(lit(false))))
+    ManagedTable.read(s, root)
+  }
+
   /** Incremental-compaction gate: a skewed hash layout leaves one healthy
     * file and a sliver tail; `compactSmall` bin-packs ONLY the slivers and
     * hard-links the healthy file into the new version (zero data bytes —
@@ -914,6 +947,7 @@ object LifecycleQueries {
     "q_table_constraints" -> (tableConstraints _),
     "q_table_dml" -> (tableDml _),
     "q_table_delete_dv" -> (tableDeleteDv _),
+    "q_table_merge_mor" -> (tableMergeMor _),
     "q_table_update_dv" -> (tableUpdateDv _),
     "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_generated" -> (tableGenerated _),
@@ -1186,6 +1220,29 @@ object LifecycleQueries {
       """SELECT l_orderkey AS k, l_linenumber AS ln,
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf
         |FROM lineitem""".stripMargin,
+    "q_table_merge_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+        |d1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) + 50000.0 AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30'),
+        |m1 AS (
+        |  SELECT * FROM d1
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.k = b.k)),
+        |d2 AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+        |    AND CAST(o_totalprice AS DOUBLE) > 200000.0)
+        |SELECT m1.* FROM m1
+        |WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.k = m1.k)""".stripMargin,
     "q_table_update_dv" ->
       """WITH s1 AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -202,6 +202,102 @@ object ManagedTable extends VersionedLayout {
       oldDv.fold(newTombs)(_.unionByName(newTombs)), Some(app2))
   }
 
+  /** MERGE at delta cost — the merge-on-read form of [[merge]] (Delta
+    * merge-on-read / Iceberg v2 MERGE with position deletes, from the
+    * public designs). Same clause semantics and the same single full-outer
+    * key join as [[merge]], but instead of rewriting the snapshot the
+    * published version SHARES the base files and records only the delta:
+    * matched base rows are tombstoned by (file, position) address, their
+    * post-images plus the not-matched inserts land in `_append`, and
+    * previously-appended rows are rewritten in place of the (delta-sized)
+    * append set. Unmatched base rows are never written — the join output
+    * is filtered to touched-or-appended rows BEFORE materialization, so
+    * write cost and the lazy-checkpoint footprint scale with
+    * |source| + |append set|, not the table. At 100 TB a daily-delta
+    * upsert writes GBs where [[merge]] rewrites the snapshot (and
+    * [[BucketedTable.merge]] rewrites touched buckets); [[optimize]]
+    * later folds the accumulated deltas back into a clean snapshot.
+    *
+    * Schema evolution is NOT offered here: appended files must match the
+    * base schema or the union on read breaks — an evolving merge is a
+    * rewrite by nature, use `merge(schemaEvolution = true)`. CHECK
+    * constraints and generated columns ride the newly-written rows, as in
+    * [[updateVectorized]]. With `changeFeed`, non-keep rows land as
+    * `_changes/v<next>` (post-images, tagged; `preImageFeed` adds the
+    * pre-update struct) before the pointer swap. */
+  def mergeVectorized(spark: SparkSession, root: String, source: DataFrame,
+                      keys: Seq[String],
+                      clauses: MergeClauses.Spec = MergeClauses.Spec(),
+                      nullSafeKeys: Boolean = true,
+                      changeFeed: Boolean = false,
+                      preImageFeed: Boolean = false): Unit = {
+    import graft.operators.Merge
+    val live = currentVersion(root)
+    val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
+    val cols = baseLive.drop(DvFileCol, DvPosCol).columns.toIndexedSeq
+    val missing = cols.filterNot(source.columns.contains)
+    require(missing.isEmpty, "merge-on-read MERGE source lacks target " +
+      s"column(s) ${missing.mkString(", ")}; appended files must match " +
+      "the base schema — an evolving merge is a rewrite, use " +
+      "merge(schemaEvolution = true)")
+    // Addresses ride the merge as ordinary target columns: null marks a
+    // row that did not come from a base file (appended rows, and every
+    // update/insert post-image, which takes the source side's null).
+    val appAddr = oldApp.map(_
+      .withColumn(DvFileCol, lit(null).cast("string"))
+      .withColumn(DvPosCol, lit(null).cast("bigint")))
+    val target = appAddr.fold(baseLive)(baseLive.unionByName(_))
+    val src = source
+      .withColumn(DvFileCol, lit(null).cast("string"))
+      .withColumn(DvPosCol, lit(null).cast("bigint"))
+    val act = col(Merge.ActionCol)
+    // Base keeps (address non-null) are the table-sized bulk the MoR form
+    // exists to never touch: filter them out INSIDE the join pipeline so
+    // the lazy checkpoint materializes only delta-sized rows.
+    val touched = Merge.mergeFramesTagged(target, src, keys, clauses,
+        nullSafeKeys, schemaEvolution = false, preImage = true)
+      .filter(act =!= lit("keep") || col(DvFileCol).isNull)
+      .localCheckpoint(eager = false)
+    val next = live + 1
+    try {
+      val fresh = touched.filter(act.isin("update", "insert"))
+        .drop(DvFileCol, DvPosCol, Merge.ActionCol, Merge.PreCol)
+      val baseTypes = cols.map(c => c -> baseLive.schema(c).dataType)
+      val freshTypes = fresh.schema.map(f => f.name -> f.dataType).toIndexedSeq
+      require(freshTypes == baseTypes,
+        "merge-on-read MERGE changes column type(s): " +
+          freshTypes.zip(baseTypes).collect {
+            case ((n, t), (_, bt)) if t != bt => s"$n: $bt -> $t"
+          }.mkString(", "))
+      val guarded = Constraints.enforce(
+        GeneratedColumns(fresh, GeneratedColumns.load(root)),
+        constraintsOf(root))
+      if (changeFeed) {
+        val feedBase = touched.filter(act =!= lit("keep"))
+          .drop(DvFileCol, DvPosCol)
+        val feed =
+          if (!preImageFeed) feedBase.drop(Merge.PreCol)
+          else feedBase.withColumn(Merge.PreCol,
+            when(col(Merge.PreCol).isNotNull,
+              struct(cols.map(c => col(Merge.PreCol)(c).as(c)): _*)))
+        feed.write.mode("overwrite").parquet(s"$root/_changes/v$next")
+      }
+      val updTombs = touched
+        .filter(act === lit("update") && col(Merge.PreCol)(DvFileCol).isNotNull)
+        .select(col(Merge.PreCol)(DvFileCol).as(DvFileCol),
+          col(Merge.PreCol)(DvPosCol).as(DvPosCol))
+      val delTombs = touched
+        .filter(act === lit("delete") && col(DvFileCol).isNotNull)
+        .select(col(DvFileCol), col(DvPosCol))
+      val newTombs = updTombs.unionByName(delTombs)
+      val app2 = guarded.unionByName(
+        touched.filter(act === lit("keep"))
+          .drop(DvFileCol, DvPosCol, Merge.ActionCol, Merge.PreCol))
+      publishMor(root, next, base,
+        oldDv.fold(newTombs)(_.unionByName(newTombs)), Some(app2))
+    } finally touched.unpersist()
+  }
+
   /** The merge-on-read decomposition of a live version: its FULL base
     * version, the base rows still live (addressed, tombstones already
     * subtracted), and the current tombstone / appended-row sets. */

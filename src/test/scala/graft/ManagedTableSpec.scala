@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Merge
-import graft.sources.ManagedTable
+import graft.sources.{ManagedTable, MergeClauses}
 
 class ManagedTableSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -423,6 +423,68 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(files(live).nonEmpty)
     assert(!Files.exists(Paths.get(root, s"v$live", "_dv_base")))
     assert(ManagedTable.read(spark, root).count() == got2.length)
+  }
+
+  test("merge-on-read MERGE: base untouched; delta-sized tombstones+appends") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_mor_merge").toString
+    val df = (1 to 1000).map(i => (i.toLong, i % 10, i.toDouble))
+      .toDF("k", "m", "v")
+    ManagedTable.overwrite(root, df.repartition(8))
+    def files(v: Int) = Files.list(Paths.get(root, s"v$v")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val baseFiles = files(0)
+
+    // upsert: keys 900-1100 → 101 updates + 100 inserts
+    val delta = (900 to 1100).map(i => (i.toLong, i % 10, i + 0.5))
+      .toDF("k", "m", "v")
+    ManagedTable.mergeVectorized(spark, root, delta, Seq("k"))
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(files(0) == baseFiles) // no base data file rewritten
+    assert(files(1).isEmpty)      // v1 holds only _dv/_append/_dv_base
+    val got1 = ManagedTable.read(spark, root).as[(Long, Int, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got1.size == 1100)
+    assert(got1(100L) == 100.0)    // unmatched base row untouched
+    assert(got1(950L) == 950.5)    // matched base row updated
+    assert(got1(1050L) == 1050.5)  // not-matched source row inserted
+    // tombstones are delta-sized: exactly the 101 matched base rows
+    assert(spark.read.parquet(s"$root/v1/_dv").count() == 101)
+
+    // stacked MoR merge with a delete clause: matched keys 1000-1100
+    // with even m are deleted, the rest updated; appended rows from v1
+    // are rewritten in place of the append set, base still untouched.
+    val delta2 = (1000 to 1100).map(i => (i.toLong, i % 10, i + 0.25))
+      .toDF("k", "m", "v")
+    ManagedTable.mergeVectorized(spark, root, delta2, Seq("k"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.m") % 2 =!= 0),
+        deleteWhen = Some(lit(true)),
+        insertWhen = Some(lit(false))))
+    assert(files(0) == baseFiles)
+    val got2 = ManagedTable.read(spark, root).as[(Long, Int, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got2.size == 1100 - 51)        // 51 even-m keys in 1000..1100 gone
+    assert(got2(1001L) == 1001.25)        // odd-m appended row updated
+    assert(!got2.contains(1000L))         // even-m appended row deleted
+    assert(got2(999L) == 999.5)           // prior append survivor carried
+    assert(got2(1L) == 1.0)               // base bulk untouched
+
+    // a type-changing source is rejected before anything is published
+    val vBefore = ManagedTable.currentVersion(root)
+    intercept[IllegalArgumentException] {
+      ManagedTable.mergeVectorized(spark, root,
+        Seq((1L, 1, "bad")).toDF("k", "m", "v"), Seq("k"))
+    }
+    assert(ManagedTable.currentVersion(root) == vBefore)
+
+    // OPTIMIZE folds the MoR stack back into a full snapshot
+    ManagedTable.optimize(spark, root)
+    val live = ManagedTable.currentVersion(root)
+    assert(files(live).nonEmpty)
+    assert(!Files.exists(Paths.get(root, s"v$live", "_dv_base")))
+    assert(ManagedTable.read(spark, root).count() == got2.size)
   }
 
   test("shallow clone links files zero-copy; clone writes never touch source") {
