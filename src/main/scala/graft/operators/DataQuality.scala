@@ -58,10 +58,74 @@ object DataQuality {
       Rule("lang_in_domain", countWhere(!col("lang").isin("en", "de", "fr", "es", "pt"))),
       Rule("n_chars_consistent", countWhere(col("n_chars") =!= length(col("text"))))))
 
+  /** One referential-integrity edge: child.childKey must resolve in
+    * parent.parentKey. */
+  final case class FkEdge(name: String, child: String, childKey: String,
+                          parent: String, parentKey: String)
+
+  /** Cross-table referential-integrity audit: for each FK edge, the count
+    * of child rows (null FKs excluded — SQL FK semantics) and of ORPHANS
+    * (children whose key resolves to no parent), one report row per edge.
+    *
+    * Each edge is one left join against the DISTINCT parent keys with both
+    * counts in a single aggregate — one scan of each side per edge. At
+    * 100 TB the parent key set of a dimension broadcasts (AQE picks this
+    * up from the distinct's size); a fact-to-fact edge shuffles both sides
+    * on the key, the cost floor for an exact orphan check. The per-edge
+    * single-row plans union into one report frame, so the whole audit is
+    * one job. */
+  def fkAudit(s: SparkSession, dir: String, edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "fk audit needs at least one edge")
+    edges.map { e =>
+      val c = table(s, dir, e.child)
+        .select(col(e.childKey).as("k")).filter(col("k").isNotNull)
+      val p = table(s, dir, e.parent)
+        .select(col(e.parentKey).as("k")).distinct()
+        .withColumn("_hit", lit(true))
+      c.join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_children"),
+          coalesce(sum(when(col("_hit").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
+        .select(lit(e.name).as("edge"), col("n_children"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("passed"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q_dq_integrity: the TPC-H-ish schema's FK skeleton audited in one
+    * report — the pre-merge gate that catches a partial dimension load or
+    * a fact batch referencing unshipped keys before it lands. */
+  def dqIntegrity(s: SparkSession, dir: String): DataFrame =
+    fkAudit(s, dir, Seq(
+      FkEdge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      FkEdge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      FkEdge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      FkEdge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      FkEdge("nation_region", "nation", "n_regionkey", "region", "r_regionkey")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_integrity" -> (dqIntegrity _),
     "q_dq_report" -> (dqReport _))
 
+  private def fkEdgeSql(name: String, child: String, childKey: String,
+                        parent: String, parentKey: String): String =
+    s"""SELECT '$name' AS edge, COUNT(*) AS n_children,
+       |  CAST(SUM(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_orphans,
+       |  CAST(SUM(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) = 0 AS passed
+       |FROM $child c
+       |LEFT JOIN (SELECT DISTINCT $parentKey FROM $parent) p
+       |  ON c.$childKey = p.$parentKey
+       |WHERE c.$childKey IS NOT NULL""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_dq_integrity" -> Seq(
+      fkEdgeSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkEdgeSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fkEdgeSql("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fkEdgeSql("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      fkEdgeSql("nation_region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("\nUNION ALL\n"),
     "q_dq_report" ->
       """WITH a AS (SELECT
         |    COUNT(*) - COUNT(DISTINCT doc_id) AS doc_id_unique,

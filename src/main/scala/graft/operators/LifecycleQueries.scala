@@ -504,6 +504,34 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Write-audit-publish gate: a batch with duplicate keys is staged,
+    * audited against the table's quality rules, and REJECTED — the live
+    * version never moves; the clean batch then stages, audits green, and
+    * publishes. The gate reads the final table: a WAP that leaked the bad
+    * batch (dup keys) or lost the good one breaks the hash. The audit
+    * runs on the staged files themselves — the Iceberg WAP discipline. */
+  def tableWap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality.{Rule, countWhere}
+    val root = freshRoot("wap")
+    def shaped(f: org.apache.spark.sql.Column): DataFrame =
+      table(s, dir, "orders").filter(f)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast(DoubleType).as("total"),
+          col("o_orderdate").cast(StringType).as("dt"))
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"))
+    ManagedTable.overwrite(root, base)
+    val rules = Seq(
+      Rule("k_unique", count(lit(1)) - countDistinct(col("k"))),
+      Rule("dt_complete", countWhere(col("dt").isNull)))
+    // bad batch: F-status rows duplicated → k_unique fails, no publish
+    ManagedTable.writeAuditPublish(s, root,
+      base.unionByName(base.filter(col("st") === lit("F"))), rules)
+    // clean batch: distinct keys through 1996H1 → publishes
+    ManagedTable.writeAuditPublish(s, root,
+      shaped(col("o_orderdate") <= lit("1996-06-30")), rules)
+    ManagedTable.read(s, root)
+  }
+
   /** Merge-on-read MERGE gate — upsert at delta cost: the first
     * `mergeVectorized` tombstones matched base rows by address and appends
     * their post-images plus the inserts (no base file rewritten — pinned
@@ -948,6 +976,7 @@ object LifecycleQueries {
     "q_table_dml" -> (tableDml _),
     "q_table_delete_dv" -> (tableDeleteDv _),
     "q_table_merge_mor" -> (tableMergeMor _),
+    "q_table_wap" -> (tableWap _),
     "q_table_update_dv" -> (tableUpdateDv _),
     "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_generated" -> (tableGenerated _),
@@ -1220,6 +1249,11 @@ object LifecycleQueries {
       """SELECT l_orderkey AS k, l_linenumber AS ln,
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf
         |FROM lineitem""".stripMargin,
+    "q_table_wap" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS total,
+        |  CAST(o_orderdate AS VARCHAR) AS dt
+        |FROM orders WHERE o_orderdate <= DATE '1996-06-30'""".stripMargin,
     "q_table_merge_mor" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,

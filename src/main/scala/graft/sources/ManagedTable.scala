@@ -357,6 +357,41 @@ object ManagedTable extends VersionedLayout {
     swapPointer(root, next)
   }
 
+  /** WRITE-AUDIT-PUBLISH (the Iceberg WAP / Netflix audit pattern, from
+    * the public descriptions): stage `df` as the next version dir WITHOUT
+    * swapping the pointer, run the [[graft.operators.DataQuality]] audit
+    * rules against the STAGED FILES (not the input frame — so write-path
+    * corruption is caught too, and the audit scan is the same columnar
+    * read production readers will do), then publish the pointer only if
+    * every rule passes; a failing audit removes the staged dir and leaves
+    * the live version untouched. Readers can never observe an unaudited
+    * version — the pointer swap IS the publish.
+    *
+    * Returns the audit report frame (rule, n_violations, passed) — already
+    * materialized, since the publish decision consumed it. The only
+    * driver-side data is the per-rule report (bounded by the rule count).
+    * CHECK constraints and generated columns still ride the staged write,
+    * as in [[overwrite]]: WAP layers batch-level statistical gates (row
+    * counts, uniqueness, distribution checks) on top of the row-level
+    * constraint surface. */
+  def writeAuditPublish(spark: SparkSession, root: String, df: DataFrame,
+                        rules: Seq[graft.operators.DataQuality.Rule])
+      : DataFrame = {
+    val next = if (exists(root)) currentVersion(root) + 1 else 0
+    val stage = Paths.get(root, s"v$next")
+    Constraints.enforce(
+        GeneratedColumns(df, GeneratedColumns.load(root)),
+        constraintsOf(root))
+      .write.mode("overwrite").parquet(stage.toString)
+    val report = graft.operators.DataQuality
+      .check(spark.read.parquet(stage.toString), rules)
+      .localCheckpoint() // one audit scan; the report is rule-count-sized
+    val ok = report.agg(min(col("passed"))).head().getBoolean(0)
+    if (ok) swapPointer(root, next)
+    else ScratchDirs.deleteRecursively(stage)
+    report
+  }
+
   /** ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) — register a
     * generated column ([[GeneratedColumns]] semantics: omitted on write →
     * computed; supplied → validated). On a non-empty table that lacks the

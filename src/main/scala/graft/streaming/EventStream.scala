@@ -51,6 +51,36 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col(idCol), col("fingerprint"))
 
+  /** Watermarked stream-stream INTERVAL JOIN: every (view, purchase) pair
+    * of the same user with the purchase inside `maxGapMinutes` after the
+    * view — the canonical two-stream enrichment (Spark's stream-stream
+    * join with an event-time range condition). Both sides carry a
+    * watermark and the join condition bounds their time skew, which is
+    * what lets the state store evict a view once the purchase-side
+    * watermark passes `v_ts + maxGap` — at 100 TB/day the state held is
+    * one join-window of data, not the stream's history. Inner-join
+    * matches emit as soon as the second side arrives (append mode), so
+    * the emitted set is the exact relational interval join as long as no
+    * state was evicted before its partner arrived — the replay gate pins
+    * that with an over-span horizon; bounded-horizon eviction is the
+    * production memory/completeness trade. Works unchanged on batch
+    * frames (watermarks are no-ops there). */
+  def viewPurchaseJoin(events: DataFrame, maxGapMinutes: Long = 60,
+                       horizon: String = "1 hour"): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_us").as("view_us"), timestamp_micros(col("ts_us")).as("v_ts"))
+      .withWatermark("v_ts", horizon)
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"), timestamp_micros(col("ts_us")).as("p_ts"))
+      .withWatermark("p_ts", horizon)
+    v.join(p, expr("v_user = p_user AND p_ts >= v_ts AND " +
+        s"p_ts <= v_ts + interval $maxGapMinutes minutes"))
+      .select(col("p_user").as("user_id"), col("view_id"),
+        col("purchase_id"), (col("p_us") - col("view_us")).as("gap_us"))
+  }
+
   /** Event row with the derived event-time column the watermark rides on. */
   final case class EventTs(event_id: Long, user_id: Long, ts_us: Long,
                            event_type: String, value: Double,

@@ -197,6 +197,50 @@ object StreamGates {
     }
   }
 
+  /** q_stream_join: the STREAM-STREAM twin — EventStream.viewPurchaseJoin
+    * (watermarked interval self-join of the event feed split into view and
+    * purchase streams) replayed across TWO checkpointed AvailableNow
+    * restarts on time-contiguous slices, so a view in batch 1 joins a
+    * purchase in batch 2 THROUGH THE JOIN STATE STORE — the cross-batch
+    * carry this gate hashes. The watermark horizon sits beyond the data
+    * span: no join state is evicted mid-replay, so the emitted set equals
+    * the exact relational interval join (pairs emit on second-side
+    * arrival and are per-pair independent — batch-cut-invariant). The
+    * bounded-horizon eviction trade stays documented on the operator. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    replaySlices(s, eventsNarrow(s, dir), nSlices = 2, "stream_join") {
+      incoming =>
+        EventStream.viewPurchaseJoin(incoming, horizon = "175200 hours")
+    }
+  }
+
+  /** q_stream_dedup: the streaming EXACT-DEDUP twin —
+    * EventStream.streamingDedup (`dropDuplicatesWithinWatermark` on the
+    * md5 fingerprint) replayed across THREE checkpointed AvailableNow
+    * restarts, with a synthetic event time (doc_id µs) driving the slices.
+    * A duplicate payload arriving in a LATER batch than its first copy is
+    * suppressed THROUGH THE STATE STORE — the carry this gate hashes. The
+    * horizon sits beyond the data span (no fingerprint state expires), so
+    * the emitted set is exactly one row per distinct payload; the gate
+    * emits the fingerprint alone because WHICH copy survives is
+    * arrival-order-dependent — the deduplicated SET is the deterministic
+    * contract (eviction-horizon drift stays covered by CorpusStreamSpec). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    // day-one offset: a doc at epoch 0 would tie the INITIAL watermark
+    // (also 0) and be dropped as late before any state exists
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") + lit(86400L)) * lit(1000000L)).as("ts_us"))
+    replaySlices(s, docs, nSlices = 3, "stream_dedup") { incoming =>
+      EventStream.streamingDedup(
+          incoming.withColumn("ts", timestamp_micros(col("ts_us"))),
+          "doc_id", "text", "ts", horizon = "175200 hours")
+        .select(col("fingerprint"))
+    }
+  }
+
   /** q_stream_cdc_replica: CDC REPLICATION — the consumer side of the
     * change feed. A source-of-truth versioned table runs two feed-recording
     * merges (insert-everything, then update-when-newer/delete-when-stale);
@@ -246,6 +290,8 @@ object StreamGates {
     "q_stream_hourly" -> (streamHourly _),
     "q_stream_attribution" -> (streamAttribution _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_join" -> (streamJoin _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_stream_cdc_replica" -> (streamCdcReplica _))
 
   /** q_stream_neardup: same relational definition as q_dedup_incremental —
@@ -267,6 +313,18 @@ object StreamGates {
     // landed, so the replica gate shares the lifecycle state oracle.
     "q_stream_cdc_replica" ->
       graft.operators.LifecycleQueries.oracles("q_lifecycle_table"),
+    "q_stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  p.us - v.us AS gap_us
+        |FROM e v JOIN e p
+        |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND v.user_id = p.user_id
+        | AND p.us >= v.us AND p.us - v.us <= 3600000000""".stripMargin,
     "q_stream_hourly" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -425,6 +425,33 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == got2.length)
   }
 
+  test("write-audit-publish: failing audit discards stage, live untouched") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DataQuality.{Rule, countWhere}
+    val root = Files.createTempDirectory("graft_wap").toString
+    val good = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    ManagedTable.overwrite(root, good)
+    val rules = Seq(
+      Rule("k_unique", count(lit(1)) - countDistinct(col("k"))),
+      Rule("v_positive", countWhere(col("v") <= 0.0)))
+
+    // bad batch: duplicate key AND a negative value → both rules fail
+    val bad = Seq((1L, 10.0), (1L, -5.0)).toDF("k", "v")
+    val report1 = ManagedTable.writeAuditPublish(spark, root, bad, rules)
+    assert(report1.filter(col("passed")).count() == 0)    // both rules fail
+    assert(ManagedTable.currentVersion(root) == 0)       // pointer unmoved
+    assert(!Files.exists(Paths.get(root, "v1")))          // stage discarded
+    assert(ManagedTable.read(spark, root).count() == 3)
+
+    // clean batch publishes as v1 with an all-green report
+    val report2 = ManagedTable.writeAuditPublish(spark, root,
+      good.withColumn("v", col("v") + 1.0), rules)
+    assert(report2.filter(!col("passed")).count() == 0)
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(ManagedTable.read(spark, root).as[(Long, Double)]
+      .collect().toMap.apply(1L) == 11.0)
+  }
+
   test("merge-on-read MERGE: base untouched; delta-sized tombstones+appends") {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._
