@@ -504,6 +504,27 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** Bloom-index point-lookup gate: the table is hash-distributed on the
+    * key (every file spans nearly the full key range — min/max skipping
+    * prunes NOTHING here), analyzeBloom records a per-file filter, and
+    * three readPoint probes (min key, max key, and a key that does not
+    * exist) union into the gate frame. The bloom prunes to ~1 file per
+    * probe (pinned via inputFiles in ManagedTableSpec); DuckDB recomputes
+    * the two hits relationally — a filter that pruned a true file would
+    * lose rows, a wrong equality would add them. */
+  def tableBloom(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bloom")
+    val o = table(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      col("o_totalprice").cast(DoubleType).as("total"))
+    ManagedTable.overwrite(root, o.repartition(8, col("k")))
+    ManagedTable.analyzeBloom(s, root, Seq("k"))
+    val probe = o.agg(min(col("k")), max(col("k"))).head() // bounded: 1 row
+    Seq(probe.getLong(0), probe.getLong(1), probe.getLong(1) + 1L)
+      .map(v => ManagedTable.readPoint(s, root, "k", v))
+      .reduce(_ unionByName _)
+  }
+
   /** Write-audit-publish gate: a batch with duplicate keys is staged,
     * audited against the table's quality rules, and REJECTED — the live
     * version never moves; the clean batch then stages, audits green, and
@@ -977,6 +998,7 @@ object LifecycleQueries {
     "q_table_delete_dv" -> (tableDeleteDv _),
     "q_table_merge_mor" -> (tableMergeMor _),
     "q_table_wap" -> (tableWap _),
+    "q_table_bloom" -> (tableBloom _),
     "q_table_update_dv" -> (tableUpdateDv _),
     "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_generated" -> (tableGenerated _),
@@ -1249,6 +1271,12 @@ object LifecycleQueries {
       """SELECT l_orderkey AS k, l_linenumber AS ln,
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag AS rf
         |FROM lineitem""".stripMargin,
+    "q_table_bloom" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(o_totalprice AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey IN ((SELECT min(o_orderkey) FROM orders),
+        |                     (SELECT max(o_orderkey) FROM orders))""".stripMargin,
     "q_table_wap" ->
       """SELECT o_orderkey AS k, o_orderstatus AS st,
         |  CAST(o_totalprice AS DOUBLE) AS total,

@@ -357,6 +357,150 @@ object ManagedTable extends VersionedLayout {
     swapPointer(root, next)
   }
 
+  // ---- bloom file index -------------------------------------------------
+
+  private def xxh(c: Column, seed: Long): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)), seed))
+
+  /** 1L << shift for shift in [0, 64) — the functions-API shiftleft only
+    * takes a literal shift amount. */
+  private def shl1(shift: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          shift.cast("int"))))
+
+  /** Per-file BLOOM-FILTER index for point-lookup file pruning (the Delta
+    * bloom-filter-index / parquet split-block-bloom idea, from the public
+    * designs). [[analyze]] min/max spans answer RANGE predicates but are
+    * blind to equality probes on a hash-distributed key: every file spans
+    * nearly the full key range, so min/max prunes nothing while the value
+    * itself lives in ONE file. This records an m-bit filter per
+    * (file, column), m = nWords·64, built in ONE grouped aggregation over
+    * the snapshot: each filter word is a `bit_or` aggregate, with each
+    * value setting `k` bit positions via the Kirsch-Mitzenmacher double
+    * hash g_i = (h1 + i·(2·h2+1)) mod m (two seeded xxhash64 passes,
+    * reduced mod m BEFORE the arithmetic so nothing overflows under ANSI).
+    * Driver state is one manifest row per (file, column) — nWords longs
+    * each, the same O(files) bound as the min/max manifest.
+    *
+    * Sizing: FPP ≈ (1 − e^(−k·n/m))^k for n distinct values per file —
+    * the default 64 words / k=3 holds ~2-3% at n≈500; at 100 TB file
+    * sizes you raise nWords with the per-file row count (the word count
+    * is also the aggregate-column count, the plan-size lever) or index
+    * after OPTIMIZE when files carry bounded row groups. False positives
+    * cost a wasted file read, never a wrong result; negatives are exact. */
+  def analyzeBloom(spark: SparkSession, root: String, statsCols: Seq[String],
+                   nWords: Int = 64, k: Int = 3): Unit = {
+    val live = currentVersion(root)
+    require(dvBaseOf(root, live).isEmpty,
+      s"analyzeBloom: v$live is a deletion-vector version — OPTIMIZE first " +
+        "to purge the vectors into a full snapshot, then index")
+    require(nWords > 0 && k > 0, s"analyzeBloom: nWords=$nWords k=$k")
+    val snap = spark.read.parquet(s"$root/v$live")
+    val m = nWords * 64L
+    val sb = new StringBuilder
+    statsCols.foreach { c =>
+      require(snap.columns.contains(c),
+        s"analyzeBloom: no column '$c' in ${snap.columns.mkString(",")}")
+      val g1 = pmod(xxh(col(c), 42L), lit(m))
+      val g2 = pmod(xxh(col(c), 9001L), lit(m)) * lit(2L) + lit(1L)
+      val words = (0 until nWords).map { w =>
+        val mask = (0 until k).map { i =>
+          val pos = pmod(g1 + lit(i.toLong) * g2, lit(m))
+          when((pos / lit(64L)).cast("int") === lit(w),
+            shl1(pos % lit(64L))).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _)
+        bit_or(mask).as(s"_w$w")
+      }
+      val rows = snap.filter(col(c).isNotNull)
+        .withColumn("_file", input_file_name())
+        .groupBy("_file").agg(words.head, words.tail: _*)
+        .collect() // bounded: one manifest row per data file
+      rows.foreach { r =>
+        val leaf = r.getString(0).split('/').last
+        val ws = (0 until nWords)
+          .map(i => java.lang.Long.toHexString(r.getLong(1 + i)))
+          .mkString(",")
+        sb.append(s"$leaf\t$c\t$m\t$k\t$ws\n")
+      }
+    }
+    val tmp = Paths.get(root, s"v$live", "_bloom.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, Paths.get(root, s"v$live", "_bloom.tsv"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Point lookup through the bloom index: open only the files whose
+    * filter claims `value` (files unknown to the manifest stay — safety
+    * over pruning), subtract live tombstones, union appended rows, apply
+    * the exact equality. Falls back to a plain filtered read when no
+    * index exists. The probe is hashed by the SAME Spark expressions the
+    * index was built with, evaluated on a 1-row frame — bit-identical by
+    * construction, no reimplementation drift. */
+  def readPoint(spark: SparkSession, root: String, c: String,
+                value: Any): DataFrame = {
+    require(value != null,
+      "readPoint: null probe — SQL equality never matches null, use read()")
+    val live = currentVersion(root)
+    val dvBase = dvBaseOf(root, live)
+    val dir = dvBase.fold(s"$root/v$live")(b => s"$root/v$b")
+    def overlay(df: DataFrame): DataFrame = dvBase match {
+      case None => df
+      case Some(_) =>
+        val minus = df.withColumn(DvFileCol,
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(spark.read.parquet(s"$root/v$live/_dv"),
+            Seq(DvFileCol, DvPosCol), "left_anti")
+          .drop(DvFileCol, DvPosCol)
+        appDirOf(root, live).fold(minus)(d =>
+          minus.unionByName(spark.read.parquet(d)))
+    }
+    val eq = col(c) === lit(value)
+    val bloomPath = Paths.get(dir, "_bloom.tsv")
+    if (!Files.exists(bloomPath))
+      return overlay(spark.read.parquet(dir)).where(eq)
+    val entries: Map[String, (Long, Int, Array[Long])] =
+      Files.readString(bloomPath).linesIterator.filter(_.nonEmpty).flatMap {
+        line => line.split('\t') match {
+          case Array(f, cc, mm, kk, ws) if cc == c =>
+            Some(f -> ((mm.toLong, kk.toInt,
+              ws.split(',').map(java.lang.Long.parseUnsignedLong(_, 16)))))
+          case _ => None
+        }
+      }.toMap
+    if (entries.isEmpty) return overlay(spark.read.parquet(dir)).where(eq)
+    val dt = spark.read.parquet(dir).schema(c).dataType
+    val hr = spark.range(1).select(xxh(lit(value).cast(dt), 42L).as("h1"),
+      xxh(lit(value).cast(dt), 9001L).as("h2")).head()
+    val (h1, h2) = (hr.getLong(0), hr.getLong(1))
+    val listing = Files.list(Paths.get(dir))
+    val allFiles =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toVector.sorted
+      finally listing.close()
+    val keep = allFiles.filter { f =>
+      entries.get(f) match {
+        case None => true // all-null or unindexed file: stay safe
+        case Some((m, kk, ws)) =>
+          val g1 = Math.floorMod(h1, m)
+          val g2 = Math.floorMod(h2, m) * 2L + 1L
+          (0 until kk).forall { i =>
+            val pos = Math.floorMod(g1 + i.toLong * g2, m)
+            ((ws((pos >> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 1L
+          }
+      }
+    }
+    // Even with every base file pruned, appended rows can still match.
+    if (keep.isEmpty)
+      overlay(spark.read.parquet(dir).where(lit(false))).where(eq)
+    else overlay(spark.read.parquet(keep.map(f => s"$dir/$f"): _*)).where(eq)
+  }
+
   /** WRITE-AUDIT-PUBLISH (the Iceberg WAP / Netflix audit pattern, from
     * the public descriptions): stage `df` as the next version dir WITHOUT
     * swapping the pointer, run the [[graft.operators.DataQuality]] audit

@@ -425,6 +425,37 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == got2.length)
   }
 
+  test("bloom index: exact point lookups, real file pruning, safe fallback") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_bloom").toString
+    val df = (1L to 4000L).map(i => (i, (i % 97).toInt)).toDF("k", "m")
+    // hash layout: every file spans ~the full key range, min/max is blind
+    ManagedTable.overwrite(root, df.repartition(16, col("k")))
+    ManagedTable.analyzeBloom(spark, root, Seq("k"))
+
+    // exact results for a spread of present keys, and pruning is real
+    var opened = 0
+    Seq(1L, 97L, 1234L, 3999L, 4000L).foreach { key =>
+      val hit = ManagedTable.readPoint(spark, root, "k", key)
+      assert(hit.inputFiles.length < 16) // pruned below the full listing
+      opened += hit.inputFiles.length
+      assert(hit.as[(Long, Int)].collect().toSeq == Seq((key, (key % 97).toInt)))
+    }
+    assert(opened <= 10) // ~1 file/probe + rare false positives
+
+    // absent key: correct empty result (false positives may open a file)
+    assert(ManagedTable.readPoint(spark, root, "k", 999999L).count() == 0)
+
+    // unindexed column falls back to a full filtered read, still exact
+    val byM = ManagedTable.readPoint(spark, root, "m", 5)
+    assert(byM.count() == df.filter(col("m") === 5).count())
+
+    // stacked MoR delete: the lookup subtracts tombstones from survivors
+    ManagedTable.deleteVectorized(spark, root, col("k") === 97L)
+    assert(ManagedTable.readPoint(spark, root, "k", 97L).count() == 0)
+    assert(ManagedTable.readPoint(spark, root, "k", 98L).count() == 1)
+  }
+
   test("write-audit-publish: failing audit discards stage, live untouched") {
     import org.apache.spark.sql.functions._
     import graft.operators.DataQuality.{Rule, countWhere}
