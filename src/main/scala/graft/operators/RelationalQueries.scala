@@ -223,6 +223,37 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(LongType)).as("sum_qty"))
 
+  /** GROUPING SETS with grouping_id disambiguation — the general form
+    * cube/rollup specialize; one expand+aggregate pass, partials combine
+    * map-side exactly like a plain groupBy (the expand multiplies rows by
+    * the set count BEFORE the shuffle, the documented trade of every
+    * grouping-sets engine). */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+
+  /** Analytic-window gallery over a deterministic (value, key) order:
+    * ntile bucketing, percent_rank, cume_dist, nth_value — the remaining
+    * rank-family functions W1-W6 do not cover. One window shuffle on the
+    * partition key; percent_rank/cume_dist are integer-ratio divisions,
+    * bit-portable across engines (IEEE-exact, no transcendentals). */
+  def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+      ntile(8).over(w).as("bucket8"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      nth_value(col("o_orderkey"), 3).over(w).as("third_k"))
+  }
+
   def aggPivot(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -394,6 +425,8 @@ object RelationalQueries {
     "q_agg_pricing_summary" -> (aggPricingSummary _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
+    "q_agg_grouping_sets" -> (aggGroupingSets _),
+    "q_w7_analytics" -> (windowAnalytics _),
     "q_agg_pivot" -> (aggPivot _),
     "q_set_semi_anti" -> (setSemiAnti _),
     "q_set_intersect_except" -> (setIntersectExcept _),
@@ -532,6 +565,23 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin,
+    "q_w7_analytics" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |  CAST(ntile(8) OVER w AS INTEGER) AS bucket8,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 3) OVER w AS third_k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

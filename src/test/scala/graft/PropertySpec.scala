@@ -153,6 +153,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom point lookup equals the full-scan filter for any probe") {
+    import graft.sources.ManagedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_prop_bloom").toString
+    // sparse keys (id*7) so roughly half the probes below miss
+    val df = spark.range(2048L)
+      .select((col("id") * 7).as("k"), (col("id") % 31).cast("int").as("m"))
+    ManagedTable.overwrite(root, df.repartition(8, col("k")))
+    ManagedTable.analyzeBloom(spark, root, Seq("k"))
+    val full = ManagedTable.read(spark, root)
+    for (probe <- cases(Gen.chooseNum(0L, 7L * 2300), n = 12)) {
+      val got = ManagedTable.readPoint(spark, root, "k", probe)
+        .as[(Long, Int)].collect().sorted.toSeq
+      val expect = full.filter(col("k") === probe)
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(got == expect, s"probe $probe")
+    }
+  }
+
   test("string data-skipping read equals the full-scan filter for any range") {
     import graft.sources.ManagedTable
     val root = java.nio.file.Files.createTempDirectory("graft_prop_skipstr").toString
