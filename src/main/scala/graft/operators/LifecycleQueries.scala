@@ -785,6 +785,42 @@ object LifecycleQueries {
         col("sum_total").cast(DoubleType).as("total_sum"))
   }
 
+  /** Incremental-view gate over the MERGE-ON-READ feed: the same hostile
+    * delta as q_view_incremental, but the upsert publishes via
+    * mergeVectorized — tombstones + delta-sized appends, no snapshot
+    * rewrite — and the view advances from ITS pre-image feed. At 100 TB
+    * this is the composition that matters: the table update AND the view
+    * maintenance are both delta-cost; nothing ever rescans the fact. The
+    * oracle is q_view_incremental's by reference — the MoR feed must be
+    * drop-in identical to the copy-on-write feed. */
+  def viewIncrementalMor(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("ivm_mor")
+    def orders0 = table(s, dir, "orders")
+    val base = orders0.filter(col("o_orderdate") <= lit("1995-12-31"))
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total"),
+        col("o_orderstatus").as("st"))
+    val delta = orders0.filter(col("o_orderdate")
+        .between(lit("1995-07-01"), lit("1996-06-30")))
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") % lit(500)).as("cust"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) +
+          lit(100).cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as("total"),
+        col("o_orderstatus").as("st"))
+    ManagedTable.overwrite(root, base)
+    ManagedTable.mergeVectorized(s, root, delta, Seq("k"),
+      MergeClauses.Spec(
+        updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))),
+      changeFeed = true, preImageFeed = true)
+    val spec = IncrementalView.Spec(Seq("cust"), Seq("total"))
+    val view0 = IncrementalView.initialize(base, spec)
+    IncrementalView.applyChanges(view0, ManagedTable.changes(s, root, 1), spec)
+      .select(col("cust"), col("n"),
+        col("sum_total").cast(DoubleType).as("total_sum"))
+  }
+
   /** Delta-proportional refresh gate (non-algebraic MIN/MAX): touched
     * groups — post-image keys, update pre-image keys, delete keys — are
     * recomputed from the post-merge fact; untouched groups carry forward
@@ -1005,6 +1041,7 @@ object LifecycleQueries {
     "q_table_clone" -> (tableClone _),
     "q_table_restore" -> (tableRestore _),
     "q_view_incremental" -> (viewIncremental _),
+    "q_view_incremental_mor" -> (viewIncrementalMor _),
     "q_view_refresh" -> (viewRefresh _),
     "q_scd2_dim" -> (scd2Dim _),
     "q_scd2_asof" -> (scd2AsOf _),
@@ -1189,6 +1226,11 @@ object LifecycleQueries {
         |UNION ALL
         |SELECT k, st, total, dt, 'quarantine' AS zone FROM bad""".stripMargin,
     "q_view_incremental" -> (viewMergedCte +
+      """SELECT cust, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total_sum
+        |FROM merged GROUP BY cust""".stripMargin),
+    // The MoR feed must be drop-in identical to the copy-on-write feed —
+    // same oracle by construction.
+    "q_view_incremental_mor" -> (viewMergedCte +
       """SELECT cust, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total_sum
         |FROM merged GROUP BY cust""".stripMargin),
     "q_view_refresh" -> (viewMergedCte +

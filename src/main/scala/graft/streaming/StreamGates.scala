@@ -285,6 +285,45 @@ object StreamGates {
     ManagedTable.read(s, replica)
   }
 
+  /** q_stream_cdc_bucketed: the BUCKET-ROUTED replica — same change feeds
+    * as q_stream_cdc_replica, but the replica is a [[BucketedTable]], so
+    * each foreachBatch apply rewrites ONLY the buckets containing the
+    * batch's keys. This is the full 100 TB CDC path end-to-end: the
+    * producer records delta-sized feeds, the consumer applies them at
+    * bucket-delta cost — neither side ever rewrites or rescans a
+    * snapshot. The oracle is the source-of-truth state, shared with the
+    * managed-table replica gate. */
+  def streamCdcBucketed(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    import graft.operators.Merge
+    import graft.sources.{BucketedTable, MergeClauses, ScratchDirs}
+    val tableRoot = graft.operators.LifecycleQueries
+      .twoMergeHistory(s, dir, changeFeed = true)
+    val root = ScratchDirs.fresh("stream_cdc_bkt")
+    val feed1 = s.read.parquet(s"$tableRoot/_changes/v1")
+    val replica = s"$root/replica"
+    BucketedTable.create(replica, feed1.drop(Merge.ActionCol).limit(0),
+      Seq("cust"), nBuckets = 8)
+    val applySpec = MergeClauses.Spec(
+      updateWhen = Some(col(s"s.${Merge.ActionCol}") =!= lit("delete")),
+      deleteWhen = Some(lit(true)),
+      insertWhen = Some(col(s"s.${Merge.ActionCol}") =!= lit("delete")))
+    (1 to 2).foreach { v =>
+      s.read.parquet(s"$tableRoot/_changes/v$v")
+        .write.mode("append").parquet(s"$root/in")
+      val q = s.readStream.schema(feed1.schema).parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          BucketedTable.merge(s, replica, batch, applySpec)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    BucketedTable.read(s, replica)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_neardup" -> (streamNearDup _),
     "q_stream_hourly" -> (streamHourly _),
@@ -292,7 +331,8 @@ object StreamGates {
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_dedup" -> (streamDedup _),
-    "q_stream_cdc_replica" -> (streamCdcReplica _))
+    "q_stream_cdc_replica" -> (streamCdcReplica _),
+    "q_stream_cdc_bucketed" -> (streamCdcBucketed _))
 
   /** q_stream_neardup: same relational definition as q_dedup_incremental —
     * the streaming replay must land exactly where the batch operator lands.
@@ -312,6 +352,10 @@ object StreamGates {
     // Replication must land exactly where the source-of-truth table
     // landed, so the replica gate shares the lifecycle state oracle.
     "q_stream_cdc_replica" ->
+      graft.operators.LifecycleQueries.oracles("q_lifecycle_table"),
+    // Bucket-routed replication must land exactly where the source table
+    // landed too — same state oracle.
+    "q_stream_cdc_bucketed" ->
       graft.operators.LifecycleQueries.oracles("q_lifecycle_table"),
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
