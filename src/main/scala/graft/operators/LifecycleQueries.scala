@@ -868,6 +868,24 @@ object LifecycleQueries {
   def scd2AsOf(s: SparkSession, dir: String): DataFrame =
     Scd2.asOf(scd2Dim(s, dir), lit("1996-06-15"))
 
+  /** SCD2 TEMPORAL-JOIN gate: each 1995-06..1997-06 order joins the
+    * customer-dimension version valid AT ITS OWN ORDER DATE — orders
+    * before the dimension opens (pre-1996) carry nulls (left join), 1996
+    * orders hit version 1, 1997 orders hit whichever version is live
+    * after the second snapshot closed changed customers. DuckDB
+    * re-derives the dimension (same CTEs as q_scd2_dim) and replays the
+    * validity-window join — a wrong window bound or a dropped
+    * pre-dimension fact breaks the hash. */
+  def scd2Join(s: SparkSession, dir: String): DataFrame = {
+    val facts = table(s, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1995-06-01"), lit("1997-06-30")))
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        col("o_orderdate").cast(StringType).as("dt"))
+    Scd2.temporalJoin(facts, scd2Dim(s, dir), Seq("cust"), col("dt"))
+      .select(col("k"), col("cust"), col("dt"), col("last_dt"),
+        col("n_orders"), col("valid_from"))
+  }
+
   /** SHALLOW-CLONE gate (Delta `SHALLOW CLONE` on the bucketed layout):
     * the ≤1995 base becomes the SOURCE table; a metadata-only clone
     * branches it (zero bytes copied — asserted in BucketedTableSpec where
@@ -1045,6 +1063,7 @@ object LifecycleQueries {
     "q_view_refresh" -> (viewRefresh _),
     "q_scd2_dim" -> (scd2Dim _),
     "q_scd2_asof" -> (scd2AsOf _),
+    "q_scd2_join" -> (scd2Join _),
     "q_bucketed_cdf" -> (bucketedCdf _),
     "q_merge_evolution" -> (mergeEvolution _),
     "q_bucketed_evolution" -> (bucketedEvolution _),
@@ -1068,6 +1087,38 @@ object LifecycleQueries {
     "q_s10_external_table" -> (externalTable _),
     "q_s11_jdbc_roundtrip" -> (jdbcRoundtrip _),
     "q_w2_hist_grain" -> (histGrain _))
+
+  /** The SCD2 dimension state the scd2Dim fixture produces — shared by
+    * the dimension gate and the temporal-join gate's dim CTE. */
+  private val scd2DimSql =
+    """WITH s1 AS (
+      |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+      |    COUNT(*) AS n_orders
+      |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
+      |s2 AS (
+      |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
+      |    COUNT(*) AS n_orders
+      |  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1),
+      |chg AS (
+      |  SELECT s1.cust FROM s1 JOIN s2 ON s1.cust = s2.cust
+      |  WHERE s1.last_dt <> s2.last_dt OR s1.n_orders <> s2.n_orders)
+      |SELECT s1.cust, s1.last_dt, s1.n_orders,
+      |  '1996-01-01' AS valid_from, '1997-01-01' AS valid_to,
+      |  FALSE AS is_current
+      |FROM s1 WHERE s1.cust IN (SELECT cust FROM chg)
+      |UNION ALL
+      |SELECT s2.cust, s2.last_dt, s2.n_orders,
+      |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
+      |FROM s2 WHERE s2.cust IN (SELECT cust FROM chg)
+      |UNION ALL
+      |SELECT s1.cust, s1.last_dt, s1.n_orders,
+      |  '1996-01-01', CAST(NULL AS VARCHAR), TRUE
+      |FROM s1 JOIN s2 ON s1.cust = s2.cust
+      |WHERE s1.cust NOT IN (SELECT cust FROM chg)
+      |UNION ALL
+      |SELECT s2.cust, s2.last_dt, s2.n_orders,
+      |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
+      |FROM s2 LEFT JOIN s1 ON s2.cust = s1.cust WHERE s1.cust IS NULL""".stripMargin
 
   private val ordersMirrorSql =
     """SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -1237,35 +1288,19 @@ object LifecycleQueries {
       """SELECT cust, COUNT(*) AS n, CAST(MIN(total) AS DOUBLE) AS mn,
         |  CAST(MAX(total) AS DOUBLE) AS mx
         |FROM merged GROUP BY cust""".stripMargin),
-    "q_scd2_dim" ->
-      """WITH s1 AS (
-        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
-        |    COUNT(*) AS n_orders
-        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1),
-        |s2 AS (
-        |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,
-        |    COUNT(*) AS n_orders
-        |  FROM orders WHERE o_orderdate <= DATE '1996-12-31' GROUP BY 1),
-        |chg AS (
-        |  SELECT s1.cust FROM s1 JOIN s2 ON s1.cust = s2.cust
-        |  WHERE s1.last_dt <> s2.last_dt OR s1.n_orders <> s2.n_orders)
-        |SELECT s1.cust, s1.last_dt, s1.n_orders,
-        |  '1996-01-01' AS valid_from, '1997-01-01' AS valid_to,
-        |  FALSE AS is_current
-        |FROM s1 WHERE s1.cust IN (SELECT cust FROM chg)
-        |UNION ALL
-        |SELECT s2.cust, s2.last_dt, s2.n_orders,
-        |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
-        |FROM s2 WHERE s2.cust IN (SELECT cust FROM chg)
-        |UNION ALL
-        |SELECT s1.cust, s1.last_dt, s1.n_orders,
-        |  '1996-01-01', CAST(NULL AS VARCHAR), TRUE
-        |FROM s1 JOIN s2 ON s1.cust = s2.cust
-        |WHERE s1.cust NOT IN (SELECT cust FROM chg)
-        |UNION ALL
-        |SELECT s2.cust, s2.last_dt, s2.n_orders,
-        |  '1997-01-01', CAST(NULL AS VARCHAR), TRUE
-        |FROM s2 LEFT JOIN s1 ON s2.cust = s1.cust WHERE s1.cust IS NULL""".stripMargin,
+    "q_scd2_dim" -> scd2DimSql,
+    // Temporal join: the dim CTE is the q_scd2_dim oracle verbatim; each
+    // fact attaches the version valid at its own date (string-ISO compare
+    // on both engines — timestamps render identically).
+    "q_scd2_join" -> (s"WITH dim AS (\n$scd2DimSql\n)\n" +
+      """SELECT f.o_orderkey AS k, f.o_custkey AS cust,
+        |  CAST(f.o_orderdate AS VARCHAR) AS dt,
+        |  d.last_dt, d.n_orders, d.valid_from
+        |FROM orders f
+        |LEFT JOIN dim d ON d.cust = f.o_custkey
+        |  AND d.valid_from <= CAST(f.o_orderdate AS VARCHAR)
+        |  AND (d.valid_to IS NULL OR d.valid_to > CAST(f.o_orderdate AS VARCHAR))
+        |WHERE f.o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1997-06-30'""".stripMargin),
     "q_scd2_asof" ->
       """WITH s1 AS (
         |  SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,

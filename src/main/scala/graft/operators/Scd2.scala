@@ -118,4 +118,32 @@ object Scd2 {
     dim.filter(col(FromCol) <= d &&
       (col(ToCol).isNull || col(ToCol) > d))
   }
+
+  /** TEMPORAL JOIN: attach to each fact row the dimension version valid
+    * at the fact's own time (`valid_from <= t < valid_to`, open upper
+    * bound) — the per-row generalization of [[asOf]], and the standard
+    * fact-to-SCD2 lookup. LEFT join: facts predating a key's first
+    * version carry nulls rather than vanishing.
+    *
+    * Plan shape: an EQUI join on the dimension keys with the validity
+    * range as a residual predicate — hash/broadcast join territory, never
+    * a broadcast-nested-loop, because the equality is extractable. Each
+    * fact matches at most one version (validity windows are
+    * non-overlapping per key by [[merge]] construction), so the join
+    * never amplifies. At 100 TB the dimension (history included) is
+    * still dim-sized — broadcast when small; shuffle both sides on the
+    * key when not, with the fact side's natural key distribution doing
+    * the work. */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                   factTime: Column): DataFrame = {
+    val t = factTime.cast("string")
+    val f = facts.alias("f")
+    val d = dim.alias("d")
+    val keyCond = keys.map(k => col(s"f.$k") === col(s"d.$k")).reduce(_ && _)
+    val validCond = col(s"d.$FromCol") <= t &&
+      (col(s"d.$ToCol").isNull || col(s"d.$ToCol") > t)
+    f.join(d, keyCond && validCond, "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        dim.columns.filterNot(keys.contains).map(c => col(s"d.$c")): _*)
+  }
 }

@@ -19,20 +19,27 @@ import graft.sources.TableIO.table
   */
 object SpecialJoins {
 
-  /** Generic backward as-of join: for each `left` row, the single latest
-    * `right` row of the same `key` with `rightTime` ≤ `leftTime` (ties on
-    * time resolved toward the greatest `rightTieBreak`, so results are
-    * deterministic for any input). `payload` names the right columns to
-    * carry; left rows with no prior right row get nulls — LEFT as-of
-    * semantics, like every time-series engine's asof join.
+  /** Generic as-of join: for each `left` row, the single nearest `right`
+    * row of the same `key` — BACKWARD (default): the latest with
+    * `rightTime` ≤ `leftTime`; FORWARD: the earliest with
+    * `rightTime` ≥ `leftTime`. Ties on time resolve toward the greatest
+    * `rightTieBreak` in both directions, so results are deterministic for
+    * any input. `payload` names the right columns to carry; left rows
+    * with no matching right row get nulls — LEFT as-of semantics, like
+    * every time-series engine's asof join.
     *
     * Plan: tag and union both inputs, ONE shuffle on the key, and a
     * running `last(_, ignoreNulls)` per payload column over (time,
-    * right-first, tiebreak) order — linear in rows, never pairwise. The
-    * same rewrite attribution uses, exposed as an operator. */
+    * right-first, tiebreak) order — linear in rows, never pairwise; the
+    * forward direction is the same traversal with time descending, so a
+    * left row's carried value is the smallest right time at-or-after it.
+    * The same rewrite attribution uses, exposed as an operator. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightTieBreak: String, payload: Seq[String]): DataFrame = {
+               rightTieBreak: String, payload: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward").contains(direction),
+      s"asOfJoin: direction must be backward|forward, got '$direction'")
     val pay = payload.distinct
     val reserved = Seq("_t", "_r", "_tb", "_p")
     require(pay.forall(!left.columns.contains(_)),
@@ -66,8 +73,9 @@ object SpecialJoins {
     // rows fully tied on (time, tiebreak) fall back to a hash of the
     // payload itself — the pick among true duplicates stays deterministic
     // across shuffles instead of depending on physical arrival order.
+    val timeOrd = if (direction == "forward") col("_t").desc else col("_t").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t").asc, col("_r").desc, col("_tb").asc_nulls_first,
+      .orderBy(timeOrd, col("_r").desc, col("_tb").asc_nulls_first,
         hash(col("_p")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
@@ -153,6 +161,26 @@ object SpecialJoins {
         col("err_event_id"), col("err_ts_us"))
   }
 
+  /** q_asof_forward: for every click, the user's NEXT error event at or
+    * after it — the forward direction of the same single-shuffle as-of
+    * operator (failure-impact analysis: "did an error follow this
+    * click?"). */
+  def asofForwardClicksErrors(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.TableIO.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us").as("err_ts_us"),
+        col("event_id").as("err_event_id"))
+    asOfJoin(clicks, errors, key = "user_id",
+      leftTime = "ts_us", rightTime = "err_ts_us",
+      rightTieBreak = "err_event_id",
+      payload = Seq("err_event_id", "err_ts_us"),
+      direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("err_event_id"), col("err_ts_us"))
+  }
+
   /** q_range_join: orders priced into exponential bands via the bucketed
     * range join, aggregated per band with exact decimal sums. */
   def ordersPriceBands(s: SparkSession, dir: String): DataFrame = {
@@ -168,6 +196,7 @@ object SpecialJoins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofClicksErrors _),
+    "q_asof_forward" -> (asofForwardClicksErrors _),
     "q_range_join" -> (ordersPriceBands _))
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +211,17 @@ object SpecialJoins {
         |  ON c.user_id = r.user_id AND r.err_ts_us <= c.ts_us
         |QUALIFY row_number() OVER (PARTITION BY c.event_id
         |  ORDER BY r.err_ts_us DESC NULLS LAST, r.err_event_id DESC) = 1""".stripMargin,
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+        |           FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_us AS err_ts_us, event_id AS err_event_id
+        |      FROM e WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts_us, r.err_event_id, r.err_ts_us
+        |FROM c LEFT JOIN r
+        |  ON c.user_id = r.user_id AND r.err_ts_us >= c.ts_us
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY r.err_ts_us ASC NULLS LAST, r.err_event_id DESC) = 1""".stripMargin,
     "q_range_join" ->
       s"""WITH bands(band, lo, hi) AS (VALUES $bandsSql)
          |SELECT band, COUNT(*) AS n_orders,

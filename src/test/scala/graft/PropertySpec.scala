@@ -104,6 +104,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of join equals the brute-force next-after pick") {
+    val asofGen: Gen[(List[(Int, Int, Int)], List[(Int, Int, Int)])] = for {
+      l <- Gen.listOf(for { k <- Gen.chooseNum(1, 4); t <- Gen.chooseNum(0, 20)
+                            id <- Gen.chooseNum(100, 999) } yield (k, t, id))
+      r <- Gen.listOf(for { k <- Gen.chooseNum(1, 4); t <- Gen.chooseNum(0, 20)
+                            tb <- Gen.chooseNum(1, 99) } yield (k, t, tb))
+    } yield (l, r)
+    for ((lRows, rRows) <- cases(asofGen) if lRows.nonEmpty) {
+      val left = lRows.map { case (k, t, id) => (k.toLong, t.toLong, id.toLong) }
+        .toDF("k", "t", "lid")
+      val right = rRows.map { case (k, t, tb) => (k.toLong, t.toLong, tb.toLong) }
+        .toDF("k", "rt", "tb")
+      val got = graft.operators.SpecialJoins
+        .asOfJoin(left, right, "k", "t", "rt", "tb", Seq("tb", "rt"),
+          direction = "forward")
+        .select("k", "t", "lid", "tb", "rt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      // brute force: per left row, the earliest right row with rt >= t;
+      // among equal rt, the greatest tb
+      val expected = lRows.map { case (k, t, id) =>
+        val best = rRows.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(r => (r._2, -r._3)).headOption
+        (k.toLong, t.toLong, id.toLong,
+          best.map(_._3.toLong), best.map(_._2.toLong))
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
   test("band join equals the brute-force interval filter for any bands") {
     val bandGen: Gen[(List[Int], List[Int])] = for {
       vals <- Gen.nonEmptyListOf(Gen.chooseNum(0, 200))
