@@ -174,7 +174,24 @@ object EventQueries {
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
 
+  /** Rolling 1-hour per-user event count — a RANGE frame over epoch µs
+    * (`rangeBetween` on the numeric time), the time-series smoothing
+    * window the row-count frames (W1-W7) cannot express: each row's frame
+    * is every same-user event within the trailing hour, however many rows
+    * that is. One shuffle on user_id; the frame scan is linear per
+    * partition (sliding lower bound advances monotonically). At 100 TB
+    * the user partitioning carries it — no per-row re-sort, no self-join
+    * (the naive equivalent is events ⨝ events per user, quadratic). */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_rolling" -> (eventsRolling _),
     "q_events_hourly" -> (eventsHourly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json_extract" -> (eventsJsonExtract _),
@@ -185,6 +202,12 @@ object EventQueries {
     "q_events_wau" -> ((s: SparkSession, d: String) => eventsWau(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_events_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS n_trailing_1h
+        |FROM events""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
         |  COUNT(*) AS n_events,

@@ -320,6 +320,22 @@ object RelationalQueries {
       unix_timestamp(col("o_orderdate")).as("epoch_sec"))
   }
 
+  // Array / higher-order-function gallery over the embedding column
+  // (size, lambda filter, element_at, array_min/max, array_sort) — the
+  // HOF surface a vector-bearing pipeline leans on. All codegen'd native
+  // expressions, no UDFs; artifacts are structural (counts, raw element
+  // pass-throughs, comparisons) so floats cross engines byte-exact with
+  // no arithmetic-reassociation risk.
+  def fArrays(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("n_dims"),
+      size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
+      element_at(col("embedding"), 1).as("first_v"),
+      array_max(col("embedding")).as("max_v"),
+      array_min(col("embedding")).as("min_v"),
+      element_at(array_sort(col("embedding")), 3).as("third_smallest"))
+
   // §2.8 scalar-function gallery: conditionals / null logic
   // (nested when/otherwise decode, coalesce, null-safe eq, between, isin).
   def fConditional(s: SparkSession, dir: String): DataFrame = {
@@ -433,6 +449,7 @@ object RelationalQueries {
     "q_f_strings" -> (fStrings _),
     "q_f_datetime" -> (fDatetime _),
     "q_f_conditional" -> (fConditional _),
+    "q_f_arrays" -> (fArrays _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_s13_schema_project" -> (s13SchemaProject _),
     "q_s8_json_lines" -> (s8JsonLines _),
@@ -565,6 +582,15 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_f_arrays" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  embedding[1] AS first_v,
+        |  list_max(embedding) AS max_v,
+        |  list_min(embedding) AS min_v,
+        |  list_sort(embedding)[3] AS third_smallest
+        |FROM embeddings""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -187,6 +187,27 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("SCD2 temporal join plans as an equi-join, never a nested loop") {
+    // The validity-range predicate must ride as a RESIDUAL on the key
+    // equi-join — a raw BETWEEN join would plan BNLJ and die at scale.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val facts = Seq((1L, 10L, "2024-02-01")).toDF("k", "cust", "dt")
+      val dim = Seq((10L, "a", "2024-01-01", null.asInstanceOf[String], true))
+        .toDF("cust", "attr", "valid_from", "valid_to", "is_current")
+      val plan = graft.operators.Scd2
+        .temporalJoin(facts, dim, Seq("cust"), org.apache.spark.sql.functions.col("dt"))
+        .queryExecution.executedPlan
+      val loops = plan.collect {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec => e
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => e
+      }
+      assert(loops.isEmpty, "temporal join degenerated to a nested loop:\n" + plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("no gate plan contains an accidental cross join") {
     // Sweep the lazily-planned gates (eagerly-executing gates — e2e jobs,
     // CC, lifecycle, JDBC — are excluded to keep the suite fast; their
