@@ -157,6 +157,93 @@ object SimilarityQueries {
         col("cos_sim"))
   }
 
+  /** PRODUCT-QUANTIZATION top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the billion-vector ANN scale
+    * path: vectors compress to m sub-space code IDs (here 4×16-dim
+    * sub-spaces, 16 codes each → 4 bytes/vector vs 256), queries scan the
+    * CODES via asymmetric-distance lookup tables (ADC), and only an
+    * adc-shortlist is reranked with exact cosine on the full vectors.
+    *
+    * The codebook is deterministic — the first `nCodes` corpus vectors'
+    * sub-vectors (the same seeded-codebook contract as [[simIvfTopK]];
+    * [[Clustering]] owns real Lloyd training, this gate pins the
+    * encode/ADC/rerank machinery). Driver state = nCodes vectors, the
+    * standard driver-held-quantizer contract. Sub-space distances expand
+    * as ‖e‖² − 2·e·c + ‖c‖² with in-order float64 dots, so the DuckDB
+    * oracle reproduces every distance bit-for-bit and the gate is
+    * hash-exact, not statistical.
+    *
+    * At 100 TB: the corpus scan moves m bytes/vector (the codes) instead
+    * of 4·dim; each query's ADC table is m×nCodes doubles broadcast with
+    * the query; exact vectors are touched only for the shortlist — the
+    * read amplification drops from corpus-wide to shortlist-wide. */
+  def simPqTopK(s: SparkSession, dir: String, m: Int = 4, nCodes: Int = 16,
+                nQueries: Int = 10, k: Int = 5, shortlist: Int = 15): DataFrame = {
+    val c = corpus(s, dir)
+    val dim = 64
+    require(dim % m == 0, s"simPqTopK: $m sub-spaces must divide dim $dim")
+    val subDim = dim / m
+    val codebook: Seq[(Int, Seq[Float])] = c.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").cast(IntegerType), col("embedding"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    def codeSub(code: Seq[Float], j: Int): Seq[Float] =
+      code.slice(j * subDim, (j + 1) * subDim)
+    // ‖c_sub‖² folded driver-side left-to-right in float64 — the same
+    // order DuckDB's list_sum and the executor-side dots use.
+    def selfDot(xs: Seq[Float]): Double =
+      xs.foldLeft(0.0)((acc, f) => acc + f.toDouble * f.toDouble)
+    // ‖e_sub‖² − 2·(e_sub·c_sub) + ‖c_sub‖², parenthesized exactly as the
+    // oracle writes it.
+    def dist2(eSub: Column, eSelf: Column, code: Seq[Float], j: Int): Column = {
+      val cs = codeSub(code, j)
+      (eSelf - lit(2.0) * dotProduct(eSub, array(cs.map(lit): _*))) +
+        lit(selfDot(cs))
+    }
+    def eSub(j: Int): Column = slice(col("embedding"), j * subDim + 1, subDim)
+
+    // corpus encoding: per sub-space, the argmin code (tie → smallest id)
+    val encoded = (0 until m).foldLeft(c) { (df, j) =>
+      val es = eSub(j)
+      val self = dotProduct(es, es)
+      df.withColumn(s"code_$j",
+        array_sort(array(codebook.map { case (id, code) =>
+          struct(dist2(es, self, code, j).as("d"), lit(id).as("code"))
+        }: _*)).getItem(0).getField("code"))
+    }
+    // query ADC tables: per sub-space, the 16 code distances in id order
+    val queries = (0 until m).foldLeft(
+        c.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("embedding"),
+            col("norm").as("q_norm"))) { (df, j) =>
+      val es = eSub(j)
+      val self = dotProduct(es, es)
+      df.withColumn(s"qd_$j",
+        array(codebook.map { case (_, code) => dist2(es, self, code, j) }: _*))
+    }.withColumnRenamed("embedding", "q_emb")
+    val adc = (0 until m).map(j =>
+        element_at(col(s"qd_$j"), col(s"code_$j").cast(IntegerType) + 1))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+      .withColumn("cos_sim",
+        dotProduct(col("q_emb"), col("embedding")) /
+          (col("q_norm") * col("norm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: ALL pairs above a cosine
     * threshold — exact semantics, distributed plan.
     *
@@ -290,6 +377,7 @@ object SimilarityQueries {
             .as("recall_at_k"))
     overlap("ivf", simIvfTopK(s, dir))
       .unionByName(overlap("lsh", simLshTopK(s, dir)))
+      .unionByName(overlap("pq", simPqTopK(s, dir)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -299,6 +387,7 @@ object SimilarityQueries {
     "q_sim_cosine_topk" -> ((s: SparkSession, d: String) => simCosineTopK(s, d)),
     "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
     "q_sim_ivf_topk" -> ((s: SparkSession, d: String) => simIvfTopK(s, d)),
+    "q_sim_pq_topk" -> ((s: SparkSession, d: String) => simPqTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
 
   /** DuckDB SQL replicating simIvfTopK: the oracle re-derives the seed
@@ -406,6 +495,64 @@ object SimilarityQueries {
 
   /** Oracle for [[simRecall]]: the three top-k oracles composed as derived
     * tables, overlap counted per method. */
+  /** DuckDB SQL replicating simPqTopK bit-for-bit: codebook from the
+    * data, sub-space distances expanded as (‖e‖² − 2·e·c) + ‖c‖² with the
+    * same in-order float64 sums, argmin encode with the same (d2, code)
+    * tie-break, left-associated ADC sum over the 4 sub-spaces, and the
+    * exact-cosine rerank of the adc-shortlist. */
+  private def pqTopKOracle(m: Int, subDim: Int, nCodes: Int, nQueries: Int,
+                           k: Int, shortlist: Int): String = {
+    def sumSq(arr: String) =
+      s"list_sum(list_transform(range($subDim*t.j+1, $subDim*t.j+${subDim + 1}), " +
+        s"x -> CAST($arr[x] AS DOUBLE) * CAST($arr[x] AS DOUBLE)))"
+    val dotEC =
+      s"list_sum(list_transform(range($subDim*t.j+1, $subDim*t.j+${subDim + 1}), " +
+        "x -> CAST(c.embedding[x] AS DOUBLE) * CAST(cb.cb_emb[x] AS DOUBLE)))"
+    val adcSum = (0 until m).map(j => s"MAX(CASE WHEN e.j = $j THEN qd.d2 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      x -> CAST(embedding[x] AS DOUBLE) * CAST(embedding[x] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code_id, embedding AS cb_emb
+       |       FROM c WHERE vec_id < $nCodes),
+       |d AS (
+       |  SELECT c.vec_id, t.j, cb.code_id,
+       |    (${sumSq("c.embedding")}
+       |     - 2.0 * $dotEC)
+       |     + ${sumSq("cb.cb_emb")} AS d2
+       |  FROM c CROSS JOIN (SELECT unnest(range(0, $m)) AS j) t CROSS JOIN cb),
+       |enc AS (
+       |  SELECT vec_id, j, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY d2 ASC, code_id ASC) AS rn FROM d)
+       |  WHERE rn = 1),
+       |adc AS (
+       |  SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id, $adcSum AS adc
+       |  FROM enc e
+       |  JOIN d qd ON qd.vec_id < $nQueries AND qd.vec_id <> e.vec_id
+       |    AND qd.j = e.j AND qd.code_id = e.code_id
+       |  GROUP BY qd.vec_id, e.vec_id),
+       |short AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc ASC, neighbor_id ASC) AS srank FROM adc),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      x -> CAST(qc.embedding[x] AS DOUBLE) * CAST(nc.embedding[x] AS DOUBLE)))
+       |      / (qc.norm * nc.norm) AS cos_sim
+       |  FROM short s
+       |  JOIN c qc ON qc.vec_id = s.query_id
+       |  JOIN c nc ON nc.vec_id = s.neighbor_id
+       |  WHERE s.srank <= $shortlist),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM rer)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos_sim
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   private def recallOracle(nQueries: Int, k: Int): String =
     s"""WITH exact AS (
        |  SELECT query_id, neighbor_id FROM (${cosineTopKOracle(nQueries, k)})),
@@ -415,12 +562,19 @@ object SimilarityQueries {
        |ivf AS (
        |  SELECT query_id, neighbor_id
        |  FROM (${ivfTopKOracle(nCells = 16, nProbe = 2, nQueries = nQueries, k = k)})),
+       |pq AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${pqTopKOracle(m = 4, subDim = 16, nCodes = 16,
+                               nQueries = nQueries, k = k, shortlist = 15)})),
        |h AS (
        |  SELECT 'ivf' AS method, COUNT(*) AS n_hits
        |  FROM ivf JOIN exact USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'lsh' AS method, COUNT(*) AS n_hits
-       |  FROM lsh JOIN exact USING (query_id, neighbor_id))
+       |  FROM lsh JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, COUNT(*) AS n_hits
+       |  FROM pq JOIN exact USING (query_id, neighbor_id))
        |SELECT method, n_hits,
        |  CAST(n_hits AS DOUBLE) / ${(nQueries * k).toDouble} AS recall_at_k
        |FROM h""".stripMargin
@@ -469,6 +623,8 @@ object SimilarityQueries {
         |FROM best WHERE vr = 1""".stripMargin,
     "q_sim_lsh_topk" -> lshTopKOracle(nPlanes = 4, nQueries = 10, k = 5),
     "q_sim_ivf_topk" -> ivfTopKOracle(nCells = 16, nProbe = 2, nQueries = 10, k = 5),
+    "q_sim_pq_topk" -> pqTopKOracle(m = 4, subDim = 16, nCodes = 16,
+      nQueries = 10, k = 5, shortlist = 15),
     "q_sim_recall" -> recallOracle(nQueries = 10, k = 5),
     "q_sim_cosine_topk" -> cosineTopKOracle(nQueries = 10, k = 5),
     "q_dedup_embedding" ->

@@ -256,6 +256,64 @@ object TextQueries {
       .distinct()
   }
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= threshold — the
+    * asymmetric overlap measure that catches a short document EMBEDDED in
+    * a longer one, which symmetric Jaccard structurally misses (J is
+    * capped at |A|/|B| however perfect the containment). The sub-document
+    * duplication screen corpus pipelines run alongside Jaccard.
+    *
+    * Candidate generation: the prefix-filter bound applies to the SMALLER
+    * side of a pair (|A∩B| >= ceil(t·|A|) forces a shared shingle in A's
+    * df-ascending prefix of length |A| − ceil(t·|A|) + 1), and no
+    * size-ratio filter exists (that is the point), so each doc's prefix
+    * joins the FULL inverted index — cost Σ_sh prefix_df·df, with the
+    * same stop-shingle cap as the Jaccard path bounding the fan-out at
+    * scale. Exact set verification keeps precision 1 regardless. */
+  def dedupContainment(s: SparkSession, dir: String, threshold: Double = 0.8,
+                       stopDfFrac: Option[Double] = None): DataFrame = {
+    val sh = withTokens(table(s, dir, "documents"))
+      .withColumn("shingles", Sketches.hashedShingles(col("toks")))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .repartition(col("doc_id"))
+    val inv = sh.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("sh"))
+    val docFreq = inv.groupBy("sh").agg(count(lit(1)).as("df"))
+    val withDf = inv.join(docFreq, "sh")
+    val capped = stopDfFrac match {
+      case Some(frac) =>
+        val n = sh.select(count(lit(1)).as("_n_docs"))
+        withDf.crossJoin(n)
+          .filter(col("df") <= greatest(lit(2), ceil(col("_n_docs") * frac)))
+          .drop("_n_docs")
+      case None => withDf
+    }
+    val prefix = capped
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .filter(col("_rank") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("sh"))
+      .repartition(col("sh"))
+    // prefix(smaller side) × full index covers every qualifying pair in
+    // at least one direction; least/greatest canonicalizes the pair.
+    val cands = prefix.alias("a")
+      .join(capped.select(col("doc_id"), col("sh")).alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", col("inter").cast(DoubleType) /
+        least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Exact per-group quantiles via window math (rank == ceil(q·n)) —
     * deterministic integer selection, unlike interpolating percentile
     * functions whose midpoint arithmetic differs across engines. The corpus
@@ -401,6 +459,7 @@ object TextQueries {
     "q_txt_fingerprint" -> (txtFingerprint _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_jaccard" -> ((s: SparkSession, d: String) => dedupJaccardShingle(s, d)),
+    "q_dedup_containment" -> ((s: SparkSession, d: String) => dedupContainment(s, d)),
     "q_txt_quantiles" -> (txtLengthQuantiles _),
     "q_txt_tfidf" -> ((s: SparkSession, d: String) => txtTfIdf(s, d)),
     "q_txt_redact" -> (txtRedact _),
@@ -586,6 +645,16 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    CAST(least(len(a.s), len(b.s)) AS DOUBLE) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE containment >= 0.8""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
