@@ -235,6 +235,34 @@ object MixQueries {
           .otherwise("test"))
       .select(col("doc_id"), col("group_id"), col("split"))
 
+  /** q_curation_e2e: the CAPSTONE composition — the CurationDemo pipeline
+    * as one hash-gated frame. Near-dup clustering (exact-Jaccard PPJoin →
+    * connected components) drops non-canonical cluster members; the
+    * heuristic quality screen keeps score ≥ 2; leakage-safe splits are
+    * drawn per CLUSTER (computed before the drop, so each canonical keeps
+    * its cluster's assignment). One run of the dedup feeds BOTH the drop
+    * set and the split grouping — the reuse the composed pipeline exists
+    * to prove. DuckDB replays all three stages from their own gate
+    * oracles; a drift in any stage, or in how they compose (a dropped
+    * canonical, a split drawn after the drop), breaks the hash. */
+  def curationE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val clusters = GraphCC.dedupClusters(s, dir)
+    val dropIds = clusters.filter(col("is_canonical") === 0).select("doc_id")
+    val quality = TextQueries.txtQuality(s, dir)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+    val splits = splitLeakageFrom(docs,
+      clusters.select(col("doc_id"), col("cluster_id")))
+      .select("doc_id", "split")
+    docs.select(col("doc_id"))
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .filter(col("quality_score") >= 2)
+      .join(splits, "doc_id")
+      .select(col("doc_id"), col("split"), col("quality_score"),
+        col("n_tokens"))
+  }
+
   /** q_sample_stratified: fixed-count per-stratum sample — `nPer`
     * documents from every source, the holdout/inspection draw that a
     * proportional rate ([[mixSample]]) can't produce when strata sizes
@@ -257,6 +285,7 @@ object MixQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> (splitLeakage _),
+    "q_curation_e2e" -> (curationE2e _),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "q_mix_sample" -> (mixSample _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -267,6 +296,33 @@ object MixQueries {
     "q_sample_weighted" -> ((s: SparkSession, d: String) => sampleWeighted(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // Composition oracle: each stage is its own gate oracle, nested as a
+    // FROM-subquery — an edit to any stage's bar is an edit to both.
+    "q_curation_e2e" ->
+      s"""SELECT d.doc_id, sp.split, q.quality_score, q.n_tokens
+         |FROM documents d
+         |JOIN (${TextQueries.oracles("q_txt_quality")}) q
+         |  ON q.doc_id = d.doc_id
+         |JOIN (SELECT doc_id, split
+         |      FROM (WITH cl AS (
+         |        SELECT doc_id, cluster_id
+         |        FROM (${GraphCC.oracles("q_dedup_cc")}) cc),
+         |      grp AS (
+         |        SELECT d2.doc_id, coalesce(cl.cluster_id, d2.doc_id) AS group_id
+         |        FROM documents d2 LEFT JOIN cl ON d2.doc_id = cl.doc_id),
+         |      b AS (SELECT doc_id, group_id,
+         |          ${saltedDrawSql("splitg:", "group_id")} % 100 AS bucket
+         |        FROM grp)
+         |      SELECT doc_id,
+         |        CASE WHEN bucket < 90 THEN 'train'
+         |             WHEN bucket < 95 THEN 'validation'
+         |             ELSE 'test' END AS split
+         |      FROM b)) sp
+         |  ON sp.doc_id = d.doc_id
+         |WHERE q.quality_score >= 2
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM (${GraphCC.oracles("q_dedup_cc")}) cc
+         |    WHERE cc.doc_id = d.doc_id AND cc.is_canonical = 0)""".stripMargin,
     "q_split_leakage" ->
       s"""WITH cl AS (
          |  SELECT doc_id, cluster_id
