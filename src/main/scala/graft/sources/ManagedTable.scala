@@ -536,6 +536,58 @@ object ManagedTable extends VersionedLayout {
     report
   }
 
+  /** Raised by [[commit]] when the table advanced between the writer's
+    * snapshot read and its publish — the Delta
+    * ConcurrentModificationException contract: the caller re-reads the
+    * new live snapshot, re-derives its write, and retries. */
+  final class ConcurrentWriteException(root: String, expected: Int, live: Int)
+    extends RuntimeException(
+      s"concurrent write to $root: expected live v$expected but found " +
+        s"v$live — re-read the snapshot and retry the commit")
+
+  /** OPTIMISTIC-CONCURRENCY overwrite — the transactional form of
+    * [[overwrite]] for tables with multiple writers. The caller names the
+    * version its write derived from (`expectedVersion`, read at
+    * transaction start); the staged snapshot publishes only if that is
+    * STILL the live version at swap time, checked and swapped atomically
+    * under an exclusive lock on `_commitlock` (the filesystem stand-in
+    * for the conditional-put every lakehouse log tip uses on object
+    * storage). On conflict the staged dir is removed and
+    * [[ConcurrentWriteException]] carries the new live version — readers
+    * never observe the loser, and the winner's version is untouched
+    * (first-writer-wins, no lost update). Plain [[overwrite]] keeps its
+    * single-writer last-wins behavior; mixing the two on one table
+    * forfeits the guarantee, so a multi-writer table should route every
+    * publish through here. */
+  def commit(spark: SparkSession, root: String, expectedVersion: Int,
+             df: DataFrame): Unit = {
+    // Stage under a UNIQUE path: two racing writers must never share a
+    // dir (staging straight to v<next> would let the loser clobber the
+    // winner's published files). The rename into place is same-filesystem
+    // and happens only after the CAS check passes.
+    val stage = Paths.get(root, "_staging", s"c${System.nanoTime()}")
+    Constraints.enforce(
+        GeneratedColumns(df, GeneratedColumns.load(root)),
+        constraintsOf(root))
+      .write.mode("overwrite").parquet(stage.toString)
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(root, "_commitlock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val live = currentVersion(root)
+        if (live != expectedVersion) {
+          ScratchDirs.deleteRecursively(stage)
+          throw new ConcurrentWriteException(root, expectedVersion, live)
+        }
+        Files.move(stage, Paths.get(root, s"v${expectedVersion + 1}"))
+        swapPointer(root, expectedVersion + 1)
+      } finally lock.release()
+    } finally ch.close()
+  }
+
   /** ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) — register a
     * generated column ([[GeneratedColumns]] semantics: omitted on write →
     * computed; supplied → validated). On a non-empty table that lacks the

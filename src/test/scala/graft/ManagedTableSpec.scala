@@ -425,6 +425,36 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == got2.length)
   }
 
+  test("optimistic commit: conflict detected, loser discarded, retry lands") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_occ").toString
+    ManagedTable.overwrite(root, Seq((1L, "base")).toDF("k", "v"))   // v0
+
+    // writer A reads v0 and derives its write; writer B publishes first
+    val aBase = ManagedTable.currentVersion(root)
+    ManagedTable.overwrite(root, Seq((1L, "writer-b")).toDF("k", "v")) // v1
+    val ex = intercept[ManagedTable.ConcurrentWriteException] {
+      ManagedTable.commit(spark, root, aBase,
+        Seq((1L, "writer-a")).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("expected live v0") &&
+      ex.getMessage.contains("found v1"))
+    // winner untouched; loser's stage removed, nothing published
+    assert(ManagedTable.currentVersion(root) == 1)
+    assert(ManagedTable.read(spark, root).as[(Long, String)].head() ==
+      (1L, "writer-b"))
+    assert(!Files.exists(Paths.get(root, "v2")))
+
+    // A re-reads the new snapshot and retries against it — lands as v2
+    ManagedTable.commit(spark, root, 1, Seq((1L, "writer-a2")).toDF("k", "v"))
+    assert(ManagedTable.currentVersion(root) == 2)
+    assert(ManagedTable.read(spark, root).as[(Long, String)].head() ==
+      (1L, "writer-a2"))
+    // history stays linear and time-travelable past the conflict
+    assert(ManagedTable.readVersion(spark, root, 1)
+      .as[(Long, String)].head() == (1L, "writer-b"))
+  }
+
   test("bloom index: exact point lookups, real file pruning, safe fallback") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_bloom").toString
