@@ -324,6 +324,70 @@ object StreamGates {
     BucketedTable.read(s, replica)
   }
 
+  /** q_stream_view: STREAMING INCREMENTAL-VIEW MAINTENANCE — the
+    * materialized per-customer aggregate advanced purely from a STREAM of
+    * pre-image change feeds, never re-aggregating the fact. The fact
+    * table runs two hostile merges (an upsert that also MOVES rows
+    * between groups, then a conditional update/delete), each recording a
+    * pre-image feed; a file-source stream applies feed v1 then v2 to the
+    * view through checkpointed AvailableNow passes (exactly-once source
+    * offsets → each version applied exactly once, in order), with the
+    * view itself a versioned table (read v, write v+1 — immutable
+    * versions make the read-modify-write safe). The oracle recomputes
+    * both merges and the aggregate from scratch: a missed retraction, a
+    * double-applied feed, or an out-of-order apply breaks the hash. At
+    * 100 TB this is the CDC-to-serving path end-to-end — delta-sized
+    * feeds in, delta-cost view updates out. */
+  def streamView(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    import graft.operators.IncrementalView
+    import graft.sources.{ManagedTable, MergeClauses, ScratchDirs}
+    val root = ScratchDirs.fresh("stream_view")
+    val factRoot = s"$root/fact"
+    def orders0 = table(s, dir, "orders")
+    def shaped(f: org.apache.spark.sql.Column, custCol: org.apache.spark.sql.Column,
+               bump: Int): DataFrame =
+      orders0.filter(f).select(col("o_orderkey").as("k"), custCol.as("cust"),
+        (col("o_totalprice").cast("decimal(18,2)") +
+          lit(bump).cast("decimal(18,2)")).cast("decimal(18,2)").as("total"),
+        col("o_orderstatus").as("st"))
+    val base = shaped(col("o_orderdate") <= lit("1995-12-31"), col("o_custkey"), 0)
+    ManagedTable.overwrite(factRoot, base)                         // v0
+    ManagedTable.merge(s, factRoot,
+      shaped(col("o_orderdate").between(lit("1995-07-01"), lit("1996-06-30")),
+        col("o_custkey") % lit(500), 100),
+      Seq("k"), changeFeed = true, preImageFeed = true)            // v1
+    ManagedTable.merge(s, factRoot,
+      shaped(col("o_orderdate").between(lit("1996-07-01"), lit("1997-06-30")),
+        col("o_custkey"), 0),
+      Seq("k"),
+      MergeClauses.Spec(updateWhen = Some(col("s.st") =!= lit("F")),
+        deleteWhen = Some(lit(true))),
+      changeFeed = true, preImageFeed = true)                      // v2
+    val spec = IncrementalView.Spec(Seq("cust"), Seq("total"))
+    val viewRoot = s"$root/view"
+    ManagedTable.overwrite(viewRoot, IncrementalView.initialize(base, spec))
+    val feedSchema = s.read.parquet(s"$factRoot/_changes/v1").schema
+    (1 to 2).foreach { v =>
+      s.read.parquet(s"$factRoot/_changes/v$v")
+        .write.mode("append").parquet(s"$root/in")
+      val q = s.readStream.schema(feedSchema).parquet(s"$root/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          ManagedTable.overwrite(viewRoot,
+            IncrementalView.applyChanges(
+              ManagedTable.read(s, viewRoot), batch, spec))
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ManagedTable.read(s, viewRoot)
+      .select(col("cust"), col("n"),
+        col("sum_total").cast("double").as("total_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_neardup" -> (streamNearDup _),
     "q_stream_hourly" -> (streamHourly _),
@@ -332,7 +396,8 @@ object StreamGates {
     "q_stream_join" -> (streamJoin _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_cdc_replica" -> (streamCdcReplica _),
-    "q_stream_cdc_bucketed" -> (streamCdcBucketed _))
+    "q_stream_cdc_bucketed" -> (streamCdcBucketed _),
+    "q_stream_view" -> (streamView _))
 
   /** q_stream_neardup: same relational definition as q_dedup_incremental —
     * the streaming replay must land exactly where the batch operator lands.
@@ -359,6 +424,39 @@ object StreamGates {
       graft.operators.LifecycleQueries.oracles("q_lifecycle_table"),
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+    "q_stream_view" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 0 AS DECIMAL(18,2)) AS total,
+        |    o_orderstatus AS st
+        |  FROM orders WHERE o_orderdate <= DATE '1995-12-31'),
+        |d1 AS (
+        |  SELECT o_orderkey AS k, o_custkey % 500 AS cust,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2)) AS total,
+        |    o_orderstatus AS st
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1996-06-30'),
+        |m1 AS (
+        |  SELECT * FROM d1
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.k = b.k)),
+        |d2 AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 0 AS DECIMAL(18,2)) AS total,
+        |    o_orderstatus AS st
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1996-07-01' AND DATE '1997-06-30'),
+        |m2 AS (
+        |  SELECT d2.* FROM d2 JOIN m1 ON m1.k = d2.k WHERE d2.st <> 'F'
+        |  UNION ALL
+        |  SELECT m1.* FROM m1
+        |  WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.k = m1.k)
+        |  UNION ALL
+        |  SELECT d2.* FROM d2
+        |  WHERE NOT EXISTS (SELECT 1 FROM m1 WHERE m1.k = d2.k))
+        |SELECT cust, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total_sum
+        |FROM m2 GROUP BY cust""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
