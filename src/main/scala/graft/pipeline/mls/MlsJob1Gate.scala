@@ -273,6 +273,32 @@ object MlsJob1Gate {
       batchSize = 64).get)
   }
 
+  /** q_enrich_http: the SAME enrichment leg as q_enrich_lookup but driven
+    * through the real [[graft.enrich.HttpLookupClient]] over an actual
+    * loopback socket — batch-POST body, JSON `Results` parse, throttle —
+    * against [[graft.enrich.StubPropertyServer]], whose responses are the
+    * same pure function of `md5(StreetAddress)` the DuckDB oracle
+    * recomputes (transform.py:421-481 end-to-end, wire included). The
+    * eager localCheckpoint materializes the lookup while the server is
+    * alive; the returned frame no longer needs the socket. */
+  def enrichHttp(s: SparkSession, dir: String): DataFrame = {
+    val server = new graft.enrich.StubPropertyServer()
+    try {
+      val listings = s.read.parquet(s"$dir/customer.parquet").selectExpr(
+        "'MLS' || CAST(c_custkey % 3 AS STRING) AS mls",
+        "'L' || CAST(c_custkey AS STRING) AS mls_listing_id",
+        "'ADDR ' || CAST(c_custkey % 40 AS STRING) AS street_address",
+        "'CITY' || CAST(c_custkey % 5 AS STRING) AS city",
+        "'TX' AS state",
+        "'75001' AS zip",
+        "CASE WHEN c_custkey % 4 = 0 THEN 'U' || CAST(c_custkey % 7 AS STRING) ELSE CAST(NULL AS STRING) END AS unit")
+      val client = new graft.enrich.HttpLookupClient(server.lookupUrl,
+        throttleMillis = 10L)
+      lkpHashOutput(MlsEnrich.lookupPropertyIds(s, listings, client,
+        batchSize = 64).get).localCheckpoint(eager = true)
+    } finally server.stop()
+  }
+
   /** Hash-portable projection of a lkp_* lookup result (boolean flags as
     * strings — same policy as [[outCastCols]]); shared by the API and
     * MSSQL enrichment gates. */
@@ -292,7 +318,7 @@ object MlsJob1Gate {
     * md5(StreetAddress || salt), so DuckDB recomputes the leg exactly.
     * `salt` varies the "service state" between runs — the backfill gate
     * uses it to make re-lookups return different property ids. */
-  private[mls] def md5StubClient(salt: String): graft.enrich.BatchLookup.LookupClient =
+  private[graft] def md5StubClient(salt: String): graft.enrich.BatchLookup.LookupClient =
     new graft.enrich.BatchLookup.LookupClient {
       override def lookup(batch: Seq[org.apache.spark.sql.Row]): Seq[org.apache.spark.sql.Row] =
         batch.map { r =>
@@ -326,7 +352,8 @@ object MlsJob1Gate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_job1_e2e" -> (job1E2e _),
     "q_job1_rejects" -> (job1Rejects _),
-    "q_enrich_lookup" -> (enrichLookup _))
+    "q_enrich_lookup" -> (enrichLookup _),
+    "q_enrich_http" -> (enrichHttp _))
 
   // -------------------------------------------------------------------
   // DuckDB oracle
@@ -747,5 +774,8 @@ object MlsJob1Gate {
       val dimCtes = dims.map { case (n, cols, rows) => s"$n($cols) AS (VALUES $rows)" }
       s"WITH ${dimCtes.mkString(",\n")},\n" + job1RejectsOracle.drop("WITH ".length)
     },
-    "q_enrich_lookup" -> enrichLookupOracle)
+    "q_enrich_lookup" -> enrichLookupOracle,
+    // Same oracle: the HTTP gate's server computes the identical
+    // md5-deterministic responses, so the wire leg must hash-match it.
+    "q_enrich_http" -> enrichLookupOracle)
 }
