@@ -262,9 +262,13 @@ object SimilarityQueries {
     * pairs, which become balanced reduce groups of a shuffled EQUI-join on
     * (lo, hi). No BroadcastNestedLoop/Cartesian: replication factor
     * B ≈ √(2·parallelism), shuffle volume ~n(B+1) rows — negligible next
-    * to the n²/2 comparisons it spreads evenly across the cluster. When n²
-    * is infeasible outright (10⁹ vectors), the answer is the approximate
-    * contract instead: simLshTopK's bucketed candidates.
+    * to the n²/2 comparisons it spreads evenly across the cluster.
+    *
+    * OPT-IN exact path: this is the certification/ground-truth contract
+    * for corpora where n² compute is affordable (≲10⁷ vectors). The
+    * DEFAULT dedup contract at scale is [[dedupEmbeddingLsh]] — banded
+    * LSH candidates + exact verify, recall certified against this result
+    * by [[dedupEmbRecall]].
     *
     * `nBlocks` ≤ 0 (the default) derives B = max(8, ⌈√(2·parallelism)⌉) so
     * the B(B+1)/2 reduce groups keep every core busy at any cluster size
@@ -297,6 +301,72 @@ object SimilarityQueries {
       .filter(col("cos_sim") >= threshold)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("cos_sim"))
+  }
+
+  /** DEFAULT embedding near-dup contract at scale: banded sign-LSH
+    * candidate generation + EXACT cosine verification. Every emitted pair
+    * truly clears the threshold (verification is exact, so there are NO
+    * false positives and the output is a subset of [[dedupEmbedding]]);
+    * what is approximate is recall — a qualifying pair is found only if it
+    * collides in at least one band. With `nBands` b and `rowsPerBand` r,
+    * a pair at cosine exactly the 0.35 threshold agrees with a random
+    * ±1 hyperplane w.p. 1 − acos(0.35)/π ≈ 0.61, so band-collision
+    * probability is 0.61^r ≈ 0.14 and overall recall at the cut is
+    * 1 − (1 − 0.14)^b ≈ 0.91 — rising steeply above the threshold (the
+    * near-identical pairs dedup actually cares about collide in nearly
+    * every band). [[dedupEmbRecall]] MEASURES that recall against the
+    * exact all-pairs result and pins it in an oracle gate, so a banding
+    * regression moves a number instead of silently dropping pairs.
+    *
+    * Scale shape (why this is the 100 TB default and exact all-pairs is
+    * opt-in): the signature pass is one codegen'd projection (b·r plane
+    * dots/vector); the band join shuffles only n·b (band, bucket, id)
+    * rows — no embeddings; candidate dedup + the two verify joins touch
+    * candidate pairs only. Total compute ∝ candidates, not n²/2 — at 10⁹
+    * vectors that is the difference between feasible and not. */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String, threshold: Double = 0.35,
+                        nBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val planes = lshPlanes(nBands * rowsPerBand)
+    val c = corpus(s, dir)
+    def bandBucket(e: Column, band: Int): Column =
+      (0 until rowsPerBand).map { r =>
+        // ±1 as FLOAT literals: arrayDot takes two float arrays; ±1.0f is
+        // exact, so the float64 accumulation matches the oracle's.
+        val p = planes(band * rowsPerBand + r).map(_.toFloat)
+        when(dotProduct(e, array(p.map(lit): _*)) >= 0, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val sig = array((0 until nBands).map(b => bandBucket(col("embedding"), b)): _*)
+    val banded = c.select(col("vec_id"), posexplode(sig).as(Seq("band", "bucket")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(c.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+        col("norm").as("n_a")), "id_a")
+      .join(c.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+        col("norm").as("n_b")), "id_b")
+      .withColumn("cos_sim",
+        dotProduct(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Certification gate for [[dedupEmbeddingLsh]]: because the LSH path
+    * exact-verifies its candidates, its output is a strict subset of the
+    * exact all-pairs result — so recall is simply n_approx / n_exact, a
+    * deterministic fraction both engines recompute identically. The gate
+    * hash-pins it: any banding change that degrades recall breaks the
+    * hash instead of silently shrinking the dedup set. */
+  def dedupEmbRecall(s: SparkSession, dir: String): DataFrame = {
+    val nExact = dedupEmbedding(s, dir).agg(count(lit(1)).as("n_exact"))
+    val nApprox = dedupEmbeddingLsh(s, dir).agg(count(lit(1)).as("n_approx"))
+    nExact.crossJoin(nApprox).select(
+      lit("lsh_banded").as("method"), col("n_exact"), col("n_approx"),
+      (col("n_approx").cast(DoubleType) / col("n_exact").cast(DoubleType))
+        .as("recall_vs_exact"))
   }
 
   /** kNN label vote: predict each query vector's label from the majority
@@ -388,7 +458,9 @@ object SimilarityQueries {
     "q_sim_lsh_topk" -> ((s: SparkSession, d: String) => simLshTopK(s, d)),
     "q_sim_ivf_topk" -> ((s: SparkSession, d: String) => simIvfTopK(s, d)),
     "q_sim_pq_topk" -> ((s: SparkSession, d: String) => simPqTopK(s, d)),
-    "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)))
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
+    "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
+    "q_dedup_emb_recall" -> ((s: SparkSession, d: String) => dedupEmbRecall(s, d)))
 
   /** DuckDB SQL replicating simIvfTopK: the oracle re-derives the seed
     * codebook from the data (the Spark side inlines the SAME values as
@@ -627,18 +699,77 @@ object SimilarityQueries {
       nQueries = 10, k = 5, shortlist = 15),
     "q_sim_recall" -> recallOracle(nQueries = 10, k = 5),
     "q_sim_cosine_topk" -> cosineTopKOracle(nQueries = 10, k = 5),
-    "q_dedup_embedding" ->
-      """WITH c AS (
-        |  SELECT vec_id, embedding,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_sum(list_transform(range(1, 65),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm) AS cos_sim
-        |FROM c a JOIN c b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(range(1, 65),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.norm * b.norm) >= 0.35""".stripMargin)
+    "q_dedup_embedding" -> dedupEmbeddingExactOracle,
+    "q_dedup_embedding_lsh" ->
+      dedupEmbeddingLshOracle(threshold = 0.35, nBands = 16, rowsPerBand = 4),
+    "q_dedup_emb_recall" ->
+      s"""WITH exact AS (SELECT id_a, id_b FROM ($dedupEmbeddingExactOracle)),
+         |apx AS (SELECT id_a, id_b FROM (${dedupEmbeddingLshOracle(
+               threshold = 0.35, nBands = 16, rowsPerBand = 4)}))
+         |SELECT 'lsh_banded' AS method,
+         |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+         |  CAST((SELECT COUNT(*) FROM apx) AS BIGINT) AS n_approx,
+         |  CAST((SELECT COUNT(*) FROM apx) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall_vs_exact""".stripMargin)
+
+  private def dedupEmbeddingExactOracle: String =
+    """WITH c AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(range(1, 65),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.norm * b.norm) AS cos_sim
+      |FROM c a JOIN c b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, 65),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (a.norm * b.norm) >= 0.35""".stripMargin
+
+  /** DuckDB SQL replicating [[dedupEmbeddingLsh]] bit-for-bit: the same
+    * seeded ±1 planes as SQL literals, per-band sign-bit buckets, band
+    * self-join for candidates, DISTINCT pair dedup, exact cosine verify. */
+  private def dedupEmbeddingLshOracle(threshold: Double, nBands: Int,
+                                      rowsPerBand: Int): String = {
+    val planes = lshPlanes(nBands * rowsPerBand)
+    def dotSql(p: IndexedSeq[Double]): String = {
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lits)[j]))"
+    }
+    val bucketCols = (0 until nBands).map { b =>
+      val expr = (0 until rowsPerBand).map { r =>
+        s"(CASE WHEN ${dotSql(planes(b * rowsPerBand + r))} >= 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($expr) AS b$b"
+    }.mkString(",\n    ")
+    val unioned = (0 until nBands)
+      .map(b => s"SELECT vec_id, $b AS band, b$b AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id,
+       |    $bucketCols
+       |  FROM c),
+       |e AS (
+       |  $unioned),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+       |  FROM e l JOIN e r ON l.band = r.band AND l.bucket = r.bucket
+       |    AND l.vec_id < r.vec_id)
+       |SELECT cand.id_a, cand.id_b,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.norm * b.norm) AS cos_sim
+       |FROM cand
+       |JOIN c a ON a.vec_id = cand.id_a
+       |JOIN c b ON b.vec_id = cand.id_b
+       |WHERE list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.norm * b.norm) >= $threshold""".stripMargin
+  }
 }
