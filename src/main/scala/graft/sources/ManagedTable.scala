@@ -55,10 +55,16 @@ object ManagedTable extends VersionedLayout {
     * was published by [[deleteVectorized]]); it fails clearly when the
     * version was vacuumed away or never published. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val live = currentVersion(root)
+    // Never serve beyond the published pointer: a dir above `live` is an
+    // in-flight publish or crash orphan, not a committed version — time
+    // travel must not resolve it.
+    require(version <= live,
+      s"version $version of $root is not published yet (live is v$live)")
     val dir = Paths.get(root, s"v$version")
     require(Files.exists(dir),
       s"version $version of $root is not on disk (vacuumed or never published); " +
-        s"live is v${currentVersion(root)}")
+        s"live is v$live")
     dvBaseOf(root, version) match {
       case None => spark.read.parquet(dir.toString)
       case Some(base) =>
@@ -402,10 +408,11 @@ object ManagedTable extends VersionedLayout {
     require(nWords > 0 && k > 0, s"analyzeBloom: nWords=$nWords k=$k")
     val snap = spark.read.parquet(s"$root/v$live")
     val m = nWords * 64L
-    val sb = new StringBuilder
-    statsCols.foreach { c =>
-      require(snap.columns.contains(c),
-        s"analyzeBloom: no column '$c' in ${snap.columns.mkString(",")}")
+    statsCols.foreach(c => require(snap.columns.contains(c),
+      s"analyzeBloom: no column '$c' in ${snap.columns.mkString(",")}"))
+    val tmp = Paths.get(root, s"v$live", "_bloom.tmp")
+    val sb = Files.newBufferedWriter(tmp)
+    try statsCols.foreach { c =>
       val g1 = pmod(xxh(col(c), 42L), lit(m))
       val g2 = pmod(xxh(col(c), 9001L), lit(m)) * lit(2L) + lit(1L)
       val words = (0 until nWords).map { w =>
@@ -416,20 +423,22 @@ object ManagedTable extends VersionedLayout {
         }.reduce(_ bitwiseOR _)
         bit_or(mask).as(s"_w$w")
       }
+      // Streamed, not collected: toLocalIterator holds ONE shuffle
+      // partition of manifest rows on the driver at a time, so a
+      // 10^5-10^6-file table (100 TB) cannot OOM the driver here — the
+      // manifest is written through, never materialized whole.
       val rows = snap.filter(col(c).isNotNull)
         .withColumn("_file", input_file_name())
         .groupBy("_file").agg(words.head, words.tail: _*)
-        .collect() // bounded: one manifest row per data file
-      rows.foreach { r =>
+        .toLocalIterator()
+      rows.asScala.foreach { r =>
         val leaf = r.getString(0).split('/').last
         val ws = (0 until nWords)
           .map(i => java.lang.Long.toHexString(r.getLong(1 + i)))
           .mkString(",")
-        sb.append(s"$leaf\t$c\t$m\t$k\t$ws\n")
+        sb.write(s"$leaf\t$c\t$m\t$k\t$ws\n")
       }
-    }
-    val tmp = Paths.get(root, s"v$live", "_bloom.tmp")
-    Files.writeString(tmp, sb.toString)
+    } finally sb.close()
     Files.move(tmp, Paths.get(root, s"v$live", "_bloom.tsv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -464,37 +473,41 @@ object ManagedTable extends VersionedLayout {
     val bloomPath = Paths.get(dir, "_bloom.tsv")
     if (!Files.exists(bloomPath))
       return overlay(spark.read.parquet(dir)).where(eq)
-    val entries: Map[String, (Long, Int, Array[Long])] =
-      Files.readString(bloomPath).linesIterator.filter(_.nonEmpty).flatMap {
-        line => line.split('\t') match {
-          case Array(f, cc, mm, kk, ws) if cc == c =>
-            Some(f -> ((mm.toLong, kk.toInt,
-              ws.split(',').map(java.lang.Long.parseUnsignedLong(_, 16)))))
-          case _ => None
-        }
-      }.toMap
-    if (entries.isEmpty) return overlay(spark.read.parquet(dir)).where(eq)
     val dt = spark.read.parquet(dir).schema(c).dataType
     val hr = spark.range(1).select(xxh(lit(value).cast(dt), 42L).as("h1"),
       xxh(lit(value).cast(dt), 9001L).as("h2")).head()
     val (h1, h2) = (hr.getLong(0), hr.getLong(1))
+    // Streamed probe: each indexed file's filter words are parsed,
+    // probed, and discarded line-by-line — the driver retains only the
+    // names of files the index disproves, never the index itself (nWords
+    // longs × 10^5-10^6 files at 100 TB would be GBs as a Map). Files
+    // without a line for `c` (all-null or unindexed) conservatively stay.
+    val prunedOut = scala.collection.mutable.HashSet.empty[String]
+    var indexedAny = false
+    val lineStream = Files.lines(bloomPath)
+    try lineStream.iterator().asScala.filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array(f, cc, mm, kk, wsHex) if cc == c =>
+          indexedAny = true
+          val m = mm.toLong
+          val ws = wsHex.split(',').map(java.lang.Long.parseUnsignedLong(_, 16))
+          val g1 = Math.floorMod(h1, m)
+          val g2 = Math.floorMod(h2, m) * 2L + 1L
+          val claims = (0 until kk.toInt).forall { i =>
+            val pos = Math.floorMod(g1 + i.toLong * g2, m)
+            ((ws((pos >> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 1L
+          }
+          if (!claims) prunedOut += f
+        case _ => ()
+      }
+    } finally lineStream.close()
+    if (!indexedAny) return overlay(spark.read.parquet(dir)).where(eq)
     val listing = Files.list(Paths.get(dir))
     val allFiles =
       try listing.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).toVector.sorted
       finally listing.close()
-    val keep = allFiles.filter { f =>
-      entries.get(f) match {
-        case None => true // all-null or unindexed file: stay safe
-        case Some((m, kk, ws)) =>
-          val g1 = Math.floorMod(h1, m)
-          val g2 = Math.floorMod(h2, m) * 2L + 1L
-          (0 until kk).forall { i =>
-            val pos = Math.floorMod(g1 + i.toLong * g2, m)
-            ((ws((pos >> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 1L
-          }
-      }
-    }
+    val keep = allFiles.filterNot(prunedOut)
     // Even with every base file pruned, appended rows can still match.
     if (keep.isEmpty)
       overlay(spark.read.parquet(dir).where(lit(false))).where(eq)
@@ -521,19 +534,31 @@ object ManagedTable extends VersionedLayout {
   def writeAuditPublish(spark: SparkSession, root: String, df: DataFrame,
                         rules: Seq[graft.operators.DataQuality.Rule])
       : DataFrame = {
-    val next = if (exists(root)) currentVersion(root) + 1 else 0
-    val stage = Paths.get(root, s"v$next")
-    Constraints.enforce(
-        GeneratedColumns(df, GeneratedColumns.load(root)),
-        constraintsOf(root))
-      .write.mode("overwrite").parquet(stage.toString)
-    val report = graft.operators.DataQuality
-      .check(spark.read.parquet(stage.toString), rules)
-      .localCheckpoint() // one audit scan; the report is rule-count-sized
-    val ok = report.agg(min(col("passed"))).head().getBoolean(0)
-    if (ok) swapPointer(root, next)
-    else ScratchDirs.deleteRecursively(stage)
-    report
+    // Stage under _staging, NOT at v<next>: an in-flight (or crashed)
+    // audit must never leave a dir that version resolution could serve —
+    // the move into v<next> happens only after every rule passes, so
+    // "readers can never observe an unaudited version" holds even
+    // mid-audit and across crashes (orphans land in _staging, which no
+    // reader resolves).
+    val stage = Paths.get(root, "_staging", s"a${System.nanoTime()}")
+    try {
+      Constraints.enforce(
+          GeneratedColumns(df, GeneratedColumns.load(root)),
+          constraintsOf(root))
+        .write.mode("overwrite").parquet(stage.toString)
+      val report = graft.operators.DataQuality
+        .check(spark.read.parquet(stage.toString), rules)
+        .localCheckpoint() // one audit scan; the report is rule-count-sized
+      val ok = report.agg(min(col("passed"))).head().getBoolean(0)
+      if (ok) {
+        val next = if (exists(root)) currentVersion(root) + 1 else 0
+        Files.move(stage, Paths.get(root, s"v$next"))
+        swapPointer(root, next)
+      }
+      report
+    } finally {
+      if (Files.exists(stage)) ScratchDirs.deleteRecursively(stage)
+    }
   }
 
   /** Raised by [[commit]] when the table advanced between the writer's
@@ -559,6 +584,15 @@ object ManagedTable extends VersionedLayout {
     * single-writer last-wins behavior; mixing the two on one table
     * forfeits the guarantee, so a multi-writer table should route every
     * publish through here. */
+  /** Per-root intra-JVM commit monitors: `FileChannel.lock()` throws
+    * OverlappingFileLockException (not a blocking wait) when two THREADS
+    * of one JVM contend — the common case of several writers in a single
+    * Spark driver. Same-process writers serialize on this monitor first;
+    * the file lock then arbitrates across processes. Keyed by the
+    * canonical root so distinct path spellings share one monitor. */
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def commit(spark: SparkSession, root: String, expectedVersion: Int,
              df: DataFrame): Unit = {
     // Stage under a UNIQUE path: two racing writers must never share a
@@ -566,26 +600,34 @@ object ManagedTable extends VersionedLayout {
     // winner's published files). The rename into place is same-filesystem
     // and happens only after the CAS check passes.
     val stage = Paths.get(root, "_staging", s"c${System.nanoTime()}")
-    Constraints.enforce(
-        GeneratedColumns(df, GeneratedColumns.load(root)),
-        constraintsOf(root))
-      .write.mode("overwrite").parquet(stage.toString)
-    val ch = java.nio.channels.FileChannel.open(
-      Paths.get(root, "_commitlock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
     try {
-      val lock = ch.lock()
-      try {
-        val live = currentVersion(root)
-        if (live != expectedVersion) {
-          ScratchDirs.deleteRecursively(stage)
-          throw new ConcurrentWriteException(root, expectedVersion, live)
-        }
-        Files.move(stage, Paths.get(root, s"v${expectedVersion + 1}"))
-        swapPointer(root, expectedVersion + 1)
-      } finally lock.release()
-    } finally ch.close()
+      Constraints.enforce(
+          GeneratedColumns(df, GeneratedColumns.load(root)),
+          constraintsOf(root))
+        .write.mode("overwrite").parquet(stage.toString)
+      val monitor = commitMonitors.computeIfAbsent(
+        Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+      monitor.synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(root, "_commitlock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try {
+            val live = currentVersion(root)
+            if (live != expectedVersion)
+              throw new ConcurrentWriteException(root, expectedVersion, live)
+            Files.move(stage, Paths.get(root, s"v${expectedVersion + 1}"))
+            swapPointer(root, expectedVersion + 1)
+          } finally lock.release()
+        } finally ch.close()
+      }
+    } finally {
+      // A losing CAS, a lock failure, or a failed write must never leak
+      // the staged dir; on success the move already emptied this path.
+      if (Files.exists(stage)) ScratchDirs.deleteRecursively(stage)
+    }
   }
 
   /** ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (expr) — register a
@@ -1018,23 +1060,26 @@ object ManagedTable extends VersionedLayout {
       val v = if (kinds(c) == "num") col(c).cast("double") else col(c)
       Seq(min(v).as(s"_mn_$c"), max(v).as(s"_mx_$c"))
     }
+    // Streamed, not collected: one shuffle partition of manifest rows on
+    // the driver at a time (toLocalIterator), written through to the tsv —
+    // a 10^5-10^6-file snapshot (100 TB) never materializes its manifest
+    // in driver memory.
     val rows = snap.withColumn("_file", input_file_name())
       .groupBy("_file").agg(aggs.head, aggs.tail: _*)
-      .collect() // bounded: one manifest row per data file
+      .toLocalIterator()
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val sb = new StringBuilder
-    rows.foreach { r =>
+    val tmp = Paths.get(root, s"v$live", s"_stats.tmp")
+    val sb = Files.newBufferedWriter(tmp)
+    try rows.asScala.foreach { r =>
       val leaf = r.getString(0).split('/').last
       statsCols.zipWithIndex.foreach { case (c, i) =>
         def cell(k: Int) =
           if (r.isNullAt(k)) "null"
           else if (kinds(c) == "num") r.getDouble(k).toString
           else enc(r.getString(k))
-        sb.append(s"$leaf\t$c\t${kinds(c)}\t${cell(1 + 2 * i)}\t${cell(2 + 2 * i)}\n")
+        sb.write(s"$leaf\t$c\t${kinds(c)}\t${cell(1 + 2 * i)}\t${cell(2 + 2 * i)}\n")
       }
-    }
-    val tmp = Paths.get(root, s"v$live", s"_stats.tmp")
-    Files.writeString(tmp, sb.toString)
+    } finally sb.close()
     Files.move(tmp, Paths.get(root, s"v$live", "_stats.tsv"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -1083,35 +1128,41 @@ object ManagedTable extends VersionedLayout {
       case other => other.toString.toDouble
     }
     def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    // (kind, mn, mx): kind "num" spans compare as doubles, "str" spans
-    // lexicographically. Legacy 4-field lines (pre-string manifests) are
-    // numeric by construction.
-    val stats: Map[(String, String), (String, Option[String], Option[String])] =
-      Files.readString(statsPath).linesIterator.filter(_.nonEmpty).map { line =>
-        def p(s: String) = if (s == "null") None else Some(s)
-        line.split('\t') match {
-          case Array(f, c, kind, mn, mx) => (f, c) -> ((kind, p(mn), p(mx)))
-          case Array(f, c, mn, mx) => (f, c) -> (("num", p(mn), p(mx)))
-          case other => sys.error(s"readWhere: bad manifest line '$line'")
-        }
-      }.toMap
+    // Streamed manifest pruning: each line's span verdict is evaluated as
+    // it is read, retaining ONLY the names of provably-prunable files —
+    // the manifest itself (10^5-10^6 rows × every stats column at 100 TB)
+    // is never materialized on the driver. A file is pruned when ANY
+    // range column's recorded span cannot intersect ("null\tnull" = the
+    // file is all-null for that column — no row can match a range);
+    // kind "num" spans compare as doubles, "str" spans lexicographically;
+    // legacy 4-field lines (pre-string manifests) are numeric by
+    // construction; unknown files/columns conservatively stay.
+    val pruned = scala.collection.mutable.HashSet.empty[String]
+    val lineStream = Files.lines(statsPath)
+    try lineStream.iterator().asScala.filter(_.nonEmpty).foreach { line =>
+      val (f, c, kind, mn, mx) = line.split('\t') match {
+        case Array(f0, c0, k0, mn0, mx0) => (f0, c0, k0, mn0, mx0)
+        case Array(f0, c0, mn0, mx0) => (f0, c0, "num", mn0, mx0)
+        case other => sys.error(s"readWhere: bad manifest line '$line'")
+      }
+      ranges.filter(_._1 == c).foreach { case (_, lo, hi) =>
+        val prune =
+          if (mn == "null" && mx == "null") true // all-null file
+          else if (mn == "null" || mx == "null") false // partial stats: stay
+          else if (kind == "num")
+            !(mn.toDouble <= toD(hi) && mx.toDouble >= toD(lo))
+          else if (kind == "str")
+            !(dec(mn) <= hi.toString && dec(mx) >= lo.toString)
+          else false // unknown kind: stay safe
+        if (prune) pruned += f
+      }
+    } finally lineStream.close()
     val listing = Files.list(Paths.get(dir))
     val allFiles =
       try listing.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).toVector.sorted
       finally listing.close()
-    val keep = allFiles.filter { f =>
-      ranges.forall { case (c, lo, hi) =>
-        stats.get((f, c)) match {
-          case Some(("num", Some(mn), Some(mx))) =>
-            mn.toDouble <= toD(hi) && mx.toDouble >= toD(lo)
-          case Some(("str", Some(mn), Some(mx))) =>
-            dec(mn) <= hi.toString && dec(mx) >= lo.toString
-          case Some((_, None, None)) => false // all-null: no row can match
-          case _ => true                      // unknown file/col: stay safe
-        }
-      }
-    }
+    val keep = allFiles.filterNot(pruned)
     // Even with every base file pruned, appended rows can still match.
     if (keep.isEmpty)
       subtractDv(spark.read.parquet(dir).where(lit(false))).where(pred)
@@ -1127,8 +1178,35 @@ object ManagedTable extends VersionedLayout {
     * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
   def vacuum(root: String, keep: Int = 1): Unit = {
     val live = currentVersion(root)
-    val retained = (math.max(0, live - keep + 1) to live)
-      .filter(v => Files.exists(Paths.get(root, s"v$v")))
+    vacuumRetaining(root, (math.max(0, live - keep + 1) to live)
+      .filter(v => Files.exists(Paths.get(root, s"v$v"))))
+  }
+
+  /** Retention-DURATION vacuum — the reference's policy knob
+    * (mls_listings_curated.py:366-368: `delta_table.vacuum(hours)`,
+    * default 168 h). Drops versions whose COMMIT TIME (from the
+    * `_history` log [[commitHistory]] records at every pointer swap) is
+    * older than `retainHours` before now; the live version is always
+    * kept regardless of age, and versions with no recorded history line
+    * (pre-history tables) are conservatively kept. Reachability is the
+    * same as the count-based [[vacuum]]: the full base of any retained
+    * deletion-vector version survives with it. */
+  def vacuum(root: String, retainHours: Double): Unit = {
+    require(retainHours >= 0, s"vacuum: retainHours=$retainHours")
+    val live = currentVersion(root)
+    val cutoff =
+      VersionedLayout.commitClock() - (retainHours * 3600 * 1000).toLong
+    val commitTimes: Map[Int, Long] = commitHistory(root).toMap
+    val listing = Files.list(Paths.get(root))
+    val onDisk =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toInt).toVector.sorted
+      finally listing.close()
+    vacuumRetaining(root, onDisk.filter(v =>
+      v == live || commitTimes.get(v).forall(_ >= cutoff)))
+  }
+
+  private def vacuumRetaining(root: String, retained: Seq[Int]): Unit = {
     val reachable: Set[Int] =
       (retained ++ retained.flatMap(v => dvBaseOf(root, v))).toSet
     def prune(dir: Path, keepSet: Set[Int]): Unit =

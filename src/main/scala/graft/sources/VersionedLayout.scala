@@ -51,8 +51,14 @@ private[sources] trait VersionedLayout {
     * BEFORE the swap: a readable version always has its commit time. */
   protected final def swapPointer(root: String, version: Int): Unit = {
     Files.createDirectories(Paths.get(root))
+    // Optional third field: user-supplied commit metadata (Delta's
+    // `userMetadata`, stamped by the reference on every curated write —
+    // mls_listings_curated.py:325). URL-encoded to stay TSV-safe.
+    val meta = VersionedLayout.userMetadata
+      .map(m => "\t" + java.net.URLEncoder.encode(m, "UTF-8"))
+      .getOrElse("")
     Files.write(Paths.get(root, "_history"),
-      s"$version\t${VersionedLayout.commitClock()}\n"
+      s"$version\t${VersionedLayout.commitClock()}$meta\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -69,8 +75,26 @@ private[sources] trait VersionedLayout {
     val f = Paths.get(root, "_history")
     if (!Files.exists(f)) Seq.empty
     else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(v, ts) = line.split("\t", 2)
-      v.toInt -> ts.toLong
+      val fields = line.split("\t", 3)
+      fields(0).toInt -> fields(1).toLong
+    }.toSeq
+  }
+
+  /** The commit log WITH each commit's user metadata (Delta's DESCRIBE
+    * HISTORY `userMetadata` column): (version, commit millis, metadata).
+    * Metadata is None for commits made without [[VersionedLayout
+    * .userMetadata]] set. */
+  final def commitHistoryWithMetadata(root: String)
+      : Seq[(Int, Long, Option[String])] = {
+    val f = Paths.get(root, "_history")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", 3) match {
+        case Array(v, ts, m) =>
+          (v.toInt, ts.toLong, Some(java.net.URLDecoder.decode(m, "UTF-8")))
+        case Array(v, ts) => (v.toInt, ts.toLong, None)
+        case other => sys.error(s"bad history line '$line' in $root")
+      }
     }.toSeq
   }
 
@@ -142,4 +166,19 @@ object VersionedLayout {
     * touch it. */
   @volatile private[graft] var commitClock: () => Long =
     () => System.currentTimeMillis()
+
+  /** User-supplied metadata stamped on every commit while set — the
+    * session-conf form of Delta's `userMetadata` (the reference sets it
+    * per curated write, mls_listings_curated.py:325). Read back via
+    * [[VersionedLayout.commitHistoryWithMetadata]]. Use
+    * [[withUserMetadata]] to scope it to one publish. */
+  @volatile var userMetadata: Option[String] = None
+
+  /** Run `body` with `userMetadata` set, restoring the prior value after —
+    * the per-write form (`.option("userMetadata", ...)` in Delta). */
+  def withUserMetadata[A](meta: String)(body: => A): A = {
+    val prior = userMetadata
+    userMetadata = Some(meta)
+    try body finally userMetadata = prior
+  }
 }

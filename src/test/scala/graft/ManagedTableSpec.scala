@@ -639,4 +639,111 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(df.count() == 0)
     assert(df.columns.toSeq == Seq("k", "v"))
   }
+
+  test("same-JVM concurrent commits: one wins, loser gets the CAS error, no stage leak") {
+    val root = Files.createTempDirectory("graft_occ_jvm").toString
+    ManagedTable.overwrite(root, Seq((1L, "base")).toDF("k", "v")) // v0
+    // Two threads race the SAME expectedVersion: without the per-root JVM
+    // monitor this crashes with OverlappingFileLockException instead of
+    // the documented conflict contract.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = Seq("writer-a", "writer-b").map { who =>
+      new Thread(() => {
+        try {
+          ManagedTable.commit(spark, root, 0, Seq((1L, who)).toDF("k", "v"))
+          results.add(Right(()))
+        } catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val (losers, winners) = {
+      import scala.jdk.CollectionConverters._
+      results.asScala.toSeq.partition(_.isLeft)
+    }
+    assert(winners.size == 1 && losers.size == 1)
+    losers.head.left.foreach(t =>
+      assert(t.isInstanceOf[ManagedTable.ConcurrentWriteException],
+        s"loser failed with ${t.getClass.getName}: ${t.getMessage}"))
+    assert(ManagedTable.currentVersion(root) == 1)
+    // the losing commit's staged dir must not leak
+    val staging = Paths.get(root, "_staging")
+    if (Files.exists(staging)) {
+      import scala.jdk.CollectionConverters._
+      val leaked = Files.list(staging)
+      try assert(leaked.iterator().asScala.isEmpty) finally leaked.close()
+    }
+  }
+
+  test("unpublished version dirs are not readable (crash orphan / mid-publish)") {
+    val root = Files.createTempDirectory("graft_orphan").toString
+    ManagedTable.overwrite(root, Seq((1, "a")).toDF("k", "v")) // v0 live
+    // simulate a crash that left a fully-written but never-published dir
+    Seq((9, "orphan")).toDF("k", "v").write.parquet(s"$root/v1")
+    val ex = intercept[IllegalArgumentException](
+      ManagedTable.readVersion(spark, root, 1))
+    assert(ex.getMessage.contains("not published"))
+    // the live read is unaffected
+    assert(ManagedTable.read(spark, root).as[(Int, String)].head() == (1, "a"))
+  }
+
+  test("failing audit leaves no v-dir anywhere and empties its staging") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.DataQuality.{Rule, countWhere}
+    val root = Files.createTempDirectory("graft_wap_stage").toString
+    ManagedTable.overwrite(root, Seq((1L, 1.0)).toDF("k", "v"))
+    val report = ManagedTable.writeAuditPublish(spark, root,
+      Seq((2L, -1.0)).toDF("k", "v"), Seq(Rule("v_pos", countWhere(col("v") <= 0))))
+    assert(report.filter(col("passed")).count() == 0)
+    assert(!Files.exists(Paths.get(root, "v1")))
+    val staging = Paths.get(root, "_staging")
+    if (Files.exists(staging)) {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(staging)
+      try assert(st.iterator().asScala.isEmpty) finally st.close()
+    }
+  }
+
+  test("vacuum by retention hours honors commit timestamps; live always kept") {
+    import graft.sources.VersionedLayout
+    val root = Files.createTempDirectory("graft_vac_hours").toString
+    val hour = 3600L * 1000L
+    val prev = VersionedLayout.commitClock
+    try {
+      var now = 0L
+      VersionedLayout.commitClock = () => now
+      now = 1 * hour; ManagedTable.overwrite(root, Seq((1, "a")).toDF("k", "v")) // v0
+      now = 5 * hour; ManagedTable.overwrite(root, Seq((1, "b")).toDF("k", "v")) // v1
+      now = 9 * hour; ManagedTable.overwrite(root, Seq((1, "c")).toDF("k", "v")) // v2
+      now = 10 * hour
+      // cutoff = now − 6h = 4h: v0 (1h) ages out, v1 (5h) and live v2 stay
+      ManagedTable.vacuum(root, retainHours = 6.0)
+      assert(!Files.exists(Paths.get(root, "v0")))
+      assert(Files.exists(Paths.get(root, "v1")))
+      assert(Files.exists(Paths.get(root, "v2")))
+      // retain 0 h: everything but the live version ages out
+      ManagedTable.vacuum(root, retainHours = 0.0)
+      assert(!Files.exists(Paths.get(root, "v1")))
+      assert(Files.exists(Paths.get(root, "v2")))
+      assert(ManagedTable.read(spark, root).as[(Int, String)].head() == (1, "c"))
+    } finally VersionedLayout.commitClock = prev
+  }
+
+  test("commit userMetadata is stamped per publish and read back from history") {
+    import graft.sources.VersionedLayout
+    val root = Files.createTempDirectory("graft_meta").toString
+    VersionedLayout.withUserMetadata("job=curated run=2024-01-01") {
+      ManagedTable.overwrite(root, Seq((1, "a")).toDF("k", "v")) // v0
+    }
+    ManagedTable.overwrite(root, Seq((1, "b")).toDF("k", "v"))   // v1, no meta
+    VersionedLayout.withUserMetadata("backfill with tabs\tand spaces") {
+      ManagedTable.overwrite(root, Seq((1, "c")).toDF("k", "v")) // v2
+    }
+    val h = ManagedTable.commitHistoryWithMetadata(root)
+    assert(h.map(_._1) == Seq(0, 1, 2))
+    assert(h(0)._3.contains("job=curated run=2024-01-01"))
+    assert(h(1)._3.isEmpty)
+    assert(h(2)._3.contains("backfill with tabs\tand spaces")) // TSV-safe
+    // the plain history view still parses 3-field lines
+    assert(ManagedTable.commitHistory(root).map(_._1) == Seq(0, 1, 2))
+  }
 }
