@@ -109,9 +109,9 @@ object DataQuality {
   private def fkEdgeSql(name: String, child: String, childKey: String,
                         parent: String, parentKey: String): String =
     s"""SELECT '$name' AS edge, COUNT(*) AS n_children,
-       |  CAST(SUM(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END)
+       |  CAST(COALESCE(SUM(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END), 0)
        |    AS BIGINT) AS n_orphans,
-       |  CAST(SUM(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END)
+       |  CAST(COALESCE(SUM(CASE WHEN p.$parentKey IS NULL THEN 1 ELSE 0 END), 0)
        |    AS BIGINT) = 0 AS passed
        |FROM $child c
        |LEFT JOIN (SELECT DISTINCT $parentKey FROM $parent) p

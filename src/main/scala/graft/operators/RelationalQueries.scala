@@ -191,6 +191,28 @@ object RelationalQueries {
       Seq(col("o_orderdate").desc, col("o_orderkey").desc), k = 2)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
 
+  /** q_w1_salted_skew: the latest-wins window under DELIBERATE key skew —
+    * ~80% of lineitem rows collapse onto one 'HOT' key, the hot-key shape
+    * that swamps a single task in the plain W1 full shuffle at 100 TB.
+    * [[Salting.topKPerKey]]'s two-phase plan (per-input-partition local
+    * rank prunes to ≤1 row per sub-group, then the global rank sees ≤
+    * nPartitions rows per key) must produce EXACTLY the plain window's
+    * answer — the oracle replays the unsalted row_number, so the gate is
+    * the identity proof. Ordering is total (shipdate, orderkey,
+    * linenumber), which two-phase ranking requires. */
+  def w1SaltedSkew(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem").select(
+      when(pmod(col("l_orderkey"), lit(10)) < 8, lit("HOT"))
+        .otherwise(concat(lit("k"),
+          pmod(col("l_orderkey"), lit(50)).cast(StringType))).as("skew_key"),
+      col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    Salting.topKPerKey(li, Seq("skew_key"),
+      Seq(col("l_shipdate").desc, col("l_orderkey").desc,
+        col("l_linenumber").desc), k = 1)
+      .select(col("skew_key"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+  }
+
   // A-extension: grouped aggregation (TPC-H Q1 shape) with exact decimal money.
   def aggPricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
@@ -438,6 +460,7 @@ object RelationalQueries {
     "q_w6_lead_changed" -> (w6LeadChanged _),
     "q_o1_topk_nulls" -> (o1TopKNulls _),
     "q_o1_salted_topk" -> (o1SaltedTopK _),
+    "q_w1_salted_skew" -> (w1SaltedSkew _),
     "q_agg_pricing_summary" -> (aggPricingSummary _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
@@ -564,6 +587,16 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_w1_salted_skew" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'
+        |              ELSE 'k' || CAST(l_orderkey % 50 AS VARCHAR) END AS skew_key,
+        |         l_orderkey, l_linenumber, l_shipdate
+        |  FROM lineitem)
+        |SELECT skew_key, l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY skew_key
+        |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM l) WHERE rn = 1""".stripMargin,
     "q_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -23,7 +23,8 @@ object Jobs {
       recomputeMax: Seq[String] = Nil,
       rejectedDir: Option[String] = None,
       orcMirrorDir: Option[String] = None,
-      numOutputFiles: Int = 100)
+      numOutputFiles: Int = 100,
+      vacuumHrs: Option[Double] = None) // reference --vacuum_hrs (curated.py:366-368)
 
   def runCurated(spark: SparkSession, input: DataFrame,
                  rules: Seq[Validation.Rule], cfg: CuratedConfig): Unit = {
@@ -42,6 +43,9 @@ object Jobs {
       TableIO.writeOrcZlib(ManagedTable.read(spark, cfg.tableRoot), d,
         cfg.numOutputFiles)
     }
+    // retention-duration vacuum after publish, as the reference runs it
+    cfg.vacuumHrs.foreach(h =>
+      ManagedTable.vacuum(cfg.tableRoot, retainHours = h))
   }
 
   /** Job 2 — history change log (reference: mls_listings_hist_curated.py):

@@ -15,7 +15,85 @@ import graft.sources.ManagedTable
   * change-history capture, and enrichment backfill on the managed table.
   */
 object JobsDemo {
+
+  /** CLI-driven run (reference argv surface, mls_listings_curated.py:18-56):
+    * all three jobs over the listings input dirs with the date window,
+    * optional MLS isin, shuffle-partition, output-file, reject-dir, and
+    * retention-vacuum knobs applied. Returns the run's count report so a
+    * spec can drive it from argv end-to-end. */
+  def run(spark: SparkSession, a: JobsCliArgs): Map[String, Long] = {
+    spark.conf.set("spark.sql.shuffle.partitions", a.shufflePartitions.toString)
+    val outDir = a.listingsOutputDir
+    // input dirs union positionally (U1), tagged with a synthesized mls
+    // code so --input_mls_list actually filters
+    val raw = spark.read.parquet(a.inputDirListings: _*)
+      .withColumn("mls", concat(lit("MLS"), pmod(col("o_custkey"), lit(3))))
+    val windowed = raw.filter(
+      col("o_orderdate").between(lit(a.fromDateIso), lit(a.toDateIso)))
+    val batch = a.inputMlsList match {
+      case Some(codes) => windowed.filter(col("mls").isin(codes: _*))
+      case None        => windowed
+    }
+    val rules = Seq(
+      Validation.Rule("status", "invalid_status",
+        !col("o_orderstatus").isin("F", "O", "P")),
+      Validation.Rule("price", "nonpositive_price", col("o_totalprice") <= 0))
+    val curatedCfg = Jobs.CuratedConfig(
+      tableRoot = s"$outDir/curated", keys = Seq("o_custkey"),
+      ordering = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+      rejectedDir =
+        if (a.logRejectedRecords) a.rejectDataDir.orElse(Some(s"$outDir/rejects"))
+        else None,
+      orcMirrorDir = Some(s"$outDir/curated_orc"),
+      numOutputFiles = a.numOutputFiles,
+      vacuumHrs = a.vacuumHrs)
+    Jobs.runCurated(spark, batch, rules, curatedCfg)
+
+    val histCfg = Jobs.HistoryConfig(
+      tableRoot = s"$outDir/hist", keys = Seq("o_custkey", "o_orderdate"),
+      versionOrder = Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+      entityKeys = Seq("o_custkey"), tracked = Seq("o_totalprice", "o_orderstatus"))
+    Jobs.runHistory(spark, batch, histCfg)
+
+    val backfillCfg = Jobs.BackfillConfig(
+      tableRoot = curatedCfg.tableRoot, keys = Seq("o_custkey"),
+      candidateFilter = col("o_orderstatus") === "O",
+      priority = Seq(col("o_totalprice").desc_nulls_last), budget = Some(100),
+      enrichedCols = Seq("o_orderpriority"))
+    Jobs.runBackfill(spark,
+      enrich = df => df.withColumn("o_orderpriority", lit("0-BACKFILLED")),
+      backfillCfg)
+
+    val curated = ManagedTable.read(spark, curatedCfg.tableRoot)
+    Map(
+      "curated_rows" -> curated.count(),
+      "hist_rows" -> ManagedTable.read(spark, histCfg.tableRoot).count(),
+      "backfilled" ->
+        curated.filter(col("o_orderpriority") === "0-BACKFILLED").count(),
+      "curated_versions" ->
+        ManagedTable.commitHistory(curatedCfg.tableRoot)
+          .map(_._1).distinct.count(v =>
+            java.nio.file.Files.exists(
+              java.nio.file.Paths.get(curatedCfg.tableRoot, s"v$v"))).toLong)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.exists(_.startsWith("--"))) {
+      val cli = JobsCli.parse(args.toIndexedSeq)
+      val spark = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", cli.shufflePartitions.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel(if (cli.debug) "INFO" else "WARN")
+      val report = run(spark, cli)
+      println(report.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      spark.stop()
+      return
+    }
     val Array(sfDir, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -38,4 +38,35 @@ class ExternalDdlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM mls_listings_ext").head.getLong(0) == 0)
     spark.sql("DROP TABLE mls_listings_ext")
   }
+
+  test("hist DDL twin: 134-col listings_hist with the boolean changed-flag tail") {
+    // ddl/listings_hist.sql:1-140 — the history table's DDL is the
+    // listings DDL plus the *_old previous-value columns and six boolean
+    // *_changed_flag tail columns; generated from the same schema file
+    // the hist job writes, so catalog and pipeline can never drift.
+    val schema = MlsFullTransform.histSchema
+    assert(schema.fields.length == 134)
+    val ddl = ExternalDdl.createExternalOrc("mls.listings_hist", schema,
+      "/data/curated/mls/listings_hist/", comment = "MLS listing history curated")
+    val flagTail = Seq("listing_status", "current_price", "source_listing_id",
+      "street_address_raw", "property_type", "property_sub_type")
+    flagTail.foreach { c =>
+      assert(ddl.contains(s"`${c}_changed_flag` BOOLEAN"), s"missing ${c}_changed_flag")
+      assert(ddl.contains(s"`${c}_old`"), s"missing ${c}_old")
+    }
+    // the six flags are the LAST six columns, in the reference's order
+    assert(schema.fieldNames.takeRight(6).toSeq == flagTail.map(_ + "_changed_flag"))
+    assert(ddl.contains("`state` STRING")) // reserved word stays quoted
+
+    // the generated DDL is valid Spark SQL: register + read back through
+    // the catalog at the full hist width
+    val loc = Files.createTempDirectory("graft_ext_hist").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq.empty[Row]), schema)
+      .write.mode("overwrite").option("compression", "zlib").orc(loc)
+    ExternalDdl.register(spark, "mls_listings_hist_ext", schema, loc)
+    val catalogFields = spark.table("mls_listings_hist_ext").schema.fields
+    assert(catalogFields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    spark.sql("DROP TABLE mls_listings_hist_ext")
+  }
 }
