@@ -40,8 +40,21 @@ object StreamGates {
   private def withReplayParallelism[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, prev)
+    // 3, not 1: keys still hash across multiple state partitions, so the
+    // cross-partition state routing the gates exist to exercise stays on;
+    // every extra partition multiplies the per-restart snapshot/delta/crc
+    // file churn that dominates replay wall time (state is a few thousand
+    // rows — compute is noise next to the checkpoint file ops).
+    s.conf.set(key, "3")
+    try body finally {
+      s.conf.set(key, prev)
+      // Replay checkpoints are dead after the gate returns, but their
+      // state-store providers stay registered in the JVM singleton and
+      // the background maintenance thread keeps visiting them (file
+      // listings on discarded checkpoint dirs) — across a 9-gate suite
+      // that accumulated cost degrades later gates. Unload eagerly.
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    }
   }
 
   /** q_stream_neardup: the CorpusStream near-dup intake screen
@@ -57,20 +70,27 @@ object StreamGates {
     docs.filter(col("doc_id") % 10 === 0)
       .repartition(4)
       .write.parquet(s"$root/delta")
+    // Cached: a stream-static join re-evaluates the static plan EVERY
+    // micro-batch, so the 4-batch replay would build the corpus prefix
+    // index four times — caching the static side is the standard
+    // production shape for stream-static joins (the corpus is fixed for
+    // the life of the stream). Values are identical either way.
     val index = CorpusStream.corpusPrefixIndex(
-      docs.filter(col("doc_id") % 10 =!= 0))
-    val incoming = s.readStream
-      .schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$root/delta")
-    val sink = s"graft_stream_neardup_${runSeq.incrementAndGet()}"
-    val q = CorpusStream.nearDupScreen(incoming, index)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .option("checkpointLocation", s"$root/ckpt")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(sink)
+      docs.filter(col("doc_id") % 10 =!= 0)).persist()
+    try {
+      val incoming = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/delta")
+      val sink = s"graft_stream_neardup_${runSeq.incrementAndGet()}"
+      val q = CorpusStream.nearDupScreen(incoming, index)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    } finally index.unpersist(blocking = false)
   }
 
 
@@ -129,16 +149,33 @@ object StreamGates {
     * distributed throughout (no driver-side feeding). */
   private def replaySlices(s: SparkSession, ev: DataFrame, nSlices: Int,
       name: String)(transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val root = graft.sources.ScratchDirs.fresh(name)
     val bounds = ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
     val sliced = ev.crossJoin(bounds).withColumn("_slice",
       least(lit(nSlices - 1),
         floor((col("ts_us") - col("_mn")).cast("double") * nSlices /
           (col("_mx") - col("_mn") + 1).cast("double")).cast("int")))
+    // ONE pass writes every slice (partitioned by _slice); each restart
+    // then just MOVES slice k's files into the source dir — the previous
+    // shape re-scanned `ev` once per slice, tripling the input cost of a
+    // 3-restart replay for no semantic difference (the slice cut is a
+    // pure function of ts either way).
+    sliced.drop("_mn", "_mx")
+      .write.partitionBy("_slice").parquet(s"$root/slices")
+    val inDir = Paths.get(s"$root/in")
+    Files.createDirectories(inDir)
     val out = s"$root/agg"
     (0 until nSlices).foreach { k =>
-      sliced.filter(col("_slice") === k).drop("_slice", "_mn", "_mx")
-        .write.mode("append").parquet(s"$root/in")
+      val sliceDir = Paths.get(s"$root/slices/_slice=$k")
+      if (Files.exists(sliceDir)) {
+        val files = Files.list(sliceDir)
+        try files.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(p => Files.move(p, inDir.resolve(s"s${k}_${p.getFileName}")))
+        finally files.close()
+      }
       val q = transform(s.readStream.schema(ev.schema).parquet(s"$root/in"))
         .writeStream.format("parquet")
         .option("path", out)
