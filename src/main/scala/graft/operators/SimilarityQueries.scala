@@ -66,9 +66,47 @@ object SimilarityQueries {
   /** Fixed-seed ±1 hyperplane matrix, shared by the Spark plan AND the
     * generated DuckDB oracle SQL (the planes are emitted as SQL literals,
     * so both engines compute byte-identical buckets). */
-  private def lshPlanes(nPlanes: Int): IndexedSeq[IndexedSeq[Double]] = {
+  private[graft] def lshPlanes(nPlanes: Int): IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(7)
     IndexedSeq.fill(nPlanes)(IndexedSeq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** The banded sign-signature as a Spark column: element b is band b's
+    * bucket (rowsPerBand sign bits packed little-endian). Shared by the
+    * batch LSH dedup and the streaming intake screen so both speak the
+    * same bucket language as the generated oracles. */
+  private[graft] def bandSignature(e: Column, nBands: Int,
+                                   rowsPerBand: Int): Column = {
+    val planes = lshPlanes(nBands * rowsPerBand)
+    array((0 until nBands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val p = planes(b * rowsPerBand + r).map(_.toFloat)
+        when(dotProduct(e, array(p.map(lit): _*)) >= 0, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** DuckDB CTE fragments for the banded signature: (bucket column list
+    * for a `sig` CTE over `c`, the 16-way UNION ALL turning `sig` into
+    * (vec_id, band, bucket) rows). Shared by every banded-LSH oracle. */
+  private[graft] def lshBandSigSql(nBands: Int, rowsPerBand: Int)
+      : (String, String) = {
+    val planes = lshPlanes(nBands * rowsPerBand)
+    def dotSql(p: IndexedSeq[Double]): String = {
+      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lits)[j]))"
+    }
+    val bucketCols = (0 until nBands).map { b =>
+      val expr = (0 until rowsPerBand).map { r =>
+        s"(CASE WHEN ${dotSql(planes(b * rowsPerBand + r))} >= 0 THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($expr) AS b$b"
+    }.mkString(",\n    ")
+    val unioned = (0 until nBands)
+      .map(b => s"SELECT vec_id, $b AS band, b$b AS bucket FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    (bucketCols, unioned)
   }
 
   def simLshTopK(s: SparkSession, dir: String, nPlanes: Int = 4,
@@ -326,17 +364,11 @@ object SimilarityQueries {
     * vectors that is the difference between feasible and not. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, threshold: Double = 0.35,
                         nBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val planes = lshPlanes(nBands * rowsPerBand)
     val c = corpus(s, dir)
-    def bandBucket(e: Column, band: Int): Column =
-      (0 until rowsPerBand).map { r =>
-        // ±1 as FLOAT literals: arrayDot takes two float arrays; ±1.0f is
-        // exact, so the float64 accumulation matches the oracle's.
-        val p = planes(band * rowsPerBand + r).map(_.toFloat)
-        when(dotProduct(e, array(p.map(lit): _*)) >= 0, lit(1 << r))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    val sig = array((0 until nBands).map(b => bandBucket(col("embedding"), b)): _*)
+    // ±1 planes ride as FLOAT literals inside bandSignature: arrayDot
+    // takes two float arrays; ±1.0f is exact, so the float64 accumulation
+    // matches the oracle's.
+    val sig = bandSignature(col("embedding"), nBands, rowsPerBand)
     val banded = c.select(col("vec_id"), posexplode(sig).as(Seq("band", "bucket")))
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -732,20 +764,7 @@ object SimilarityQueries {
     * self-join for candidates, DISTINCT pair dedup, exact cosine verify. */
   private def dedupEmbeddingLshOracle(threshold: Double, nBands: Int,
                                       rowsPerBand: Int): String = {
-    val planes = lshPlanes(nBands * rowsPerBand)
-    def dotSql(p: IndexedSeq[Double]): String = {
-      val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * ($lits)[j]))"
-    }
-    val bucketCols = (0 until nBands).map { b =>
-      val expr = (0 until rowsPerBand).map { r =>
-        s"(CASE WHEN ${dotSql(planes(b * rowsPerBand + r))} >= 0 THEN ${1 << r} ELSE 0 END)"
-      }.mkString(" + ")
-      s"($expr) AS b$b"
-    }.mkString(",\n    ")
-    val unioned = (0 until nBands)
-      .map(b => s"SELECT vec_id, $b AS band, b$b AS bucket FROM sig")
-      .mkString("\n  UNION ALL\n  ")
+    val (bucketCols, unioned) = lshBandSigSql(nBands, rowsPerBand)
     s"""WITH c AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(range(1, 65),

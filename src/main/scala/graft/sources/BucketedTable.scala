@@ -516,8 +516,32 @@ object BucketedTable extends VersionedLayout {
     * Deletion cost is proportional to the GARBAGE, never the table. */
   def vacuum(root: String, keep: Int = 1): Unit = {
     val live = currentVersion(root)
-    val retained = (math.max(0, live - keep + 1) to live)
+    vacuumRetaining(root, (math.max(0, live - keep + 1) to live)
+      .filter(v => Files.exists(Paths.get(root, s"v$v", "_manifest"))))
+  }
+
+  /** Retention-DURATION vacuum — same policy knob as
+    * [[ManagedTable.vacuum(root:String,retainHours:Double)*]] (the
+    * reference's `delta_table.vacuum(hours)`): retain manifests whose
+    * commit time (from the shared `_history` log) is within `retainHours`
+    * of now, always including the live manifest; then run the same
+    * manifest-reachability sweep, so any bucket dir a retained manifest
+    * references survives regardless of its own age. */
+  def vacuum(root: String, retainHours: Double): Unit = {
+    require(retainHours >= 0, s"vacuum: retainHours=$retainHours")
+    val live = currentVersion(root)
+    val cutoff =
+      VersionedLayout.commitClock() - (retainHours * 3600 * 1000).toLong
+    val commitTimes: Map[Int, Long] = commitHistory(root).toMap
+    val withManifest = listDir(Paths.get(root))(
+        _.filter(_.getFileName.toString.matches("v\\d+"))
+          .map(_.getFileName.toString.drop(1).toInt).toVector.sorted)
       .filter(v => Files.exists(Paths.get(root, s"v$v", "_manifest")))
+    vacuumRetaining(root, withManifest.filter(v =>
+      v == live || commitTimes.get(v).forall(_ >= cutoff)))
+  }
+
+  private def vacuumRetaining(root: String, retained: Seq[Int]): Unit = {
     val referenced: Set[(Int, String)] = retained.flatMap { v =>
       readMetaAt(root, v).manifest.toSeq.map { case (b, ver) => (b, ver) }
     }.toSet

@@ -70,4 +70,59 @@ object CorpusStream {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_new"), col("doc_existing"), col("jaccard"))
   }
+
+  /** Static-side EMBEDDING index for the streaming near-dup screen: per
+    * corpus vector its banded sign-signature
+    * ([[graft.operators.SimilarityQueries.bandSignature]]), norm, and one
+    * row per (band, bucket) to join on. Build once per corpus version and
+    * persist at scale — the embedding twin of [[corpusPrefixIndex]]. */
+  def embBandIndex(corpus: DataFrame, nBands: Int = 16,
+                   rowsPerBand: Int = 4): DataFrame = {
+    import graft.operators.SimilarityQueries
+    corpus
+      .withColumn("n_b", SimilarityQueries.l2Norm(col("embedding")))
+      .withColumn("sig_b",
+        SimilarityQueries.bandSignature(col("embedding"), nBands, rowsPerBand))
+      .select(col("vec_id").as("vec_existing"), col("embedding").as("e_b"),
+        col("n_b"), col("sig_b"),
+        posexplode(col("sig_b")).as(Seq("band", "bucket")))
+  }
+
+  /** Streaming EMBEDDING near-dup screen — the continuous form of the
+    * batch LSH dedup (SimilarityQueries.dedupEmbeddingLsh): arriving
+    * vectors are bucketed by the same banded sign-LSH, candidates come
+    * from the static index's matching (band, bucket) rows, and every
+    * candidate is EXACT-cosine verified, so the stream emits no false
+    * positives. Stream-static join → STATELESS (no state store, no
+    * watermark, the 100 TB/day intake shape).
+    *
+    * A pair colliding in several bands must still emit once per batch:
+    * both sides carry their full signatures, and only the join row whose
+    * band is the MINIMUM matching band survives — the same stateless
+    * by-construction dedup [[nearDupScreen]] uses (min of the prefix
+    * intersection), re-expressed for bands. */
+  def embNearDupScreen(newVecs: DataFrame, bandIndex: DataFrame,
+                       threshold: Double = 0.35, nBands: Int = 16,
+                       rowsPerBand: Int = 4): DataFrame = {
+    import graft.operators.SimilarityQueries
+    val a = newVecs
+      .withColumn("n_a", SimilarityQueries.l2Norm(col("embedding")))
+      .withColumn("sig_a",
+        SimilarityQueries.bandSignature(col("embedding"), nBands, rowsPerBand))
+      .select(col("vec_id").as("vec_new"), col("embedding").as("e_a"),
+        col("n_a"), col("sig_a"),
+        posexplode(col("sig_a")).as(Seq("band_a", "bucket_a")))
+    val firstMatch = array_min(filter(
+      sequence(lit(0), lit(nBands - 1)),
+      b => element_at(col("sig_a"), b + 1) === element_at(col("sig_b"), b + 1)))
+    a.join(bandIndex,
+        col("band_a") === col("band") && col("bucket_a") === col("bucket") &&
+          col("vec_new") =!= col("vec_existing"))
+      .filter(col("band_a") === firstMatch)
+      .withColumn("cos_sim",
+        SimilarityQueries.dotProduct(col("e_a"), col("e_b")) /
+          (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_new"), col("vec_existing"), col("cos_sim"))
+  }
 }

@@ -95,6 +95,40 @@ object StreamGates {
 
 
 
+  /** q_stream_emb_neardup: the EMBEDDING intake screen — the streaming
+    * twin of q_dedup_embedding_lsh, mirroring q_stream_neardup's shape:
+    * vec_id % 10 == 0 arrives on the stream, the rest is the static
+    * banded index (cached — fixed for the stream's life). Stream-static
+    * join on (band, bucket) with the stateless min-matching-band pair
+    * dedup, exact-cosine verified; append mode, checkpointed, 4
+    * micro-batches. The oracle recomputes signatures, DISTINCT candidate
+    * pairs, and the verify relationally — set-identical to the
+    * min-band-survivor rows by construction. */
+  def streamEmbNearDup(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    val root = graft.sources.ScratchDirs.fresh("stream_emb_neardup")
+    val vecs = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    vecs.filter(col("vec_id") % 10 === 0)
+      .repartition(4)
+      .write.parquet(s"$root/delta")
+    val index = CorpusStream.embBandIndex(
+      vecs.filter(col("vec_id") % 10 =!= 0)).persist()
+    try {
+      val incoming = s.readStream
+        .schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/delta")
+      val sink = s"graft_stream_emb_neardup_${runSeq.incrementAndGet()}"
+      val q = CorpusStream.embNearDupScreen(incoming, index)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+    } finally index.unpersist(blocking = false)
+  }
+
   /** q_stream_hourly: the STATEFUL streaming twin — EventStream.hourlyCounts
     * (watermarked tumbling-hour aggregation, append mode) replayed
     * deterministically across THREE restarts of the same checkpointed query:
@@ -427,6 +461,7 @@ object StreamGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_neardup" -> (streamNearDup _),
+    "q_stream_emb_neardup" -> (streamEmbNearDup _),
     "q_stream_hourly" -> (streamHourly _),
     "q_stream_attribution" -> (streamAttribution _),
     "q_stream_sessionize" -> (streamSessionize _),
@@ -461,6 +496,8 @@ object StreamGates {
       graft.operators.LifecycleQueries.oracles("q_lifecycle_table"),
     "q_stream_dedup" ->
       "SELECT DISTINCT md5(text) AS fingerprint FROM documents",
+    "q_stream_emb_neardup" -> embNearDupOracle(threshold = 0.35,
+      nBands = 16, rowsPerBand = 4),
     "q_stream_view" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_custkey AS cust,
@@ -528,4 +565,40 @@ object StreamGates {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    >= 0.5""".stripMargin)
+
+  /** DuckDB replay of the streaming embedding screen: same seeded banded
+    * signatures (shared CTE builder with the batch LSH-dedup oracle),
+    * DISTINCT delta×corpus candidate pairs over shared (band, bucket),
+    * exact cosine verify — set-identical to the stream's
+    * min-matching-band survivors by construction. */
+  private def embNearDupOracle(threshold: Double, nBands: Int,
+                               rowsPerBand: Int): String = {
+    val (bucketCols, unioned) =
+      graft.operators.SimilarityQueries.lshBandSigSql(nBands, rowsPerBand)
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id,
+       |    $bucketCols
+       |  FROM c),
+       |e AS (
+       |  $unioned),
+       |cand AS (
+       |  SELECT DISTINCT d.vec_id AS vec_new, x.vec_id AS vec_existing
+       |  FROM e d JOIN e x ON d.band = x.band AND d.bucket = x.bucket
+       |    AND d.vec_id % 10 = 0 AND x.vec_id % 10 <> 0)
+       |SELECT cand.vec_new, cand.vec_existing,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.norm * b.norm) AS cos_sim
+       |FROM cand
+       |JOIN c a ON a.vec_id = cand.vec_new
+       |JOIN c b ON b.vec_id = cand.vec_existing
+       |WHERE list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.norm * b.norm) >= $threshold""".stripMargin
+  }
 }

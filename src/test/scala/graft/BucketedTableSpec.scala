@@ -366,4 +366,37 @@ class BucketedTableSpec extends AnyFunSuite {
       BucketedTable.readVersion(spark, root, 1)
     }
   }
+
+  test("retention-hours vacuum keeps young + live manifests and their references") {
+    import graft.sources.VersionedLayout
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bkt_vh").toString
+    val hour = 3600L * 1000L
+    val prev = VersionedLayout.commitClock
+    try {
+      var now = 0L
+      VersionedLayout.commitClock = () => now
+      now = 1 * hour
+      BucketedTable.create(root,
+        (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), Seq("k"), 8) // v0
+      now = 5 * hour
+      BucketedTable.merge(spark, root, Seq((1L, "u1")).toDF("k", "v"))       // v1
+      now = 9 * hour
+      BucketedTable.merge(spark, root, Seq((2L, "u2")).toDF("k", "v"))       // v2
+      now = 10 * hour
+      BucketedTable.vacuum(root, retainHours = 6.0) // cutoff 4h: v0 ages out
+      // v1 retained (5h): still time-travelable, carrying v0's untouched
+      // buckets BY REFERENCE — reachability keeps those dirs alive
+      assert(BucketedTable.readVersion(spark, root, 1).count() == 100)
+      assert(BucketedTable.read(spark, root).count() == 100)
+      intercept[IllegalArgumentException](
+        BucketedTable.readVersion(spark, root, 0)) // v0's manifest is gone
+      // retain 0h: only the live manifest (and what it references) survives
+      BucketedTable.vacuum(root, retainHours = 0.0)
+      intercept[IllegalArgumentException](
+        BucketedTable.readVersion(spark, root, 1))
+      assert(BucketedTable.read(spark, root)
+        .filter($"v".isin("u1", "u2")).count() == 2)
+    } finally VersionedLayout.commitClock = prev
+  }
 }

@@ -55,4 +55,43 @@ class CorpusStreamSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table("neardup_none").isEmpty)
   }
+
+  test("streaming embedding screen: once per pair, verified, batch-cut-invariant") {
+    val vecs = graft.sources.TableIO.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = CorpusStream.embBandIndex(vecs.filter(col("vec_id") % 10 =!= 0))
+    // batch form: the screen run on a batch frame
+    val batchPairs = CorpusStream.embNearDupScreen(
+        vecs.filter(col("vec_id") % 10 === 0), index)
+      .select("vec_new", "vec_existing").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batchPairs.nonEmpty)
+    assert(batchPairs.distinct.length == batchPairs.length,
+      "a multi-band collision emitted a pair twice")
+    // every emitted pair truly clears the threshold: it must appear in the
+    // exact all-pairs set (no false positives from bucketing)
+    val exact = graft.operators.SimilarityQueries.dedupEmbedding(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    batchPairs.foreach { case (n, e) =>
+      assert(exact(math.min(n, e) -> math.max(n, e)),
+        s"pair ($n,$e) not in the exact set")
+    }
+    // streamed in two batch cuts: same set (stateless, per-pair independent)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val named = stream.toDF().toDF("vec_id", "embedding")
+    val q = CorpusStream.embNearDupScreen(named, index)
+      .writeStream.format("memory").queryName("emb_neardup_out")
+      .outputMode("append").start()
+    val delta = vecs.filter(col("vec_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("emb_neardup_out")
+      .select("vec_new", "vec_existing").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.sorted == batchPairs.sorted)
+  }
 }
