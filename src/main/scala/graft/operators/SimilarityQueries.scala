@@ -386,19 +386,68 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
-  /** Certification gate for [[dedupEmbeddingLsh]]: because the LSH path
-    * exact-verifies its candidates, its output is a strict subset of the
-    * exact all-pairs result — so recall is simply n_approx / n_exact, a
-    * deterministic fraction both engines recompute identically. The gate
-    * hash-pins it: any banding change that degrades recall breaks the
-    * hash instead of silently shrinking the dedup set. */
+  /** IVF-CELL-BLOCKED near-dup (the SemDeDup shape — Abbas et al. 2023
+    * prune within semantic clusters): candidates are pairs sharing a
+    * coarse-quantizer cell (the deterministic seeded assignment
+    * [[simIvfTopK]] uses), exact-verified. Same zero-false-positive
+    * contract as the LSH path with a different candidate geometry:
+    * cluster-shaped candidate sets (cheap when the corpus is clustered,
+    * which curated corpora are) vs the LSH path's threshold-shaped ones;
+    * recall for both is measured against exact by [[dedupEmbRecall]].
+    * Scale: assignment is one codegen'd projection (driver-held seed
+    * codebook, the standard IVF contract); the self-join shuffles on the
+    * cell id — compute ∝ Σ|cell|²/2, the SemDeDup economics. */
+  def dedupEmbeddingIvf(s: SparkSession, dir: String, threshold: Double = 0.35,
+                        nCells: Int = 16, nProbe: Int = 3): DataFrame = {
+    val c = corpus(s, dir)
+    val seeds: Seq[(Int, Seq[Float], Double)] = c.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast(IntegerType), col("embedding"), col("norm"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    // top-nProbe cells per vector (multi-probe blocking: a boundary pair
+    // split by the quantizer still meets if ANY probe cell is shared) —
+    // same ranked-cells tie discipline as simIvfTopK.
+    def probeCells(e: Column, n: Column): Column =
+      slice(transform(
+        reverse(array_sort(array(seeds.map { case (id, emb, snorm) =>
+          struct(
+            (dotProduct(e, array(emb.map(lit): _*)) / (n * lit(snorm))).as("s"),
+            lit(-id).as("negid"))
+        }: _*))), x => -x.getField("negid")), 1, nProbe)
+    val probed = c.select(col("vec_id"),
+        explode(probeCells(col("embedding"), col("norm"))).as("cell"))
+    val cand = probed.as("l").join(probed.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(c.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
+        col("norm").as("n_a")), "id_a")
+      .join(c.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
+        col("norm").as("n_b")), "id_b")
+      .withColumn("cos_sim",
+        dotProduct(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** Certification gate for the approximate dedup methods: each
+    * exact-verifies its candidates, so its output is a strict subset of
+    * the exact all-pairs result and recall is simply n_approx / n_exact —
+    * a deterministic fraction both engines recompute identically. The
+    * gate hash-pins one row per method: any banding/quantizer change
+    * that degrades recall breaks the hash instead of silently shrinking
+    * the dedup set. */
   def dedupEmbRecall(s: SparkSession, dir: String): DataFrame = {
     val nExact = dedupEmbedding(s, dir).agg(count(lit(1)).as("n_exact"))
-    val nApprox = dedupEmbeddingLsh(s, dir).agg(count(lit(1)).as("n_approx"))
-    nExact.crossJoin(nApprox).select(
-      lit("lsh_banded").as("method"), col("n_exact"), col("n_approx"),
-      (col("n_approx").cast(DoubleType) / col("n_exact").cast(DoubleType))
-        .as("recall_vs_exact"))
+    def row(method: String, approx: DataFrame): DataFrame =
+      nExact.crossJoin(approx.agg(count(lit(1)).as("n_approx"))).select(
+        lit(method).as("method"), col("n_exact"), col("n_approx"),
+        (col("n_approx").cast(DoubleType) / col("n_exact").cast(DoubleType))
+          .as("recall_vs_exact"))
+    row("lsh_banded", dedupEmbeddingLsh(s, dir))
+      .unionByName(row("ivf_cell", dedupEmbeddingIvf(s, dir)))
   }
 
   /** kNN label vote: predict each query vector's label from the majority
@@ -492,6 +541,7 @@ object SimilarityQueries {
     "q_sim_pq_topk" -> ((s: SparkSession, d: String) => simPqTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => dedupEmbedding(s, d)),
     "q_dedup_embedding_lsh" -> ((s: SparkSession, d: String) => dedupEmbeddingLsh(s, d)),
+    "q_dedup_embedding_ivf" -> ((s: SparkSession, d: String) => dedupEmbeddingIvf(s, d)),
     "q_dedup_emb_recall" -> ((s: SparkSession, d: String) => dedupEmbRecall(s, d)))
 
   /** DuckDB SQL replicating simIvfTopK: the oracle re-derives the seed
@@ -734,15 +784,61 @@ object SimilarityQueries {
     "q_dedup_embedding" -> dedupEmbeddingExactOracle,
     "q_dedup_embedding_lsh" ->
       dedupEmbeddingLshOracle(threshold = 0.35, nBands = 16, rowsPerBand = 4),
+    "q_dedup_embedding_ivf" ->
+      dedupEmbeddingIvfOracle(threshold = 0.35, nCells = 16, nProbe = 3),
     "q_dedup_emb_recall" ->
       s"""WITH exact AS (SELECT id_a, id_b FROM ($dedupEmbeddingExactOracle)),
-         |apx AS (SELECT id_a, id_b FROM (${dedupEmbeddingLshOracle(
-               threshold = 0.35, nBands = 16, rowsPerBand = 4)}))
+         |lshp AS (SELECT id_a, id_b FROM (${dedupEmbeddingLshOracle(
+               threshold = 0.35, nBands = 16, rowsPerBand = 4)})),
+         |ivfp AS (SELECT id_a, id_b FROM (${dedupEmbeddingIvfOracle(
+               threshold = 0.35, nCells = 16, nProbe = 3)}))
          |SELECT 'lsh_banded' AS method,
          |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
-         |  CAST((SELECT COUNT(*) FROM apx) AS BIGINT) AS n_approx,
-         |  CAST((SELECT COUNT(*) FROM apx) AS DOUBLE)
-         |    / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall_vs_exact""".stripMargin)
+         |  CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_approx,
+         |  CAST((SELECT COUNT(*) FROM lshp) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall_vs_exact
+         |UNION ALL
+         |SELECT 'ivf_cell',
+         |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT),
+         |  CAST((SELECT COUNT(*) FROM ivfp) AS BIGINT),
+         |  CAST((SELECT COUNT(*) FROM ivfp) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)""".stripMargin)
+
+  /** DuckDB SQL replicating [[dedupEmbeddingIvf]]: the same seeded-cell
+    * assignment as the IVF top-k oracle (score DESC, seed_id ASC), same-
+    * cell candidate pairs, exact cosine verify. */
+  private def dedupEmbeddingIvfOracle(threshold: Double, nCells: Int,
+                                      nProbe: Int): String =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+       |  FROM embeddings),
+       |seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb, norm AS s_norm
+       |          FROM c WHERE vec_id < $nCells),
+       |pr AS (
+       |  SELECT c.vec_id, seeds.seed_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      j -> CAST(c.embedding[j] AS DOUBLE) * CAST(seeds.s_emb[j] AS DOUBLE)))
+       |      / (c.norm * seeds.s_norm) AS score
+       |  FROM c CROSS JOIN seeds),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY score DESC, seed_id ASC) AS rn FROM pr),
+       |probed AS (SELECT vec_id, seed_id AS cell FROM rk WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM probed a JOIN probed b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT cand.id_a, cand.id_b,
+       |  list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.norm * b.norm) AS cos_sim
+       |FROM cand
+       |JOIN c a ON a.vec_id = cand.id_a
+       |JOIN c b ON b.vec_id = cand.id_b
+       |WHERE list_sum(list_transform(range(1, 65),
+       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |    / (a.norm * b.norm) >= $threshold""".stripMargin
 
   private def dedupEmbeddingExactOracle: String =
     """WITH c AS (

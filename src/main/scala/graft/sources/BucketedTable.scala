@@ -136,9 +136,14 @@ object BucketedTable extends VersionedLayout {
     * vacuum's reachability sweep has reclaimed them, which fails here
     * with a clear error instead of a silent partial read. */
   def readVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val live = currentVersion(root)
+    // Same guard as ManagedTable.readVersion: a dir above the published
+    // pointer is an in-flight publish or crash orphan, never served.
+    require(version <= live,
+      s"version $version of $root is not published yet (live is v$live)")
     require(Files.exists(Paths.get(root, s"v$version", "_manifest")),
       s"version $version of $root is not on disk (vacuumed or never " +
-        s"published); live is v${currentVersion(root)}")
+        s"published); live is v$live")
     val meta = readMetaAt(root, version)
     meta.manifest.foreach { case (b, ver) =>
       require(Files.exists(Paths.get(bucketDir(root, ver, b))),

@@ -17,10 +17,21 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(apx.exceptAll(exact).isEmpty, "LSH path emitted a pair the exact path lacks")
   }
 
-  test("measured recall clears the 16x4 banding design floor") {
-    val r = SimilarityQueries.dedupEmbRecall(spark, dir).collect().head
-    assert(r.getAs[Long]("n_exact") > 0)
-    assert(r.getAs[Double]("recall_vs_exact") >= 0.8,
-      s"recall ${r.getAs[Double]("recall_vs_exact")} below design floor")
+  test("IVF-cell pairs are a subset of the exact all-pairs result") {
+    val exact = SimilarityQueries.dedupEmbedding(spark, dir).select("id_a", "id_b")
+    val apx = SimilarityQueries.dedupEmbeddingIvf(spark, dir).select("id_a", "id_b")
+    assert(apx.exceptAll(exact).isEmpty, "IVF path emitted a pair the exact path lacks")
+  }
+
+  test("measured recall clears each method's design floor") {
+    val rows = SimilarityQueries.dedupEmbRecall(spark, dir).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall_vs_exact"))
+      .toMap
+    assert(rows("lsh_banded") >= 0.8,
+      s"LSH recall ${rows("lsh_banded")} below design floor")
+    // cluster blocking at a low threshold legitimately recalls less; the
+    // floor pins it from silently collapsing, the gate pins it exactly
+    assert(rows("ivf_cell") >= 0.3,
+      s"IVF recall ${rows("ivf_cell")} below design floor")
   }
 }
