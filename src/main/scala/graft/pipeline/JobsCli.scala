@@ -17,6 +17,10 @@ final case class JobsCliArgs(
     numOutputFiles: Int = 100,
     vacuumHrs: Option[Double] = None,
     shufflePartitions: Int = 2,
+    propertyIdSource: String = "NONE",          // API | MSSQL | NONE
+    propertyIdApiEndpoint: Option[String] = None,
+    propertyIdApiBatchSize: Int = 500,
+    propertyIdApiSleep: Double = 0.01,          // seconds, like the reference
     debug: Boolean = false,
     logRejectedRecords: Boolean = false) {
   def fromDateIso: String = JobsCli.iso(fromDate)
@@ -42,7 +46,9 @@ object JobsCli {
     var switches = Set.empty[String]
     val known = Set("--from_date", "--to_date", "--input_dir_listings",
       "--input_mls_list", "--listings_output_dir", "--reject_data_dir",
-      "--num_output_files", "--vacuum_hrs", "--shuffle_partitions")
+      "--num_output_files", "--vacuum_hrs", "--shuffle_partitions",
+      "--property_id_source", "--property_id_api_endpoint",
+      "--property_id_api_batch_size", "--property_id_api_sleep")
     val knownSwitches = Set("--debug", "--log_rejected_records")
     var i = 0
     while (i < argv.length) {
@@ -69,12 +75,24 @@ object JobsCli {
       vacuumHrs = opts.get("--vacuum_hrs").map(_.toDouble),
       shufflePartitions =
         opts.get("--shuffle_partitions").map(_.toInt).getOrElse(2),
+      propertyIdSource =
+        opts.getOrElse("--property_id_source", "NONE"),
+      propertyIdApiEndpoint = opts.get("--property_id_api_endpoint"),
+      propertyIdApiBatchSize =
+        opts.get("--property_id_api_batch_size").map(_.toInt).getOrElse(500),
+      propertyIdApiSleep =
+        opts.get("--property_id_api_sleep").map(_.toDouble).getOrElse(0.01),
       debug = switches("--debug"),
       logRejectedRecords = switches("--log_rejected_records"))
     iso(args.fromDate); iso(args.toDate) // validate eagerly
     require(args.inputDirListings.nonEmpty, "empty --input_dir_listings")
     require(args.numOutputFiles > 0,
       s"--num_output_files ${args.numOutputFiles} must be positive")
+    require(Set("API", "MSSQL", "NONE")(args.propertyIdSource),
+      s"--property_id_source '${args.propertyIdSource}' not in API|MSSQL|NONE")
+    require(args.propertyIdSource != "API" ||
+      args.propertyIdApiEndpoint.nonEmpty,
+      "--property_id_source API needs --property_id_api_endpoint")
     args
   }
 }

@@ -64,8 +64,31 @@ object JobsDemo {
       enrich = df => df.withColumn("o_orderpriority", lit("0-BACKFILLED")),
       backfillCfg)
 
+    // property-id enrichment leg (reference --property_id_* flags): when
+    // the trusted source is the API, the REAL HTTP client batches the
+    // distinct addresses to the endpoint (mls_listings_transform.py's
+    // call_api shape: batch size + pre-call sleep from argv).
+    val lookedUp: Long = a.propertyIdSource match {
+      case "API" =>
+        val listings = batch.selectExpr(
+          "mls",
+          "'L' || CAST(o_orderkey AS STRING) AS mls_listing_id",
+          "'ADDR ' || CAST(o_custkey % 40 AS STRING) AS street_address",
+          "'CITY' || CAST(o_custkey % 5 AS STRING) AS city",
+          "'TX' AS state", "'75001' AS zip",
+          "CAST(NULL AS STRING) AS unit")
+        val client = new graft.enrich.HttpLookupClient(
+          a.propertyIdApiEndpoint.get,
+          throttleMillis = (a.propertyIdApiSleep * 1000).toLong)
+        graft.pipeline.mls.MlsEnrich
+          .lookupPropertyIds(spark, listings, client, a.propertyIdApiBatchSize)
+          .map(_.count()).getOrElse(0L)
+      case _ => 0L // MSSQL variant runs through MlsEnrichMssqlGate's path
+    }
+
     val curated = ManagedTable.read(spark, curatedCfg.tableRoot)
     Map(
+      "property_ids_looked_up" -> lookedUp,
       "curated_rows" -> curated.count(),
       "hist_rows" -> ManagedTable.read(spark, histCfg.tableRoot).count(),
       "backfilled" ->

@@ -74,4 +74,31 @@ class JobsCliSpec extends AnyFunSuite {
     assert(r2("curated_rows") > 0)
     assert(r2("curated_rows") < r1("curated_rows"))
   }
+
+  test("property-id API flags drive the real HTTP client from argv") {
+    // choice validation mirrors the reference's argparse contract
+    intercept[IllegalArgumentException](JobsCli.parse(Seq(
+      "--from_date", "19950101", "--to_date", "19950201",
+      "--input_dir_listings", fixture, "--listings_output_dir", "/tmp/x",
+      "--property_id_source", "FTP")))
+    intercept[IllegalArgumentException](JobsCli.parse(Seq(
+      "--from_date", "19950101", "--to_date", "19950201",
+      "--input_dir_listings", fixture, "--listings_output_dir", "/tmp/x",
+      "--property_id_source", "API"))) // endpoint required
+
+    val server = new graft.enrich.StubPropertyServer()
+    try {
+      val out = Files.createTempDirectory("graft_cli_api").toString
+      val r = JobsDemo.run(spark, JobsCli.parse(Seq(
+        "--from_date", "19950101", "--to_date", "19950401",
+        "--input_dir_listings", fixture,
+        "--listings_output_dir", out,
+        "--property_id_source", "API",
+        "--property_id_api_endpoint", server.lookupUrl,
+        "--property_id_api_batch_size", "32",
+        "--property_id_api_sleep", "0")))
+      assert(r("property_ids_looked_up") > 0)
+      assert(r("curated_rows") > 0)
+    } finally server.stop()
+  }
 }
