@@ -403,6 +403,35 @@ object LifecycleQueries {
     } finally graft.sources.VersionedLayout.commitClock = prev
   }
 
+  /** DESCRIBE HISTORY gate: three publishes under the injected logical
+    * clock, the first and third stamped with user metadata — the run
+    * provenance the reference attaches to every curated write (Delta
+    * `userMetadata`, mls_listings_curated.py:325). The gate emits the
+    * commit log itself (version, commit ms, metadata); the oracle is a
+    * VALUES literal, putting the history/metadata surface under the hash
+    * bar rather than spec-only. */
+  def tableHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedLayout
+    val root = freshRoot("history")
+    val t = new java.util.concurrent.atomic.AtomicLong(0L)
+    val prev = VersionedLayout.commitClock
+    VersionedLayout.commitClock = () => t.addAndGet(1000L)
+    try {
+      val base = table(s, dir, "region").select(col("r_regionkey").as("k"))
+      VersionedLayout.withUserMetadata("job=curated from=19950101 to=19961231") {
+        ManagedTable.overwrite(root, base)
+      }
+      ManagedTable.overwrite(root, base.limit(3)) // no metadata set
+      VersionedLayout.withUserMetadata("job=backfill budget=100") {
+        ManagedTable.overwrite(root, base.limit(1))
+      }
+      import s.implicits._
+      ManagedTable.commitHistoryWithMetadata(root)
+        .map { case (v, ts, m) => (v, ts, m.orNull) }
+        .toDF("version", "commit_ms", "user_metadata")
+    } finally VersionedLayout.commitClock = prev
+  }
+
   /** Change-data-feed gate (Delta `table_changes`): the v2 merge records
     * its row-level changes — `update` (post-image) where the ≤1996 state
     * has newer activity, `delete` (pre-image) for matched-but-unchanged
@@ -1076,6 +1105,7 @@ object LifecycleQueries {
     "q_table_skipping_str" -> (tableSkippingStr _),
     "q_table_timetravel" -> (tableTimetravel _),
     "q_table_timetravel_ts" -> (tableTimetravelTs _),
+    "q_table_history" -> (tableHistory _),
     "q_table_cdf" -> (tableCdf _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
@@ -1474,6 +1504,13 @@ object LifecycleQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1""".stripMargin,
+    "q_table_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), CAST(1000 AS BIGINT),
+        |   'job=curated from=19950101 to=19961231'),
+        |  (CAST(1 AS INTEGER), CAST(2000 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  (CAST(2 AS INTEGER), CAST(3000 AS BIGINT), 'job=backfill budget=100'))
+        |  AS t(version, commit_ms, user_metadata)""".stripMargin,
     // timestampAsOf must land exactly where versionAsOf lands: shared bar.
     "q_table_timetravel_ts" ->
       """SELECT o_custkey AS cust, CAST(max(o_orderdate) AS VARCHAR) AS last_dt,

@@ -220,6 +220,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_j1_broadcast_dims", "q_j2_disjunctive_join", "q_j5_coalesce_lookup",
       "q_j11_inner_attach", "q_dedup_exact", "q_dedup_jaccard",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_embedding",
+      "q_dedup_embedding_lsh", "q_dedup_embedding_ivf", "q_w1_salted_skew",
       "q_dedup_incremental", "q_sim_cosine_topk", "q_sim_lsh_topk",
       "q_sim_ivf_topk", "q_sim_knn_label", "q_sim_recall", "q_txt_tfidf",
       "q_txt_boilerplate", "q_txt_contamination", "q_mix_sample",
