@@ -432,6 +432,21 @@ object LifecycleQueries {
     } finally VersionedLayout.commitClock = prev
   }
 
+  /** RENAME COLUMN gate (Delta column mapping): two chained metadata-only
+    * renames — zero data bytes rewritten, files hard-linked forward with
+    * a physical→logical `_colmap` — then a read through the mapping. The
+    * oracle recomputes the projection relationally, so a mapping that
+    * dropped, double-applied, or failed to chain breaks the hash. */
+  def tableRename(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("rename")
+    ManagedTable.overwrite(root, table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("double").as("price")))
+    ManagedTable.renameColumn(s, root, "price", "total_price")
+    ManagedTable.renameColumn(s, root, "cust", "customer_id")
+    ManagedTable.read(s, root)
+  }
+
   /** Change-data-feed gate (Delta `table_changes`): the v2 merge records
     * its row-level changes — `update` (post-image) where the ≤1996 state
     * has newer activity, `delete` (pre-image) for matched-but-unchanged
@@ -1106,6 +1121,7 @@ object LifecycleQueries {
     "q_table_timetravel" -> (tableTimetravel _),
     "q_table_timetravel_ts" -> (tableTimetravelTs _),
     "q_table_history" -> (tableHistory _),
+    "q_table_rename" -> (tableRename _),
     "q_table_cdf" -> (tableCdf _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_bucketed_merge" -> (bucketedMerge _),
@@ -1504,6 +1520,10 @@ object LifecycleQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate <= DATE '1995-12-31' GROUP BY 1""".stripMargin,
+    "q_table_rename" ->
+      """SELECT o_orderkey AS k, o_custkey AS customer_id,
+        |  CAST(o_totalprice AS DOUBLE) AS total_price
+        |FROM orders""".stripMargin,
     "q_table_history" ->
       """SELECT * FROM (VALUES
         |  (CAST(0 AS INTEGER), CAST(1000 AS BIGINT),

@@ -213,6 +213,62 @@ object RelationalQueries {
         col("l_shipdate"))
   }
 
+  /** q_sql_recursive_cte: WITH RECURSIVE (Spark 4's recursive CTE —
+    * engine-completeness next to rollup/cube/pivot): the full ancestor
+    * closure of a synthesized parent-chain hierarchy (parent(k)=⌊k/2⌋),
+    * self-terminating when the chain reaches the root. Scale note: each
+    * iteration is one self-equi-join Catalyst plans like any other;
+    * total work ∝ closure size (n·log n here) — the same economics as
+    * GraphCC's pointer jumping, expressed in pure SQL. Integer division
+    * spelled FLOOR(x/2.0) because a plain BIGINT cast of a double rounds
+    * half-even in DuckDB but truncates in Spark. */
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "customer").selectExpr(
+        "CAST(c_custkey AS BIGINT) AS k",
+        "CAST(FLOOR(c_custkey / 2.0) AS BIGINT) AS parent")
+      .filter(col("k") > 1 && col("k") <= 1000)
+      .createOrReplaceTempView("graft_edges")
+    s.sql(
+      """WITH RECURSIVE anc(node, ancestor, depth) AS (
+        |  SELECT k, parent, 1 FROM graft_edges
+        |  UNION ALL
+        |  SELECT a.node, e.parent, a.depth + 1
+        |  FROM anc a JOIN graft_edges e ON a.ancestor = e.k)
+        |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
+        |FROM anc""".stripMargin)
+  }
+
+  /** q_sql_lateral: LATERAL correlated subquery — per-driving-row
+    * subqueries with their own ORDER BY/LIMIT, the SQL spelling of
+    * per-key top-n (Catalyst decorrelates it into the same join+window
+    * shape the DataFrame form plans, so there is no hidden nested loop).
+    * Identical SQL runs on both engines. */
+  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "region").createOrReplaceTempView("graft_region")
+    table(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    s.sql(
+      """SELECT r.r_name AS region, t.n_name AS nation
+        |FROM graft_region r, LATERAL (
+        |  SELECT n_name FROM graft_nation n
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY n_name LIMIT 2) t""".stripMargin)
+  }
+
+  /** q_agg_unpivot: SQL-standard UNPIVOT (the inverse of q_agg_pivot) —
+    * wide per-group metrics melted to (group, metric, value) rows, the
+    * shape metric stores and long-format reporting ingest. One grouped
+    * aggregation then a zero-shuffle expand projection. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         COUNT(*) AS n_rows
+        |  FROM graft_lineitem GROUP BY l_returnflag)
+        |UNPIVOT (val FOR metric IN (sum_qty, n_rows))""".stripMargin)
+  }
+
   // A-extension: grouped aggregation (TPC-H Q1 shape) with exact decimal money.
   def aggPricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = table(s, dir, "lineitem")
@@ -461,6 +517,9 @@ object RelationalQueries {
     "q_o1_topk_nulls" -> (o1TopKNulls _),
     "q_o1_salted_topk" -> (o1SaltedTopK _),
     "q_w1_salted_skew" -> (w1SaltedSkew _),
+    "q_sql_recursive_cte" -> (sqlRecursiveCte _),
+    "q_sql_lateral" -> (sqlLateral _),
+    "q_agg_unpivot" -> (aggUnpivot _),
     "q_agg_pricing_summary" -> (aggPricingSummary _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
@@ -587,6 +646,31 @@ object RelationalQueries {
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT r.r_name AS region, t.n_name AS nation
+        |FROM region r, LATERAL (
+        |  SELECT n_name FROM nation n
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY n_name LIMIT 2) t""".stripMargin,
+    "q_agg_unpivot" ->
+      """SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         COUNT(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (val FOR metric IN (sum_qty, n_rows))""".stripMargin,
+    "q_sql_recursive_cte" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |         CAST(FLOOR(c_custkey / 2.0) AS BIGINT) AS parent
+        |  FROM customer WHERE c_custkey > 1 AND c_custkey <= 1000),
+        |anc(node, ancestor, depth) AS (
+        |  SELECT k, parent, 1 FROM edges
+        |  UNION ALL
+        |  SELECT a.node, e.parent, a.depth + 1
+        |  FROM anc a JOIN edges e ON a.ancestor = e.k)
+        |SELECT node, ancestor, CAST(depth AS INTEGER) AS depth
+        |FROM anc""".stripMargin,
     "q_w1_salted_skew" ->
       """WITH l AS (
         |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 'HOT'

@@ -66,7 +66,10 @@ object ManagedTable extends VersionedLayout {
       s"version $version of $root is not on disk (vacuumed or never published); " +
         s"live is v$live")
     dvBaseOf(root, version) match {
-      case None => spark.read.parquet(dir.toString)
+      // a DV version can never carry a mapping (vectorized ops refuse
+      // mapped bases), so only the full-snapshot branch applies one
+      case None =>
+        applyColmap(spark.read.parquet(dir.toString), colmapOf(root, version))
       case Some(base) =>
         val dv = spark.read.parquet(s"$root/v$version/_dv")
         val baseRows = addressed(spark, s"$root/v$base")
@@ -103,6 +106,90 @@ object ManagedTable extends VersionedLayout {
       finally st.close()
     }
     if (Files.exists(d) && hasData) Some(d.toString) else None
+  }
+
+  // ---- column mapping (metadata-only RENAME COLUMN) ---------------------
+
+  /** The physical→logical column-name mapping of `version` (empty when the
+    * version was not produced by [[renameColumn]] — i.e., physical names
+    * ARE the logical names). Delta's column-mapping `name` mode on this
+    * layout: parquet files keep their original column names forever; a
+    * rename publishes only a mapping. */
+  def colmapOf(root: String, version: Int): Map[String, String] = {
+    val f = Paths.get(root, s"v$version", "_colmap")
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(p, lg) = line.split("\t", 2)
+      p -> lg
+    }.toMap
+  }
+
+  private def applyColmap(df: DataFrame, m: Map[String, String]): DataFrame =
+    if (m.isEmpty) df
+    else df.select(df.columns
+      .map(c => col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY (Delta column mapping):
+    * publishes a new version whose data files are hard links to the live
+    * snapshot's (zero bytes rewritten) plus a `_colmap` translating the
+    * files' immutable physical names to the new logical names; reads
+    * apply the mapping as a projection. Time travel stays exact —
+    * pre-rename versions carry no mapping and read under their original
+    * names. The mapping lives only until the next full rewrite
+    * (overwrite/merge/OPTIMIZE publish logical-named files and drop it).
+    * Skipping manifests are translated in place so logical-name pruning
+    * keeps working. Renaming a column referenced by a CHECK constraint or
+    * generated column is refused — their expressions are stored by name. */
+  def renameColumn(spark: SparkSession, root: String, oldName: String,
+                   newName: String): Unit = {
+    val live = currentVersion(root)
+    require(dvBaseOf(root, live).isEmpty,
+      s"renameColumn: v$live is a merge-on-read version — OPTIMIZE first")
+    val m0 = colmapOf(root, live)
+    val phys = spark.read.parquet(s"$root/v$live").schema.fieldNames.toSeq
+    val logical = phys.map(p => m0.getOrElse(p, p))
+    require(logical.contains(oldName),
+      s"renameColumn: no column '$oldName' in ${logical.mkString(",")}")
+    require(!logical.contains(newName),
+      s"renameColumn: column '$newName' already exists")
+    val referenced = constraintsOf(root).map(_.sqlExpr) ++
+      GeneratedColumns.load(root).map(_.sqlExpr)
+    require(!referenced.exists(_.contains(oldName)),
+      s"renameColumn: '$oldName' is referenced by a constraint or " +
+        "generated column — drop/re-add it around the rename")
+    val m1: Seq[(String, String)] = phys.map { p =>
+      val lg = m0.getOrElse(p, p)
+      p -> (if (lg == oldName) newName else lg)
+    }.filter { case (p, lg) => p != lg }
+    val dir = Paths.get(root, s"v$live")
+    val next = live + 1
+    val nextDir = Paths.get(root, s"v$next")
+    Files.createDirectories(nextDir)
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = nextDir.resolve(p.getFileName.toString)
+        try Files.createLink(dst, p)
+        catch { case _: UnsupportedOperationException => Files.copy(p, dst) }
+      }
+    finally listing.close()
+    // translate the skipping manifests' column field old→new logical name
+    Seq("_stats.tsv", "_bloom.tsv").foreach { mf =>
+      val src = dir.resolve(mf)
+      if (Files.exists(src)) {
+        val translated = Files.readString(src).linesIterator
+          .filter(_.nonEmpty).map { line =>
+            val parts = line.split('\t')
+            if (parts(1) == oldName) parts.updated(1, newName).mkString("\t")
+            else line
+          }.mkString("", "\n", "\n")
+        Files.writeString(nextDir.resolve(mf), translated)
+      }
+    }
+    Files.writeString(nextDir.resolve("_colmap"),
+      m1.map { case (p, lg) => s"$p\t$lg" }.mkString("", "\n", "\n"))
+    swapPointer(root, next)
   }
 
   /** The base snapshot with each row's stable (file, position) address
@@ -142,6 +229,10 @@ object ManagedTable extends VersionedLayout {
   def deleteVectorized(spark: SparkSession, root: String, where: Column,
                        changeFeed: Boolean = false): Unit = {
     val live = currentVersion(root)
+    require(colmapOf(root, dvBaseOf(root, live).getOrElse(live)).isEmpty,
+      "vectorized DML on a RENAMEd (column-mapped) version is not " +
+        "supported — publish a physical rewrite (overwrite/merge/OPTIMIZE) " +
+        "first to materialize the logical names")
     val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
     val hit = coalesce(where, lit(false))
     val next = live + 1
@@ -172,6 +263,10 @@ object ManagedTable extends VersionedLayout {
                        set: Map[String, Column], where: Column = lit(true),
                        changeFeed: Boolean = false): Unit = {
     val live = currentVersion(root)
+    require(colmapOf(root, dvBaseOf(root, live).getOrElse(live)).isEmpty,
+      "vectorized DML on a RENAMEd (column-mapped) version is not " +
+        "supported — publish a physical rewrite (overwrite/merge/OPTIMIZE) " +
+        "first to materialize the logical names")
     val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
     val hit = coalesce(where, lit(false))
     val cols = baseLive.drop(DvFileCol, DvPosCol).columns.toIndexedSeq
@@ -239,6 +334,10 @@ object ManagedTable extends VersionedLayout {
                       preImageFeed: Boolean = false): Unit = {
     import graft.operators.Merge
     val live = currentVersion(root)
+    require(colmapOf(root, dvBaseOf(root, live).getOrElse(live)).isEmpty,
+      "vectorized DML on a RENAMEd (column-mapped) version is not " +
+        "supported — publish a physical rewrite (overwrite/merge/OPTIMIZE) " +
+        "first to materialize the logical names")
     val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
     val cols = baseLive.drop(DvFileCol, DvPosCol).columns.toIndexedSeq
     val missing = cols.filterNot(source.columns.contains)
@@ -406,7 +505,8 @@ object ManagedTable extends VersionedLayout {
       s"analyzeBloom: v$live is a deletion-vector version — OPTIMIZE first " +
         "to purge the vectors into a full snapshot, then index")
     require(nWords > 0 && k > 0, s"analyzeBloom: nWords=$nWords k=$k")
-    val snap = spark.read.parquet(s"$root/v$live")
+    val snap = applyColmap(spark.read.parquet(s"$root/v$live"),
+      colmapOf(root, live))
     val m = nWords * 64L
     statsCols.foreach(c => require(snap.columns.contains(c),
       s"analyzeBloom: no column '$c' in ${snap.columns.mkString(",")}"))
@@ -469,11 +569,16 @@ object ManagedTable extends VersionedLayout {
         appDirOf(root, live).fold(minus)(d =>
           minus.unionByName(spark.read.parquet(d)))
     }
+    val cmap = colmapOf(root, dvBase.getOrElse(live))
+    def mapped(df: DataFrame): DataFrame = applyColmap(df, cmap)
+    // logical -> physical for footer-schema lookups; the bloom manifest
+    // itself was translated to logical names at rename time
+    val physC = cmap.find(_._2 == c).map(_._1).getOrElse(c)
     val eq = col(c) === lit(value)
     val bloomPath = Paths.get(dir, "_bloom.tsv")
     if (!Files.exists(bloomPath))
-      return overlay(spark.read.parquet(dir)).where(eq)
-    val dt = spark.read.parquet(dir).schema(c).dataType
+      return mapped(overlay(spark.read.parquet(dir))).where(eq)
+    val dt = spark.read.parquet(dir).schema(physC).dataType
     val hr = spark.range(1).select(xxh(lit(value).cast(dt), 42L).as("h1"),
       xxh(lit(value).cast(dt), 9001L).as("h2")).head()
     val (h1, h2) = (hr.getLong(0), hr.getLong(1))
@@ -501,7 +606,7 @@ object ManagedTable extends VersionedLayout {
         case _ => ()
       }
     } finally lineStream.close()
-    if (!indexedAny) return overlay(spark.read.parquet(dir)).where(eq)
+    if (!indexedAny) return mapped(overlay(spark.read.parquet(dir))).where(eq)
     val listing = Files.list(Paths.get(dir))
     val allFiles =
       try listing.iterator().asScala.map(_.getFileName.toString)
@@ -510,8 +615,8 @@ object ManagedTable extends VersionedLayout {
     val keep = allFiles.filterNot(prunedOut)
     // Even with every base file pruned, appended rows can still match.
     if (keep.isEmpty)
-      overlay(spark.read.parquet(dir).where(lit(false))).where(eq)
-    else overlay(spark.read.parquet(keep.map(f => s"$dir/$f"): _*)).where(eq)
+      mapped(overlay(spark.read.parquet(dir).where(lit(false)))).where(eq)
+    else mapped(overlay(spark.read.parquet(keep.map(f => s"$dir/$f"): _*))).where(eq)
   }
 
   /** WRITE-AUDIT-PUBLISH (the Iceberg WAP / Netflix audit pattern, from
@@ -814,9 +919,10 @@ object ManagedTable extends VersionedLayout {
         catch { case _: UnsupportedOperationException => Files.copy(p, dst) }
       }
     finally listing.close()
-    val stats = srcDir.resolve("_stats.tsv")
-    if (Files.exists(stats))
-      Files.copy(stats, dstDir.resolve("_stats.tsv"))
+    Seq("_stats.tsv", "_bloom.tsv", "_colmap").foreach { mf =>
+      val f = srcDir.resolve(mf)
+      if (Files.exists(f)) Files.copy(f, dstDir.resolve(mf))
+    }
     Seq("_constraints", "_generated").foreach { f =>
       val src = Paths.get(sourceRoot, f)
       if (Files.exists(src)) Files.copy(src, Paths.get(cloneRoot, f))
@@ -889,6 +995,10 @@ object ManagedTable extends VersionedLayout {
       if (kept.nonEmpty)
         Files.writeString(nextDir.resolve("_stats.tsv"), kept)
     }
+    // carried files keep their physical names, so the mapping (if any)
+    // must ride along or the compaction would silently undo a rename
+    val cm = dir.resolve("_colmap")
+    if (Files.exists(cm)) Files.copy(cm, nextDir.resolve("_colmap"))
     swapPointer(root, next)
   }
 
@@ -1043,7 +1153,10 @@ object ManagedTable extends VersionedLayout {
       s"analyze: v$live is a deletion-vector version sharing v" +
         s"${dvBaseOf(root, live).get}'s files — OPTIMIZE first to purge " +
         "the vectors into a full snapshot, then analyze")
-    val snap = spark.read.parquet(s"$root/v$live")
+    // read through the column mapping: stats record LOGICAL names, the
+    // names readWhere's range predicates are written in
+    val snap = applyColmap(spark.read.parquet(s"$root/v$live"),
+      colmapOf(root, live))
     val numericTypes = Set("byte", "short", "int", "integer", "long",
       "float", "double", "date") // date: days-since-epoch ordering
     val kinds: Map[String, String] = statsCols.map { c =>
@@ -1106,8 +1219,11 @@ object ManagedTable extends VersionedLayout {
     // subtract the tombstones from whatever survives pruning, then union
     // the (unpruned, delta-sized) appended rows — they pass through the
     // same row-level predicate below
+    // a DV version's base cannot be column-mapped (vectorized ops refuse
+    // mapped bases), so the mapping is only ever non-empty on full reads
+    val cmap = colmapOf(root, dvBase.getOrElse(live))
     def subtractDv(df: DataFrame): DataFrame = dvBase match {
-      case None => df
+      case None => applyColmap(df, cmap)
       case Some(_) =>
         val minus = df.withColumn(DvFileCol,
             element_at(split(col("_metadata.file_path"), "/"), -1))

@@ -728,6 +728,50 @@ class ManagedTableSpec extends AnyFunSuite {
     } finally VersionedLayout.commitClock = prev
   }
 
+  test("RENAME COLUMN: metadata-only, time travel exact, cleared by rewrite") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_rename").toString
+    val df = (1L to 200L).map(i => (i, i % 7, i.toDouble)).toDF("k", "grp", "v")
+    ManagedTable.overwrite(root, df)                      // v0
+    ManagedTable.analyze(spark, root, Seq("k"))
+    def parquetNames(v: Int): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(Paths.get(root, s"v$v"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally l.close()
+    }
+    ManagedTable.renameColumn(spark, root, "v", "score")  // v1, links only
+    assert(parquetNames(1) == parquetNames(0), "rename rewrote data files")
+    assert(ManagedTable.read(spark, root).columns.toSeq == Seq("k", "grp", "score"))
+    assert(ManagedTable.read(spark, root).agg(sum("score")).head.getDouble(0)
+      == (1L to 200L).map(_.toDouble).sum)
+    // time travel: the pre-rename version still reads under its old name
+    assert(ManagedTable.readVersion(spark, root, 0).columns.contains("v"))
+    // translated skipping manifest still prunes on the (unrenamed) key
+    val pruned = ManagedTable.readWhere(spark, root, Seq(("k", 1L, 5L)))
+    assert(pruned.count() == 5 && pruned.columns.contains("score"))
+    // chained rename carries the earlier mapping
+    ManagedTable.renameColumn(spark, root, "grp", "bucket") // v2
+    assert(ManagedTable.read(spark, root).columns.toSeq ==
+      Seq("k", "bucket", "score"))
+    // vectorized DML refuses mapped versions with a clear error
+    val ex = intercept[IllegalArgumentException](
+      ManagedTable.deleteVectorized(spark, root, col("k") === 1L))
+    assert(ex.getMessage.contains("column-mapped"))
+    // a logical rewrite (merge) materializes the names and drops the map
+    ManagedTable.merge(spark, root,
+      Seq((1L, 99L, 123.0)).toDF("k", "bucket", "score"), Seq("k")) // v3
+    assert(ManagedTable.colmapOf(root, ManagedTable.currentVersion(root)).isEmpty)
+    assert(ManagedTable.read(spark, root)
+      .filter(col("k") === 1L).head.getLong(1) == 99L)
+    // constraints referencing a column block its rename
+    ManagedTable.addConstraint(spark, root, "score_pos", "score >= 0 OR score = 123.0")
+    val ex2 = intercept[IllegalArgumentException](
+      ManagedTable.renameColumn(spark, root, "score", "s2"))
+    assert(ex2.getMessage.contains("constraint"))
+  }
+
   test("commit userMetadata is stamped per publish and read back from history") {
     import graft.sources.VersionedLayout
     val root = Files.createTempDirectory("graft_meta").toString
