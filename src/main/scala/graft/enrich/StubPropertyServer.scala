@@ -26,40 +26,54 @@ final class StubPropertyServer(salt: String = "") {
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
-  server.createContext("/lookup", new HttpHandler {
-    override def handle(ex: HttpExchange): Unit = respond(ex) { body =>
-      val arr = mapper.readTree(body)
-      val out = mapper.createObjectNode()
-      val results = out.putArray("Results")
-      (0 until arr.size()).foreach { i =>
-        val in = arr.get(i)
-        val street = in.get("StreetAddress").asText()
-        val hex = MessageDigest.getInstance("MD5")
-          .digest((street + salt).getBytes(StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        val prop = java.lang.Long.parseLong(hex.substring(0, 12), 16)
-        val o = results.addObject()
-        o.put("ReferenceID", in.get("ReferenceID").asLong())
-        (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 4) match {
-          case 0 => // service knows nothing about this address
-            o.putNull("asgPropID")
-          case 1 => // validated, final
-            o.put("asgPropID", prop); o.put("AddedToPmDate", "2023-01-01")
-            o.put("IsProvisional", false); o.put("LastValidatedDate", "2024-01-01")
-          case 2 => // provisional, never added — the AddedToPmDate quirk branch
-            o.put("asgPropID", prop); o.put("IsProvisional", true)
-          case _ => // provisional with an issue note
-            o.put("asgPropID", prop); o.put("AddedToPmDate", "2023-05-05")
-            o.put("IsProvisional", true); o.put("IssueText", "rate limited")
-        }
+  private def lookupResponse(body: String): (Int, String) = {
+    val arr = mapper.readTree(body)
+    val out = mapper.createObjectNode()
+    val results = out.putArray("Results")
+    (0 until arr.size()).foreach { i =>
+      val in = arr.get(i)
+      val street = in.get("StreetAddress").asText()
+      val hex = MessageDigest.getInstance("MD5")
+        .digest((street + salt).getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val prop = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+      val o = results.addObject()
+      o.put("ReferenceID", in.get("ReferenceID").asLong())
+      (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 4) match {
+        case 0 => // service knows nothing about this address
+          o.putNull("asgPropID")
+        case 1 => // validated, final
+          o.put("asgPropID", prop); o.put("AddedToPmDate", "2023-01-01")
+          o.put("IsProvisional", false); o.put("LastValidatedDate", "2024-01-01")
+        case 2 => // provisional, never added — the AddedToPmDate quirk branch
+          o.put("asgPropID", prop); o.put("IsProvisional", true)
+        case _ => // provisional with an issue note
+          o.put("asgPropID", prop); o.put("AddedToPmDate", "2023-05-05")
+          o.put("IsProvisional", true); o.put("IssueText", "rate limited")
       }
-      (200, mapper.writeValueAsString(out))
     }
+    (200, mapper.writeValueAsString(out))
+  }
+
+  server.createContext("/lookup", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = respond(ex)(lookupResponse)
   })
 
   server.createContext("/fail", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       respond(ex)(_ => (500, """{"error":"service unavailable"}"""))
+  })
+
+  // Deterministic PARTIAL failure: any batch containing a street address
+  // with the substring "POISON" gets a 503; clean batches succeed as
+  // /lookup. Lets tests exercise the reference's per-partition failure
+  // isolation (one bad batch null-enriches ITS rows; others are
+  // unaffected) without nondeterminism.
+  server.createContext("/flaky", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = respond(ex) { body =>
+      if (body.contains("POISON")) (503, """{"error":"backend overloaded"}""")
+      else lookupResponse(body)
+    }
   })
 
   private def respond(ex: HttpExchange)(f: String => (Int, String)): Unit = {
@@ -80,5 +94,6 @@ final class StubPropertyServer(salt: String = "") {
   def port: Int = server.getAddress.getPort
   def lookupUrl: String = s"http://127.0.0.1:$port/lookup"
   def failUrl: String = s"http://127.0.0.1:$port/fail"
+  def flakyUrl: String = s"http://127.0.0.1:$port/flaky"
   def stop(): Unit = server.stop(0)
 }

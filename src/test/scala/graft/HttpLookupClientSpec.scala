@@ -85,6 +85,34 @@ class HttpLookupClientSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("PARTIAL failure: only the poisoned partition's rows null-enrich") {
+    val server = new StubPropertyServer()
+    try {
+      import spark.implicits._
+      // force the poisoned key into its own partition: batchSize 2 over 6
+      // rows -> 3 partitions; exactly the batch carrying POISON gets 503
+      val rows = Seq(
+        ("ADDR 1", 1L), ("ADDR 2", 2L), ("ADDR 3", 3L),
+        ("POISON ST", 4L), ("ADDR 5", 5L), ("ADDR 6", 6L))
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (st, ref) =>
+          inRow(st, ref) }, 3), inputSchema)
+      val client = new HttpLookupClient(server.flakyUrl, throttleMillis = 0)
+      val out = BatchLookup.enrich(spark, keys, client, batchSize = 2,
+        MlsEnrich.apiResultSchema).localCheckpoint(eager = true)
+      assert(out.count() == 6, "a failing batch lost rows")
+      val failed = out.filter("IssueText IS NOT NULL")
+        .select("ReferenceID").as[Long].collect().toSet
+      // the poisoned batch null-enriched ITS rows and only those
+      assert(failed.contains(4L))
+      assert(failed.size < 6, "failure leaked into clean batches")
+      val clean = out.filter("IssueText IS NULL")
+      assert(clean.count() == 6 - failed.size)
+      assert(clean.filter("asgPropID IS NOT NULL OR asgPropID IS NULL").count()
+        == clean.count()) // parses, no throw
+    } finally server.stop()
+  }
+
   test("partition-level failure keeps every key with nulls (BatchLookup path)") {
     val server = new StubPropertyServer()
     try {
