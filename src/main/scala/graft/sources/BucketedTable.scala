@@ -295,6 +295,31 @@ object BucketedTable extends VersionedLayout {
     finally srcB.unpersist()
   }
 
+  /** OPTIMISTIC-CONCURRENCY merge — [[ManagedTable.commit]]'s multi-writer
+    * contract on the bucketed layout. The caller names the version its
+    * source derived from; the CAS check runs FIRST, under the shared
+    * per-root monitor + cross-process file lock, and the delta-sized
+    * merge + publish then complete while the lock is held — so a stale
+    * writer fails fast ([[ManagedTable.ConcurrentWriteException]] carries
+    * the new live version: re-read, re-derive, retry) before writing any
+    * bucket, and racing writers can never interleave into one version
+    * dir. Holding the lock through the (delta-proportional) merge is the
+    * deliberate trade vs the managed table's stage-then-swap: bucket
+    * writes land directly in `v<next>`, so there is no staged dir to
+    * CAS-move, and a bucketed merge's cost is bounded by the touched
+    * buckets, not the table. Single-writer tables keep using [[merge]];
+    * mixing the two on one table forfeits the guarantee. */
+  def commitMerge(spark: SparkSession, root: String, expectedVersion: Int,
+                  source: DataFrame,
+                  clauses: MergeClauses.Spec = MergeClauses.Spec()): Unit =
+    withCommitLock(root) {
+      val live = currentVersion(root)
+      if (live != expectedVersion)
+        throw new ManagedTable.ConcurrentWriteException(
+          root, expectedVersion, live)
+      merge(spark, root, source, clauses)
+    }
+
   private def mergeInner(spark: SparkSession, root: String, meta: Meta,
                          srcB: DataFrame, clauses: MergeClauses.Spec,
                          changeFeed: Boolean, preImageFeed: Boolean,

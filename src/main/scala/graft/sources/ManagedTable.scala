@@ -689,44 +689,27 @@ object ManagedTable extends VersionedLayout {
     * single-writer last-wins behavior; mixing the two on one table
     * forfeits the guarantee, so a multi-writer table should route every
     * publish through here. */
-  /** Per-root intra-JVM commit monitors: `FileChannel.lock()` throws
-    * OverlappingFileLockException (not a blocking wait) when two THREADS
-    * of one JVM contend — the common case of several writers in a single
-    * Spark driver. Same-process writers serialize on this monitor first;
-    * the file lock then arbitrates across processes. Keyed by the
-    * canonical root so distinct path spellings share one monitor. */
-  private val commitMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   def commit(spark: SparkSession, root: String, expectedVersion: Int,
              df: DataFrame): Unit = {
     // Stage under a UNIQUE path: two racing writers must never share a
     // dir (staging straight to v<next> would let the loser clobber the
     // winner's published files). The rename into place is same-filesystem
-    // and happens only after the CAS check passes.
+    // and happens only after the CAS check passes, under the shared
+    // per-root monitor + cross-process file lock (withCommitLock — a raw
+    // FileChannel.lock from two threads of one JVM would throw
+    // OverlappingFileLockException instead of arbitrating).
     val stage = Paths.get(root, "_staging", s"c${System.nanoTime()}")
     try {
       Constraints.enforce(
           GeneratedColumns(df, GeneratedColumns.load(root)),
           constraintsOf(root))
         .write.mode("overwrite").parquet(stage.toString)
-      val monitor = commitMonitors.computeIfAbsent(
-        Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
-      monitor.synchronized {
-        val ch = java.nio.channels.FileChannel.open(
-          Paths.get(root, "_commitlock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val lock = ch.lock()
-          try {
-            val live = currentVersion(root)
-            if (live != expectedVersion)
-              throw new ConcurrentWriteException(root, expectedVersion, live)
-            Files.move(stage, Paths.get(root, s"v${expectedVersion + 1}"))
-            swapPointer(root, expectedVersion + 1)
-          } finally lock.release()
-        } finally ch.close()
+      withCommitLock(root) {
+        val live = currentVersion(root)
+        if (live != expectedVersion)
+          throw new ConcurrentWriteException(root, expectedVersion, live)
+        Files.move(stage, Paths.get(root, s"v${expectedVersion + 1}"))
+        swapPointer(root, expectedVersion + 1)
       }
     } finally {
       // A losing CAS, a lock failure, or a failed write must never leak

@@ -39,6 +39,29 @@ private[sources] trait VersionedLayout {
 
   protected final def latestFile(root: String): Path = Paths.get(root, "_latest")
 
+  /** Serialize a commit's CAS section against EVERY writer of `root`:
+    * same-JVM threads on a per-root monitor (a `FileChannel.lock()` from
+    * two threads of one JVM throws OverlappingFileLockException instead of
+    * waiting), other processes on the `_commitlock` file lock — the
+    * filesystem stand-in for the conditional-put a lakehouse log tip uses
+    * on object storage. Shared by both layouts so their multi-writer
+    * semantics cannot drift. */
+  protected final def withCommitLock[A](root: String)(body: => A): A = {
+    val monitor = VersionedLayout.commitMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "_commitlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   final def exists(root: String): Boolean = Files.exists(latestFile(root))
 
   /** The live published version number. */
@@ -160,6 +183,11 @@ private[sources] trait VersionedLayout {
 }
 
 object VersionedLayout {
+  /** Per-canonical-root intra-JVM commit monitors (see [[VersionedLayout
+    * .withCommitLock]]). */
+  private[sources] val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Wall-clock source for commit timestamps — injectable so tests and
     * oracle gates can pin a deterministic history (the gate queries must
     * be bit-reproducible; wall time is not). Production callers never

@@ -367,6 +367,48 @@ class BucketedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("optimistic commitMerge: stale writer fails fast, winner lands once, retry works") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_bkt_occ").toString
+    BucketedTable.create(root,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), Seq("k"), 8) // v0
+
+    // writer B publishes first; writer A's derivation is now stale
+    BucketedTable.merge(spark, root, Seq((1L, "writer-b")).toDF("k", "v")) // v1
+    val ex = intercept[graft.sources.ManagedTable.ConcurrentWriteException] {
+      BucketedTable.commitMerge(spark, root, 0,
+        Seq((1L, "writer-a")).toDF("k", "v"))
+    }
+    assert(ex.getMessage.contains("expected live v0"))
+    assert(BucketedTable.currentVersion(root) == 1) // loser wrote nothing
+    assert(BucketedTable.read(spark, root)
+      .filter($"k" === 1L).head.getString(1) == "writer-b")
+
+    // same-JVM race at the SAME expected version: exactly one wins
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val threads = Seq("racer-a", "racer-b").map { who =>
+      new Thread(() => {
+        try {
+          BucketedTable.commitMerge(spark, root, 1, Seq((2L, who)).toDF("k", "v"))
+          results.add(Right(()))
+        } catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1)
+    losers.head.left.foreach(t => assert(
+      t.isInstanceOf[graft.sources.ManagedTable.ConcurrentWriteException],
+      s"loser failed with ${t.getClass.getName}: ${t.getMessage}"))
+    assert(BucketedTable.currentVersion(root) == 2)
+    // loser retries against the new live version and lands cleanly
+    BucketedTable.commitMerge(spark, root, 2, Seq((3L, "retried")).toDF("k", "v"))
+    assert(BucketedTable.read(spark, root)
+      .filter($"k" === 3L).head.getString(1) == "retried")
+    assert(BucketedTable.read(spark, root).count() == 100)
+  }
+
   test("retention-hours vacuum keeps young + live manifests and their references") {
     import graft.sources.VersionedLayout
     import spark.implicits._
