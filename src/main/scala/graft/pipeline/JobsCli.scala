@@ -21,6 +21,8 @@ final case class JobsCliArgs(
     propertyIdApiEndpoint: Option[String] = None,
     propertyIdApiBatchSize: Int = 500,
     propertyIdApiSleep: Double = 0.01,          // seconds, like the reference
+    propertyIdModes: Seq[String] = Seq("New", "Null"), // argparse default
+    propertyIdLimit: Option[Int] = None,        // lookup budget; None = all
     debug: Boolean = false,
     logRejectedRecords: Boolean = false) {
   def fromDateIso: String = JobsCli.iso(fromDate)
@@ -48,7 +50,8 @@ object JobsCli {
       "--input_mls_list", "--listings_output_dir", "--reject_data_dir",
       "--num_output_files", "--vacuum_hrs", "--shuffle_partitions",
       "--property_id_source", "--property_id_api_endpoint",
-      "--property_id_api_batch_size", "--property_id_api_sleep")
+      "--property_id_api_batch_size", "--property_id_api_sleep",
+      "--property_id_modes", "--property_id_limit")
     val knownSwitches = Set("--debug", "--log_rejected_records")
     var i = 0
     while (i < argv.length) {
@@ -82,6 +85,9 @@ object JobsCli {
         opts.get("--property_id_api_batch_size").map(_.toInt).getOrElse(500),
       propertyIdApiSleep =
         opts.get("--property_id_api_sleep").map(_.toDouble).getOrElse(0.01),
+      propertyIdModes = opts.get("--property_id_modes").map(list)
+        .getOrElse(Seq("New", "Null")),
+      propertyIdLimit = opts.get("--property_id_limit").map(_.toInt),
       debug = switches("--debug"),
       logRejectedRecords = switches("--log_rejected_records"))
     iso(args.fromDate); iso(args.toDate) // validate eagerly
@@ -93,6 +99,13 @@ object JobsCli {
     require(args.propertyIdSource != "API" ||
       args.propertyIdApiEndpoint.nonEmpty,
       "--property_id_source API needs --property_id_api_endpoint")
+    val validModes = Set("New", "Null", "Provisional", "Final")
+    val badModes = args.propertyIdModes.filterNot(validModes)
+    require(badModes.isEmpty,
+      s"--property_id_modes ${badModes.mkString(",")} not in " +
+        "New|Null|Provisional|Final")
+    args.propertyIdLimit.foreach(n =>
+      require(n > 0, s"--property_id_limit $n must be positive"))
     args
   }
 }

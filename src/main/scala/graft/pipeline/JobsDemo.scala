@@ -70,18 +70,33 @@ object JobsDemo {
     // call_api shape: batch size + pre-call sleep from argv).
     val lookedUp: Long = a.propertyIdSource match {
       case "API" =>
-        val listings = batch.selectExpr(
+        // Mode selection (reference --property_id_modes, default New+Null:
+        // only listings whose stored load status is in the requested
+        // modes are re-looked-up) and the lookup budget
+        // (--property_id_limit caps the candidate set deterministically).
+        val candidates0 = batch.selectExpr(
           "mls",
           "'L' || CAST(o_orderkey AS STRING) AS mls_listing_id",
           "'ADDR ' || CAST(o_custkey % 40 AS STRING) AS street_address",
           "'CITY' || CAST(o_custkey % 5 AS STRING) AS city",
           "'TX' AS state", "'75001' AS zip",
-          "CAST(NULL AS STRING) AS unit")
+          "CAST(NULL AS STRING) AS unit",
+          "CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'New' " +
+            "WHEN 1 THEN 'Null' WHEN 2 THEN 'Provisional' " +
+            "ELSE 'Final' END AS asg_primary_id_load_status")
+          .filter(col("asg_primary_id_load_status")
+            .isin(a.propertyIdModes: _*))
+          .drop("asg_primary_id_load_status")
+        val candidates = a.propertyIdLimit match {
+          case Some(n) => candidates0
+            .orderBy(col("mls"), col("mls_listing_id")).limit(n)
+          case None => candidates0
+        }
         val client = new graft.enrich.HttpLookupClient(
           a.propertyIdApiEndpoint.get,
           throttleMillis = (a.propertyIdApiSleep * 1000).toLong)
         graft.pipeline.mls.MlsEnrich
-          .lookupPropertyIds(spark, listings, client, a.propertyIdApiBatchSize)
+          .lookupPropertyIds(spark, candidates, client, a.propertyIdApiBatchSize)
           .map(_.count()).getOrElse(0L)
       case _ => 0L // MSSQL variant runs through MlsEnrichMssqlGate's path
     }

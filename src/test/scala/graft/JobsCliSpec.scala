@@ -86,19 +86,37 @@ class JobsCliSpec extends AnyFunSuite {
       "--input_dir_listings", fixture, "--listings_output_dir", "/tmp/x",
       "--property_id_source", "API"))) // endpoint required
 
+    intercept[IllegalArgumentException](JobsCli.parse(Seq(
+      "--from_date", "19950101", "--to_date", "19950201",
+      "--input_dir_listings", fixture, "--listings_output_dir", "/tmp/x",
+      "--property_id_modes", "New,Bogus"))) // choice-validated like argparse
+
     val server = new graft.enrich.StubPropertyServer()
     try {
       val out = Files.createTempDirectory("graft_cli_api").toString
-      val r = JobsDemo.run(spark, JobsCli.parse(Seq(
+      val base = Seq(
         "--from_date", "19950101", "--to_date", "19950401",
         "--input_dir_listings", fixture,
         "--listings_output_dir", out,
         "--property_id_source", "API",
         "--property_id_api_endpoint", server.lookupUrl,
         "--property_id_api_batch_size", "32",
-        "--property_id_api_sleep", "0")))
+        "--property_id_api_sleep", "0")
+      val r = JobsDemo.run(spark, JobsCli.parse(base))
       assert(r("property_ids_looked_up") > 0)
       assert(r("curated_rows") > 0)
+
+      // widening the modes widens the candidate set; a limit caps it
+      val out2 = Files.createTempDirectory("graft_cli_api2").toString
+      val allModes = JobsDemo.run(spark, JobsCli.parse(base
+        .updated(base.indexOf(out), out2) ++ Seq(
+        "--property_id_modes", "New,Null,Provisional,Final")))
+      assert(allModes("property_ids_looked_up") > r("property_ids_looked_up"))
+      val out3 = Files.createTempDirectory("graft_cli_api3").toString
+      val limited = JobsDemo.run(spark, JobsCli.parse(base
+        .updated(base.indexOf(out), out3) ++ Seq(
+        "--property_id_limit", "10")))
+      assert(limited("property_ids_looked_up") <= 10)
     } finally server.stop()
   }
 }
