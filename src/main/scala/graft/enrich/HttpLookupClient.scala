@@ -57,16 +57,33 @@ final class HttpLookupClient(endpoint: String, throttleMillis: Long = 10L,
         case e: Exception => Left(e.toString) // transport error: repr(e)
       }
     outcome match {
-      case Right(text) => parseResults(text)
-      case Left(issue) =>
-        // Failure: one null-enriched row per input, in input order
-        // (transform.py:478-481) — the engine never loses a listing to a
-        // flaky service, it just records the issue.
-        batch.map { r =>
-          Row(r.getAs[Any]("ReferenceID"), null, null, null, null, issue)
+      case Right(text) =>
+        // A 200 status does not guarantee a parseable body (proxy pages,
+        // truncated responses, captive portals). Parse failures — and
+        // responses whose result count does not match the batch, which
+        // would silently drop listings — degrade to the same per-input
+        // null-enriched contract as transport failures, so a poisoned
+        // batch can never fail the stage.
+        try {
+          val rows = parseResults(text)
+          if (rows.size == batch.size) rows
+          else nullEnriched(batch,
+            s"response had ${rows.size} results for ${batch.size} inputs")
+        } catch {
+          case e: Exception =>
+            nullEnriched(batch, s"unparseable 200 response: ${e.toString}")
         }
+      case Left(issue) => nullEnriched(batch, issue)
     }
   }
+
+  /** Failure contract: one null-enriched row per input, in input order,
+    * carrying the issue text (transform.py:478-481) — the engine never
+    * loses a listing to a flaky service, it just records the issue. */
+  private def nullEnriched(batch: Seq[Row], issue: String): Seq[Row] =
+    batch.map { r =>
+      Row(r.getAs[Any]("ReferenceID"), null, null, null, null, issue)
+    }
 
   /** JSON array of one object per input row, field names from the row
     * schema — the shape `json.dumps([row.asDict() ...])` produces. */

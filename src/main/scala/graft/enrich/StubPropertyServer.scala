@@ -76,6 +76,31 @@ final class StubPropertyServer(salt: String = "") {
     }
   })
 
+  // A 200 whose body is NOT the service's JSON shape (captive portal /
+  // proxy interception page) — exercises the client's parse guard: the
+  // batch must null-enrich, never fail the stage.
+  server.createContext("/garbage", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      respond(ex)(_ => (200, "<html><body>Please log in to continue</body></html>"))
+  })
+
+  // A 200 with well-formed JSON but FEWER results than inputs (partial
+  // upstream response) — a client trusting it would silently drop
+  // listings; the count guard must null-enrich the whole batch instead.
+  server.createContext("/short", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = respond(ex) { body =>
+      val arr = mapper.readTree(body)
+      val out = mapper.createObjectNode()
+      val results = out.putArray("Results")
+      if (arr.size() > 0) {
+        val o = results.addObject()
+        o.put("ReferenceID", arr.get(0).get("ReferenceID").asLong())
+        o.putNull("asgPropID")
+      }
+      (200, mapper.writeValueAsString(out))
+    }
+  })
+
   private def respond(ex: HttpExchange)(f: String => (Int, String)): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val (code, text) =
@@ -95,5 +120,7 @@ final class StubPropertyServer(salt: String = "") {
   def lookupUrl: String = s"http://127.0.0.1:$port/lookup"
   def failUrl: String = s"http://127.0.0.1:$port/fail"
   def flakyUrl: String = s"http://127.0.0.1:$port/flaky"
+  def garbageUrl: String = s"http://127.0.0.1:$port/garbage"
+  def shortUrl: String = s"http://127.0.0.1:$port/short"
   def stop(): Unit = server.stop(0)
 }

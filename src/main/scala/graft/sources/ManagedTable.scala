@@ -141,7 +141,13 @@ object ManagedTable extends VersionedLayout {
     * keeps working. Renaming a column referenced by a CHECK constraint or
     * generated column is refused — their expressions are stored by name. */
   def renameColumn(spark: SparkSession, root: String, oldName: String,
-                   newName: String): Unit = {
+                   newName: String): Unit = withCommitLock(root) {
+    // The whole derive-and-publish runs under the commit lock: the hard
+    // links and manifest translations are derived FROM v<live>, so a
+    // concurrent commit moving the tip mid-rename would have this publish
+    // a version linking stale files (or collide with the commit's own
+    // v<next> move). Holding the lock pins `live` for the duration — the
+    // body is metadata-sized (footer read + hard links), never a data scan.
     val live = currentVersion(root)
     require(dvBaseOf(root, live).isEmpty,
       s"renameColumn: v$live is a merge-on-read version — OPTIMIZE first")
@@ -656,9 +662,15 @@ object ManagedTable extends VersionedLayout {
         .localCheckpoint() // one audit scan; the report is rule-count-sized
       val ok = report.agg(min(col("passed"))).head().getBoolean(0)
       if (ok) {
-        val next = if (exists(root)) currentVersion(root) + 1 else 0
-        Files.move(stage, Paths.get(root, s"v$next"))
-        swapPointer(root, next)
+        // Publish under the commit lock: `next` is re-derived and the
+        // staged dir moved while no other writer can move the tip, so a
+        // WAP publish racing a commit/commitMerge can neither target the
+        // same v<next> nor observe a half-published version.
+        withCommitLock(root) {
+          val next = if (exists(root)) currentVersion(root) + 1 else 0
+          Files.move(stage, Paths.get(root, s"v$next"))
+          swapPointer(root, next)
+        }
       }
       report
     } finally {

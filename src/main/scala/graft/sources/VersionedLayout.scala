@@ -195,18 +195,32 @@ object VersionedLayout {
   @volatile private[graft] var commitClock: () => Long =
     () => System.currentTimeMillis()
 
-  /** User-supplied metadata stamped on every commit while set — the
-    * session-conf form of Delta's `userMetadata` (the reference sets it
-    * per curated write, mls_listings_curated.py:325). Read back via
-    * [[VersionedLayout.commitHistoryWithMetadata]]. Use
-    * [[withUserMetadata]] to scope it to one publish. */
-  @volatile var userMetadata: Option[String] = None
+  /** User-supplied metadata stamped on commits published from WITHIN a
+    * [[withUserMetadata]] scope — Delta's per-write
+    * `.option("userMetadata", ...)` (the reference sets it per curated
+    * write, mls_listings_curated.py:325). Read back via
+    * [[VersionedLayout.commitHistoryWithMetadata]].
+    *
+    * Thread-scoped (a plain ThreadLocal, not a process global or an
+    * inheritable one): the layouts support same-JVM concurrent writers,
+    * and a commit from ANY other thread — pre-existing or spawned inside
+    * the scope — must NOT be stamped with this scope's provenance.
+    * Pointer swaps run on the publishing caller's thread, so the
+    * thread-local scope is exactly the per-write scope. */
+  private val userMetadataVar = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
 
-  /** Run `body` with `userMetadata` set, restoring the prior value after —
-    * the per-write form (`.option("userMetadata", ...)` in Delta). */
+  /** The metadata in scope on the CURRENT thread (what [[swapPointer]]
+    * stamps); None outside any [[withUserMetadata]] scope. */
+  def userMetadata: Option[String] = userMetadataVar.get()
+
+  /** Run `body` with `userMetadata` set for publishes on THIS thread —
+    * nested scopes restore the outer value; writers on other threads are
+    * unaffected. */
   def withUserMetadata[A](meta: String)(body: => A): A = {
-    val prior = userMetadata
-    userMetadata = Some(meta)
-    try body finally userMetadata = prior
+    val prior = userMetadataVar.get()
+    userMetadataVar.set(Some(meta))
+    try body finally userMetadataVar.set(prior)
   }
 }

@@ -65,6 +65,34 @@ class HttpLookupClientSpec extends AnyFunSuite {
     assert(out.head.getAs[String](5).nonEmpty) // exception repr recorded
   }
 
+  test("200 with a non-JSON body (captive portal): null-enriched, not a throw") {
+    val server = new StubPropertyServer()
+    try {
+      val client = new HttpLookupClient(server.garbageUrl, throttleMillis = 0)
+      val in = Seq(inRow("A", 1L), inRow("B", 2L))
+      val out = client.lookup(in)
+      assert(out.length == 2)
+      assert(out.map(_.getAs[Long](0)) == Seq(1L, 2L))
+      out.foreach { r =>
+        assert(r.isNullAt(1))
+        assert(r.getAs[String](5).contains("unparseable 200 response"))
+      }
+    } finally server.stop()
+  }
+
+  test("200 with fewer results than inputs: whole batch null-enriched") {
+    val server = new StubPropertyServer()
+    try {
+      val client = new HttpLookupClient(server.shortUrl, throttleMillis = 0)
+      val in = Seq(inRow("A", 1L), inRow("B", 2L), inRow("C", 3L))
+      val out = client.lookup(in)
+      assert(out.length == 3, "a short response must not drop listings")
+      assert(out.map(_.getAs[Long](0)) == Seq(1L, 2L, 3L))
+      out.foreach(r => assert(
+        r.getAs[String](5).contains("1 results for 3 inputs")))
+    } finally server.stop()
+  }
+
   test("distributed enrichment over the wire matches the in-JVM stub client") {
     val server = new StubPropertyServer()
     try {
