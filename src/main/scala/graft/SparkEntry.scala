@@ -31,6 +31,7 @@ object SparkEntry {
       graft.pipeline.mls.MlsJob1Gate.queries ++
       graft.pipeline.mls.MlsJob2Gate.queries ++
       graft.pipeline.mls.MlsJob3Gate.queries ++
+      graft.pipeline.mls.MlsJobCliGate.queries ++
       graft.pipeline.mls.MlsEnrichMssqlGate.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.pipeline.mls.MlsJob1Gate.oracles ++
       graft.pipeline.mls.MlsJob2Gate.oracles ++
       graft.pipeline.mls.MlsJob3Gate.oracles ++
+      graft.pipeline.mls.MlsJobCliGate.oracles ++
       graft.pipeline.mls.MlsEnrichMssqlGate.oracles
 }

@@ -2,10 +2,13 @@ package graft.pipeline
 
 /** Reference-shaped command-line surface for the job drivers
   * (mls_listings_curated.py:18-56's argparse block): date window, input
-  * dirs (comma-separated), optional MLS isin filter, output-file count,
-  * retention-vacuum hours, shuffle partitions, reject dir, debug/logging
-  * switches. Flags keep the reference's exact names so an operator's
-  * existing invocation translates 1:1.
+  * dirs (comma-separated), the six reference-data dim dirs, target schema
+  * file, optional MLS isin filter, output-file count, retention-vacuum
+  * hours, shuffle partitions, reject/log dirs, the property-id source
+  * block (API endpoint/batch/sleep/modes/limit, MSSQL input dirs), and
+  * the debug/logging switches. Flags keep the reference's exact names
+  * (long and short forms) so an operator's existing invocation translates
+  * 1:1.
   */
 final case class JobsCliArgs(
     fromDate: String,                       // YYYYMMDD, inclusive
@@ -13,6 +16,14 @@ final case class JobsCliArgs(
     inputDirListings: Seq[String],
     listingsOutputDir: String,
     inputMlsList: Option[Seq[String]] = None,
+    inputDirBoards: Option[String] = None,
+    inputDirStates: Option[String] = None,
+    inputDirZipcodes: Option[String] = None,
+    inputDirPropertySubTypes: Option[String] = None,
+    inputDirCounties: Option[String] = None,
+    inputDirGeoIds: Option[String] = None,
+    targetSchemaFile: Option[String] = None,
+    logDir: Option[String] = None,
     rejectDataDir: Option[String] = None,
     numOutputFiles: Int = 100,
     vacuumHrs: Option[Double] = None,
@@ -23,6 +34,8 @@ final case class JobsCliArgs(
     propertyIdApiSleep: Double = 0.01,          // seconds, like the reference
     propertyIdModes: Seq[String] = Seq("New", "Null"), // argparse default
     propertyIdLimit: Option[Int] = None,        // lookup budget; None = all
+    inputDirListingsMssql: Option[String] = None,
+    inputDirPropertyMasterMssql: Option[String] = None,
     debug: Boolean = false,
     logRejectedRecords: Boolean = false) {
   def fromDateIso: String = JobsCli.iso(fromDate)
@@ -39,6 +52,15 @@ object JobsCli {
       s"date '$other' is not in YYYYMMDD format")
   }
 
+  // Short-form aliases, exactly the reference's argparse single-letter
+  // options (mls_listings_curated.py:40-44,55).
+  private val aliases = Map(
+    "-s" -> "--target_schema_file",
+    "-p" -> "--shuffle_partitions",
+    "-r" -> "--reject_data_dir",
+    "-g" -> "--log_dir",
+    "-d" -> "--debug")
+
   /** Parse reference-style argv. Required: --from_date, --to_date,
     * --input_dir_listings, --listings_output_dir. Unknown flags fail
     * loudly (a typo silently ignored is a misconfigured production run). */
@@ -47,15 +69,20 @@ object JobsCli {
     var opts = Map.empty[String, String]
     var switches = Set.empty[String]
     val known = Set("--from_date", "--to_date", "--input_dir_listings",
-      "--input_mls_list", "--listings_output_dir", "--reject_data_dir",
+      "--input_mls_list", "--listings_output_dir",
+      "--input_dir_boards", "--input_dir_states", "--input_dir_zipcodes",
+      "--input_dir_property_sub_types", "--input_dir_counties",
+      "--input_dir_geo_ids", "--target_schema_file", "--log_dir",
+      "--reject_data_dir",
       "--num_output_files", "--vacuum_hrs", "--shuffle_partitions",
       "--property_id_source", "--property_id_api_endpoint",
       "--property_id_api_batch_size", "--property_id_api_sleep",
-      "--property_id_modes", "--property_id_limit")
+      "--property_id_modes", "--property_id_limit",
+      "--input_dir_listings_mssql", "--input_dir_property_master_mssql")
     val knownSwitches = Set("--debug", "--log_rejected_records")
     var i = 0
     while (i < argv.length) {
-      val a = argv(i)
+      val a = aliases.getOrElse(argv(i), argv(i))
       if (knownSwitches(a)) { switches += a; i += 1 }
       else if (known(a)) {
         if (i + 1 >= argv.length) fail(s"flag $a needs a value")
@@ -73,6 +100,14 @@ object JobsCli {
       inputDirListings = list(req("--input_dir_listings")),
       listingsOutputDir = req("--listings_output_dir"),
       inputMlsList = opts.get("--input_mls_list").map(list),
+      inputDirBoards = opts.get("--input_dir_boards"),
+      inputDirStates = opts.get("--input_dir_states"),
+      inputDirZipcodes = opts.get("--input_dir_zipcodes"),
+      inputDirPropertySubTypes = opts.get("--input_dir_property_sub_types"),
+      inputDirCounties = opts.get("--input_dir_counties"),
+      inputDirGeoIds = opts.get("--input_dir_geo_ids"),
+      targetSchemaFile = opts.get("--target_schema_file"),
+      logDir = opts.get("--log_dir"),
       rejectDataDir = opts.get("--reject_data_dir"),
       numOutputFiles = opts.get("--num_output_files").map(_.toInt).getOrElse(100),
       vacuumHrs = opts.get("--vacuum_hrs").map(_.toDouble),
@@ -88,6 +123,9 @@ object JobsCli {
       propertyIdModes = opts.get("--property_id_modes").map(list)
         .getOrElse(Seq("New", "Null")),
       propertyIdLimit = opts.get("--property_id_limit").map(_.toInt),
+      inputDirListingsMssql = opts.get("--input_dir_listings_mssql"),
+      inputDirPropertyMasterMssql =
+        opts.get("--input_dir_property_master_mssql"),
       debug = switches("--debug"),
       logRejectedRecords = switches("--log_rejected_records"))
     iso(args.fromDate); iso(args.toDate) // validate eagerly
@@ -99,6 +137,11 @@ object JobsCli {
     require(args.propertyIdSource != "API" ||
       args.propertyIdApiEndpoint.nonEmpty,
       "--property_id_source API needs --property_id_api_endpoint")
+    require(args.propertyIdSource != "MSSQL" ||
+      (args.inputDirListingsMssql.nonEmpty &&
+        args.inputDirPropertyMasterMssql.nonEmpty),
+      "--property_id_source MSSQL needs --input_dir_listings_mssql and " +
+        "--input_dir_property_master_mssql")
     val validModes = Set("New", "Null", "Provisional", "Final")
     val badModes = args.propertyIdModes.filterNot(validModes)
     require(badModes.isEmpty,
@@ -107,5 +150,25 @@ object JobsCli {
     args.propertyIdLimit.foreach(n =>
       require(n > 0, s"--property_id_limit $n must be positive"))
     args
+  }
+
+  /** The six dim dirs in reference order — runJob1 requires all of them
+    * (the reference marks them argparse-required; they stay optional in
+    * the case class only so the synthetic JobsDemo surface, which has no
+    * dims, shares the parser). */
+  def requireRealPipelineFlags(a: JobsCliArgs): Unit = {
+    val missing = Seq(
+      "--input_dir_boards" -> a.inputDirBoards,
+      "--input_dir_states" -> a.inputDirStates,
+      "--input_dir_zipcodes" -> a.inputDirZipcodes,
+      "--input_dir_property_sub_types" -> a.inputDirPropertySubTypes,
+      "--input_dir_counties" -> a.inputDirCounties,
+      "--input_dir_geo_ids" -> a.inputDirGeoIds,
+      "--target_schema_file" -> a.targetSchemaFile,
+      "--reject_data_dir" -> a.rejectDataDir).collect {
+      case (flag, None) => flag
+    }
+    require(missing.isEmpty,
+      s"real-pipeline run needs ${missing.mkString(", ")}")
   }
 }

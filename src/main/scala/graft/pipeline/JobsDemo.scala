@@ -64,16 +64,23 @@ object JobsDemo {
       enrich = df => df.withColumn("o_orderpriority", lit("0-BACKFILLED")),
       backfillCfg)
 
-    // property-id enrichment leg (reference --property_id_* flags): when
-    // the trusted source is the API, the REAL HTTP client batches the
-    // distinct addresses to the endpoint (mls_listings_transform.py's
-    // call_api shape: batch size + pre-call sleep from argv).
+    // property-id enrichment leg (reference --property_id_* flags): the
+    // API route drives the REAL HTTP client (batch size + pre-call sleep
+    // from argv, mls_listings_transform.py's call_api shape); the MSSQL
+    // route drives the 3-hop Listing_dt → PropertyMaster lookup over the
+    // two --input_dir_*_mssql ORC dirs (transform.py:574-633).
     val lookedUp: Long = a.propertyIdSource match {
-      case "API" =>
+      case "NONE" => 0L
+      case source =>
         // Mode selection (reference --property_id_modes, default New+Null:
         // only listings whose stored load status is in the requested
-        // modes are re-looked-up) and the lookup budget
-        // (--property_id_limit caps the candidate set deterministically).
+        // modes are re-looked-up) and the PRIORITY-ORDERED lookup budget
+        // (mls_listings_curated.py:211-227): never-tried sources first
+        // (desc_nulls_first: null, MSSQL, API), then the load-status rank
+        // New < Null < Provisional < Final, then the responded flag
+        // (asc_nulls_first: null, false, true), then the key tiebreak —
+        // --property_id_limit spends the budget on the listings least
+        // likely to have been resolved already, not on the lowest keys.
         val candidates0 = batch.selectExpr(
           "mls",
           "'L' || CAST(o_orderkey AS STRING) AS mls_listing_id",
@@ -83,22 +90,45 @@ object JobsDemo {
           "CAST(NULL AS STRING) AS unit",
           "CASE CAST(o_orderkey % 4 AS INT) WHEN 0 THEN 'New' " +
             "WHEN 1 THEN 'Null' WHEN 2 THEN 'Provisional' " +
-            "ELSE 'Final' END AS asg_primary_id_load_status")
+            "ELSE 'Final' END AS asg_primary_id_load_status",
+          "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN CAST(NULL AS STRING) " +
+            "WHEN 1 THEN 'MSSQL' ELSE 'API' END AS asg_primary_id_source",
+          "CASE CAST(o_orderkey % 3 AS INT) WHEN 0 THEN CAST(NULL AS BOOLEAN) " +
+            "WHEN 1 THEN false ELSE true END " +
+            "AS asg_primary_id_source_responded_flag")
           .filter(col("asg_primary_id_load_status")
             .isin(a.propertyIdModes: _*))
-          .drop("asg_primary_id_load_status")
-        val candidates = a.propertyIdLimit match {
+        val aux = Seq("asg_primary_id_load_status", "asg_primary_id_source",
+          "asg_primary_id_source_responded_flag")
+        val candidates = (a.propertyIdLimit match {
           case Some(n) => candidates0
-            .orderBy(col("mls"), col("mls_listing_id")).limit(n)
+            .withColumn("_load_status_num", expr(
+              "CASE asg_primary_id_load_status WHEN 'New' THEN 0 " +
+                "WHEN 'Null' THEN 1 WHEN 'Provisional' THEN 2 ELSE 3 END"))
+            .orderBy(col("asg_primary_id_source").desc_nulls_first,
+              col("_load_status_num").asc_nulls_first,
+              col("asg_primary_id_source_responded_flag").asc_nulls_first,
+              col("mls").asc, col("mls_listing_id").asc)
+            .limit(n).drop("_load_status_num")
           case None => candidates0
+        }).drop(aux: _*)
+        source match {
+          case "API" =>
+            val client = new graft.enrich.HttpLookupClient(
+              a.propertyIdApiEndpoint.get,
+              throttleMillis = (a.propertyIdApiSleep * 1000).toLong)
+            graft.pipeline.mls.MlsEnrich
+              .lookupPropertyIds(spark, candidates, client,
+                a.propertyIdApiBatchSize)
+              .map(_.count()).getOrElse(0L)
+          case "MSSQL" =>
+            graft.pipeline.mls.MlsEnrich
+              .lookupPropertyIdsFromMssql(candidates,
+                spark.read.orc(a.inputDirListingsMssql.get),
+                spark.read.orc(a.inputDirPropertyMasterMssql.get))
+              .map(_.filter(col("lkp_asg_primary_id").isNotNull).count())
+              .getOrElse(0L)
         }
-        val client = new graft.enrich.HttpLookupClient(
-          a.propertyIdApiEndpoint.get,
-          throttleMillis = (a.propertyIdApiSleep * 1000).toLong)
-        graft.pipeline.mls.MlsEnrich
-          .lookupPropertyIds(spark, candidates, client, a.propertyIdApiBatchSize)
-          .map(_.count()).getOrElse(0L)
-      case _ => 0L // MSSQL variant runs through MlsEnrichMssqlGate's path
     }
 
     val curated = ManagedTable.read(spark, curatedCfg.tableRoot)

@@ -1,0 +1,184 @@
+package graft.pipeline.mls
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.JobsCli
+import graft.sources.{ManagedTable, ScratchDirs}
+
+/** End-to-end ARGV gate for the real CLI driver: q_job1_cli runs
+  * [[MlsJobsMain.runJob1]] twice from reference-shaped argv over on-disk
+  * ORC fixtures — run 1 (January window, property source NONE) bootstraps
+  * the curated table, run 2 (February window, property source API over a
+  * REAL loopback HTTP server with a priority-ordered lookup budget)
+  * exercises the full surviving surface: multi-dir ORC scan + load_date
+  * window, the six dim dirs, the JSON schema file, validate, the
+  * 133-column transform, BOTH latest-wins windows (incl. the
+  * create_timestamp min / asg_* max recompute and the load_status 'Null'
+  * coalesce, curated.py:144-159), the mode filter + budget + HTTP lookup +
+  * attach + `desc(_from)` precedence window, reject/outdated text legs,
+  * MERGE, ORC mirror, and retention vacuum. The published table state is
+  * hash-checked against a DuckDB oracle replaying both runs relationally.
+  *
+  * Distinct run clocks (ts1 < ts2) make the window-2 create_timestamp
+  * recompute OBSERVABLE: a key re-sent in run 2 must keep run 1's
+  * create_timestamp while taking run 2's update_timestamp — a pipeline
+  * that forgot window 2 hash-mismatches immediately.
+  */
+object MlsJobCliGate {
+  import MlsJob1Gate.{asOfSql, dims, dimDf, outCastCols, outCastSql,
+    rawBase, rawSql, synthesize, transformSql, validateSql}
+
+  private val ts1Sql = MlsJob1Gate.nowTsSql // TIMESTAMP '2024-06-01 00:00:00'
+  private val ts2Sql = "TIMESTAMP '2024-07-01 00:00:00'"
+  private val lookupLimit = 40
+
+  private def writeFixtures(s: SparkSession, dir: String, root: String): Unit = {
+    synthesize(rawBase(s, dir, 1, "2024-01-01", tag = "x")).drop("gate_batch")
+      .write.mode("overwrite").orc(s"$root/in_a")
+    synthesize(rawBase(s, dir, 2, "2024-02-01", tag = "x",
+        kFilter = Some("k % 3 = 0"))).drop("gate_batch")
+      .write.mode("overwrite").orc(s"$root/in_b")
+    dims.foreach { case (n, _, _) =>
+      dimDf(s, n).write.mode("overwrite").orc(s"$root/dim_$n")
+    }
+    // The schema file travels through the REAL -s/--target_schema_file
+    // path (SchemaLoader.fromFile), not the in-JVM resource shortcut.
+    Files.writeString(Paths.get(root, "schema.json"), new String(
+      getClass.getResourceAsStream("/mls_listings_schema.json").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[mls] def argv(root: String, from: String, to: String,
+                        extra: Seq[String]): Seq[String] = Seq(
+    "--from_date", from, "--to_date", to,
+    "--input_dir_listings", s"$root/in_a,$root/in_b",
+    "--input_dir_boards", s"$root/dim_boards",
+    "--input_dir_states", s"$root/dim_states",
+    "--input_dir_zipcodes", s"$root/dim_zipcodes",
+    "--input_dir_property_sub_types", s"$root/dim_psub",
+    "--input_dir_counties", s"$root/dim_counties",
+    "--input_dir_geo_ids", s"$root/dim_geo_ids",
+    "--listings_output_dir", s"$root/out",
+    "-s", s"$root/schema.json",
+    "-r", s"$root/rejects",
+    "-g", s"$root/logs",
+    "--num_output_files", "2",
+    "--vacuum_hrs", "168",
+    "--log_rejected_records") ++ extra
+
+  /** Both CLI runs over fresh fixtures; returns the published table root. */
+  private[mls] def runBoth(s: SparkSession, dir: String): String = {
+    val root = ScratchDirs.fresh("job1cli")
+    Files.createDirectories(Paths.get(root))
+    writeFixtures(s, dir, root)
+    val a1 = JobsCli.parse(argv(root, "20240101", "20240131",
+      Seq("--property_id_source", "NONE")))
+    MlsJobsMain.runJob1(s, a1, asOf = expr(asOfSql), now = expr(ts1Sql))
+    val server = new graft.enrich.StubPropertyServer()
+    try {
+      val a2 = JobsCli.parse(argv(root, "20240201", "20240228", Seq(
+        "--property_id_source", "API",
+        "--property_id_api_endpoint", server.lookupUrl,
+        "--property_id_api_batch_size", "64",
+        "--property_id_api_sleep", "0",
+        "--property_id_modes", "New",
+        "--property_id_limit", lookupLimit.toString)))
+      MlsJobsMain.runJob1(s, a2, asOf = expr(asOfSql), now = expr(ts2Sql))
+    } finally server.stop()
+    MlsJobsMain.deltaDirOf(s"$root/out")
+  }
+
+  def job1Cli(s: SparkSession, dir: String): DataFrame = {
+    val deltaRoot = runBoth(s, dir)
+    // Eager checkpoint: the result must outlive the gate's scratch dirs
+    // (a later gate's ScratchDirs.fresh would otherwise race the dump).
+    ManagedTable.read(s, deltaRoot)
+      .select(outCastCols(MlsFullTransform.targetSchema): _*)
+      .localCheckpoint(eager = true)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_job1_cli" -> (job1Cli _))
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle: replay both runs relationally.
+  // -------------------------------------------------------------------
+
+  def oracle: String = {
+    val dimCtes = dims.map { case (n, cols, rows) => s"$n($cols) AS (VALUES $rows)" }
+    // The md5 decode of the stub service (same pure function as the
+    // enrich gates). A NULL street serializes as JSON null and reaches
+    // the service as the string "null" — the coalesce pins that wire
+    // behavior, identically to the in-JVM stub's string concatenation.
+    val hx = "md5(coalesce(c.street_address, 'null'))"
+    val changed = "coalesce(c.asg_primary_id, -1) <> coalesce(l.asg, -1)"
+    s"""WITH ${dimCtes.mkString(",\n")},
+       |ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |raw1 AS (${rawSql(1, "2024-01-01")}),
+       |raw2 AS (${rawSql(2, "2024-02-01", where = " WHERE k % 3 = 0")}),
+       |good1 AS (${validateSql("raw1")}),
+       |good2 AS (${validateSql("raw2")}),
+       |t1 AS (${transformSql("good1", ts1Sql)}),
+       |t2 AS (${transformSql("good2", ts2Sql)}),
+       |s1 AS (SELECT t1.* REPLACE ('Null' AS asg_primary_id_load_status) FROM t1),
+       |f2 AS (
+       |  SELECT t2.* REPLACE (
+       |    CASE WHEN s1.mls IS NOT NULL THEN $ts1Sql
+       |         ELSE t2.create_timestamp END AS create_timestamp,
+       |    'Null' AS asg_primary_id_load_status)
+       |  FROM t2 LEFT JOIN s1
+       |    ON t2.mls = s1.mls AND t2.mls_listing_id = s1.mls_listing_id),
+       |cand AS (
+       |  SELECT * FROM f2
+       |  WHERE asg_primary_id_load_status = 'Null'
+       |    AND asg_primary_id_source_queried_timestamp IS NULL
+       |  ORDER BY asg_primary_id_source DESC NULLS FIRST,
+       |    asg_primary_id_source_responded_flag ASC NULLS FIRST,
+       |    mls ASC, mls_listing_id ASC
+       |  LIMIT $lookupLimit),
+       |lkp AS (
+       |  SELECT mls, mls_listing_id,
+       |    CASE WHEN d = 0 THEN CAST(NULL AS BIGINT) ELSE prop END AS asg,
+       |    CASE WHEN d = 0 THEN CAST(NULL AS BOOLEAN)
+       |         WHEN d IN (1, 2) THEN true ELSE false END AS final_flag,
+       |    (d <> 3) AS responded,
+       |    CASE WHEN d = 3 THEN 'rate limited' END AS issue
+       |  FROM (SELECT c.mls, c.mls_listing_id,
+       |          ('0x' || substr($hx, 1, 12))::BIGINT AS prop,
+       |          ('0x' || substr($hx, 1, 1))::BIGINT % 4 AS d
+       |        FROM cand c)),
+       |enr AS (
+       |  SELECT c.* REPLACE (
+       |    l.final_flag AS asg_primary_id_final_flag,
+       |    'API' AS asg_primary_id_source,
+       |    $ts2Sql AS asg_primary_id_source_queried_timestamp,
+       |    l.responded AS asg_primary_id_source_responded_flag,
+       |    l.issue AS asg_primary_id_issue_text,
+       |    CAST(NULL AS BOOLEAN) AS asg_primary_id_mssql_fixed_flag,
+       |    ($changed) AS asg_primary_id_updated_flag,
+       |    CASE WHEN $changed THEN $ts2Sql END AS asg_primary_id_updated_timestamp,
+       |    CASE WHEN $changed THEN c.asg_primary_id END AS asg_primary_id_previous_value,
+       |    CASE WHEN l.final_flag IS NULL THEN 'Null'
+       |         WHEN l.final_flag = true THEN 'Final'
+       |         ELSE 'Provisional' END AS asg_primary_id_load_status,
+       |    l.asg AS asg_primary_id)
+       |  FROM cand c JOIN lkp l
+       |    ON c.mls = l.mls AND c.mls_listing_id = l.mls_listing_id),
+       |f2b AS (
+       |  SELECT * FROM enr
+       |  UNION ALL
+       |  SELECT * FROM f2
+       |  WHERE NOT EXISTS (SELECT 1 FROM enr e
+       |    WHERE e.mls = f2.mls AND e.mls_listing_id = f2.mls_listing_id)),
+       |final AS (
+       |  SELECT * FROM f2b
+       |  UNION ALL
+       |  SELECT * FROM s1
+       |  WHERE NOT EXISTS (SELECT 1 FROM f2b f
+       |    WHERE f.mls = s1.mls AND f.mls_listing_id = s1.mls_listing_id))
+       |SELECT ${outCastSql("f")} FROM final f""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map("q_job1_cli" -> oracle)
+}

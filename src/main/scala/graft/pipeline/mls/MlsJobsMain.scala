@@ -1,0 +1,219 @@
+package graft.pipeline.mls
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.enrich.{BatchLookup, HttpLookupClient}
+import graft.pipeline.{JobsCli, JobsCliArgs, LatestWins}
+import graft.schema.SchemaLoader
+import graft.sources.{ManagedTable, TableIO, VersionedLayout}
+
+/** The REAL Job-1 driver behind the reference argv surface
+  * (mls_listings_curated.py:62-371): reads ORC listings dirs + the six
+  * reference-data dims + the JSON target schema from the parsed flags and
+  * drives the full-width pipeline — validate → 133-column transform →
+  * union with the live curated table → the two latest-wins windows →
+  * optional property-id enrichment (API over HTTP or the MSSQL 3-hop) →
+  * reject/outdated text legs → MERGE into the managed table → ORC mirror →
+  * retention vacuum. [[graft.pipeline.JobsDemo]] remains the synthetic
+  * TPC-H-shaped demo of the same surface; this object is the
+  * schema-faithful production entry, gated end-to-end by q_job1_cli.
+  *
+  * `asOf`/`now` inject the run clock (the reference's `current_date()` /
+  * `current_timestamp()`): production `main` passes the real clock, the
+  * oracle gate pins both — which is what makes the CLI path
+  * hash-checkable.
+  *
+  * Scale notes: the dims broadcast (MlsValidate/attachGeo), the two
+  * windows and the merge shuffle once on (mls, mls_listing_id), the
+  * lookup leg batches partition-sized service calls, and the final ORC
+  * mirror is file-count-controlled — the same shapes the e2e gates pin.
+  */
+object MlsJobsMain {
+
+  private val keys = Seq("mls", "mls_listing_id")
+
+  /** The asg_* bookkeeping columns window-2 re-derives per key
+    * (curated.py:144-159): max over all versions, minus create_timestamp
+    * which takes the min; load_status additionally coalesces to 'Null'. */
+  private val asgRecomputeMax = Seq("asg_primary_id",
+    "asg_primary_id_final_flag", "asg_primary_id_source",
+    "asg_primary_id_source_queried_timestamp",
+    "asg_primary_id_source_responded_flag", "asg_primary_id_issue_text",
+    "asg_primary_id_mssql_fixed_flag", "asg_primary_id_updated_flag",
+    "asg_primary_id_updated_timestamp", "asg_primary_id_previous_value",
+    "asg_primary_id_load_status")
+
+  /** The 9 asg_* columns dropped from the ORC mirror (curated.py:360) —
+    * the mirror keeps only asg_primary_id + its final flag. */
+  private val mirrorDropped = Seq("asg_primary_id_source",
+    "asg_primary_id_source_queried_timestamp",
+    "asg_primary_id_source_responded_flag", "asg_primary_id_issue_text",
+    "asg_primary_id_mssql_fixed_flag", "asg_primary_id_updated_flag",
+    "asg_primary_id_updated_timestamp", "asg_primary_id_previous_value",
+    "asg_primary_id_load_status")
+
+  /** `<output>` → sibling `<output>_delta` (curated.py:418-420). */
+  def deltaDirOf(listingsOutputDir: String): String = {
+    val p = java.nio.file.Paths.get(listingsOutputDir)
+    val parent = Option(p.getParent).map(_.toString).getOrElse(".")
+    s"$parent/${p.getFileName}_delta"
+  }
+
+  /** Window-1 ordering (curated.py:141): most recent snapshot wins;
+    * `desc(_from)` is appended by [[LatestWins.dedupe]]. */
+  private val window1Ordering: Seq[Column] = Seq(
+    col("source_as_of_date").desc, col("listing_date").desc,
+    col("entry_date").asc, col("load_date").desc)
+
+  /** The property-id mode → WHERE branch table (curated.py:199-209). The
+    * reference's branches also test `_from = 'new'`, which is vacuous
+    * here: every row surviving window 1 IS a new row. */
+  private def modeFilter(modes: Seq[String]): Column = {
+    val status = col("asg_primary_id_load_status")
+    val queried = col("asg_primary_id_source_queried_timestamp")
+    modes.map {
+      case "New"         => status === "Null" && queried.isNull
+      case "Null"        => status === "Null" && queried.isNotNull
+      case "Provisional" => status === "Provisional"
+      case "Final"       => status === "Final"
+      case other => throw new IllegalArgumentException(s"mode '$other'")
+    }.reduce(_ || _)
+  }
+
+  /** Priority-ordered lookup budget (curated.py:211-227): never-tried
+    * sources first (`desc_nulls_first`), then the load-status rank, then
+    * the responded flag, then the key tiebreak. */
+  private[mls] def budget(toLookup: DataFrame, limit: Int): DataFrame =
+    toLookup
+      .withColumn("_asg_primary_id_load_status_num", expr(
+        "CASE WHEN asg_primary_id_load_status = 'Null' AND " +
+          "asg_primary_id_source_queried_timestamp IS NULL THEN 0 " +
+          "WHEN asg_primary_id_load_status = 'Null' AND " +
+          "asg_primary_id_source_queried_timestamp IS NOT NULL THEN 1 " +
+          "WHEN asg_primary_id_load_status = 'Provisional' THEN 2 " +
+          "WHEN asg_primary_id_load_status = 'Final' THEN 3 END"))
+      .orderBy(col("asg_primary_id_source").desc_nulls_first,
+        col("_asg_primary_id_load_status_num").asc_nulls_first,
+        col("asg_primary_id_source_responded_flag").asc_nulls_first,
+        col("mls").asc, col("mls_listing_id").asc)
+      .limit(limit)
+      .drop("_asg_primary_id_load_status_num")
+
+  /** One full Job-1 run. Returns the managed-table root so callers/specs
+    * can read the published state; counts are the caller's choice (the
+    * reference logs, it does not count). `clientOverride` lets specs
+    * inject a deterministic lookup client; production builds the real
+    * [[HttpLookupClient]] from the endpoint/sleep flags. */
+  def runJob1(spark: SparkSession, a: JobsCliArgs,
+              asOf: Column = current_date(),
+              now: Column = current_timestamp(),
+              clientOverride: Option[BatchLookup.LookupClient] = None)
+      : String = {
+    JobsCli.requireRealPipelineFlags(a)
+    val deltaRoot = deltaDirOf(a.listingsOutputDir)
+
+    // ---- read inputs (curated.py:70-96) --------------------------------
+    // Positional unionAll of the input dirs, each window-filtered on
+    // load_date BEFORE the union so the filter reaches every ORC scan.
+    val listings = a.inputDirListings.map { d =>
+      val df = spark.read.orc(d).filter(
+        col("load_date").between(lit(a.fromDateIso), lit(a.toDateIso)))
+      a.inputMlsList.fold(df)(codes => df.filter(col("mls").isin(codes: _*)))
+    }.reduce(_ union _)
+    val boards = spark.read.orc(a.inputDirBoards.get)
+    val states = spark.read.orc(a.inputDirStates.get)
+    val zipcodes = spark.read.orc(a.inputDirZipcodes.get)
+    val psub = spark.read.orc(a.inputDirPropertySubTypes.get)
+    val counties = spark.read.orc(a.inputDirCounties.get)
+    val geoIds = spark.read.orc(a.inputDirGeoIds.get)
+    val targetSchema = SchemaLoader.fromFile(a.targetSchemaFile.get)
+
+    // ---- validate + transform (curated.py:110-117) ---------------------
+    val (good, rejected) = MlsValidate.validateListings(
+      listings, boards, states, zipcodes, psub)
+    val fresh = MlsFullTransform.transformKeeping(targetSchema, Nil)(
+      good, counties, geoIds, asOf, now)
+
+    // ---- union with curated + the two windows (curated.py:120-189) -----
+    val curated: DataFrame =
+      if (ManagedTable.exists(deltaRoot))
+        ManagedTable.read(spark, deltaRoot)
+          .select(targetSchema.fieldNames.toIndexedSeq.map(col): _*)
+      else fresh.limit(0)
+    // Note: the recomputed min/max bookkeeping values also reach the
+    // outdated rows here (the reference restores their original values
+    // before the reject dump, curated.py:184-189) — the reject text leg
+    // is diagnostic, the published table is identical.
+    val dd = LatestWins.dedupe(fresh, curated, keys, window1Ordering,
+      recomputeMin = Seq("create_timestamp"),
+      recomputeMax = asgRecomputeMax)
+    val latest = dd.latest.withColumn("asg_primary_id_load_status",
+      coalesce(col("asg_primary_id_load_status"), lit("Null")))
+
+    // ---- property-id lookup (curated.py:194-271) -----------------------
+    val resolved: DataFrame = a.propertyIdSource match {
+      case "NONE" => latest
+      case source =>
+        val toLookup0 = latest.filter(modeFilter(a.propertyIdModes))
+        val toLookup = a.propertyIdLimit.fold(toLookup0)(budget(toLookup0, _))
+        val lookup: Option[DataFrame] = source match {
+          case "API" =>
+            val client = clientOverride.getOrElse(new HttpLookupClient(
+              a.propertyIdApiEndpoint.get,
+              throttleMillis = (a.propertyIdApiSleep * 1000).toLong))
+            MlsEnrich.lookupPropertyIds(spark, toLookup, client,
+              a.propertyIdApiBatchSize)
+          case "MSSQL" =>
+            MlsEnrich.lookupPropertyIdsFromMssql(toLookup,
+              spark.read.orc(a.inputDirListingsMssql.get),
+              spark.read.orc(a.inputDirPropertyMasterMssql.get))
+        }
+        // Inner-joining the FULL latest set against the lookup rows
+        // touches exactly the budgeted keys (lkp keys ⊆ toLookup keys),
+        // so one attach covers the reference's subset-join + union.
+        lookup.fold(latest)(MlsEnrich.attachPropertyIds(latest, _, now))
+    }
+    val finalDf =
+      resolved.select(targetSchema.fieldNames.toIndexedSeq.map(col): _*)
+
+    // ---- reject legs (curated.py:287-309) ------------------------------
+    if (a.logRejectedRecords) {
+      val rejectDir = a.rejectDataDir.get
+      TableIO.writeJsonLines(rejected, rejectDir)
+      TableIO.writeJsonLines(
+        dd.outdated.withColumn("_reject_reasons", lit("Outdated record")),
+        rejectDir, append = true)
+    }
+
+    // ---- merge + mirror + vacuum (curated.py:316-368) ------------------
+    if (!ManagedTable.exists(deltaRoot))
+      VersionedLayout.withUserMetadata("Create empty listings delta table") {
+        ManagedTable.createEmpty(spark, deltaRoot, finalDf)
+      }
+    VersionedLayout.withUserMetadata(
+      s"job=listings_curated from=${a.fromDate} to=${a.toDate}") {
+      ManagedTable.merge(spark, deltaRoot, finalDf, keys)
+    }
+    TableIO.writeOrcZlib(
+      ManagedTable.read(spark, deltaRoot).drop(mirrorDropped: _*),
+      a.listingsOutputDir, a.numOutputFiles)
+    a.vacuumHrs.foreach(h => ManagedTable.vacuum(deltaRoot, retainHours = h))
+    deltaRoot
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = JobsCli.parse(argv.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .appName("MLS Listings Curated")
+      .config("spark.sql.shuffle.partitions", a.shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (a.debug) "INFO" else "WARN")
+    val root = runJob1(spark, a)
+    val curated = ManagedTable.read(spark, root)
+    println(s"""{"curated_rows":${curated.count()},""" +
+      s""""curated_version":${ManagedTable.currentVersion(root)}}""")
+    spark.stop()
+  }
+}
