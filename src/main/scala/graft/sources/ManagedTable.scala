@@ -1192,6 +1192,63 @@ object ManagedTable extends VersionedLayout {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Manifest size past which [[readWhere]] computes prune verdicts as a
+    * distributed plan instead of a driver stream. Tunable per session
+    * (`spark.graft.skipping.distributedPruneBytes`); default 8 MiB — a
+    * gate-scale manifest stays on the cheap driver path, a 100 TB
+    * table's multi-GB manifest never bottlenecks one thread. */
+  private def distributedPruneBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.skipping.distributedPruneBytes")
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
+
+  /** The skipping-manifest prune as a DISTRIBUTED plan: parse the
+    * `_stats.tsv` lines across the cluster, evaluate every range's span
+    * verdict as Catalyst expressions, and aggregate to one row per
+    * provably-prunable file — `scan → project(verdict) → aggregate`,
+    * fully whole-stage-codegen, no driver-side iteration. Semantics are
+    * identical to the streamed path (see [[readWhere]]'s contract);
+    * `SkippingPruneSpec` pins both the plan shape and the
+    * verdict-for-verdict agreement. */
+  private[sources] def pruneVerdicts(spark: SparkSession, statsPath: String,
+                                     ranges: Seq[(String, Any, Any)]): DataFrame = {
+    // Lazy numeric view of a range endpoint — the streamed path only
+    // parses endpoints when a "num" manifest line is in hand, so a
+    // string-typed range must not eagerly throw here; a non-numeric
+    // endpoint simply cannot prune "num"-kind lines (conservative stay).
+    def toD(a: Any): Option[Double] = a match {
+      case n: Number => Some(n.doubleValue())
+      case other => other.toString.toDoubleOption
+    }
+    val p = split(col("value"), "\t")
+    val parsed = spark.read.text(statsPath)
+      .where(col("value") =!= "")
+      .select(
+        element_at(p, 1).as("f"),
+        element_at(p, 2).as("c"),
+        when(size(p) >= 5, element_at(p, 3)).otherwise(lit("num")).as("kind"),
+        when(size(p) >= 5, element_at(p, 4)).otherwise(element_at(p, 3)).as("mn"),
+        when(size(p) >= 5, element_at(p, 5)).otherwise(element_at(p, 4)).as("mx"))
+    val allNull = col("mn") === "null" && col("mx") === "null"
+    val bothPresent = col("mn") =!= "null" && col("mx") =!= "null"
+    val lineVerdict = ranges.map { case (c, lo, hi) =>
+      val numPrune = (toD(lo), toD(hi)) match {
+        case (Some(loD), Some(hiD)) =>
+          col("kind") === "num" &&
+            !(col("mn").cast("double") <= lit(hiD) &&
+              col("mx").cast("double") >= lit(loD))
+        case _ => lit(false)
+      }
+      val strPrune = col("kind") === "str" &&
+        !(url_decode(col("mn")) <= lit(hi.toString) &&
+          url_decode(col("mx")) >= lit(lo.toString))
+      (col("c") === c) && (allNull || (bothPresent && (numPrune || strPrune)))
+    }.reduce(_ || _)
+    parsed.groupBy(col("f"))
+      .agg(max(lineVerdict.cast("int")).as("_pruned"))
+      .where(col("_pruned") === 1)
+      .select(col("f"))
+  }
+
   /** Data-skipping read: rows of the live snapshot satisfying ALL the
     * closed-interval `ranges` (`col between lo and hi`, null fails) —
     * but files whose manifest span cannot intersect a range are never
@@ -1234,40 +1291,66 @@ object ManagedTable extends VersionedLayout {
     val statsPath = Paths.get(dir, "_stats.tsv")
     if (!Files.exists(statsPath))
       return subtractDv(spark.read.parquet(dir)).where(pred)
-    def toD(a: Any): Double = a match {
-      case n: Number => n.doubleValue()
-      case other => other.toString.toDouble
-    }
-    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    // Streamed manifest pruning: each line's span verdict is evaluated as
-    // it is read, retaining ONLY the names of provably-prunable files —
-    // the manifest itself (10^5-10^6 rows × every stats column at 100 TB)
-    // is never materialized on the driver. A file is pruned when ANY
-    // range column's recorded span cannot intersect ("null\tnull" = the
-    // file is all-null for that column — no row can match a range);
-    // kind "num" spans compare as doubles, "str" spans lexicographically;
-    // legacy 4-field lines (pre-string manifests) are numeric by
-    // construction; unknown files/columns conservatively stay.
-    val pruned = scala.collection.mutable.HashSet.empty[String]
-    val lineStream = Files.lines(statsPath)
-    try lineStream.iterator().asScala.filter(_.nonEmpty).foreach { line =>
-      val (f, c, kind, mn, mx) = line.split('\t') match {
-        case Array(f0, c0, k0, mn0, mx0) => (f0, c0, k0, mn0, mx0)
-        case Array(f0, c0, mn0, mx0) => (f0, c0, "num", mn0, mx0)
-        case other => sys.error(s"readWhere: bad manifest line '$line'")
+    // Manifest pruning, two execution strategies with ONE semantics:
+    // a file is pruned when ANY range column's recorded span cannot
+    // intersect ("null\tnull" = the file is all-null for that column —
+    // no row can match a range); kind "num" spans compare as doubles,
+    // "str" spans lexicographically on the URL-decoded value; legacy
+    // 4-field lines (pre-string manifests) are numeric by construction;
+    // unknown files/columns conservatively stay.
+    //
+    // Small manifests stream through the driver (one pass, nothing
+    // materialized). Past the size threshold the verdicts run as a
+    // DISTRIBUTED plan ([[pruneVerdicts]]): a 10^6-file table's manifest
+    // (files × stats columns of lines) parses and aggregates across the
+    // cluster, and only the provably-prunable FILE NAMES — the minimum a
+    // file-list scan needs — ever reach the driver, never the manifest
+    // rows themselves.
+    val pruned: scala.collection.Set[String] =
+      if (Files.size(statsPath) >= distributedPruneBytes(spark)) {
+        // `_`-prefixed files are invisible to Spark's file sources
+        // (hidden-file filter — exactly why the manifest lives at
+        // `_stats.tsv` inside the snapshot dir). Hard-link it to a
+        // non-hidden scratch name for the distributed scan: zero bytes
+        // copied, removed after the verdicts are collected.
+        val scratch = Files.createTempDirectory("graft_prune")
+        val link = scratch.resolve("stats.tsv")
+        try {
+          try Files.createLink(link, statsPath)
+          catch { case _: UnsupportedOperationException =>
+            Files.copy(statsPath, link) }
+          pruneVerdicts(spark, link.toString, ranges)
+            .collect().map(_.getString(0)).toSet
+        } finally ScratchDirs.deleteRecursively(scratch)
       }
-      ranges.filter(_._1 == c).foreach { case (_, lo, hi) =>
-        val prune =
-          if (mn == "null" && mx == "null") true // all-null file
-          else if (mn == "null" || mx == "null") false // partial stats: stay
-          else if (kind == "num")
-            !(mn.toDouble <= toD(hi) && mx.toDouble >= toD(lo))
-          else if (kind == "str")
-            !(dec(mn) <= hi.toString && dec(mx) >= lo.toString)
-          else false // unknown kind: stay safe
-        if (prune) pruned += f
+      else {
+        def toD(a: Any): Double = a match {
+          case n: Number => n.doubleValue()
+          case other => other.toString.toDouble
+        }
+        def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+        val acc = scala.collection.mutable.HashSet.empty[String]
+        val lineStream = Files.lines(statsPath)
+        try lineStream.iterator().asScala.filter(_.nonEmpty).foreach { line =>
+          val (f, c, kind, mn, mx) = line.split('\t') match {
+            case Array(f0, c0, k0, mn0, mx0) => (f0, c0, k0, mn0, mx0)
+            case Array(f0, c0, mn0, mx0) => (f0, c0, "num", mn0, mx0)
+            case other => sys.error(s"readWhere: bad manifest line '$line'")
+          }
+          ranges.filter(_._1 == c).foreach { case (_, lo, hi) =>
+            val prune =
+              if (mn == "null" && mx == "null") true // all-null file
+              else if (mn == "null" || mx == "null") false // partial stats: stay
+              else if (kind == "num")
+                !(mn.toDouble <= toD(hi) && mx.toDouble >= toD(lo))
+              else if (kind == "str")
+                !(dec(mn) <= hi.toString && dec(mx) >= lo.toString)
+              else false // unknown kind: stay safe
+            if (prune) acc += f
+          }
+        } finally lineStream.close()
+        acc
       }
-    } finally lineStream.close()
     val listing = Files.list(Paths.get(dir))
     val allFiles =
       try listing.iterator().asScala.map(_.getFileName.toString)
