@@ -90,6 +90,50 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Full banded sign-LSH signature in ONE native pass: element b of the
+    * output is band b's bucket — rowsPerBand sign bits of float64 plane
+    * dots, packed little-endian. Bit-identical to the composite form
+    * (`array` of per-band sums of `when(arrayDot(e, plane) >= 0, 1<<r)`):
+    * same planes, same in-order float64 accumulation per dot. The
+    * composite builds nBands×rowsPerBand dot-product expression nodes each
+    * carrying a 64-element literal array — at gate scale its ANALYSIS and
+    * CODEGEN dominate the whole LSH pipeline; this expression is one node
+    * with the plane matrix held as plain JVM state. CodegenFallback costs
+    * one boxed call per row (not per plane), so surrounding whole-stage
+    * codegen stays intact. */
+  case class BandSignature(child: Expression, planes: Array[Array[Float]],
+                           rowsPerBand: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes.length % rowsPerBand == 0)
+    private val nBands = planes.length / rowsPerBand
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val e = input.asInstanceOf[ArrayData]
+      val out = new Array[Int](nBands)
+      var b = 0
+      while (b < nBands) {
+        var bucket = 0
+        var r = 0
+        while (r < rowsPerBand) {
+          val p = planes(b * rowsPerBand + r)
+          val n = math.min(e.numElements(), p.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            acc += e.getFloat(i).toDouble * p(i).toDouble
+            i += 1
+          }
+          if (acc >= 0) bucket |= (1 << r)
+          r += 1
+        }
+        out(b) = bucket
+        b += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** MinHash signature from a long-hash array: for each of k fixed-seed
     * universal hashes h_i(x) = (a_i*x + b_i) mod (2^31-1), the minimum over
     * the input hashes. One pass over the array computes all k minima. */
@@ -234,4 +278,7 @@ object VectorExpressions {
   def wordNgramHashes(toks: Column, n: Int, algo: String,
                       distinct: Boolean): Column =
     column(WordNgramHashes(expression(toks), n, algo, distinct))
+  def bandSignature(e: Column, planes: Array[Array[Float]],
+                    rowsPerBand: Int): Column =
+    column(BandSignature(expression(e), planes, rowsPerBand))
 }

@@ -76,16 +76,10 @@ object SimilarityQueries {
     * batch LSH dedup and the streaming intake screen so both speak the
     * same bucket language as the generated oracles. */
   private[graft] def bandSignature(e: Column, nBands: Int,
-                                   rowsPerBand: Int): Column = {
-    val planes = lshPlanes(nBands * rowsPerBand)
-    array((0 until nBands).map { b =>
-      (0 until rowsPerBand).map { r =>
-        val p = planes(b * rowsPerBand + r).map(_.toFloat)
-        when(dotProduct(e, array(p.map(lit): _*)) >= 0, lit(1 << r))
-          .otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-  }
+                                   rowsPerBand: Int): Column =
+    graft.functions.VectorExpressions.bandSignature(e,
+      lshPlanes(nBands * rowsPerBand).map(_.map(_.toFloat).toArray).toArray,
+      rowsPerBand)
 
   /** DuckDB CTE fragments for the banded signature: (bucket column list
     * for a `sig` CTE over `c`, the 16-way UNION ALL turning `sig` into
@@ -363,7 +357,8 @@ object SimilarityQueries {
     * candidate pairs only. Total compute ∝ candidates, not n²/2 — at 10⁹
     * vectors that is the difference between feasible and not. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String, threshold: Double = 0.35,
-                        nBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                        nBands: Int = 16, rowsPerBand: Int = 4,
+                        candFilter: Option[Column] = None): DataFrame = {
     val c = corpus(s, dir)
     // ±1 planes ride as FLOAT literals inside bandSignature: arrayDot
     // takes two float arrays; ±1.0f is exact, so the float64 accumulation
@@ -375,7 +370,11 @@ object SimilarityQueries {
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
       .distinct()
-    cand
+    // An id-level candidate restriction (e.g. the recall gate's sample
+    // slice) commutes with exact verification — applying it BEFORE the
+    // two verify joins cuts their work to the slice's share.
+    val kept = candFilter.fold(cand)(cand.filter)
+    kept
       .join(c.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
         col("norm").as("n_a")), "id_a")
       .join(c.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
@@ -398,7 +397,8 @@ object SimilarityQueries {
     * codebook, the standard IVF contract); the self-join shuffles on the
     * cell id — compute ∝ Σ|cell|²/2, the SemDeDup economics. */
   def dedupEmbeddingIvf(s: SparkSession, dir: String, threshold: Double = 0.35,
-                        nCells: Int = 16, nProbe: Int = 3): DataFrame = {
+                        nCells: Int = 16, nProbe: Int = 3,
+                        candFilter: Option[Column] = None): DataFrame = {
     val c = corpus(s, dir)
     val seeds: Seq[(Int, Seq[Float], Double)] = c.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast(IntegerType), col("embedding"), col("norm"))
@@ -421,7 +421,8 @@ object SimilarityQueries {
         col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
       .distinct()
-    cand
+    val kept = candFilter.fold(cand)(cand.filter)
+    kept
       .join(c.select(col("vec_id").as("id_a"), col("embedding").as("e_a"),
         col("norm").as("n_a")), "id_a")
       .join(c.select(col("vec_id").as("id_b"), col("embedding").as("e_b"),
@@ -432,22 +433,71 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Exact near-dup pairs restricted to a deterministic QUERY SAMPLE:
+    * every pair with at least one endpoint in {vec_id % sampleMod == 0},
+    * computed as broadcast(sample) × one corpus scan — n·(n/m) exact
+    * comparisons instead of n²/2. The modulus spreads the sample across
+    * the whole id space (no locality bias a prefix sample would have),
+    * and both-sampled pairs dedup through the (least, greatest) keys.
+    * This is the at-scale certification recipe: ground truth stays EXACT
+    * per sampled query, only the number of queries shrinks — at 10⁹
+    * vectors a 10⁻⁴ sample still certifies recall on ~10⁵ queries while
+    * full all-pairs ground truth is simply unrunnable. */
+  def dedupEmbeddingExactSampled(s: SparkSession, dir: String,
+                                 threshold: Double = 0.35,
+                                 sampleMod: Int = 8): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    // Each pair materializes exactly once by construction — a both-sampled
+    // pair is emitted only from its lower-id query — so no distinct/shuffle
+    // is needed on the n·(n/m) verify output.
+    c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") &&
+          (pmod(col("vec_id"), lit(sampleMod)) =!= 0 ||
+            col("q_id") < col("vec_id")))
+      .withColumn("cos_sim",
+        dotProduct(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("q_id"), col("vec_id")).as("id_a"),
+        greatest(col("q_id"), col("vec_id")).as("id_b"), col("cos_sim"))
+  }
+
   /** Certification gate for the approximate dedup methods: each
     * exact-verifies its candidates, so its output is a strict subset of
     * the exact all-pairs result and recall is simply n_approx / n_exact —
     * a deterministic fraction both engines recompute identically. The
     * gate hash-pins one row per method: any banding/quantizer change
     * that degrades recall breaks the hash instead of silently shrinking
-    * the dedup set. */
-  def dedupEmbRecall(s: SparkSession, dir: String): DataFrame = {
-    val nExact = dedupEmbedding(s, dir).agg(count(lit(1)).as("n_exact"))
+    * the dedup set.
+    *
+    * Recall is measured on the [[dedupEmbeddingExactSampled]] slice
+    * (pairs with ≥1 endpoint in the deterministic vec_id sample): the
+    * exact leg — the gate's only O(n²) component — shrinks by the sample
+    * factor while the certified quantity keeps the same meaning, and the
+    * approximate sides restrict to the same slice so the ratio compares
+    * like with like. Full-corpus exact pairs remain their own gate
+    * (q_dedup_embedding); this gate certifies the APPROXIMATION, which
+    * a sample does at any corpus size. */
+  def dedupEmbRecall(s: SparkSession, dir: String,
+                     sampleMod: Int = 8): DataFrame = {
+    val inSample =
+      pmod(col("id_a"), lit(sampleMod)) === 0 ||
+        pmod(col("id_b"), lit(sampleMod)) === 0
+    val nExact = dedupEmbeddingExactSampled(s, dir, sampleMod = sampleMod)
+      .agg(count(lit(1)).as("n_exact"))
     def row(method: String, approx: DataFrame): DataFrame =
       nExact.crossJoin(approx.agg(count(lit(1)).as("n_approx"))).select(
         lit(method).as("method"), col("n_exact"), col("n_approx"),
         (col("n_approx").cast(DoubleType) / col("n_exact").cast(DoubleType))
           .as("recall_vs_exact"))
-    row("lsh_banded", dedupEmbeddingLsh(s, dir))
-      .unionByName(row("ivf_cell", dedupEmbeddingIvf(s, dir)))
+    // The slice restriction rides INSIDE each approximate pipeline (as a
+    // candidate filter ahead of the exact-verify joins) — identical
+    // result to filtering the finished pair set, a fraction of the work.
+    row("lsh_banded", dedupEmbeddingLsh(s, dir, candFilter = Some(inSample)))
+      .unionByName(row("ivf_cell",
+        dedupEmbeddingIvf(s, dir, candFilter = Some(inSample))))
   }
 
   /** kNN label vote: predict each query vector's label from the majority
@@ -786,12 +836,30 @@ object SimilarityQueries {
       dedupEmbeddingLshOracle(threshold = 0.35, nBands = 16, rowsPerBand = 4),
     "q_dedup_embedding_ivf" ->
       dedupEmbeddingIvfOracle(threshold = 0.35, nCells = 16, nProbe = 3),
+    // Recall certified on the deterministic vec_id % 8 query sample:
+    // exact ground truth = broadcast(sample) × corpus (one-endpoint
+    // pairs, (least, greatest) dedup); approximate sides restrict to the
+    // same slice. Mirrors dedupEmbeddingExactSampled/dedupEmbRecall.
     "q_dedup_emb_recall" ->
-      s"""WITH exact AS (SELECT id_a, id_b FROM ($dedupEmbeddingExactOracle)),
+      s"""WITH cs AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+         |  FROM embeddings),
+         |exact AS (
+         |  SELECT DISTINCT least(q.vec_id, e.vec_id) AS id_a,
+         |         greatest(q.vec_id, e.vec_id) AS id_b
+         |  FROM cs q JOIN cs e
+         |    ON q.vec_id % 8 = 0 AND e.vec_id <> q.vec_id
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         |      / (q.norm * e.norm) >= 0.35),
          |lshp AS (SELECT id_a, id_b FROM (${dedupEmbeddingLshOracle(
-               threshold = 0.35, nBands = 16, rowsPerBand = 4)})),
+               threshold = 0.35, nBands = 16, rowsPerBand = 4)})
+         |  WHERE id_a % 8 = 0 OR id_b % 8 = 0),
          |ivfp AS (SELECT id_a, id_b FROM (${dedupEmbeddingIvfOracle(
-               threshold = 0.35, nCells = 16, nProbe = 3)}))
+               threshold = 0.35, nCells = 16, nProbe = 3)})
+         |  WHERE id_a % 8 = 0 OR id_b % 8 = 0)
          |SELECT 'lsh_banded' AS method,
          |  CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
          |  CAST((SELECT COUNT(*) FROM lshp) AS BIGINT) AS n_approx,
