@@ -357,8 +357,21 @@ object LifecycleQueries {
     * update/delete merge of the ≤1996 state — the same cycle as
     * q_lifecycle_table but WITHOUT the vacuum, so history survives. */
   private[graft] def twoMergeHistory(s: SparkSession, dir: String,
-                                     changeFeed: Boolean): String = {
-    val root = freshRoot("history")
+                                     changeFeed: Boolean): String =
+    twoMergeHistoryAt(s, dir, changeFeed, freshRoot("history"))
+
+  /** The feed-recording history is a deterministic SOURCE fixture consumed
+    * read-only by three gates (q_table_cdf and both CDC replica gates) and
+    * by every bench pass of each — memoized per sf dir so the gates time
+    * their operator (CDF read / feed apply), not repeated fixture
+    * synthesis. The time-travel gates keep the non-memoized path: one
+    * injects a commit clock during construction. */
+  private[graft] def feedHistoryShared(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.memoized("history_feed", dir)(
+      twoMergeHistoryAt(s, dir, changeFeed = true, _))
+
+  private def twoMergeHistoryAt(s: SparkSession, dir: String,
+                                changeFeed: Boolean, root: String): String = {
     def custState(upTo: String): DataFrame =
       table(s, dir, "orders")
         .filter(col("o_orderdate") <= lit(upTo))
@@ -453,7 +466,7 @@ object LifecycleQueries {
     * customers, `insert` for customers first active in 1996. DuckDB
     * re-derives every action from the two relational states. */
   def tableCdf(s: SparkSession, dir: String): DataFrame = {
-    val root = twoMergeHistory(s, dir, changeFeed = true)
+    val root = feedHistoryShared(s, dir)
     ManagedTable.changes(s, root, 2)
       .withColumnRenamed(Merge.ActionCol, "action")
   }

@@ -23,4 +23,24 @@ object ScratchDirs {
     deleteRecursively(p)
     p.toString
   }
+
+  /** Build-once fixture scratch: the FIRST call per (name, key) in this
+    * JVM wipes and rebuilds the dir via `build`; later calls return the
+    * same root untouched. For deterministic gate FIXTURES (source-of-truth
+    * tables, replay slices, static indexes) that gate invocations consume
+    * READ-ONLY: the bench times every gate over several passes, and
+    * re-synthesizing a bit-identical fixture each pass re-times setup, not
+    * the operator under test — in production the source table/corpus
+    * exists once and every consumer reads it. Distinct `key`s (e.g.
+    * different sf dirs) get distinct roots; the lock is re-entrant, so a
+    * fixture build may itself request another fixture. */
+  private val memoRoots = scala.collection.mutable.HashMap.empty[(String, String), String]
+  def memoized(name: String, key: String)(build: String => Unit): String =
+    memoRoots.synchronized {
+      memoRoots.getOrElseUpdate((name, key), {
+        val root = fresh(s"memo_${name}_" + Integer.toHexString(key.hashCode))
+        build(root)
+        root
+      })
+    }
 }

@@ -26,18 +26,32 @@ object CorpusStream {
   private def prefLen(n: org.apache.spark.sql.Column, threshold: Double) =
     (n - ceil(n * threshold) + 1).cast(IntegerType)
 
-  /** Static-side index: per corpus document its sorted hashed shingle set,
-    * size, PPJoin prefix (hash order — same lossless argument as the
-    * batch operator), and one row per prefix shingle to join on. Build
-    * once per corpus version and persist as a table at scale. */
-  def corpusPrefixIndex(corpus: DataFrame, threshold: Double = 0.5): DataFrame =
+  /** COMPACT static-side index: ONE row per corpus document — its sorted
+    * hashed shingle set, size, and PPJoin prefix (hash order — same
+    * lossless argument as the batch operator). This is the form to
+    * persist as a table at scale: the shingle/tokenize/sort compute
+    * happens once per corpus version, and the stored rows carry each
+    * array exactly once (the exploded join view below would multiply
+    * every array by its prefix length on disk). */
+  def corpusPrefixCompact(corpus: DataFrame, threshold: Double = 0.5): DataFrame =
     corpus
       .withColumn("toks", split(col("text"), " "))
       .withColumn("sh_b", array_sort(Sketches.hashedShingles(col("toks"))))
       .withColumn("nb", size(col("sh_b")))
       .withColumn("pref_b", slice(col("sh_b"), lit(1), prefLen(col("nb"), threshold)))
       .select(col("doc_id").as("doc_existing"), col("sh_b"), col("nb"),
-        col("pref_b"), explode(col("pref_b")).as("sh"))
+        col("pref_b"))
+
+  /** The JOIN VIEW of the compact index: one row per prefix shingle —
+    * what [[nearDupScreen]] probes. A pure codegen'd explode, derived
+    * from the stored compact form at stream start. */
+  def explodePrefixIndex(compact: DataFrame): DataFrame =
+    compact.select(col("doc_existing"), col("sh_b"), col("nb"),
+      col("pref_b"), explode(col("pref_b")).as("sh"))
+
+  /** Build the exploded index straight from a corpus (compact + explode). */
+  def corpusPrefixIndex(corpus: DataFrame, threshold: Double = 0.5): DataFrame =
+    explodePrefixIndex(corpusPrefixCompact(corpus, threshold))
 
   /** Streaming near-dup screen: every arriving document is checked against
     * the static corpus index; emits (doc_new, doc_existing, jaccard) for
@@ -76,17 +90,27 @@ object CorpusStream {
     * ([[graft.operators.SimilarityQueries.bandSignature]]), norm, and one
     * row per (band, bucket) to join on. Build once per corpus version and
     * persist at scale — the embedding twin of [[corpusPrefixIndex]]. */
-  def embBandIndex(corpus: DataFrame, nBands: Int = 16,
-                   rowsPerBand: Int = 4): DataFrame = {
+  def embBandCompact(corpus: DataFrame, nBands: Int = 16,
+                     rowsPerBand: Int = 4): DataFrame = {
     import graft.operators.SimilarityQueries
     corpus
       .withColumn("n_b", SimilarityQueries.l2Norm(col("embedding")))
       .withColumn("sig_b",
         SimilarityQueries.bandSignature(col("embedding"), nBands, rowsPerBand))
       .select(col("vec_id").as("vec_existing"), col("embedding").as("e_b"),
-        col("n_b"), col("sig_b"),
-        posexplode(col("sig_b")).as(Seq("band", "bucket")))
+        col("n_b"), col("sig_b"))
   }
+
+  /** The (band, bucket) JOIN VIEW of the compact embedding index —
+    * derived by posexplode at stream start from the stored compact form
+    * (which carries each embedding/signature exactly once). */
+  def explodeBandIndex(compact: DataFrame): DataFrame =
+    compact.select(col("vec_existing"), col("e_b"), col("n_b"), col("sig_b"),
+      posexplode(col("sig_b")).as(Seq("band", "bucket")))
+
+  def embBandIndex(corpus: DataFrame, nBands: Int = 16,
+                   rowsPerBand: Int = 4): DataFrame =
+    explodeBandIndex(embBandCompact(corpus, nBands, rowsPerBand))
 
   /** Streaming EMBEDDING near-dup screen — the continuous form of the
     * batch LSH dedup (SimilarityQueries.dedupEmbeddingLsh): arriving
