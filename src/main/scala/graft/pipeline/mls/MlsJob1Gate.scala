@@ -215,6 +215,27 @@ object MlsJob1Gate {
     base.repartition(base.sparkSession.sparkContext.defaultParallelism)
       .selectExpr((synthExprs :+ "gate_batch"): _*)
 
+  /** Synthesized raw batches land ONCE per (gate, sf dir) as parquet and
+    * every pass reads them back (ScratchDirs.memoized). This is the
+    * reference's own input shape — each job run reads raw listing dirs
+    * from disk (mls_listings_curated.py:31-37) — and it keeps the
+    * per-pass analyzed tree to the pipeline under test
+    * (validate/transform/windows/merge) instead of re-planning the
+    * 133-expression synthesis every bench pass; under CPU steal that
+    * extra analyzer/codegen surface is what amplified the e2e gates'
+    * recorded noise (r10 q_lifecycle_bucketed, r11 q_job2_e2e). The read
+    * is repartitioned because the fixture's small files would bin-pack
+    * into 1-2 input splits and serialize every downstream row-wise stage
+    * (see [[synthesize]]). */
+  private[mls] def rawFixture(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val root = graft.sources.ScratchDirs.memoized(s"${name}_raw", dir) { r =>
+      build.write.parquet(s"$r/raw")
+    }
+    s.read.parquet(s"$root/raw")
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Oracle-side synthesized batch: same expressions over the same
     * parameter base. `ksSrc` must expose a BIGINT column `k`. */
   private[mls] def rawSql(b: Int, loadDate: String, soadTs: String = defaultSoad,
@@ -237,10 +258,10 @@ object MlsJob1Gate {
   def job1E2e(s: SparkSession, dir: String): DataFrame = {
     val asOf = expr(asOfSql)
     val nowTs = expr(nowTsSql)
-    val raw = synthesize(
+    val raw = rawFixture(s, dir, "job1")(synthesize(
       rawBase(s, dir, 1, "2024-01-01", tag = "a")
         .unionByName(rawBase(s, dir, 2, "2024-02-01", tag = "b",
-          kFilter = Some("k % 3 = 0"))))
+          kFilter = Some("k % 3 = 0")))))
     val (good, _) = MlsValidate.validateListings(raw, dimDf(s, "boards"),
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
     val tAll = MlsFullTransform.transformKeeping(
@@ -341,7 +362,8 @@ object MlsJob1Gate {
     * their exact insertion order and the '|'-joined reason strings
     * (transform.py:93-116), hash-checked per rejected row. */
   def job1Rejects(s: SparkSession, dir: String): DataFrame = {
-    val raw1 = synthesize(rawBase(s, dir, 1, "2024-01-01", tag = "a"))
+    val raw1 = rawFixture(s, dir, "job1r")(
+      synthesize(rawBase(s, dir, 1, "2024-01-01", tag = "a")))
     val (_, rejected) = MlsValidate.validateListings(raw1, dimDf(s, "boards"),
       dimDf(s, "states"), dimDf(s, "zipcodes"), dimDf(s, "psub"))
     rejected.select(col("source_listing_id"),

@@ -45,7 +45,7 @@ object MlsJob2Gate {
   private val soad1 = "2024-01-04 23:00:00"
   private val soad2 = "2024-02-04 23:00:00"
 
-  private val grainKeys = Seq("mls", "mls_listing_id", "source_as_of_date")
+  private[mls] val grainKeys = Seq("mls", "mls_listing_id", "source_as_of_date")
   private val tracked = Seq("listing_status", "current_price",
     "source_listing_id", "street_address_raw", "property_type",
     "property_sub_type")
@@ -67,11 +67,13 @@ object MlsJob2Gate {
     * partition min, then derive `*_old`/changed flags with lead() over the
     * survivors (hist:119-159). Returns the merge source (134 cols +
     * `_insert_update_flag`). */
-  private def histFinal(fresh: DataFrame, curated: Option[DataFrame]): DataFrame = {
+  private[mls] def histFinal(fresh: DataFrame, curated: Option[DataFrame],
+      fieldNames: Seq[String] =
+        MlsFullTransform.histSchema.fieldNames.toSeq): DataFrame = {
     val tagged = fresh.withColumn("_from", lit("new"))
     val union = curated.fold(tagged) { c =>
       tagged.unionByName(
-        c.select(MlsFullTransform.histSchema.fieldNames.toIndexedSeq.map(col): _*)
+        c.select(fieldNames.toIndexedSeq.map(col): _*)
           .withColumn("_from", lit("curated")))
     }
     val w1 = Window.partitionBy(grainKeys.map(col): _*)
@@ -94,15 +96,19 @@ object MlsJob2Gate {
     * equality, update only when a driving column differs from the target's
     * stored state, delete when the recomputed flags say no driving change,
     * insert new changed snapshots. */
-  private def merge3(curated: DataFrame, source: DataFrame): DataFrame = {
+  /** The reference's three-way clause set as a reusable spec (shared with
+    * the CLI driver, which runs it through the TABLE merge). */
+  private[mls] lazy val histMergeSpec: MergeClauses.Spec = {
     val sameAll = matchCols.map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
-    Merge.mergeFrames(curated, source, grainKeys,
-      MergeClauses.Spec(
-        updateWhen = Some(col("s._insert_update_flag") && !sameAll),
-        deleteWhen = Some(!col("s._insert_update_flag")),
-        insertWhen = Some(col("s._insert_update_flag"))),
-      nullSafeKeys = false)
+    MergeClauses.Spec(
+      updateWhen = Some(col("s._insert_update_flag") && !sameAll),
+      deleteWhen = Some(!col("s._insert_update_flag")),
+      insertWhen = Some(col("s._insert_update_flag")))
   }
+
+  private def merge3(curated: DataFrame, source: DataFrame): DataFrame =
+    Merge.mergeFrames(curated, source, grainKeys, histMergeSpec,
+      nullSafeKeys = false)
 
   /** q_job2_e2e: two consecutive hist-job runs at 134-column width.
     *
@@ -119,14 +125,14 @@ object MlsJob2Gate {
     val zips = dimDf(s, "zipcodes"); val psub = dimDf(s, "psub")
     val counties = dimDf(s, "counties"); val geoIds = dimDf(s, "geo_ids")
 
-    val raw = synthesize(
+    val raw = MlsJob1Gate.rawFixture(s, dir, "job2")(synthesize(
       rawBase(s, dir, 1, "2024-01-01", tag = "a", soadTs = soad1)
         // Run 2 unions two input dirs (S1) — a later changed snapshot and
         // an older identical one.
         .unionByName(rawBase(s, dir, 2, "2024-02-01", tag = "b",
           soadTs = soad2, kFilter = Some("k % 3 = 0")))
         .unionByName(rawBase(s, dir, 1, "2024-02-01", tag = "b",
-          soadTs = soad0, kFilter = Some("k % 5 = 1"))))
+          soadTs = soad0, kFilter = Some("k % 5 = 1")))))
     val (good, _) = MlsValidate.validateListings(raw, boards, states, zips, psub)
     val nowTs = when(col("gate_batch") === "a", expr(now1Sql)).otherwise(expr(now2Sql))
     val hAll = MlsFullTransform.transformKeeping(
@@ -152,8 +158,67 @@ object MlsJob2Gate {
     merged.select(MlsJob1Gate.outCastCols(MlsFullTransform.histSchema): _*)
   }
 
+  /** q_job2_cli: the REAL hist driver ([[MlsJobsMain.runJob2]]) run twice
+    * from reference-shaped argv over on-disk ORC fixtures — the SAME three
+    * input batches as q_job2_e2e, landed as three input dirs and selected
+    * by each run's load_date window (run 1: January, picks in_a; run 2:
+    * February, picks in_b + in_c — the multi-dir union of hist:61-67).
+    * Run 2's curated union side is the ORC MIRROR run 1 published
+    * (hist:109-116), and the merge goes through the TABLE machinery
+    * (ManagedTable.merge) instead of the gate's frame-level merge — same
+    * clause set, so the published delta state hash-matches the SAME
+    * relational oracle as q_job2_e2e. Fixtures are memoized per sf dir
+    * (input dirs are read-only — see MlsJob1Gate.rawFixture); the hist
+    * output/delta/log dirs are fresh per invocation. */
+  def job2Cli(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val fixt = graft.sources.ScratchDirs.memoized("job2cli_fix", dir) { r =>
+      synthesize(rawBase(s, dir, 1, "2024-01-01", tag = "x", soadTs = soad1))
+        .drop("gate_batch").write.orc(s"$r/in_a")
+      synthesize(rawBase(s, dir, 2, "2024-02-01", tag = "x", soadTs = soad2,
+          kFilter = Some("k % 3 = 0")))
+        .drop("gate_batch").write.orc(s"$r/in_b")
+      synthesize(rawBase(s, dir, 1, "2024-02-01", tag = "x", soadTs = soad0,
+          kFilter = Some("k % 5 = 1")))
+        .drop("gate_batch").write.orc(s"$r/in_c")
+      dims.foreach { case (n, _, _) =>
+        dimDf(s, n).write.orc(s"$r/dim_$n")
+      }
+      Files.writeString(Paths.get(r, "hist_schema.json"), new String(
+        getClass.getResourceAsStream("/mls_listings_hist_schema.json")
+          .readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val root = graft.sources.ScratchDirs.fresh("job2cli")
+    Files.createDirectories(Paths.get(root))
+    def argvFor(from: String, to: String): Seq[String] = Seq(
+      "--from_date", from, "--to_date", to,
+      "--input_dir_listings", s"$fixt/in_a,$fixt/in_b,$fixt/in_c",
+      "--input_dir_boards", s"$fixt/dim_boards",
+      "--input_dir_states", s"$fixt/dim_states",
+      "--input_dir_zipcodes", s"$fixt/dim_zipcodes",
+      "--input_dir_property_sub_types", s"$fixt/dim_psub",
+      "--input_dir_counties", s"$fixt/dim_counties",
+      "--input_dir_geo_ids", s"$fixt/dim_geo_ids",
+      "--listings_hist_output_dir", s"$root/hist_out",
+      "-s", s"$fixt/hist_schema.json",
+      "-g", s"$root/logs",
+      "--num_output_files", "2",
+      "--vacuum_hrs", "168")
+    val a1 = graft.pipeline.JobsCli.parseHist(argvFor("20240101", "20240131"))
+    MlsJobsMain.runJob2(s, a1, asOf = expr(asOfSql), now = expr(now1Sql))
+    val a2 = graft.pipeline.JobsCli.parseHist(argvFor("20240201", "20240228"))
+    MlsJobsMain.runJob2(s, a2, asOf = expr(asOfSql), now = expr(now2Sql))
+    // Eager checkpoint: the result must outlive the gate's scratch dirs.
+    graft.sources.ManagedTable
+      .read(s, MlsJobsMain.deltaDirOf(s"$root/hist_out"))
+      .select(MlsJob1Gate.outCastCols(MlsFullTransform.histSchema): _*)
+      .localCheckpoint(eager = true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_job2_e2e" -> (job2E2e _))
+    "q_job2_e2e" -> (job2E2e _),
+    "q_job2_cli" -> (job2Cli _))
 
   // -------------------------------------------------------------------
   // DuckDB oracle
@@ -244,5 +309,8 @@ object MlsJob2Gate {
        |FROM mj WHERE _keep""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("q_job2_e2e" -> oracle)
+  // q_job2_cli replays the SAME two runs relationally — the CLI path
+  // must land exactly where the in-JVM gate path lands.
+  val oracles: Map[String, String] =
+    Map("q_job2_e2e" -> oracle, "q_job2_cli" -> oracle)
 }

@@ -35,7 +35,7 @@ object MlsJob3Gate {
 
   /** The 11 asg_* columns in the reference's merge match-condition order
     * (backfill:196-200). */
-  private val asgCols = Seq("asg_primary_id", "asg_primary_id_final_flag",
+  private[mls] val asgCols = Seq("asg_primary_id", "asg_primary_id_final_flag",
     "asg_primary_id_source", "asg_primary_id_source_queried_timestamp",
     "asg_primary_id_source_responded_flag", "asg_primary_id_issue_text",
     "asg_primary_id_mssql_fixed_flag", "asg_primary_id_updated_flag",
@@ -93,7 +93,7 @@ object MlsJob3Gate {
     * (backfill:81-92) — all typed nulls except load_status = 'Null'. One
     * withColumns batch (independent columns; a chained withColumn
     * re-resolves the 133-column plan per call). */
-  private def addAsgPlaceholders(df: DataFrame): DataFrame = df
+  private[mls] def addAsgPlaceholders(df: DataFrame): DataFrame = df
     .withColumns(Map(
       "asg_primary_id" -> lit(null).cast(LongType),
       "asg_primary_id_final_flag" -> lit(null).cast(BooleanType),
@@ -111,7 +111,7 @@ object MlsJob3Gate {
     * load-status modes, then the prioritized lookup budget — never-tried
     * sources first, then Null < Provisional < Final, then
     * responded-flag, keyed tiebreak. */
-  private def candidates(cur: DataFrame, dateRange: Option[(String, String)],
+  private[mls] def candidates(cur: DataFrame, dateRange: Option[(String, String)],
                          modes: Seq[String], limit: Int): DataFrame = {
     val dated = dateRange.fold(cur) { case (lo, hi) =>
       cur.filter(s"""load_date between "$lo" and "$hi"""") }
@@ -133,7 +133,7 @@ object MlsJob3Gate {
     * withColumns layer) because updated_flag/previous_value compare
     * against its pre-update value — the first batch reads the old value,
     * the second overwrites it. */
-  private def attach(cand: DataFrame, lookup: DataFrame, now: Column): DataFrame = {
+  private[mls] def attach(cand: DataFrame, lookup: DataFrame, now: Column): DataFrame = {
     val changed = expr("not(asg_primary_id <=> lkp_asg_primary_id)")
     cand.join(lookup,
         col("mls") === col("lkp_mls") &&
@@ -177,11 +177,17 @@ object MlsJob3Gate {
     * table state. */
   def job3E2e(s: SparkSession, dir: String): DataFrame = {
     val root = freshRoot("job3")
-    val orc = ks(s, dir).selectExpr(bootExprs: _*)
-    TableIO.writeOrcZlib(orc, s"$root/orc", numFiles = 2)
+    // The ORC mirror is a pure function of the sf dir — a per-gate
+    // fixture, written once per JVM and read by every pass (the managed
+    // table below is MUTATED by the runs, so it stays per-pass; see
+    // MlsJob1Gate.rawFixture for the rationale).
+    val orcRoot = graft.sources.ScratchDirs.memoized("job3_orc", dir) { r =>
+      TableIO.writeOrcZlib(ks(s, dir).selectExpr(bootExprs: _*),
+        s"$r/orc", numFiles = 2)
+    }
     // Bootstrap: the ORC mirror lacks the asg_* columns, so the first run
     // adds them and publishes the frame as the managed table (backfill:77-98).
-    val boot = addAsgPlaceholders(s.read.orc(s"$root/orc"))
+    val boot = addAsgPlaceholders(s.read.orc(s"$orcRoot/orc"))
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     ManagedTable.overwrite(s"$root/delta", boot)
     runOnce(s, s"$root/delta", Some(("2024-01-01", "2024-01-31")),
@@ -200,8 +206,73 @@ object MlsJob3Gate {
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** q_job3_cli: the REAL backfill driver ([[MlsJobsMain.runJob3]]) run
+    * twice from reference-shaped argv over a REAL loopback HTTP property
+    * service. Run 1 bootstraps the delta table from the ORC dir
+    * (placeholder columns added, backfill:77-98) and backfills the
+    * January 'Null' rows under a 40-lookup budget; run 2 re-queries
+    * 'Provisional'/'Final' under a 20-lookup budget and overwrites the
+    * ORC mirror (`--overwrite_orc_location`). Unlike q_job3_e2e's salted
+    * stub, the HTTP service answers identically across runs (pure
+    * function of the address md5) — run 2's updates move the queried
+    * timestamp and the recomputed updated_flag/previous_value, which the
+    * changed-only merge condition must see. The ORC fixture is memoized
+    * per sf dir and HARD-LINKED into a per-pass dir, because run 2
+    * rewrites it. */
+  def job3Cli(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val orcFixt = graft.sources.ScratchDirs.memoized("job3cli_orc", dir) { r =>
+      TableIO.writeOrcZlib(ks(s, dir).selectExpr(bootExprs: _*),
+        s"$r/orc", numFiles = 2)
+      Files.writeString(Paths.get(r, "schema.json"), new String(
+        getClass.getResourceAsStream("/mls_listings_schema.json")
+          .readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val root = freshRoot("job3cli")
+    val orcDir = Paths.get(s"$root/orc")
+    Files.createDirectories(orcDir)
+    val src = Files.list(Paths.get(s"$orcFixt/orc"))
+    try src.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".orc"))
+      .foreach(p => Files.createLink(orcDir.resolve(p.getFileName), p))
+    finally src.close()
+    val server = new graft.enrich.StubPropertyServer()
+    try {
+      def argvFor(extra: Seq[String]): Seq[String] = Seq(
+        "--listings_delta_dir", s"$root/delta",
+        "--listings_orc_dir", s"$root/orc",
+        "--property_id_source", "API",
+        "--property_id_api_endpoint", server.lookupUrl,
+        "--property_id_api_batch_size", "64",
+        "--property_id_api_sleep", "0",
+        "-s", s"$orcFixt/schema.json",
+        "-g", s"$root/logs",
+        "--vacuum_hrs", "168") ++ extra
+      val a1 = graft.pipeline.JobsCli.parseBackfill(argvFor(Seq(
+        "--property_id_modes", "Null",
+        "--backfill_start_date", "20240101",
+        "--backfill_end_date", "20240131",
+        "--backfill_limit", "40")))
+      MlsJobsMain.runJob3(s, a1, now = expr(now1Sql))
+      val a2 = graft.pipeline.JobsCli.parseBackfill(argvFor(Seq(
+        "--property_id_modes", "Provisional,Final",
+        "--backfill_limit", "20",
+        "--overwrite_orc_location",
+        "--num_output_orc_files", "2")))
+      MlsJobsMain.runJob3(s, a2, now = expr(now2Sql))
+      // Eager checkpoint: result must outlive the scratch dirs AND the
+      // HTTP server (stopped in finally).
+      ManagedTable.read(s, s"$root/delta")
+        .select(MlsJob1Gate.outCastCols(schema): _*)
+        .localCheckpoint(eager = true)
+    } finally server.stop()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_job3_e2e" -> (job3E2e _))
+    "q_job3_e2e" -> (job3E2e _),
+    "q_job3_cli" -> (job3Cli _))
 
   // -------------------------------------------------------------------
   // DuckDB oracle
@@ -278,7 +349,10 @@ object MlsJob3Gate {
        |  SELECT $outList FROM ${p}chg)""".stripMargin
   }
 
-  def oracle: String = {
+  /** Two-run backfill replay; `salt2` distinguishes the e2e gate (salted
+    * stub client, run 2 answers differently) from the CLI gate (real HTTP
+    * service — a pure function of the address, identical across runs). */
+  private def twoRunOracle(salt2: String): String = {
     val asgDefaults = asgCols.map { c =>
       val dt = sqlType(schema(c).dataType)
       if (c == "asg_primary_id_load_status") s"'Null' AS $c"
@@ -288,10 +362,14 @@ object MlsJob3Gate {
        |boot AS (SELECT ${(bootExprs ++ asgDefaults).mkString(",\n  ")} FROM ks),
        |${runSql("r1", "boot", Some(("2024-01-01", "2024-01-31")),
           Seq("Null"), 40, "", now1Sql)},
-       |${runSql("r2", "r1s", None, Seq("Provisional", "Final"), 20, "#2",
+       |${runSql("r2", "r1s", None, Seq("Provisional", "Final"), 20, salt2,
           now2Sql)}
        |SELECT ${MlsJob1Gate.outCastSql("f", schema)} FROM r2s f""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("q_job3_e2e" -> oracle)
+  def oracle: String = twoRunOracle(salt2 = "#2")
+
+  val oracles: Map[String, String] = Map(
+    "q_job3_e2e" -> oracle,
+    "q_job3_cli" -> twoRunOracle(salt2 = ""))
 }

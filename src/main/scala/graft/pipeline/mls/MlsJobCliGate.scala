@@ -50,34 +50,46 @@ object MlsJobCliGate {
   }
 
   private[mls] def argv(root: String, from: String, to: String,
-                        extra: Seq[String]): Seq[String] = Seq(
+                        extra: Seq[String]): Seq[String] =
+    argv(root, root, from, to, extra)
+
+  /** Input dirs under `inRoot` (a read-only fixture root), outputs under
+    * `outRoot` (fresh per run). */
+  private[mls] def argv(inRoot: String, outRoot: String, from: String,
+                        to: String, extra: Seq[String]): Seq[String] = Seq(
     "--from_date", from, "--to_date", to,
-    "--input_dir_listings", s"$root/in_a,$root/in_b",
-    "--input_dir_boards", s"$root/dim_boards",
-    "--input_dir_states", s"$root/dim_states",
-    "--input_dir_zipcodes", s"$root/dim_zipcodes",
-    "--input_dir_property_sub_types", s"$root/dim_psub",
-    "--input_dir_counties", s"$root/dim_counties",
-    "--input_dir_geo_ids", s"$root/dim_geo_ids",
-    "--listings_output_dir", s"$root/out",
-    "-s", s"$root/schema.json",
-    "-r", s"$root/rejects",
-    "-g", s"$root/logs",
+    "--input_dir_listings", s"$inRoot/in_a,$inRoot/in_b",
+    "--input_dir_boards", s"$inRoot/dim_boards",
+    "--input_dir_states", s"$inRoot/dim_states",
+    "--input_dir_zipcodes", s"$inRoot/dim_zipcodes",
+    "--input_dir_property_sub_types", s"$inRoot/dim_psub",
+    "--input_dir_counties", s"$inRoot/dim_counties",
+    "--input_dir_geo_ids", s"$inRoot/dim_geo_ids",
+    "--listings_output_dir", s"$outRoot/out",
+    "-s", s"$inRoot/schema.json",
+    "-r", s"$outRoot/rejects",
+    "-g", s"$outRoot/logs",
     "--num_output_files", "2",
     "--vacuum_hrs", "168",
     "--log_rejected_records") ++ extra
 
-  /** Both CLI runs over fresh fixtures; returns the published table root. */
+  /** Both CLI runs: read-only input fixtures are memoized per sf dir
+    * (the reference's input-dir shape — see MlsJob1Gate.rawFixture);
+    * output/reject/log dirs are fresh per invocation. Returns the
+    * published table root. */
   private[mls] def runBoth(s: SparkSession, dir: String): String = {
+    val inRoot = ScratchDirs.memoized("job1cli_fix", dir) { r =>
+      Files.createDirectories(Paths.get(r))
+      writeFixtures(s, dir, r)
+    }
     val root = ScratchDirs.fresh("job1cli")
     Files.createDirectories(Paths.get(root))
-    writeFixtures(s, dir, root)
-    val a1 = JobsCli.parse(argv(root, "20240101", "20240131",
+    val a1 = JobsCli.parse(argv(inRoot, root, "20240101", "20240131",
       Seq("--property_id_source", "NONE")))
     MlsJobsMain.runJob1(s, a1, asOf = expr(asOfSql), now = expr(ts1Sql))
     val server = new graft.enrich.StubPropertyServer()
     try {
-      val a2 = JobsCli.parse(argv(root, "20240201", "20240228", Seq(
+      val a2 = JobsCli.parse(argv(inRoot, root, "20240201", "20240228", Seq(
         "--property_id_source", "API",
         "--property_id_api_endpoint", server.lookupUrl,
         "--property_id_api_batch_size", "64",

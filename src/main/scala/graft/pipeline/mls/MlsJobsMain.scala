@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.enrich.{BatchLookup, HttpLookupClient}
 import graft.pipeline.{JobsCli, JobsCliArgs, LatestWins}
 import graft.schema.SchemaLoader
-import graft.sources.{ManagedTable, TableIO, VersionedLayout}
+import graft.sources.{ManagedTable, MergeClauses, TableIO, VersionedLayout}
 
 /** The REAL Job-1 driver behind the reference argv surface
   * (mls_listings_curated.py:62-371): reads ORC listings dirs + the six
@@ -113,13 +113,7 @@ object MlsJobsMain {
     val deltaRoot = deltaDirOf(a.listingsOutputDir)
 
     // ---- read inputs (curated.py:70-96) --------------------------------
-    // Positional unionAll of the input dirs, each window-filtered on
-    // load_date BEFORE the union so the filter reaches every ORC scan.
-    val listings = a.inputDirListings.map { d =>
-      val df = spark.read.orc(d).filter(
-        col("load_date").between(lit(a.fromDateIso), lit(a.toDateIso)))
-      a.inputMlsList.fold(df)(codes => df.filter(col("mls").isin(codes: _*)))
-    }.reduce(_ union _)
+    val listings = readWindowedListings(spark, a)
     val boards = spark.read.orc(a.inputDirBoards.get)
     val states = spark.read.orc(a.inputDirStates.get)
     val zipcodes = spark.read.orc(a.inputDirZipcodes.get)
@@ -131,8 +125,15 @@ object MlsJobsMain {
     // ---- validate + transform (curated.py:110-117) ---------------------
     val (good, rejected) = MlsValidate.validateListings(
       listings, boards, states, zipcodes, psub)
+    // LAZY lineage truncation, same as the e2e gates (MlsJob1Gate.job1E2e):
+    // the run fires several actions over this frame (the outdated-reject
+    // dump and the merge), and without the checkpoint each one re-analyzes
+    // AND re-executes the many-thousand-expression transform tree. Lazy:
+    // the plan is truncated at analysis time, the blocks persist inside
+    // whichever action computes them first.
     val fresh = MlsFullTransform.transformKeeping(targetSchema, Nil)(
       good, counties, geoIds, asOf, now)
+      .localCheckpoint(eager = false)
 
     // ---- union with curated + the two windows (curated.py:120-189) -----
     val curated: DataFrame =
@@ -147,8 +148,13 @@ object MlsJobsMain {
     val dd = LatestWins.dedupe(fresh, curated, keys, window1Ordering,
       recomputeMin = Seq("create_timestamp"),
       recomputeMax = asgRecomputeMax)
+    // Lazy-checkpointed for the same reason: the merge action's DAG
+    // references this frame up to three times (the mode-filter/budget
+    // branch, the attach join's probe side, and the final projection) —
+    // truncation plans the window subtree once, not once per reference.
     val latest = dd.latest.withColumn("asg_primary_id_load_status",
       coalesce(col("asg_primary_id_load_status"), lit("Null")))
+      .localCheckpoint(eager = false)
 
     // ---- property-id lookup (curated.py:194-271) -----------------------
     val resolved: DataFrame = a.propertyIdSource match {
@@ -197,6 +203,145 @@ object MlsJobsMain {
     TableIO.writeOrcZlib(
       ManagedTable.read(spark, deltaRoot).drop(mirrorDropped: _*),
       a.listingsOutputDir, a.numOutputFiles)
+    a.vacuumHrs.foreach(h => ManagedTable.vacuum(deltaRoot, retainHours = h))
+    deltaRoot
+  }
+
+  /** Positional unionAll of the input dirs, each window-filtered on
+    * load_date BEFORE the union so the filter reaches every ORC scan
+    * (curated.py:70-77, hist:61-67 — identical in both drivers). */
+  private def readWindowedListings(spark: SparkSession,
+                                   a: JobsCliArgs): DataFrame =
+    a.inputDirListings.map { d =>
+      val df = spark.read.orc(d).filter(
+        col("load_date").between(lit(a.fromDateIso), lit(a.toDateIso)))
+      a.inputMlsList.fold(df)(codes => df.filter(col("mls").isin(codes: _*)))
+    }.reduce(_ union _)
+
+  /** One full Job-2 (listings HISTORY) run behind the reference's hist
+    * argv surface (mls_listings_hist_curated.py:55-226): read the
+    * window-filtered input dirs + dims + hist schema file → validate
+    * (rejects discarded — the hist job logs nothing) → hist-schema
+    * transform → union with the CURRENT ORC MIRROR tagged 'curated'
+    * (hist:109-121 — the union side is the mirror, NOT the delta table)
+    * → hist-grain dedup with min(create_timestamp) recompute → lead()
+    * `*_old` columns + `<=>` changed flags → the three-way MERGE into the
+    * `_delta` sibling (update-when-changed / DELETE-when-no-driving-change
+    * / insert-when-changed, hist:184-210) → overwrite the ORC mirror from
+    * the delta state → retention vacuum. Returns the delta root. */
+  def runJob2(spark: SparkSession, a: JobsCliArgs,
+              asOf: Column = current_date(),
+              now: Column = current_timestamp()): String = {
+    val histOut = a.listingsHistOutputDir.getOrElse(
+      throw new IllegalArgumentException("missing --listings_hist_output_dir"))
+    val deltaRoot = deltaDirOf(histOut)
+    val listings = readWindowedListings(spark, a)
+    val boards = spark.read.orc(a.inputDirBoards.get)
+    val states = spark.read.orc(a.inputDirStates.get)
+    val zipcodes = spark.read.orc(a.inputDirZipcodes.get)
+    val psub = spark.read.orc(a.inputDirPropertySubTypes.get)
+    val counties = spark.read.orc(a.inputDirCounties.get)
+    val geoIds = spark.read.orc(a.inputDirGeoIds.get)
+    val targetSchema = SchemaLoader.fromFile(a.targetSchemaFile.get)
+
+    val (good, _) = MlsValidate.validateListings(
+      listings, boards, states, zipcodes, psub)
+    // Same lazy lineage truncation as runJob1 (see the comment there).
+    val fresh = MlsFullTransform.transformKeeping(targetSchema, Nil)(
+      good, counties, geoIds, asOf, now)
+      .localCheckpoint(eager = false)
+
+    // hist:109-116 — try the mirror, fall back to new-only on first run.
+    val curated: Option[DataFrame] =
+      scala.util.Try(spark.read.orc(histOut)
+        .select(targetSchema.fieldNames.toIndexedSeq.map(col): _*)).toOption
+    val source = MlsJob2Gate.histFinal(fresh, curated,
+        targetSchema.fieldNames.toSeq)
+      .localCheckpoint(eager = false)
+
+    if (!ManagedTable.exists(deltaRoot))
+      VersionedLayout.withUserMetadata(
+        "Create empty listings hist delta table") {
+        ManagedTable.createEmpty(spark, deltaRoot,
+          source.drop("_insert_update_flag"))
+      }
+    // Plain (non-null-safe) key equality, exactly hist:185 — rows whose
+    // source_as_of_date the sanitizer nulled never match and re-insert.
+    ManagedTable.merge(spark, deltaRoot, source, MlsJob2Gate.grainKeys,
+      MlsJob2Gate.histMergeSpec, nullSafeKeys = false)
+    TableIO.writeOrcZlib(ManagedTable.read(spark, deltaRoot),
+      histOut, a.numOutputFiles)
+    a.vacuumHrs.foreach(h => ManagedTable.vacuum(deltaRoot, retainHours = h))
+    deltaRoot
+  }
+
+  /** One full Job-3 (property-id BACKFILL) run behind the reference's
+    * backfill argv surface (propid_backfill.py:60-236): bootstrap the
+    * delta table from the ORC dir on first run (adding the 11 asg_*
+    * placeholders when absent, load_status = 'Null') → candidate filters
+    * (optional mls list, optional load_date window, required load-status
+    * modes) → the prioritized `orderBy().limit()` budget when
+    * `--backfill_limit` is set → API (HTTP) or MSSQL lookup → inner-join
+    * attach recomputing the 11 asg_* columns (`asg_primary_id` LAST) →
+    * MERGE on (mls, mls_listing_id), update-only-when-`<=>`-changed plus
+    * the reference's unconditional not-matched insert → optional ORC
+    * mirror overwrite → retention vacuum. Returns the delta root. */
+  def runJob3(spark: SparkSession, a: JobsCliArgs,
+              now: Column = current_timestamp(),
+              clientOverride: Option[BatchLookup.LookupClient] = None)
+      : String = {
+    val deltaRoot = a.listingsDeltaDir.getOrElse(
+      throw new IllegalArgumentException("missing --listings_delta_dir"))
+    val targetSchema = SchemaLoader.fromFile(a.targetSchemaFile.get)
+    if (!ManagedTable.exists(deltaRoot)) {
+      val orc0 = spark.read.orc(a.listingsOrcDir.get)
+      val boot0 =
+        if (orc0.columns.contains("asg_primary_id")) orc0
+        else MlsJob3Gate.addAsgPlaceholders(orc0)
+      VersionedLayout.withUserMetadata("Create listings delta table") {
+        ManagedTable.overwrite(deltaRoot,
+          boot0.select(targetSchema.fieldNames.toIndexedSeq.map(col): _*))
+      }
+    }
+    val cur0 = ManagedTable.read(spark, deltaRoot)
+    val cur = a.inputMlsList.fold(cur0)(m => cur0.filter(col("mls").isin(m: _*)))
+    // Candidate filters + budget share the gate's exact column logic;
+    // without a limit the mode/date filter set goes to lookup whole.
+    val cand = a.backfillLimit match {
+      case Some(n) =>
+        MlsJob3Gate.candidates(cur, a.backfillRangeIso, a.propertyIdModes, n)
+      case None =>
+        val dated = a.backfillRangeIso.fold(cur) { case (lo, hi) =>
+          cur.filter(s"""load_date between "$lo" and "$hi"""") }
+        dated.filter(col("asg_primary_id_load_status")
+          .isin(a.propertyIdModes: _*))
+    }
+    val lookup: Option[DataFrame] = a.propertyIdSource match {
+      case "API" =>
+        val client = clientOverride.getOrElse(new HttpLookupClient(
+          a.propertyIdApiEndpoint.get,
+          throttleMillis = (a.propertyIdApiSleep * 1000).toLong))
+        MlsEnrich.lookupPropertyIds(spark, cand, client,
+          a.propertyIdApiBatchSize)
+      case "MSSQL" =>
+        MlsEnrich.lookupPropertyIdsFromMssql(cand,
+          spark.read.orc(a.inputDirListingsMssql.get),
+          spark.read.orc(a.inputDirPropertyMasterMssql.get))
+    }
+    val enriched = MlsJob3Gate.attach(cand,
+      lookup.getOrElse(throw new IllegalStateException(
+        "property id lookup returned no frame")), now)
+    val changedAny = !MlsJob3Gate.asgCols
+      .map(c => col(s"t.$c") <=> col(s"s.$c")).reduce(_ && _)
+    // updateWhen changed-only; insertWhen None = the reference's plain
+    // `when not matched then insert *` (vacuous here — source ⊆ table —
+    // but kept for clause parity, backfill:205-212).
+    ManagedTable.merge(spark, deltaRoot, enriched, keys,
+      MergeClauses.Spec(updateWhen = Some(changedAny)))
+    if (a.overwriteOrcLocation)
+      TableIO.writeOrcZlib(
+        ManagedTable.read(spark, deltaRoot).drop(mirrorDropped: _*),
+        a.listingsOrcDir.get, a.numOutputOrcFiles)
     a.vacuumHrs.foreach(h => ManagedTable.vacuum(deltaRoot, retainHours = h))
     deltaRoot
   }
