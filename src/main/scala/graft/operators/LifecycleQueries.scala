@@ -561,6 +561,35 @@ object LifecycleQueries {
     ManagedTable.read(s, root)
   }
 
+  /** replaceWhere gate — Delta's overwrite-a-slice contract, both forms.
+    * CoW leg: 1995H1 is re-landed from a frame with a DIFFERENT
+    * cardinality (odd keys dropped, totals doubled) — pinning that the op
+    * replaces the slice WHOLESALE, not keyed like MERGE. MOR leg
+    * ([[graft.sources.ManagedTable.overwriteWhereVectorized]]): the
+    * 1996+ 'O' slice is then replaced at delta cost — matched base rows
+    * tombstoned by (file, pos) address, the zero-priced replacement in
+    * `_append`, no base file rewritten (pinned at IO level in
+    * ManagedTableSpec). DuckDB replays both replacements relationally:
+    * a keep-side leak, a slice row that survived replacement, or a
+    * mis-addressed tombstone breaks the hash. */
+  def tableReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("replace_where")
+    val o = table(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      col("o_totalprice").cast(DoubleType).as("total"),
+      col("o_orderdate").cast(StringType).as("dt"))
+    ManagedTable.overwrite(root, o.repartition(8))
+    val h1 = col("dt").between(lit("1995-01-01"), lit("1995-06-30"))
+    ManagedTable.overwriteWhere(s, root,
+      o.filter(h1 && col("k") % 2 === 0)
+        .withColumn("total", col("total") * lit(2.0)), // *2 is exponent+1: exact in both engines
+      h1)
+    val oSlice = col("dt") >= lit("1996-01-01") && col("st") === lit("O")
+    ManagedTable.overwriteWhereVectorized(s, root,
+      o.filter(oSlice).withColumn("total", lit(0.0)), oSlice)
+    ManagedTable.read(s, root)
+  }
+
   /** Bloom-index point-lookup gate: the table is hash-distributed on the
     * key (every file spans nearly the full key range — min/max skipping
     * prunes NOTHING here), analyzeBloom records a per-file filter, and
@@ -698,6 +727,29 @@ object LifecycleQueries {
     BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
     BucketedTable.delete(s, root,
       col("st") === lit("F") && col("dt") < lit("1995-07-01"))
+    BucketedTable.read(s, root)
+  }
+
+  /** Bucketed replaceWhere gate: the 1995H1 slice of the 16-bucket table
+    * is atomically swapped for a DIFFERENT-cardinality frame (odd keys
+    * dropped, totals doubled) via
+    * [[graft.sources.BucketedTable.overwriteWhere]] — only buckets
+    * holding slice rows or receiving replacement keys rewrite; the rest
+    * carry by manifest reference (bucket-IO contract pinned in
+    * BucketedTableSpec). DuckDB replays the replacement relationally. */
+  def bucketedReplace(s: SparkSession, dir: String): DataFrame = {
+    val root = freshRoot("bucketed_rw")
+    val base = table(s, dir, "orders")
+      .filter(col("o_orderdate") <= lit("1996-06-30"))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(DoubleType).as("total"),
+        col("o_orderdate").cast(StringType).as("dt"))
+    BucketedTable.create(root, base, Seq("k"), nBuckets = 16)
+    val h1 = col("dt").between(lit("1995-01-01"), lit("1995-06-30"))
+    BucketedTable.overwriteWhere(s, root,
+      base.filter(h1 && col("k") % 2 === 0)
+        .withColumn("total", col("total") * lit(2.0)),
+      h1)
     BucketedTable.read(s, root)
   }
 
@@ -1111,6 +1163,7 @@ object LifecycleQueries {
     "q_table_wap" -> (tableWap _),
     "q_table_bloom" -> (tableBloom _),
     "q_table_update_dv" -> (tableUpdateDv _),
+    "q_table_replace_where" -> (tableReplaceWhere _),
     "q_table_compact_small" -> (tableCompactSmall _),
     "q_table_generated" -> (tableGenerated _),
     "q_table_clone" -> (tableClone _),
@@ -1126,6 +1179,7 @@ object LifecycleQueries {
     "q_bucketed_evolution" -> (bucketedEvolution _),
     "q_bucketed_delete" -> (bucketedDelete _),
     "q_bucketed_update" -> (bucketedUpdate _),
+    "q_bucketed_replace" -> (bucketedReplace _),
     "q_merge_threeway" -> (mergeThreeway _),
     "q_lifecycle_table" -> (lifecycleTable _),
     "q_table_optimize" -> (tableOptimize _),
@@ -1461,6 +1515,22 @@ object LifecycleQueries {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F')
         |  AND NOT (CAST(o_totalprice AS DOUBLE) > 250000.0)""".stripMargin,
+    "q_table_replace_where" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT * FROM o
+        |  WHERE NOT (dt BETWEEN '1995-01-01' AND '1995-06-30')
+        |  UNION ALL
+        |  SELECT k, st, total * 2.0 AS total, dt FROM o
+        |  WHERE dt BETWEEN '1995-01-01' AND '1995-06-30' AND k % 2 = 0)
+        |SELECT * FROM v1 WHERE NOT (dt >= '1996-01-01' AND st = 'O')
+        |UNION ALL
+        |SELECT k, st, 0.0 AS total, dt FROM o
+        |WHERE dt >= '1996-01-01' AND st = 'O'""".stripMargin,
     "q_table_restore" -> dmlUpdatedSql,
     "q_bucketed_cdf" ->
       """WITH base AS (
@@ -1513,6 +1583,17 @@ object LifecycleQueries {
         |WHERE o_orderdate <= DATE '1996-06-30'
         |  AND NOT (o_orderstatus = 'F'
         |           AND CAST(o_orderdate AS VARCHAR) < '1995-07-01')""".stripMargin,
+    "q_bucketed_replace" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS total,
+        |    CAST(o_orderdate AS VARCHAR) AS dt
+        |  FROM orders WHERE o_orderdate <= DATE '1996-06-30')
+        |SELECT * FROM o
+        |WHERE NOT (dt BETWEEN '1995-01-01' AND '1995-06-30')
+        |UNION ALL
+        |SELECT k, st, total * 2.0 AS total, dt FROM o
+        |WHERE dt BETWEEN '1995-01-01' AND '1995-06-30' AND k % 2 = 0""".stripMargin,
     "q_bucketed_evolution" ->
       """WITH t AS (
         |  SELECT o_custkey AS cust, COUNT(*) AS n_orders

@@ -488,6 +488,63 @@ object BucketedTable extends VersionedLayout {
       }, meta.schema)
   }
 
+  /** OVERWRITE WHERE at bucket-delta cost — the bucketed twin of
+    * [[ManagedTable.overwriteWhere]] (Delta `replaceWhere`): atomically
+    * replace exactly the rows satisfying `where` with `df`, rewriting
+    * ONLY the buckets that hold matching rows or receive replacement
+    * rows; every other bucket carries by manifest reference. The
+    * replacement is not keyed — any cardinality, including dropping or
+    * aggregating the slice — but each replacement row must satisfy
+    * `where` (asserted while the touched-bucket set is computed, so a
+    * violating row aborts before any file is written), and predicate-null
+    * rows are KEPT. At 100 TB replacing one source's slice rewrites the
+    * handful of buckets its keys hash into, not the table. CHECK
+    * constraints ride the rewrite. */
+  def overwriteWhere(spark: SparkSession, root: String, df: DataFrame,
+                     where: Column): Unit = {
+    val meta = readMeta(root)
+    val hit = coalesce(where, lit(false))
+    val withB = readAt(spark, root, meta)
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    val cols = readAt(spark, root, meta).columns.toIndexedSeq
+    val guarded = ManagedTable.assertSatisfies(
+      df.select(cols.map(col): _*), hit) // fails fast on missing cols
+    val replB = guarded.withColumn("_bucket",
+      bucketCol(meta.keys, meta.nBuckets))
+    // Both collects are bounded (<= nBuckets ids); evaluating replB's
+    // buckets executes the insertion assert BEFORE any write starts.
+    val touched = (withB.filter(hit).select("_bucket").distinct()
+        .collect().map(_.getInt(0)) ++
+      replB.select("_bucket").distinct().collect().map(_.getInt(0)))
+      .distinct.sorted
+    if (touched.isEmpty) return
+    val touchedSet = touched.toSet
+    val next = meta.version + 1
+    val touchedPaths = touched
+      .map(b => bucketDir(root, meta.manifest(b), b)).filter(hasParquet)
+    val kept =
+      if (touchedPaths.isEmpty) replB.filter(lit(false))
+      else readerFor(spark, meta).parquet(touchedPaths.toIndexedSeq: _*)
+        .filter(!hit)
+        .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    val rewritten = Constraints.enforce(
+        kept.unionByName(replB).drop("_bucket"), Constraints.load(root))
+      .withColumn("_bucket", bucketCol(meta.keys, meta.nBuckets))
+    rewritten.write.mode("overwrite").partitionBy("_bucket")
+      .parquet(s"$root/v$next/_data")
+    touched.foreach { b =>
+      val src = Paths.get(s"$root/v$next/_data/_bucket=$b")
+      val dst = Paths.get(bucketDir(root, s"v$next", b))
+      if (Files.exists(src)) Files.move(src, dst)
+      else Files.createDirectories(dst)
+    }
+    dropStaging(root, next)
+    writeVersion(root, next, meta.nBuckets, meta.keys,
+      meta.manifest.map { case (b, ver) =>
+        b -> (if (touchedSet(b)) s"v$next" else ver)
+      }, meta.schema)
+  }
+
   /** OPTIMIZE for the bucketed layout: every merge leaves its touched
     * buckets as fresh single-write dirs, but a bucket that keeps catching
     * deltas accumulates one rewrite per merge only — the real

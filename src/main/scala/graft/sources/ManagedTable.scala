@@ -309,6 +309,61 @@ object ManagedTable extends VersionedLayout {
       oldDv.fold(newTombs)(_.unionByName(newTombs)), Some(app2))
   }
 
+  /** OVERWRITE WHERE at delta cost — the merge-on-read form of
+    * [[overwriteWhere]]: the replaced slice's BASE rows are tombstoned by
+    * (file, position) address and the replacement lands in the version's
+    * `_append` dir; previously-appended rows in the slice are dropped from
+    * the (delta-sized) append rewrite. No base data file is rewritten —
+    * write cost scales with |replaced addresses| + |replacement|, so at
+    * 100 TB replacing one day of a fact table writes GBs of tombstones
+    * and fresh data instead of rewriting the snapshot. Same insertion
+    * contract as [[overwriteWhere]]: every replacement row must satisfy
+    * `where` (asserted inside the write — a violating row aborts before
+    * the pointer swaps), predicate-null rows are KEPT, and the replacement
+    * may have any cardinality. CHECK constraints and generated columns
+    * ride the appended write, whose schema must match the base exactly
+    * (appended files union with base files on read). */
+  def overwriteWhereVectorized(spark: SparkSession, root: String,
+                               df: DataFrame, where: Column): Unit = {
+    val live = currentVersion(root)
+    require(colmapOf(root, dvBaseOf(root, live).getOrElse(live)).isEmpty,
+      "vectorized DML on a RENAMEd (column-mapped) version is not " +
+        "supported — publish a physical rewrite (overwrite/merge/OPTIMIZE) " +
+        "first to materialize the logical names")
+    val (base, baseLive, oldDv, oldApp) = morParts(spark, root, live)
+    val hit = coalesce(where, lit(false))
+    val cols = baseLive.drop(DvFileCol, DvPosCol).columns.toIndexedSeq
+    val shaped = df.select(cols.map(col): _*) // fail fast on missing cols
+    val baseTypes = baseLive.drop(DvFileCol, DvPosCol).schema
+      .map(f => f.name -> f.dataType)
+    val newTypes = shaped.schema.map(f => f.name -> f.dataType)
+    require(newTypes == baseTypes,
+      s"replacement schema diverges from the table: " +
+        newTypes.zip(baseTypes).collect {
+          case ((n, t), (_, bt)) if t != bt => s"$n: $bt -> $t"
+        }.mkString(", "))
+    val guarded = Constraints.enforce(
+      GeneratedColumns(assertSatisfies(shaped, hit), GeneratedColumns.load(root)),
+      constraintsOf(root))
+    val newTombs = baseLive.filter(hit).select(col(DvFileCol), col(DvPosCol))
+    val app2 = oldApp.fold(guarded)(a => a.filter(!hit).unionByName(guarded))
+    publishMor(root, live + 1, base,
+      oldDv.fold(newTombs)(_.unionByName(newTombs)), Some(app2))
+  }
+
+  /** Delta's replaceWhere insertion contract folded into the write plan:
+    * materializing any replacement row that does NOT satisfy the predicate
+    * raises with the row's JSON — no separate validation scan (same
+    * assert_true-in-filter idiom as [[Constraints.enforce]]). */
+  private[sources] def assertSatisfies(df: DataFrame, hit: Column): DataFrame =
+    df.filter(coalesce(
+      assert_true(hit, concat(
+        lit("replaceWhere: replacement row does not satisfy the " +
+          "predicate: "),
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*))))
+        .cast("boolean"),
+      lit(true)))
+
   /** MERGE at delta cost — the merge-on-read form of [[merge]] (Delta
     * merge-on-read / Iceberg v2 MERGE with position deletes, from the
     * public designs). Same clause semantics and the same single full-outer
@@ -852,6 +907,36 @@ object ManagedTable extends VersionedLayout {
         .write.mode("overwrite").parquet(s"$root/_changes/v$next")
     }
     overwrite(root, updated.drop("__hit"))
+  }
+
+  /** OVERWRITE WHERE (Delta `.option("replaceWhere", ...)` overwrite):
+    * atomically replace EXACTLY the rows satisfying `where` with `df` in
+    * one published version — the idiomatic lake-table way to re-land a
+    * partition-shaped slice (one day of a fact table, one source's
+    * listings) without touching the rest. Unlike MERGE the replacement is
+    * not keyed: `df` may have any cardinality, including dropping or
+    * aggregating the slice. Delta's insertion contract is enforced inside
+    * the write itself — every replacement row must satisfy `where`, and a
+    * violating row aborts the publish before the pointer swaps (writing a
+    * row outside the declared slice would silently duplicate data the
+    * keep-side still carries). Predicate-null rows are KEPT, like
+    * [[delete]]. This is the copy-on-write form (full next snapshot);
+    * [[overwriteWhereVectorized]] publishes the same result at delta cost. */
+  def overwriteWhere(spark: SparkSession, root: String, df: DataFrame,
+                     where: Column, changeFeed: Boolean = false): Unit = {
+    val cur = read(spark, root)
+    val hit = coalesce(where, lit(false))
+    val guarded = assertSatisfies(df.select(
+      cur.columns.toIndexedSeq.map(col): _*), hit)
+    if (changeFeed) {
+      val next = currentVersion(root) + 1
+      cur.filter(hit)
+        .withColumn(graft.operators.Merge.ActionCol, lit("delete"))
+        .unionByName(guarded
+          .withColumn(graft.operators.Merge.ActionCol, lit("insert")))
+        .write.mode("overwrite").parquet(s"$root/_changes/v$next")
+    }
+    overwrite(root, cur.filter(!hit).unionByName(guarded))
   }
 
   /** RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`): republish an

@@ -135,6 +135,42 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(BucketedTable.currentVersion(root) == before)
   }
 
+  test("replaceWhere rewrites only slice + target buckets; contract enforced") {
+    val root = Files.createTempDirectory("graft_bt_rw").toString
+    val target = (1 to 1000).map(i => (i.toLong, i % 10, i.toDouble))
+      .toDF("k", "m", "v")
+    BucketedTable.create(root, target, Seq("k"), nBuckets = 16)
+
+    // replace two keys' rows with ONE row for a fresh key (1001 hashes to
+    // its own bucket): touched = the 2 slice buckets + the target bucket
+    BucketedTable.overwriteWhere(spark, root,
+      Seq((1001L, 1, 9999.0)).toDF("k", "m", "v"),
+      col("k") === 5L || col("k") === 700L || col("k") === 1001L)
+    val got = BucketedTable.read(spark, root).as[(Long, Int, Double)]
+      .collect().map(_._1).toSet
+    assert(got.size == 999 && !got(5L) && !got(700L) && got(1001L))
+    val v1Buckets = Files.list(Paths.get(root, "v1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("b")).toSeq
+    assert(v1Buckets.size <= 3)
+    val manifest = Files.readAllLines(Paths.get(root, "v1", "_manifest"))
+      .asScala.tail
+    assert(manifest.count(_.endsWith(",v0")) >= 13)
+
+    // insertion contract: a replacement row outside the slice aborts
+    // before any bucket is written
+    val before = BucketedTable.currentVersion(root)
+    intercept[Exception] {
+      BucketedTable.overwriteWhere(spark, root,
+        Seq((42L, 2, 1.0)).toDF("k", "m", "v"), col("k") === 5L)
+    }
+    assert(BucketedTable.currentVersion(root) == before)
+
+    // empty slice + empty replacement publishes nothing
+    BucketedTable.overwriteWhere(spark, root,
+      target.filter(lit(false)), col("k") === -1L)
+    assert(BucketedTable.currentVersion(root) == before)
+  }
+
   test("vacuum keeps manifest-reachable buckets, drops superseded ones") {
     val root = Files.createTempDirectory("graft_bt_vac").toString
     val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")

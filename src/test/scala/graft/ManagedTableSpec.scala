@@ -425,6 +425,65 @@ class ManagedTableSpec extends AnyFunSuite {
     assert(ManagedTable.read(spark, root).count() == got2.length)
   }
 
+  test("replaceWhere: wholesale slice swap, insertion contract, MOR at delta cost") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_rw").toString
+    val df = (1 to 1000).map(i => (i.toLong, i % 10, i.toDouble))
+      .toDF("k", "m", "v")
+    ManagedTable.overwrite(root, df.repartition(8))
+    def files(v: Int) = Files.list(Paths.get(root, s"v$v")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val baseFiles = files(0)
+
+    // CoW: replace slice m=3 with a DIFFERENT cardinality (2 rows) —
+    // wholesale swap, not a keyed merge
+    ManagedTable.overwriteWhere(spark, root,
+      Seq((3L, 3, 111.0), (13L, 3, 222.0)).toDF("k", "m", "v"),
+      col("m") === 3)
+    val got1 = ManagedTable.read(spark, root).as[(Long, Int, Double)].collect()
+    assert(got1.length == 900 + 2)
+    assert(got1.filter(_._2 == 3).map(_._3).sorted.toSeq == Seq(111.0, 222.0))
+
+    // insertion contract: a replacement row OUTSIDE the slice aborts
+    // before the pointer swaps (CoW and MOR forms alike)
+    val vBefore = ManagedTable.currentVersion(root)
+    intercept[Exception] {
+      ManagedTable.overwriteWhere(spark, root,
+        Seq((7L, 7, 1.0)).toDF("k", "m", "v"), col("m") === 3)
+    }
+    intercept[Exception] {
+      ManagedTable.overwriteWhereVectorized(spark, root,
+        Seq((7L, 7, 1.0)).toDF("k", "m", "v"), col("m") === 3)
+    }
+    assert(ManagedTable.currentVersion(root) == vBefore)
+
+    // MOR: replace slice m=7 at delta cost — no base file rewritten
+    val morBase = files(vBefore)
+    ManagedTable.overwriteWhereVectorized(spark, root,
+      Seq((7L, 7, 777.0)).toDF("k", "m", "v"), col("m") === 7)
+    val vMor = ManagedTable.currentVersion(root)
+    assert(files(vBefore) == morBase) // base untouched
+    assert(files(vMor).isEmpty)       // vN holds only _dv/_append/_dv_base
+    assert(Files.exists(Paths.get(root, s"v$vMor", "_append")))
+    val got2 = ManagedTable.read(spark, root).as[(Long, Int, Double)].collect()
+    assert(got2.length == 800 + 2 + 1)
+    assert(got2.filter(_._2 == 7).map(_._3).toSeq == Seq(777.0))
+
+    // a replacement schema that diverges in type is rejected up front
+    intercept[IllegalArgumentException] {
+      ManagedTable.overwriteWhereVectorized(spark, root,
+        Seq((8L, 8, "x")).toDF("k", "m", "v"), col("m") === 8)
+    }
+
+    // stacked MOR replace filters previously-appended rows in the slice
+    ManagedTable.overwriteWhereVectorized(spark, root,
+      Seq((7L, 7, 778.0)).toDF("k", "m", "v"), col("m") === 7)
+    val got3 = ManagedTable.read(spark, root).as[(Long, Int, Double)].collect()
+    assert(got3.filter(_._2 == 7).map(_._3).toSeq == Seq(778.0))
+    assert(got3.length == got2.length)
+  }
+
   test("optimistic commit: conflict detected, loser discarded, retry lands") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_occ").toString
