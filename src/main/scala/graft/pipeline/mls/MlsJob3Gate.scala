@@ -80,7 +80,7 @@ object MlsJob3Gate {
     "update_timestamp" -> "TIMESTAMP '2024-05-01 00:00:00'",
     "load_date" -> "CASE WHEN k % 2 = 0 THEN '2024-01-01' ELSE '2024-02-01' END")
 
-  private lazy val bootExprs: Seq[String] =
+  private[mls] lazy val bootExprs: Seq[String] =
     schema.fields.toSeq.filterNot(_.name.startsWith("asg_")).map { f =>
       val e = bootSpecial.getOrElse(f.name, s"CAST(NULL AS ${sqlType(f.dataType)})")
       s"$e AS ${f.name}"
@@ -201,7 +201,7 @@ object MlsJob3Gate {
   // Repartitioned so the 133-column bootstrap synthesis parallelizes
   // instead of running on the source's single tiny split (see
   // MlsJob1Gate.synthesize).
-  private def ks(s: SparkSession, dir: String): DataFrame =
+  private[mls] def ks(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
       .repartition(s.sparkContext.defaultParallelism)

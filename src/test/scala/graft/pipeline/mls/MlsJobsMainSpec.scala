@@ -126,6 +126,64 @@ class MlsJobsMainSpec extends AnyFunSuite {
     assert(r.getString(5) == "MSSQL")
   }
 
+  test("MSSQL-mode backfill (runJob3) wires the 3-hop lookup from argv") {
+    val root = Files.createTempDirectory("graft_cli3_mssql").toString
+    // ORC bootstrap in the reference's pre-backfill shape (no asg_ cols —
+    // the first run adds the placeholders, backfill:81-92)
+    graft.sources.TableIO.writeOrcZlib(
+      MlsJob3Gate.ks(spark, dir).selectExpr(MlsJob3Gate.bootExprs: _*),
+      s"$root/orc", numFiles = 1)
+    Files.writeString(Paths.get(root, "schema.json"), new String(
+      getClass.getResourceAsStream("/mls_listings_schema.json").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    // Same MSSQL value cycles as the Job-1 MSSQL spec above — the
+    // bootstrap keys ('MLS'||k%3, 'L'||k) are the same shape, so the
+    // hand-computed (MLS0, L9) hop answer carries over.
+    val ks = spark.range(1, 151).selectExpr("CAST(id AS BIGINT) AS k")
+    ks.filter("k % 7 <> 0").selectExpr(
+        "'MLS' || CAST(k % 3 AS STRING) AS mls",
+        "'L' || CAST(k AS STRING) AS mlslistingid",
+        """CASE WHEN k % 11 = 1 THEN CAST(NULL AS BIGINT)
+          | WHEN k % 13 = 2 THEN CAST(2000 + k % 10 AS BIGINT)
+          | ELSE CAST(1001 + k % 50 AS BIGINT) END AS ailpropertyid""".stripMargin)
+      .write.mode("overwrite").orc(s"$root/mssql_ldt")
+    ks.filter("k <= 60").selectExpr(
+        "CAST(1000 + k AS BIGINT) AS asgpropid",
+        """CASE WHEN k % 6 = 3 THEN CAST(NULL AS BIGINT)
+          | WHEN k % 4 = 0 THEN CAST(1001 + k % 30 AS BIGINT)
+          | WHEN k % 9 = 5 THEN CAST(3000 + k AS BIGINT)
+          | ELSE CAST(1000 + k AS BIGINT) END AS asgprimaryid""".stripMargin,
+        "CAST(CASE WHEN k % 3 = 1 THEN 1 ELSE 0 END AS INTEGER) AS isprovisional",
+        "CASE WHEN k % 5 < 3 THEN '2023-06-01' ELSE CAST(NULL AS STRING) END AS lastvalidated",
+        "CASE WHEN k % 7 < 4 THEN '2022-01-01' ELSE CAST(NULL AS STRING) END AS asgtimestamp")
+      .write.mode("overwrite").orc(s"$root/mssql_pm")
+
+    val a = JobsCli.parseBackfill(Seq(
+      "--listings_delta_dir", s"$root/delta",
+      "--listings_orc_dir", s"$root/orc",
+      "--property_id_source", "MSSQL",
+      "--input_dir_listings_mssql", s"$root/mssql_ldt",
+      "--input_dir_property_master_mssql", s"$root/mssql_pm",
+      "--property_id_modes", "Null",
+      "-s", s"$root/schema.json", "-g", s"$root/logs"))
+    MlsJobsMain.runJob3(spark, a,
+      now = expr("TIMESTAMP '2024-06-01 00:00:00'"))
+
+    val cur = ManagedTable.read(spark, s"$root/delta")
+    val mssqlRows = cur.filter(col("asg_primary_id_source") === "MSSQL")
+    assert(mssqlRows.count() > 0, "MSSQL-mode backfill produced no lookups")
+    // (MLS0, L9): ail = 1001 + 9 = 1010 → PropertyMaster k=10 →
+    // asgprimaryid 1010, isprovisional=1 → 'Provisional', responded=true
+    val r = cur.filter(col("mls") === "MLS0" && col("mls_listing_id") === "L9")
+      .select("asg_primary_id", "asg_primary_id_load_status",
+        "asg_primary_id_source_responded_flag", "asg_primary_id_source")
+      .head()
+    assert(r.getLong(0) == 1010L)
+    assert(r.getString(1) == "Provisional")
+    assert(r.getBoolean(2))
+    assert(r.getString(3) == "MSSQL")
+  }
+
   test("CLI budget integration: the re-run budget avoids exactly the keys " +
       "a key-ordered budget would re-pick") {
     // Run A: February window, budget 2 → with every candidate tied on
