@@ -141,6 +141,47 @@ object MixQueries {
       .filter(col("cum_before") < budget)
   }
 
+  /** Per-domain token budgets for [[mixDomainBudget]]: a deterministic
+    * weights table (src_i gets (i mod 4)+1 shares of 400 tokens) shared
+    * verbatim with the oracle — the "domain mixture recipe" artifact a
+    * training run records. */
+  private def domainBudgetsSql: String = (0 until 20)
+    .map(i => s"('src$i', ${(i % 4 + 1) * 400L})").mkString(", ")
+
+  /** q_mix_domain_budget: PER-DOMAIN quality-ranked selection under a
+    * token-budget mixture — the step that turns "web 50%, books 30%,
+    * code 20%" into an actual document list. Within each source, docs are
+    * ranked by quality (doc_id tiebreak) and kept while the domain's
+    * exclusive running token total stays under that domain's budget.
+    *
+    * Scale shape: a naive per-domain window puts each domain through ONE
+    * reducer — the skew trap when a domain is half the corpus. Instead
+    * the GLOBAL two-pass distributed prefix sum runs once, ordered
+    * (source, quality desc, doc_id): domains are contiguous in that
+    * order, so each domain's exclusive running total is the global
+    * `cum_before` minus the domain's base (its minimum `cum_before`,
+    * a tiny groupBy broadcast back). Selection stays fully parallel at
+    * any corpus/domain size. */
+  def mixDomainBudget(s: SparkSession, dir: String): DataFrame = {
+    val budgets = s.sql(
+      s"SELECT * FROM VALUES $domainBudgetsSql AS t(source, domain_budget)")
+    val scored = TextQueries.txtQuality(s, dir)
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .join(table(s, dir, "documents").select("doc_id", "source"), "doc_id")
+    val ordered = PackQueries.withExclusivePrefixSum(s, scored,
+      Seq(col("source").asc, col("quality_score").desc, col("doc_id").asc),
+      "n_tokens")
+    val bases = ordered.groupBy("source")
+      .agg(min("cum_before").as("domain_base"))
+    ordered.join(broadcast(bases), "source")
+      .join(broadcast(budgets), "source")
+      .withColumn("domain_cum_before", col("cum_before") - col("domain_base"))
+      .filter(col("domain_cum_before") < col("domain_budget"))
+      .select("doc_id", "source", "quality_score", "n_tokens",
+        "domain_cum_before")
+  }
+
   private val wsampleSalt = "wsample1:"
 
   /** q_sample_weighted: deterministic weighted sampling without
@@ -288,6 +329,7 @@ object MixQueries {
     "q_curation_e2e" -> (curationE2e _),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "q_mix_sample" -> (mixSample _),
+    "q_mix_domain_budget" -> (mixDomainBudget _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_split_assign" -> (splitAssign _),
     "q_shuffle_shard" -> ((s: SparkSession, d: String) => shuffleShard(s, d)),
@@ -374,6 +416,21 @@ object MixQueries {
         |SELECT *, CAST(n_docs - n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
         |  AS dup_frac
         |FROM a""".stripMargin,
+    "q_mix_domain_budget" ->
+      s"""WITH w(source, domain_budget) AS (VALUES $domainBudgetsSql),
+         |${TextQueries.qualityScoreCtesSql},
+         |j AS (SELECT q.doc_id, d.source, q.quality_score,
+         |    CAST(q.n_tokens AS BIGINT) AS n_tokens
+         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+         |cum AS (SELECT *,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS domain_cum_before
+         |  FROM j)
+         |SELECT doc_id, source, quality_score, n_tokens, domain_cum_before
+         |FROM cum JOIN w USING (source)
+         |WHERE domain_cum_before < domain_budget""".stripMargin,
     "q_select_budget" ->
       s"""WITH ${TextQueries.qualityScoreCtesSql},
          |p AS (SELECT doc_id, quality_score, n_tokens,

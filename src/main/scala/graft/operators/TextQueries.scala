@@ -450,7 +450,55 @@ object TextQueries {
       .select(col("doc_new"), col("doc_existing"), col("jaccard"))
   }
 
+  /** q_dedup_substring: EXACT substring-level deduplication — the pass
+    * doc-level dedup misses: text REUSED across otherwise-distinct
+    * documents (licence boilerplate, quoted passages, templated spans),
+    * per Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022). Their suffix array is a single-machine structure;
+    * the distributed re-expression is the standard k-gram cover: a token
+    * span is corpus-duplicated iff every length-k window inside it occurs
+    * ≥ 2 times in the corpus, so (1) explode each document into its
+    * complete k-token grams scan-side, (2) keep grams with corpus
+    * frequency ≥ 2 — a duplicated substring of length ≥ k contributes
+    * only duplicated grams, (3) per document, merge overlapping/adjacent
+    * gram covers [pos, pos+k-1] into maximal spans (gaps-and-islands over
+    * a running max). One row per maximal duplicated span; downstream
+    * either drops the span from the training text or drops the doc when
+    * span_tokens/n_tokens is large.
+    *
+    * Scale shape: the gram explode is scan-side (no shuffle); frequency
+    * is one groupBy + one shuffle join back on the gram. At corpus scale
+    * both legs key on `xxhash64(gram)` and drop the string — 8-byte
+    * shuffle keys, collision odds ~n²/2⁶⁴; the gate keys on the gram
+    * itself so the oracle replay is collision-free by construction. The
+    * islands pass shuffles once on doc_id with bounded frames. */
+  def dedupSubstringSpans(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), expr(
+        s"inline(transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> struct(i AS pos, array_join(slice(toks, i, $k), ' ') AS gram)))"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+    val covers = grams.join(dup, "gram")
+      .select(col("doc_id"), col("pos"), (col("pos") + lit(k - 1)).as("end_pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    covers
+      .withColumn("prev_max_end",
+        max(col("end_pos")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_end").isNull ||
+          col("pos") > col("prev_max_end") + 1, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("span_start"), max("end_pos").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_substring" -> ((s: SparkSession, d: String) => dedupSubstringSpans(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q_txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
     "q_txt_tokens" -> (txtTokens _),
@@ -510,6 +558,29 @@ object TextQueries {
       |  FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p FROM t),
+        |g AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
+        |    array_to_string(toks[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)], ' ') AS gram
+        |  FROM g0),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |d AS (SELECT g.doc_id, g.pos, g.pos + 4 AS end_pos
+        |  FROM g JOIN dup USING (gram)),
+        |m AS (SELECT doc_id, pos, end_pos,
+        |    MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM d),
+        |i AS (SELECT doc_id, pos, end_pos,
+        |    SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(MIN(pos) AS INTEGER) AS span_start,
+        |  CAST(MAX(end_pos) AS INTEGER) AS span_end,
+        |  CAST(MAX(end_pos) - MIN(pos) + 1 AS INTEGER) AS span_tokens
+        |FROM i GROUP BY doc_id, span_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

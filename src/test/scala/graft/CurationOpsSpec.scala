@@ -94,6 +94,72 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)), s"got $capped")
   }
 
+  test("substring spans are maximal, disjoint, k-bounded, and in-range") {
+    val k = 5
+    val spans = TextQueries.dedupSubstringSpans(spark, dir, k)
+    assert(spans.filter(col("span_tokens") < k).isEmpty,
+      "a span shorter than the gram length cannot be certified duplicated")
+    val docs = graft.sources.TableIO.table(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    assert(spans.join(docs, "doc_id")
+      .filter(col("span_start") < 1 || col("span_end") > col("n")).isEmpty,
+      "span outside the document's token range")
+    // Maximality/disjointness: consecutive spans per doc must be separated
+    // by ≥ 2 positions — a gap of 1 would have merged in the islands pass.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val gaps = spans
+      .withColumn("prev_end", lag(col("span_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("span_start") <= col("prev_end") + 1)
+    assert(gaps.isEmpty, "adjacent or overlapping spans were not merged")
+    // Certification: every selected gram really is corpus-duplicated — spot
+    // check that each doc's FIRST span's leading k-gram occurs ≥ 2 times.
+    val grams = graft.sources.TableIO.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 0)), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
+    val firstSpanGram = spans.withColumn(
+        "rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(graft.sources.TableIO.table(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks")), "doc_id")
+      .select(col("doc_id"), expr(
+        s"array_join(slice(toks, span_start, $k), ' ')").as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("occ"))
+    assert(firstSpanGram.join(freq, "gram").filter(col("occ") < 2).isEmpty,
+      "a span starts with a gram that is not corpus-duplicated")
+  }
+
+  test("domain-budget mixture equals the per-domain quality-ranked prefix") {
+    // Re-derive the selection with a plain per-domain window (fine at
+    // sf0.001) and demand set equality with the distributed prefix-sum
+    // path — the skew-safe plan must not change WHAT is selected.
+    val got = MixQueries.mixDomainBudget(spark, dir)
+    val scored = TextQueries.txtQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .join(graft.sources.TableIO.table(spark, dir, "documents")
+        .select("doc_id", "source"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val budgets = got.select("source").distinct()
+      .join(got.groupBy("source").agg(lit(1)).select("source"), "source")
+    val naive = scored
+      .withColumn("cum", coalesce(sum(col("n_tokens"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("budget",
+        (((col("source").substr(lit(4), lit(9)).cast("int")) % 4) + 1) * 400L)
+      .filter(col("cum") < col("budget"))
+      .select(col("doc_id"), col("cum"))
+    val a = got.select(col("doc_id"), col("domain_cum_before")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"distributed selection diverges: only-got=${a -- b} only-naive=${b -- a}")
+    assert(budgets.count() > 1, "fixture should exercise multiple domains")
+  }
+
   test("leakage-safe split assigns every cluster to exactly one split") {
     val sl = MixQueries.splitLeakage(spark, dir)
     val perGroup = sl.groupBy("group_id")
