@@ -497,7 +497,67 @@ object TextQueries {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** q_txt_classifier: hashed-feature LINEAR quality classifier — the
+    * fastText-shaped "model-based filter" stage of a curation pipeline
+    * (CCNet / Gopher-style), expressed as what it is at 100 TB: a pure
+    * scan-side projection. Each token is featurized by the hashing trick
+    * (hash → one of 4096 buckets), the bucket's weight comes from a fixed
+    * deterministic table (an LCG of the bucket id — standing in for
+    * trained weights, which would arrive as a 4096-entry literal array
+    * exactly like the IVF codebook), and the document's score is the sum
+    * of its token weights. `aggregate` over the token array makes it one
+    * scan-side pass: NO shuffle, NO UDF, no vocabulary join — the
+    * physical plan is Scan → Project, so model scoring at corpus scale is
+    * embarrassingly parallel. (Higher-order functions sit outside
+    * whole-stage codegen in Spark 4 — the HOF Project runs as an
+    * interpreted expression over the columnar scan; still a single pass,
+    * and the per-row cost is md5-dominated either way.) md5 is the portable
+    * gate hash (the DuckDB oracle replays it bit-for-bit); production
+    * would swap in xxhash64 for ~10× cheaper featurization with the
+    * identical plan. */
+  def txtClassifier(s: SparkSession, dir: String): DataFrame = {
+    val score =
+      "aggregate(toks, 0L, (acc, t) -> acc + " +
+        "((CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 4096) " +
+        "* 1103515245L + 12345L) % 1001L - 500L)"
+    withTokens(table(s, dir, "documents"))
+      .select(col("doc_id"), expr(score).as("score"))
+      .withColumn("label", when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** q_txt_lm_familiarity: corpus-LM familiarity scoring — the CCNet-style
+    * "does this document look like the rest of the corpus" signal, without
+    * a transcendental perplexity (bit-unportable across libms; see the
+    * verify notes): per document, the fraction of its token BIGRAMS whose
+    * corpus frequency is ≥ 2. Gibberish and OCR noise score near 0 —
+    * their bigrams occur nowhere else; templated/natural text scores
+    * high. The ratio is ONE IEEE division of two exact integers, so the
+    * oracle replays it exactly.
+    *
+    * Scale shape: bigram explode is scan-side; corpus frequencies are one
+    * map-side-combined groupBy (bigram vocabulary ≪ corpus); the join
+    * back keys on the bigram, then one per-doc aggregation. At 100 TB
+    * both shuffle legs key on xxhash64(bigram) and drop the string (the
+    * same 8-byte-key note as the substring-dedup pass); the gate keys on
+    * the bigram itself so the oracle replay is collision-free. */
+  def txtLmFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val grams = withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= 2) // sequence(1, 0) would DESCEND
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> array_join(slice(toks, i, 2), ' '))")).as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+    grams.join(freq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("familiarity",
+        col("n_shared").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txt_classifier" -> (txtClassifier _),
+    "q_txt_lm_familiarity" -> (txtLmFamiliarity _),
     "q_dedup_substring" -> ((s: SparkSession, d: String) => dedupSubstringSpans(s, d)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q_txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
@@ -558,6 +618,29 @@ object TextQueries {
       |  FROM c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_txt_classifier" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_sum(list_transform(string_split(text, ' '), t ->
+        |      ((('0x' || substr(md5(t), 1, 8))::BIGINT % 4096)
+        |        * 1103515245::BIGINT + 12345) % 1001 - 500)) AS score
+        |  FROM documents)
+        |SELECT doc_id, CAST(COALESCE(score, 0) AS BIGINT) AS score,
+        |  CASE WHEN COALESCE(score, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM s""".stripMargin,
+    "q_txt_lm_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS p FROM t),
+        |g AS (SELECT doc_id, array_to_string(
+        |    toks[CAST(p AS INTEGER):CAST(p + 1 AS INTEGER)], ' ') AS gram
+        |  FROM g0),
+        |f AS (SELECT gram, COUNT(*) AS n_occ FROM g GROUP BY gram),
+        |j AS (SELECT g.doc_id,
+        |    CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END AS known
+        |  FROM g JOIN f USING (gram))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(known) AS BIGINT) AS n_shared,
+        |  CAST(SUM(known) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS familiarity
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q_dedup_substring" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p FROM t),

@@ -117,8 +117,9 @@ class CurationOpsSpec extends AnyFunSuite {
     // check that each doc's FIRST span's leading k-gram occurs ≥ 2 times.
     val grams = graft.sources.TableIO.table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k) // sequence(1, 0) would DESCEND
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 0)), " +
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
     val firstSpanGram = spans.withColumn(
         "rk", row_number().over(w)).filter(col("rk") === 1)
