@@ -182,6 +182,42 @@ object MixQueries {
         "domain_cum_before")
   }
 
+  private val tempSalt = "mixtemp1:"
+
+  /** q_mix_temperature: √-temperature domain REBALANCING — the multilingual
+    * /multi-domain mixing rule (sampling mass ∝ share^α with α = 0.5) that
+    * up-samples under-represented domains and down-samples dominant ones
+    * without hand-written rates. Per-domain target = 8·⌊√cnt⌋ docs, so the
+    * per-doc expected-repeat rate is target/cnt ∝ 1/√cnt; the keep/repeat
+    * decision then reuses the deterministic hash-draw idiom of
+    * [[mixSample]] (reps = ⌊rate⌋ + [u < frac(rate)·10⁶]). α = 0.5 is the
+    * deliberately chosen temperature because √ is IEEE-correctly-rounded
+    * — unlike pow(x, α), every arithmetic step here (sqrt, one divide,
+    * one subtract, one multiply) is bit-portable, so the DuckDB oracle
+    * replays the mix EXACTLY and the recipe is auditable across engines.
+    *
+    * Plan shape: one tiny groupBy for the domain counts, broadcast back,
+    * then a scan-side draw + explode — like mixSample, zero data shuffles
+    * at any corpus size. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val counts = table(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("target",
+        (floor(sqrt(col("cnt").cast("double"))) * 8).cast("long"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(counts), "source")
+      .withColumn("rate",
+        col("target").cast("double") / col("cnt").cast("double"))
+      .withColumn("u", saltedDraw(tempSalt, col("doc_id")) % 1000000L)
+      .withColumn("reps", floor(col("rate")).cast("int") +
+        when(col("u") < (col("rate") - floor(col("rate"))) * 1000000d, 1)
+          .otherwise(0))
+      .filter(col("reps") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("reps"))).as("copy_idx"))
+  }
+
   private val wsampleSalt = "wsample1:"
 
   /** q_sample_weighted: deterministic weighted sampling without
@@ -329,6 +365,7 @@ object MixQueries {
     "q_curation_e2e" -> (curationE2e _),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "q_mix_sample" -> (mixSample _),
+    "q_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "q_mix_domain_budget" -> (mixDomainBudget _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_split_assign" -> (splitAssign _),
@@ -462,6 +499,25 @@ object MixQueries {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
          |    AS INTEGER) AS pos
          |FROM sh""".stripMargin,
+    "q_mix_temperature" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+         |r AS (SELECT source, cnt,
+         |    CAST(floor(sqrt(CAST(cnt AS DOUBLE))) * 8 AS BIGINT) AS target
+         |  FROM c),
+         |d AS (
+         |  SELECT doc_id, dd.source,
+         |    CAST(target AS DOUBLE) / CAST(cnt AS DOUBLE) AS rate,
+         |    ${saltedDrawSql(tempSalt, "doc_id")} % 1000000 AS u
+         |  FROM documents dd JOIN r ON dd.source = r.source),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor(rate) AS INTEGER)
+         |      + CASE WHEN u < (rate - floor(rate)) * 1000000 THEN 1 ELSE 0 END
+         |      AS reps
+         |  FROM d)
+         |SELECT doc_id, source,
+         |  CAST(unnest(range(1, reps + 1)) AS INTEGER) AS copy_idx
+         |FROM k WHERE reps > 0""".stripMargin,
     "q_mix_sample" ->
       s"""WITH rates(lang, rate) AS (VALUES $mixRatesSql),
          |d AS (

@@ -161,6 +161,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(budgets.count() > 1, "fixture should exercise multiple domains")
   }
 
+  test("temperature mix repeats are dense and within one of the domain rate") {
+    val mix = MixQueries.mixTemperature(spark, dir)
+    // copy_idx is dense 1..reps per doc
+    val perDoc = mix.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("copy_idx").as("mx"), min("copy_idx").as("mn"))
+    assert(perDoc.filter(col("mn") =!= 1 || col("mx") =!= col("n")).isEmpty)
+    // every doc's repeat count is floor(rate) or floor(rate)+1 for its
+    // domain's sqrt-temperature rate
+    val rates = graft.sources.TableIO.table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("rate",
+        (floor(sqrt(col("cnt").cast("double"))) * 8).cast("double") / col("cnt"))
+    val bad = perDoc.join(rates, "source")
+      .filter(col("n") < floor(col("rate")) || col("n") > floor(col("rate")) + 1)
+    assert(bad.isEmpty, "a repeat count outside {floor(rate), floor(rate)+1}")
+  }
+
   test("leakage-safe split assigns every cluster to exactly one split") {
     val sl = MixQueries.splitLeakage(spark, dir)
     val perGroup = sl.groupBy("group_id")
