@@ -6,15 +6,14 @@ import org.apache.spark.sql.types._
 import graft.sources.TableIO.table
 
 /** Multimodal-column plumbing: media payloads are opaque `binary` columns
-  * with typed metadata travelling alongside. The container has no image/
-  * audio codecs, so the DECODE step is a clearly-marked deterministic stub —
-  * but everything Spark-side (schema, batching, partition-preserving
-  * mapPartitions, typed output) is real and tested. Swapping the stub for a
-  * real codec changes one function, not the plan shape.
-  *
-  * The `documents.text` column stands in for the payload (UTF-8 bytes);
-  * at 100 TB real payloads live in the same parquet layout (binary column +
-  * metadata), and decode runs partition-parallel with zero shuffle.
+  * with typed metadata travelling alongside. The image DECODE step is REAL
+  * — `javax.imageio` PNG decode over deterministically synthesized PNG
+  * payloads (the fixture generator knows each raster exactly, so expected
+  * dims/luma are closed-form and the DuckDB oracle hash-checks the decoded
+  * values) — and runs partition-parallel with zero shuffle, exactly where
+  * the bytes are. The catalog/dedup passes use `documents.text` cast to
+  * binary as the payload stand-in; at 100 TB real payloads live in the
+  * same parquet layout (binary column + typed metadata).
   */
 object MultimodalQueries {
 
@@ -47,59 +46,124 @@ object MultimodalQueries {
         max(col("n_bytes")).as("n_bytes"))
       .withColumn("dup_bytes", (col("n_copies") - 1) * col("n_bytes"))
 
-  /** STUB DECODE (`???`-equivalent): a real implementation would parse the
-    * container format (JPEG/WAV/MP4) here. The stub derives deterministic
-    * pseudo-features from the payload's SHA-256 content address and byte
-    * length — primitives DuckDB also computes, so the decode leg gets a
-    * full hash-checked oracle instead of a rows-only check — while the
-    * Spark plumbing (binary in, fixed-schema feature struct out, per-
-    * partition batch iteration) stays exactly what a real codec needs. */
-  private def stubDecode(payload: Array[Byte]): (Int, Int, Int, Int, Double) = {
-    // ??? real codec goes here — deterministic fake below.
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    def hexInt(from: Int, until: Int): Long =
-      java.lang.Long.parseLong(hex.substring(from, until), 16)
-    val width = 64 + (hexInt(0, 4) % 1024).toInt
-    val height = 64 + (hexInt(4, 8) % 1024).toInt
-    val channels = 1 + (hexInt(8, 9) % 4).toInt
-    val luma = hexInt(10, 16).toDouble / 1e6
-    (payload.length, width, height, channels, luma)
+  // -------------------------------------------------------------------
+  // Real image decode (javax.imageio PNG)
+  // -------------------------------------------------------------------
+
+  /** Deterministic PNG payload for `doc_id`: a two-tone raster (left half
+    * tone `a = id % 256`, right half `b = (id*7 + 31) % 256`) at
+    * `w = 8 + 2*(id % 150)` × `h = 8 + (id % 300)`, grayscale for even
+    * ids and RGB (r = g = b) for odd — so decoded width/height/channels
+    * and mean luma are CLOSED-FORM in doc_id: the width is even, each
+    * tone fills exactly w/2 columns, and mean luma = (a + b) / 2, exactly
+    * representable and produced by one IEEE division of exact integers.
+    * The dimensional range (8..307) straddles the resize gate's 256 box. */
+  private def encodePng(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = 8 + 2 * (id % 150).toInt
+    val h = 8 + (id % 300).toInt
+    val gray = id % 2 == 0
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    val a = (id % 256).toInt
+    val b = ((id * 7 + 31) % 256).toInt
+    val raster = img.getRaster
+    val bands = if (gray) 1 else 3
+    var x = 0
+    while (x < w) {
+      val v = if (x < w / 2) a else b
+      var y = 0
+      while (y < h) {
+        var k = 0
+        while (k < bands) { raster.setSample(x, y, k, v); k += 1 }
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG decode: container parse + full pixel read. Mean luma sums
+    * every sample as an exact integer and divides ONCE, so the value is
+    * bit-identical to the fixture's closed form ((a+b)/2 — exact in
+    * IEEE). */
+  private def decodePng(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    val w = img.getWidth
+    val h = img.getHeight
+    val c = img.getColorModel.getNumComponents
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var k = 0
+        while (k < c) { sum += raster.getSample(x, y, k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, c, sum.toDouble / (w.toLong * h * c).toDouble)
+  }
+
+  /** PNG payload table (doc_id, payload BINARY) — synthesized
+    * DISTRIBUTED (mapPartitions encode, no driver bytes) once per sf dir
+    * and consumed read-only, the same source-table shape as every other
+    * fixture: in production the media parquet exists once and every
+    * consumer reads it. */
+  private[operators] def pngFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_png_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        Row(id, encodePng(id))
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/png")
+    }
+    s"$root/png"
   }
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
-    StructField("luma", DoubleType)))
+    StructField("mean_luma", DoubleType)))
 
-  /** Partition-parallel decode/feature-extract over the binary payload —
-    * the reference's mapPartitions shape (mls_listings_transform.py:419-481,
-    * 534-543: RDD mapPartitions + createDataFrame with explicit schema),
-    * minus the network call. No shuffle: decode runs where the bytes are. */
+  /** Partition-parallel REAL decode/feature-extract over binary PNG
+    * payloads — the reference's mapPartitions shape
+    * (mls_listings_transform.py:419-481, 534-543: RDD mapPartitions +
+    * createDataFrame with explicit schema), with `javax.imageio` doing
+    * genuine container+pixel decode. No shuffle: decode runs where the
+    * bytes are, and the oracle hash-checks the decoded dims/channels/luma
+    * against the fixture generator's closed forms — a wrong decode (or a
+    * fake one) mismatches immediately. */
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
-    val src = table(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
-    val rows = src.rdd.mapPartitions { it =>
-      it.map { r =>
-        val (n, w, h, c, m) = stubDecode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getAs[Long]("doc_id"), n, w, h, c, m)
-      }
-    }
+    val src = s.read.parquet(pngFixture(s, dir))
+    val rows = src.rdd.mapPartitions(_.map { r =>
+      val (w, h, c, luma) = decodePng(r.getAs[Array[Byte]]("payload"))
+      Row(r.getAs[Long]("doc_id"), w, h, c, luma)
+    })
     s.createDataFrame(rows, featureSchema)
   }
 
   /** Frame sampling over a binary payload: N frames at evenly-strided byte
     * offsets, each a fixed-size window content-addressed by SHA-256 — the
-    * sampling pass a video/audio pipeline runs to thumbnail or fingerprint
-    * media without full decode. A real sampler seeks container keyframes
-    * at these offsets; the byte-window stand-in keeps the plan exactly
-    * what that needs: posexplode fans each payload into frame rows IN
-    * PLACE (zero shuffle, codegen'd `substring` on binary — composition of
-    * built-ins, no mapPartitions required), and frames carry
-    * (doc_id, frame_idx) identity for downstream per-frame operators. */
+    * sampling pass a video pipeline runs to thumbnail or fingerprint
+    * media without full decode. The JDK ships no video codec, so THIS
+    * gate (alone) keeps a byte-window stand-in for the keyframe seek; the
+    * plan is exactly what a real sampler needs: posexplode fans each
+    * payload into frame rows IN PLACE (zero shuffle, codegen'd
+    * `substring` on binary — composition of built-ins, no mapPartitions
+    * required), and frames carry (doc_id, frame_idx) identity for
+    * downstream per-frame operators. */
   def mmFrameSample(s: SparkSession, dir: String, nFrames: Int = 4,
                     window: Int = 16): DataFrame =
     table(s, dir, "documents")
@@ -114,15 +178,16 @@ object MultimodalQueries {
         octet_length(col("frame")).as("frame_bytes"),
         sha2(col("frame"), 256).as("frame_sha"))
 
-  /** Resize planning over decoded dimensions: fit every image inside a
-    * `box`×`box` bounding box preserving aspect ratio (integer floor
+  /** Resize planning over REAL decoded dimensions: fit every image inside
+    * a `box`×`box` bounding box preserving aspect ratio (integer floor
     * arithmetic — the exact dims a thumbnailer must produce), pass
-    * through images already inside the box, and content-address the
-    * would-be resized payload deterministically (STUB: a real resizer
-    * would emit actual pixels here; the address is a pure function of the
-    * source address and target dims, so the oracle replays it). Chains on
-    * the decode stub the way a real pipeline chains resize after decode —
-    * scan-side projection, zero shuffle. */
+    * through images already inside the box (the PNG fixture's 8..307
+    * range straddles the box on purpose), and content-address the
+    * would-be resized output deterministically (the address is a pure
+    * function of doc_id and target dims, so the oracle replays it; a
+    * real resizer would emit the pixels alongside). Chains on
+    * [[mmDecodeFeatures]] the way a real pipeline chains resize after
+    * decode — per-partition decode then projection, zero shuffle. */
   def mmResize(s: SparkSession, dir: String, box: Int = 256): DataFrame = {
     val d = mmDecodeFeatures(s, dir)
     val scaleNeeded = col("width") > box || col("height") > box
@@ -171,19 +236,18 @@ object MultimodalQueries {
         |  sha256(text) AS sha256,
         |  substring(to_base64(CAST(text AS BLOB)), 1, 12) AS head_b64
         |FROM documents""".stripMargin,
-    // Mirrors stubDecode exactly: features are pure functions of the
-    // payload's sha256 hex and octet length, both engine-portable.
+    // The fixture generator's closed forms (encodePng): the Spark leg
+    // must RECOVER these values by genuinely decoding the PNG payloads —
+    // a hash match certifies the real javax.imageio decode round-trips
+    // the known rasters exactly.
     "q_mm_decode_features" ->
-      """WITH h AS (SELECT doc_id,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-        |    sha256(text) AS hex
-        |  FROM documents)
-        |SELECT doc_id, n_bytes,
-        |  CAST(64 + ('0x' || substr(hex, 1, 4))::BIGINT % 1024 AS INTEGER) AS width,
-        |  CAST(64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1024 AS INTEGER) AS height,
-        |  CAST(1 + ('0x' || substr(hex, 9, 1))::BIGINT % 4 AS INTEGER) AS channels,
-        |  CAST(('0x' || substr(hex, 11, 6))::BIGINT AS DOUBLE) / 1e6 AS luma
-        |FROM h""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(8 + 2 * (doc_id % 150) AS INTEGER) AS width,
+        |  CAST(8 + (doc_id % 300) AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  (CAST(doc_id % 256 AS DOUBLE)
+        |    + CAST((doc_id * 7 + 31) % 256 AS DOUBLE)) / 2.0 AS mean_luma
+        |FROM documents""".stripMargin,
     // Byte-window sampling replayed on VARCHAR: the corpus is ASCII, so
     // DuckDB's character substr equals the byte slice and sha256(VARCHAR)
     // hashes the same bytes Spark's sha2(BINARY) does.
@@ -200,14 +264,14 @@ object MultimodalQueries {
         |  CAST(octet_length(CAST(frame AS BLOB)) AS INTEGER) AS frame_bytes,
         |  sha256(frame) AS frame_sha
         |FROM w""".stripMargin,
-    // Chains on the decode-stub oracle: same md5/sha-derived dims, then
-    // the aspect-fit integer arithmetic and the deterministic address.
+    // Chains on the real-decode oracle: the fixture's closed-form dims,
+    // then the aspect-fit integer arithmetic and the deterministic
+    // address.
     "q_mm_resize" ->
-      """WITH h AS (SELECT doc_id, sha256(text) AS hex FROM documents),
-        |d AS (SELECT doc_id,
-        |    CAST(64 + ('0x' || substr(hex, 1, 4))::BIGINT % 1024 AS INTEGER) AS width,
-        |    CAST(64 + ('0x' || substr(hex, 5, 4))::BIGINT % 1024 AS INTEGER) AS height
-        |  FROM h),
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + 2 * (doc_id % 150) AS INTEGER) AS width,
+        |    CAST(8 + (doc_id % 300) AS INTEGER) AS height
+        |  FROM documents),
         |r AS (SELECT doc_id, width, height,
         |    (width > 256 OR height > 256) AS scale_needed,
         |    CASE WHEN width >= height THEN 256

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.chaining._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.TableIO.table
@@ -469,16 +470,26 @@ object TextQueries {
     * Scale shape: the gram explode is scan-side (no shuffle); frequency
     * is one groupBy + one shuffle join back on the gram. At corpus scale
     * both legs key on `xxhash64(gram)` and drop the string — 8-byte
-    * shuffle keys, collision odds ~n²/2⁶⁴; the gate keys on the gram
-    * itself so the oracle replay is collision-free by construction. The
+    * shuffle keys, collision odds ~n²/2⁶⁴ — which is exactly what
+    * `hashKeys = true` does (gated as q_dedup_substring_hashed: the
+    * fixture corpus is collision-free, so the STRING-keyed oracle pins
+    * the hashed plan's spans bit-for-bit while `HashedKeysSpec` pins the
+    * 8-byte key in the plan). The default keys on the gram itself so the
+    * oracle replay is collision-free by construction at any scale. The
     * islands pass shuffles once on doc_id with bounded frames. */
-  def dedupSubstringSpans(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def dedupSubstringSpans(s: SparkSession, dir: String, k: Int = 5,
+                          hashKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = withTokens(table(s, dir, "documents"))
+    val grams0 = withTokens(table(s, dir, "documents"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), expr(
         s"inline(transform(sequence(1, size(toks) - ${k - 1}), " +
           s"i -> struct(i AS pos, array_join(slice(toks, i, $k), ' ') AS gram)))"))
+    // Production keying: the gram STRING never reaches an exchange — both
+    // shuffle legs carry the 8-byte hash only.
+    val grams = if (hashKeys)
+      grams0.select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gram"))
+    else grams0
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
     val covers = grams.join(dup, "gram")
@@ -502,9 +513,9 @@ object TextQueries {
     * (CCNet / Gopher-style), expressed as what it is at 100 TB: a pure
     * scan-side projection. Each token is featurized by the hashing trick
     * (hash → one of 4096 buckets), the bucket's weight comes from a fixed
-    * deterministic table (an LCG of the bucket id — standing in for
-    * trained weights, which would arrive as a 4096-entry literal array
-    * exactly like the IVF codebook), and the document's score is the sum
+    * deterministic table (an LCG of the bucket id — the zero-IO twin of
+    * [[txtClassifierTrained]], which scores REAL trained weights from a
+    * 4096-entry literal array), and the document's score is the sum
     * of its token weights. `aggregate` over the token array makes it one
     * scan-side pass: NO shuffle, NO UDF, no vocabulary join — the
     * physical plan is Scan → Project, so model scoring at corpus scale is
@@ -525,6 +536,49 @@ object TextQueries {
       .withColumn("label", when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
   }
 
+  /** Trained-model artifact for [[txtClassifierTrained]]: line 1 the
+    * decision threshold, then 4096 integer weights in bucket order —
+    * produced OFFLINE by tools/train_classifier.py (a perceptron on the
+    * stopword-density quality rule keep = stop_fraction ≤ 0.06, linearly
+    * realizable over token counts, converged to ZERO training errors on
+    * the sf0.01 corpus; integer scaling keeps document scores exact sums,
+    * bit-portable across engines). This is the production delivery shape
+    * for any fastText-style filter: weights arrive as a literal array
+    * (IVF-codebook style), scoring stays a pure scan-side projection. */
+  private lazy val classifierModel: (Long, Array[Long]) = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/quality_weights_4096.tsv"))
+    try {
+      val lines = src.getLines().toArray
+      (lines.head.trim.toLong, lines.tail.map(_.trim.toLong))
+    } finally src.close()
+  }
+  private[operators] def classifierThreshold: Long = classifierModel._1
+  private[operators] def classifierWeights: Array[Long] = classifierModel._2
+
+  /** q_txt_classifier_trained: the REAL-WEIGHTS path of the model-based
+    * filter — same hashing-trick featurization and Scan→Project plan as
+    * [[txtClassifier]], but the per-bucket weight comes from the trained
+    * artifact above via `element_at` on a single 4096-long array literal
+    * (no vocabulary join, no shuffle, no UDF), and keep/drop is the
+    * trained decision `score >= threshold`. The DuckDB oracle embeds the
+    * same weights as a list literal and replays the scoring exactly;
+    * `TrainedClassifierSpec` checks the labels against the known
+    * stopword-density ground truth on held-out docs. */
+  def txtClassifierTrained(s: SparkSession, dir: String): DataFrame = {
+    val w = typedlit(classifierWeights.toSeq)
+    val bucketOf = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % 4096)
+        .cast(IntegerType)
+    val score = aggregate(col("toks"), lit(0L),
+      (acc: Column, t: Column) => acc + element_at(w, bucketOf(t) + 1))
+    withTokens(table(s, dir, "documents"))
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("label",
+        when(col("score") >= classifierThreshold, lit("keep"))
+          .otherwise(lit("drop")))
+  }
+
   /** q_txt_lm_familiarity: corpus-LM familiarity scoring — the CCNet-style
     * "does this document look like the rest of the corpus" signal, without
     * a transcendental perplexity (bit-unportable across libms; see the
@@ -537,15 +591,21 @@ object TextQueries {
     * Scale shape: bigram explode is scan-side; corpus frequencies are one
     * map-side-combined groupBy (bigram vocabulary ≪ corpus); the join
     * back keys on the bigram, then one per-doc aggregation. At 100 TB
-    * both shuffle legs key on xxhash64(bigram) and drop the string (the
-    * same 8-byte-key note as the substring-dedup pass); the gate keys on
-    * the bigram itself so the oracle replay is collision-free. */
-  def txtLmFamiliarity(s: SparkSession, dir: String): DataFrame = {
-    val grams = withTokens(table(s, dir, "documents"))
+    * both shuffle legs key on xxhash64(bigram) and drop the string —
+    * `hashKeys = true`, gated as q_txt_lm_familiarity_hashed against the
+    * SAME string-keyed oracle (collision-free on the fixture corpus, so
+    * the scores must match bit-for-bit); the default keys on the bigram
+    * itself so the oracle replay is collision-free at any scale. */
+  def txtLmFamiliarity(s: SparkSession, dir: String,
+                       hashKeys: Boolean = false): DataFrame = {
+    val grams0 = withTokens(table(s, dir, "documents"))
       .filter(size(col("toks")) >= 2) // sequence(1, 0) would DESCEND
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> array_join(slice(toks, i, 2), ' '))")).as("gram"))
+    val grams = if (hashKeys)
+      grams0.select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+    else grams0
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
     grams.join(freq, "gram")
       .groupBy("doc_id")
@@ -557,8 +617,13 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_classifier" -> (txtClassifier _),
-    "q_txt_lm_familiarity" -> (txtLmFamiliarity _),
+    "q_txt_classifier_trained" -> (txtClassifierTrained _),
+    "q_txt_lm_familiarity" -> ((s: SparkSession, d: String) => txtLmFamiliarity(s, d)),
+    "q_txt_lm_familiarity_hashed" ->
+      ((s: SparkSession, d: String) => txtLmFamiliarity(s, d, hashKeys = true)),
     "q_dedup_substring" -> ((s: SparkSession, d: String) => dedupSubstringSpans(s, d)),
+    "q_dedup_substring_hashed" ->
+      ((s: SparkSession, d: String) => dedupSubstringSpans(s, d, hashKeys = true)),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "q_txt_boilerplate" -> ((s: SparkSession, d: String) => txtBoilerplate(s, d)),
     "q_txt_tokens" -> (txtTokens _),
@@ -819,4 +884,28 @@ object TextQueries {
         |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin)
+    // The production-keyed twins are pinned by the SAME string-keyed SQL:
+    // xxhash64 is collision-free on the fixture corpus (and, at 2⁻⁶⁴ per
+    // pair, effectively so at any sf), so identical spans/scores are the
+    // correctness claim — the 8-byte shuffle key is a plan property,
+    // asserted separately in HashedKeysSpec.
+    .pipe(o => o
+      + ("q_dedup_substring_hashed" -> o("q_dedup_substring"))
+      + ("q_txt_lm_familiarity_hashed" -> o("q_txt_lm_familiarity"))
+      // The trained-weights twin: the SAME artifact the Spark plan embeds
+      // is emitted as a DuckDB list literal, so the oracle replays the
+      // real model's exact integer scoring.
+      + ("q_txt_classifier_trained" -> {
+        val wl = classifierWeights.mkString("[", ",", "]")
+        s"""WITH w AS (SELECT $wl AS wl),
+           |s AS (SELECT doc_id,
+           |    list_sum(list_transform(string_split(text, ' '), t ->
+           |      wl[CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 4096
+           |           AS INTEGER) + 1])) AS score
+           |  FROM documents, w)
+           |SELECT doc_id, CAST(score AS BIGINT) AS score,
+           |  CASE WHEN score >= $classifierThreshold THEN 'keep'
+           |       ELSE 'drop' END AS label
+           |FROM s""".stripMargin
+      }))
 }

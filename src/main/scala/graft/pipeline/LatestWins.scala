@@ -19,7 +19,14 @@ object LatestWins {
     *
     * `recomputeMin`/`recomputeMax` re-derive bookkeeping columns across ALL
     * versions of a key before the winner is chosen (reference :144-159,
-    * e.g. create_timestamp = min over versions).
+    * e.g. create_timestamp = min over versions). The recomputed values are
+    * applied ONLY to the winners: outdated rows keep their ORIGINAL values,
+    * exactly as the reference's reject dump drops the `_`-aliased window
+    * outputs from the outdated frame (curated.py:146-159 compute them as
+    * new `_` columns, :166-180 copy them onto the winners, :184-189 drop
+    * them unapplied from the outdated rows) — a consumer replaying the
+    * reject leg to reconstruct what a record looked like must see the
+    * record as it arrived, not post-recompute bookkeeping.
     *
     * Scale: one shuffle on `keys` shared by the window and the min/max
     * recompute (same partitioning, Catalyst plans a single exchange). */
@@ -32,18 +39,20 @@ object LatestWins {
     val keyWindow = Window.partitionBy(keys.map(col): _*)
     val ranked0 = tagged.withColumn("_rownum",
       row_number().over(keyWindow.orderBy(ordering :+ col("_from").desc: _*)))
-    val ranked1 = recomputeMin.foldLeft(ranked0)((d, c) =>
-      d.withColumn(c, min(col(c)).over(keyWindow)))
-    val ranked = recomputeMax.foldLeft(ranked1)((d, c) =>
-      d.withColumn(c, max(col(c)).over(keyWindow)))
+    val rc = recomputeMin.map(c => c -> min(col(c)).over(keyWindow)) ++
+      recomputeMax.map(c => c -> max(col(c)).over(keyWindow))
+    val ranked = ranked0.withColumns(
+      rc.map { case (c, e) => s"_rc_$c" -> e }.toMap)
+    val aux = Seq("_rownum", "_from") ++ rc.map { case (c, _) => s"_rc_$c" }
     Deduped(
       latest = ranked.filter(col("_rownum") === 1 && col("_from") === "new")
-        .drop("_rownum", "_from"),
+        .withColumns(rc.map { case (c, _) => c -> col(s"_rc_$c") }.toMap)
+        .drop(aux: _*),
       // Only NEW rows that lost are "outdated" (curated.py:184 filters
       // `_from == 'new' AND _rownum > 1`): a curated row superseded by the
       // batch is simply replaced, not written to the reject/outdated leg.
       outdated = ranked.filter(col("_rownum") > 1 && col("_from") === "new")
-        .drop("_rownum", "_from"))
+        .drop(aux: _*))
   }
 
   /** Like `dedupe` but keeps the per-key winner regardless of provenance —

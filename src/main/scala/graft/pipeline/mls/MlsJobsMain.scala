@@ -141,10 +141,9 @@ object MlsJobsMain {
         ManagedTable.read(spark, deltaRoot)
           .select(targetSchema.fieldNames.toIndexedSeq.map(col): _*)
       else fresh.limit(0)
-    // Note: the recomputed min/max bookkeeping values also reach the
-    // outdated rows here (the reference restores their original values
-    // before the reject dump, curated.py:184-189) — the reject text leg
-    // is diagnostic, the published table is identical.
+    // dd.outdated carries each losing row's ORIGINAL bookkeeping values
+    // (LatestWins applies the min/max recompute to winners only), matching
+    // the reference's reject dump exactly (curated.py:184-189).
     val dd = LatestWins.dedupe(fresh, curated, keys, window1Ordering,
       recomputeMin = Seq("create_timestamp"),
       recomputeMax = asgRecomputeMax)

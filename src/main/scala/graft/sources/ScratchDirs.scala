@@ -37,10 +37,20 @@ object ScratchDirs {
   private val memoRoots = scala.collection.mutable.HashMap.empty[(String, String), String]
   def memoized(name: String, key: String)(build: String => Unit): String =
     memoRoots.synchronized {
+      requested += name
       memoRoots.getOrElseUpdate((name, key), {
         val root = fresh(s"memo_${name}_" + Integer.toHexString(key.hashCode))
         build(root)
         root
       })
     }
+
+  /** Every fixture name ever requested through [[memoized]] in this JVM —
+    * the observable the bench-honesty guard pins: e2e gates must drive
+    * their pipeline on EVERY invocation (they are the bench's only honest
+    * full-pipeline timings), so their run roots must never appear here.
+    * Only the CLI gates' published runs (`*cli_run`) and read-only
+    * fixtures (`*_raw`/`*_fix`/`*_orc`/...) are legitimate entries. */
+  private val requested = scala.collection.mutable.Set.empty[String]
+  def requestedMemoNames: Set[String] = memoRoots.synchronized(requested.toSet)
 }

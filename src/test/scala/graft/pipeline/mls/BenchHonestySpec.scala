@@ -1,0 +1,56 @@
+package graft.pipeline.mls
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.ScratchDirs
+
+/** Bench-honesty invariant: the q_job*_e2e gates are the bench's ONLY
+  * honest full-pipeline timings — the CLI twins intentionally memoize
+  * their published run per sf dir (MlsJobCliGate.runBoth: the first JVM
+  * invocation drives the real argv pipeline that the correctness hash
+  * certifies; later bench passes time a table read). That trade is sound
+  * exactly as long as no e2e gate is ever memoized the same way. This
+  * spec pins it: each e2e gate is invoked twice, and every
+  * ScratchDirs.memoized name those invocations request must be a
+  * read-only input FIXTURE (`*_raw`/`*_fix`/`*_orc` — pure functions of
+  * the sf dir, legitimately built once), never a published-run root. A
+  * refactor that memoizes an e2e run introduces a new memo name here and
+  * fails loudly. */
+class BenchHonestySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val fixtureSuffixes = Seq("_raw", "_fix", "_orc")
+
+  test("e2e gates run the pipeline on every invocation (no memoized runs)") {
+    val gates: Seq[(String, () => Long)] = Seq(
+      "q_job1_e2e" -> (() => MlsJob1Gate.job1E2e(spark, dir).count()),
+      "q_job2_e2e" -> (() => MlsJob2Gate.job2E2e(spark, dir).count()),
+      "q_job3_e2e" -> (() => MlsJob3Gate.job3E2e(spark, dir).count()))
+    gates.foreach { case (name, run) =>
+      val before = ScratchDirs.requestedMemoNames
+      val rows1 = run()
+      val rows2 = run() // second invocation = a later bench pass
+      assert(rows1 == rows2)
+      val requested = ScratchDirs.requestedMemoNames -- before
+      val runRoots = requested.filterNot(n => fixtureSuffixes.exists(n.endsWith))
+      assert(runRoots.isEmpty,
+        s"$name memoized non-fixture roots $runRoots — e2e gates must drive " +
+          "the pipeline on every invocation or the bench loses its only " +
+          "honest full-pipeline timing (see MlsJobCliGate.runBoth)")
+    }
+  }
+
+  test("q_job1_e2e/q_job2_e2e return the pipeline plan, not a table read") {
+    // A memoized gate would return a bare scan of its published state; the
+    // honest gates' plans carry the latest-wins window logic downstream of
+    // the lazy lineage checkpoint.
+    Seq(MlsJob1Gate.job1E2e(spark, dir), MlsJob2Gate.job2E2e(spark, dir))
+      .foreach { df =>
+        val plan = df.queryExecution.analyzed.toString
+        assert(plan.contains("row_number") || plan.contains("Window"),
+          "e2e gate plan lost its window subtree — is it reading a " +
+            "pre-published result instead of running the pipeline?")
+      }
+  }
+}

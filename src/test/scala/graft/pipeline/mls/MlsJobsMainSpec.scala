@@ -261,6 +261,19 @@ class MlsJobsMainSpec extends AnyFunSuite {
     assert(rejectLines.count() > 0)
     assert(rejectLines.filter(col("value")
       .contains("Outdated record")).count() > 0)
+    // Outdated-dump fidelity (curated.py:184-189): the dumped rows keep
+    // their ORIGINAL bookkeeping values, not the window-recomputed ones.
+    // The outdated rows are run-B's older-soad duplicates, transformed at
+    // run-B's clock (2024-08-01) — the per-key min(create_timestamp) the
+    // winners take is run-A's 2024-07-01, which must NOT appear here.
+    val outdatedRows = spark.read.json(
+        spark.read.text(s"$root/rejects").as[String](
+          org.apache.spark.sql.Encoders.STRING))
+      .filter(col("_reject_reasons") === "Outdated record")
+    assert(outdatedRows.count() > 0)
+    assert(outdatedRows.filter(!col("create_timestamp")
+      .cast("string").startsWith("2024-08-01")).count() == 0,
+      "outdated dump carries recomputed create_timestamp, not the original")
     // ORC mirror: asg bookkeeping columns stripped, primary id kept
     val mirror = spark.read.orc(s"$root/out")
     assert(mirror.columns.contains("asg_primary_id"))
