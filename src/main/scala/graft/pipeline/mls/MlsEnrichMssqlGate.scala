@@ -25,16 +25,18 @@ object MlsEnrichMssqlGate {
     "'MLS' || CAST(k % 3 AS STRING) AS mls",
     "'L' || CAST(k AS STRING) AS mls_listing_id")
 
-  /** Listing_dt rows (absent for k%7=0 listings). */
-  private val ldtExprs = Seq(
+  /** Listing_dt rows (absent for k%7=0 listings). Shared with the
+    * MSSQL-mode backfill CLI gate (MlsJob3Gate.job3CliMssql). */
+  private[mls] val ldtExprs = Seq(
     "'MLS' || CAST(k % 3 AS STRING) AS mls",
     "'L' || CAST(k AS STRING) AS mlslistingid",
     """CASE WHEN k % 11 = 1 THEN CAST(NULL AS BIGINT)
       | WHEN k % 13 = 2 THEN CAST(2000 + k % 10 AS BIGINT)
       | ELSE CAST(1001 + k % 50 AS BIGINT) END AS ailpropertyid""".stripMargin)
 
-  /** PropertyMaster_dt rows keyed asgpropid = 1001..1060. */
-  private val pmExprs = Seq(
+  /** PropertyMaster_dt rows keyed asgpropid = 1001..1060. Shared with the
+    * MSSQL-mode backfill CLI gate (MlsJob3Gate.job3CliMssql). */
+  private[mls] val pmExprs = Seq(
     "CAST(1000 + k AS BIGINT) AS asgpropid",
     """CASE WHEN k % 6 = 3 THEN CAST(NULL AS BIGINT)
       | WHEN k % 4 = 0 THEN CAST(1001 + k % 30 AS BIGINT)

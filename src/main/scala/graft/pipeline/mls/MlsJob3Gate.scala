@@ -276,33 +276,140 @@ object MlsJob3Gate {
     } finally server.stop()
   }
 
+  /** q_job3_cli_mssql: the backfill driver in MSSQL mode — the same two
+    * argv runs as q_job3_cli, but the property-id lookup travels the
+    * 3-hop Listing_dt → PropertyMaster → PropertyMaster ORC path
+    * (`--input_dir_listings_mssql` / `--input_dir_property_master_mssql`,
+    * backfill:138-146) instead of HTTP. The hop fixtures reuse the
+    * MlsEnrichMssqlGate value cycles (every CASE branch of the final-flag
+    * and fixed-flag decodes is hit), keyed on the same customer keys the
+    * bootstrap synthesizes, so the DuckDB oracle replays both runs with
+    * the hop joins inlined. The lookup is a pure function of the key, so
+    * run 2's re-queries of 'Provisional'/'Final' rows return identical
+    * ids — the 11-column changed-only merge condition must still fire on
+    * the moved queried timestamp alone. Memoized like the other CLI gates
+    * (argv fidelity is the observable; runtime is q_job3_e2e's job). */
+  def job3CliMssql(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.ScratchDirs.memoized("job3ms_run", dir)(
+      job3CliMssqlRun(s, dir, _))
+    ManagedTable.read(s, s"$root/delta")
+      .select(MlsJob1Gate.outCastCols(schema): _*)
+      .localCheckpoint(eager = true)
+  }
+
+  private def job3CliMssqlRun(s: SparkSession, dir: String, root: String): Unit = {
+    import java.nio.file.Files
+    // Shares q_job3_cli's memoized ORC bootstrap + schema file (read-only
+    // here: MSSQL mode never overwrites the mirror).
+    val orcFixt = graft.sources.ScratchDirs.memoized("job3cli_orc", dir) { r =>
+      TableIO.writeOrcZlib(ks(s, dir).selectExpr(bootExprs: _*),
+        s"$r/orc", numFiles = 2)
+      Files.writeString(Paths.get(r, "schema.json"), new String(
+        getClass.getResourceAsStream("/mls_listings_schema.json")
+          .readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val msFixt = graft.sources.ScratchDirs.memoized("job3ms_fix", dir) { r =>
+      val ks0 = ks(s, dir)
+      ks0.filter("k % 7 <> 0")
+        .selectExpr(MlsEnrichMssqlGate.ldtExprs: _*)
+        .write.mode("overwrite").orc(s"$r/ldt")
+      ks0.filter("k <= 60")
+        .selectExpr(MlsEnrichMssqlGate.pmExprs: _*)
+        .write.mode("overwrite").orc(s"$r/pm")
+    }
+    def argvFor(extra: Seq[String]): Seq[String] = Seq(
+      "--listings_delta_dir", s"$root/delta",
+      "--listings_orc_dir", s"$orcFixt/orc",
+      "--property_id_source", "MSSQL",
+      "--input_dir_listings_mssql", s"$msFixt/ldt",
+      "--input_dir_property_master_mssql", s"$msFixt/pm",
+      "-s", s"$orcFixt/schema.json",
+      "-g", s"$root/logs",
+      "--vacuum_hrs", "168") ++ extra
+    val a1 = graft.pipeline.JobsCli.parseBackfill(argvFor(Seq(
+      "--property_id_modes", "Null",
+      "--backfill_start_date", "20240101",
+      "--backfill_end_date", "20240131",
+      "--backfill_limit", "40")))
+    MlsJobsMain.runJob3(s, a1, now = expr(now1Sql))
+    val a2 = graft.pipeline.JobsCli.parseBackfill(argvFor(Seq(
+      "--property_id_modes", "Provisional,Final",
+      "--backfill_limit", "20")))
+    MlsJobsMain.runJob3(s, a2, now = expr(now2Sql))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_job3_e2e" -> (job3E2e _),
-    "q_job3_cli" -> (job3Cli _))
+    "q_job3_cli" -> (job3Cli _),
+    "q_job3_cli_mssql" -> (job3CliMssql _))
 
   // -------------------------------------------------------------------
   // DuckDB oracle
   // -------------------------------------------------------------------
 
-  /** One backfill run: candidates → md5 decode → attach → merge
-    * (update-only-when-changed). Final CTE: `${p}s` = post-merge state. */
+  /** The md5-stub API lookup CTE `${p}l` (lkp_mls, lkp_lid, asg,
+    * final_flag, responded, issue, fixed) over candidates `${p}c`. */
+  private def md5LookupCte(p: String, salt: String): String = {
+    val hx = s"md5(street_address || '$salt')"
+    s"""${p}l AS (
+       |  SELECT mls AS lkp_mls, mls_listing_id AS lkp_lid,
+       |    CASE WHEN d = 0 THEN CAST(NULL AS BIGINT) ELSE prop END AS asg,
+       |    CASE WHEN d = 0 THEN CAST(NULL AS BOOLEAN)
+       |         WHEN d IN (1, 2) THEN true ELSE false END AS final_flag,
+       |    (d <> 3) AS responded,
+       |    CASE WHEN d = 3 THEN 'rate limited' END AS issue,
+       |    CAST(NULL AS BOOLEAN) AS fixed
+       |  FROM (SELECT mls, mls_listing_id,
+       |          ('0x' || substr($hx, 1, 12))::BIGINT AS prop,
+       |          ('0x' || substr($hx, 1, 1))::BIGINT % 4 AS d
+       |        FROM ${p}c))""".stripMargin
+  }
+
+  /** The MSSQL 3-hop lookup CTE chain in the same `${p}l` output shape
+    * (transform.py:574-633 replayed relationally; expects `ldt`/`pm`
+    * fixture CTEs in scope — the same value cycles as MlsEnrichMssqlGate). */
+  private def mssqlLookupCte(p: String): String =
+    s"""${p}h0 AS (
+       |  SELECT c.mls AS lkp_mls, c.mls_listing_id AS lkp_lid,
+       |    (d.mls IS NOT NULL) AS responded, d.ailpropertyid AS ail
+       |  FROM ${p}c c LEFT JOIN ldt d
+       |    ON c.mls = d.mls AND c.mls_listing_id = d.mlslistingid),
+       |${p}h1 AS (
+       |  SELECT h0.*, p1.asgprimaryid AS prim
+       |  FROM ${p}h0 h0 LEFT JOIN pm p1 ON h0.ail = p1.asgpropid),
+       |${p}l AS (
+       |  SELECT lkp_mls, lkp_lid, prim AS asg,
+       |    CASE WHEN prim IS NULL THEN CAST(NULL AS BOOLEAN)
+       |         WHEN p2.isprovisional = 0 AND p2.lastvalidated IS NOT NULL THEN true
+       |         WHEN p2.asgtimestamp IS NULL THEN true
+       |         ELSE false END AS final_flag,
+       |    responded,
+       |    CAST(NULL AS STRING) AS issue,
+       |    CASE WHEN prim IS NULL THEN CAST(NULL AS BOOLEAN)
+       |         WHEN ail <> prim THEN true ELSE false END AS fixed
+       |  FROM ${p}h1 h1 LEFT JOIN pm p2 ON h1.prim = p2.asgpropid)""".stripMargin
+
+  /** One backfill run: candidates → lookup (`lookupCtes` must define
+    * `${p}l`) → attach → merge (update-only-when-changed). Final CTE:
+    * `${p}s` = post-merge state. */
   private def runSql(p: String, prev: String,
                      dateRange: Option[(String, String)], modes: Seq[String],
-                     limit: Int, salt: String, nowSql: String): String = {
+                     limit: Int, nowSql: String, lookupCtes: String,
+                     src: String): String = {
     val dateCond = dateRange
       .map { case (lo, hi) => s"load_date BETWEEN '$lo' AND '$hi' AND " }
       .getOrElse("")
     val inModes = modes.map(m => s"'$m'").mkString(", ")
-    val hx = s"md5(street_address || '$salt')"
     val updf = "NOT (c.asg_primary_id IS NOT DISTINCT FROM l.asg)"
     val attachAsg = Seq(
       "l.asg AS asg_primary_id",
       "l.final_flag AS asg_primary_id_final_flag",
-      "'API' AS asg_primary_id_source",
+      s"'$src' AS asg_primary_id_source",
       s"$nowSql AS asg_primary_id_source_queried_timestamp",
       "l.responded AS asg_primary_id_source_responded_flag",
       "l.issue AS asg_primary_id_issue_text",
-      "CAST(NULL AS BOOLEAN) AS asg_primary_id_mssql_fixed_flag",
+      "l.fixed AS asg_primary_id_mssql_fixed_flag",
       s"$updf AS asg_primary_id_updated_flag",
       s"CASE WHEN $updf THEN $nowSql END AS asg_primary_id_updated_timestamp",
       s"CASE WHEN $updf THEN c.asg_primary_id END AS asg_primary_id_previous_value",
@@ -328,17 +435,7 @@ object MlsJob3Gate {
        |    asg_primary_id_source_responded_flag ASC NULLS FIRST,
        |    mls ASC, mls_listing_id ASC
        |  LIMIT $limit),
-       |${p}l AS (
-       |  SELECT mls AS lkp_mls, mls_listing_id AS lkp_lid,
-       |    CASE WHEN d = 0 THEN CAST(NULL AS BIGINT) ELSE prop END AS asg,
-       |    CASE WHEN d = 0 THEN CAST(NULL AS BOOLEAN)
-       |         WHEN d IN (1, 2) THEN true ELSE false END AS final_flag,
-       |    (d <> 3) AS responded,
-       |    CASE WHEN d = 3 THEN 'rate limited' END AS issue
-       |  FROM (SELECT mls, mls_listing_id,
-       |          ('0x' || substr($hx, 1, 12))::BIGINT AS prop,
-       |          ('0x' || substr($hx, 1, 1))::BIGINT % 4 AS d
-       |        FROM ${p}c)),
+       |$lookupCtes,
        |${p}a AS (
        |  SELECT ${attachCols.mkString(",\n    ")}
        |  FROM ${p}c c JOIN ${p}l l
@@ -355,27 +452,44 @@ object MlsJob3Gate {
        |  SELECT $outList FROM ${p}chg)""".stripMargin
   }
 
+  private def asgDefaults: Seq[String] = asgCols.map { c =>
+    val dt = sqlType(schema(c).dataType)
+    if (c == "asg_primary_id_load_status") s"'Null' AS $c"
+    else s"CAST(NULL AS $dt) AS $c"
+  }
+
   /** Two-run backfill replay; `salt2` distinguishes the e2e gate (salted
     * stub client, run 2 answers differently) from the CLI gate (real HTTP
     * service — a pure function of the address, identical across runs). */
-  private def twoRunOracle(salt2: String): String = {
-    val asgDefaults = asgCols.map { c =>
-      val dt = sqlType(schema(c).dataType)
-      if (c == "asg_primary_id_load_status") s"'Null' AS $c"
-      else s"CAST(NULL AS $dt) AS $c"
-    }
+  private def twoRunOracle(salt2: String): String =
     s"""WITH ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
        |boot AS (SELECT ${(bootExprs ++ asgDefaults).mkString(",\n  ")} FROM ks),
        |${runSql("r1", "boot", Some(("2024-01-01", "2024-01-31")),
-          Seq("Null"), 40, "", now1Sql)},
-       |${runSql("r2", "r1s", None, Seq("Provisional", "Final"), 20, salt2,
-          now2Sql)}
+          Seq("Null"), 40, now1Sql, md5LookupCte("r1", ""), "API")},
+       |${runSql("r2", "r1s", None, Seq("Provisional", "Final"), 20,
+          now2Sql, md5LookupCte("r2", salt2), "API")}
        |SELECT ${MlsJob1Gate.outCastSql("f", schema)} FROM r2s f""".stripMargin
-  }
+
+  /** Two-run MSSQL-mode replay: the 3-hop lookup is a pure function of
+    * the key, so run 2's re-queries return identical ids — only the
+    * queried timestamp moves, which the changed-only merge must see. */
+  private def mssqlOracle: String =
+    s"""WITH ks AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+       |boot AS (SELECT ${(bootExprs ++ asgDefaults).mkString(",\n  ")} FROM ks),
+       |ldt AS (SELECT ${MlsEnrichMssqlGate.ldtExprs.mkString(",\n  ")}
+       |        FROM ks WHERE k % 7 <> 0),
+       |pm AS (SELECT ${MlsEnrichMssqlGate.pmExprs.mkString(",\n  ")}
+       |       FROM ks WHERE k <= 60),
+       |${runSql("r1", "boot", Some(("2024-01-01", "2024-01-31")),
+          Seq("Null"), 40, now1Sql, mssqlLookupCte("r1"), "MSSQL")},
+       |${runSql("r2", "r1s", None, Seq("Provisional", "Final"), 20,
+          now2Sql, mssqlLookupCte("r2"), "MSSQL")}
+       |SELECT ${MlsJob1Gate.outCastSql("f", schema)} FROM r2s f""".stripMargin
 
   def oracle: String = twoRunOracle(salt2 = "#2")
 
   val oracles: Map[String, String] = Map(
     "q_job3_e2e" -> oracle,
-    "q_job3_cli" -> twoRunOracle(salt2 = ""))
+    "q_job3_cli" -> twoRunOracle(salt2 = ""),
+    "q_job3_cli_mssql" -> mssqlOracle)
 }
