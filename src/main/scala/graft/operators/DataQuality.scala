@@ -102,9 +102,44 @@ object DataQuality {
       FkEdge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
       FkEdge("nation_region", "nation", "n_regionkey", "region", "r_regionkey")))
 
+  /** Key-skew histogram for a prospective shuffle key: per-key row counts
+    * bucketed by floor(log2(count)) — the exact integer exponent from the
+    * binary-string length, the same transcendental-free idiom as
+    * MixQueries.log2fpSql — with key and row counts plus the bucket's
+    * heaviest key per bucket. The report that decides, BEFORE a 100 TB
+    * job runs, whether a groupBy/join on this key needs salting or AQE
+    * skew handling (a heavy tail = one straggler task per hot key) and
+    * what salt factor the top bucket implies. Cost: the per-key count is
+    * one map-side-combined aggregation — same exchange the audited
+    * shuffle itself would pay — and the histogram folds the key space
+    * down to ~60 rows. */
+  def skewReport(df: DataFrame, key: Column, label: String): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("log2_bucket",
+        expr("CAST(length(conv(CAST(n_rows AS STRING), 10, 2)) - 1 AS INT)"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("n_rows").as("bucket_rows"),
+        max("n_rows").as("max_key_rows"))
+      .select(lit(label).as("audited_key"), col("log2_bucket"),
+        col("n_keys"), col("bucket_rows"), col("max_key_rows"))
+
+  /** q_dq_skew: [[skewReport]] over the event stream's two candidate
+    * shuffle keys — user_id (the key every sessionize/retention/funnel
+    * gate shuffles on; near-uniform, safe) and event_type (cardinality ≈
+    * the partition count with one dominant value — the classic
+    * "groupBy looks fine at sf0.01, straggles at 100 TB" trap the
+    * histogram exists to expose: its top bucket holds one key with 2^11×
+    * a uniform key's rows). */
+  def dqSkew(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.TableIO.events(s, dir)
+    skewReport(ev, col("user_id"), "user_id")
+      .unionByName(skewReport(ev, col("event_type"), "event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_integrity" -> (dqIntegrity _),
-    "q_dq_report" -> (dqReport _))
+    "q_dq_report" -> (dqReport _),
+    "q_dq_skew" -> (dqSkew _))
 
   private def fkEdgeSql(name: String, child: String, childKey: String,
                         parent: String, parentKey: String): String =
@@ -119,6 +154,24 @@ object DataQuality {
        |WHERE c.$childKey IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dq_skew" ->
+      """WITH ku AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY user_id),
+        |kt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY event_type)
+        |SELECT 'user_id' AS audited_key,
+        |  CAST(length(bin(n_rows)) - 1 AS INTEGER) AS log2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n_rows) AS BIGINT) AS bucket_rows,
+        |  MAX(n_rows) AS max_key_rows
+        |FROM ku GROUP BY 2
+        |UNION ALL
+        |SELECT 'event_type' AS audited_key,
+        |  CAST(length(bin(n_rows)) - 1 AS INTEGER) AS log2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n_rows) AS BIGINT) AS bucket_rows,
+        |  MAX(n_rows) AS max_key_rows
+        |FROM kt GROUP BY 2""".stripMargin,
     "q_dq_integrity" -> Seq(
       fkEdgeSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       fkEdgeSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),

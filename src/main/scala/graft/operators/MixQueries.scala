@@ -408,13 +408,17 @@ object MixQueries {
     *
     * Scale shape: one explode-side pass builds BOTH distributions (a
     * groupBy on the 1024-key bucket space, map-side combined); the
-    * scored bucket table broadcasts back (B rows, never the corpus);
-    * totals are a 1-row scalar-aggregate crossJoin; the only wide
-    * shuffle keys on doc_id and is partial-aggregated. At a real 100 TB
-    * corpus the bucket counts approach 2^47 and the smoothed products
-    * would overflow — production divides both counts by a common power
-    * of two first (the ratio is scale-invariant), which the fixture
-    * scale never needs. */
+    * corpus totals come from an unpartitioned window over the B-row
+    * stats table (1024 rows through a single-partition exchange — a
+    * scalar-aggregate crossJoin instead would re-instantiate the whole
+    * gram-explode + bucket-shuffle subtree as a second plan branch,
+    * doubling the corpus scan cost; PlanShapeSpec pins this shape); the
+    * scored bucket table broadcasts back (B rows, never the corpus); the
+    * only wide shuffle keys on doc_id and is partial-aggregated. At a
+    * real 100 TB corpus the bucket counts approach 2^47 and the smoothed
+    * products would overflow — production divides both counts by a
+    * common power of two first (the ratio is scale-invariant), which the
+    * fixture scale never needs. */
   def selectDsir(s: SparkSession, dir: String, k: Int = dsirK): DataFrame = {
     val grams = table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
@@ -427,8 +431,11 @@ object MixQueries {
         s"AS BIGINT) % $dsirBuckets"))
     val stats = grams.groupBy("b")
       .agg(count(lit(1)).as("cq"), sum("is_t").as("ct"))
-    val totals = stats.agg(sum("cq").as("nq"), sum("ct").as("nt"))
-    val scored = stats.crossJoin(broadcast(totals))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy() // B rows total — bounded, never corpus-sized
+    val scored = stats
+      .withColumn("nq", sum("cq").over(wAll))
+      .withColumn("nt", sum("ct").over(wAll))
       .withColumn("num", (col("ct") + 1) * (col("nq") + dsirBuckets))
       .withColumn("den", (col("cq") + 1) * (col("nt") + dsirBuckets))
       .withColumn("s",

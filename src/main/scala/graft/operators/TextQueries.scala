@@ -508,6 +508,40 @@ object TextQueries {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** q_txt_novelty: marginal-contribution scoring — per document, the
+    * fraction of its k-gram occurrences whose gram was NEVER produced by
+    * any earlier document (doc_id order = ingestion order), i.e. how much
+    * genuinely new text each document adds to the growing corpus. The
+    * per-batch view of this curve is how corpus builders measure
+    * diminishing returns of further crawling and order candidate batches
+    * by contribution; a document that re-treads existing text scores near
+    * 0 even when no single source passes the pairwise near-dup bar (the
+    * signal Jaccard/MinHash structurally miss when copying is many-to-one).
+    * Attribution is first-writer-wins: one groupBy finds each gram's
+    * min(doc_id), the join back marks a gram occurrence novel iff this doc
+    * IS that minimum, and the ratio is one IEEE division of two exact
+    * integers. Same two-exchange shape as the substring pass: scan-side
+    * gram explode, gram-keyed groupBy (map-side combined), doc-keyed
+    * aggregation; at 100 TB both gram legs shuffle xxhash64(gram) like
+    * q_dedup_substring_hashed, and the min-doc_id attribution becomes the
+    * incremental screen's "known grams" table when run batch-over-batch. */
+  def txtNovelty(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val grams = withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
+    val firstWriter = grams.groupBy("gram")
+      .agg(min("doc_id").as("first_doc"))
+    grams.join(firstWriter, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
   /** q_txt_classifier: hashed-feature LINEAR quality classifier — the
     * fastText-shaped "model-based filter" stage of a curation pipeline
     * (CCNet / Gopher-style), expressed as what it is at 100 TB: a pure
@@ -579,6 +613,29 @@ object TextQueries {
           .otherwise(lit("drop")))
   }
 
+  /** q_txt_classifier_eval: calibration report for the trained filter —
+    * the confusion matrix of [[txtClassifierTrained]]'s keep/drop decision
+    * against the stopword-density ground-truth rule the artifact was
+    * trained on, with per-cell score extremes (the margin view: how close
+    * the worst-classified documents sit to the threshold). The truth
+    * predicate is evaluated as an exact INTEGER cross-multiplication
+    * (100·stop_cnt ≤ 6·n_tokens ⟺ stop_fraction ≤ 0.06) so neither
+    * engine divides. A model-eval pass any production filter deployment
+    * runs before flipping thresholds; everything aggregates to 4 rows in
+    * one map-side-combined groupBy over the same Scan→Project scoring
+    * plan, so the report costs one corpus scan at any scale. */
+  def txtClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = withTokens(table(s, dir, "documents"))
+      .select(col("doc_id"),
+        (expr("size(filter(toks, x -> x IN ('the','a','of','to','and','in')))")
+          * 100 <= size(col("toks")) * 6).as("truth_keep"))
+    txtClassifierTrained(s, dir).join(truth, "doc_id")
+      .groupBy(col("label"), col("truth_keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy(col("label"), col("truth_keep"))
+  }
+
   /** q_txt_lm_familiarity: corpus-LM familiarity scoring — the CCNet-style
     * "does this document look like the rest of the corpus" signal, without
     * a transcendental perplexity (bit-unportable across libms; see the
@@ -618,6 +675,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txt_classifier" -> (txtClassifier _),
     "q_txt_classifier_trained" -> (txtClassifierTrained _),
+    "q_txt_classifier_eval" -> (txtClassifierEval _),
+    "q_txt_novelty" -> ((s: SparkSession, d: String) => txtNovelty(s, d)),
     "q_txt_lm_familiarity" -> ((s: SparkSession, d: String) => txtLmFamiliarity(s, d)),
     "q_txt_lm_familiarity_hashed" ->
       ((s: SparkSession, d: String) => txtLmFamiliarity(s, d, hashKeys = true)),
@@ -907,5 +966,39 @@ object TextQueries {
            |  CASE WHEN score >= $classifierThreshold THEN 'keep'
            |       ELSE 'drop' END AS label
            |FROM s""".stripMargin
+      })
+      + ("q_txt_novelty" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+          |  FROM t WHERE len(toks) >= 5),
+          |g AS (SELECT doc_id, array_to_string(
+          |    toks[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)], ' ') AS gram
+          |  FROM g0),
+          |fw AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+          |j AS (SELECT g.doc_id,
+          |    CASE WHEN g.doc_id = fw.first_doc THEN 1 ELSE 0 END AS novel
+          |  FROM g JOIN fw USING (gram))
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          |  CAST(SUM(novel) AS BIGINT) AS n_novel,
+          |  CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+          |FROM j GROUP BY doc_id""".stripMargin)
+      + ("q_txt_classifier_eval" -> {
+        val wl = classifierWeights.mkString("[", ",", "]")
+        s"""WITH w AS (SELECT $wl AS wl),
+           |s AS (SELECT doc_id, string_split(text, ' ') AS toks,
+           |    list_sum(list_transform(string_split(text, ' '), t ->
+           |      wl[CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 4096
+           |           AS INTEGER) + 1])) AS score
+           |  FROM documents, w),
+           |j AS (SELECT doc_id, CAST(score AS BIGINT) AS score,
+           |    CASE WHEN score >= $classifierThreshold THEN 'keep'
+           |         ELSE 'drop' END AS label,
+           |    (100 * len(list_filter(toks,
+           |        x -> x IN ('the','a','of','to','and','in')))
+           |      <= 6 * len(toks)) AS truth_keep
+           |  FROM s)
+           |SELECT label, truth_keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  MIN(score) AS min_score, MAX(score) AS max_score
+           |FROM j GROUP BY label, truth_keep""".stripMargin
       }))
 }

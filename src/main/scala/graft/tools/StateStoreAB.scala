@@ -43,13 +43,19 @@ object StateStoreAB {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // sparse: batch 0 loads the full key space (state build), later
+    // batches touch 1% — the long-lived-query shape where incremental
+    // checkpointing should shine; dense: every batch rewrites every key.
+    val sparse = sys.env.get("SPARK_GRAFT_SSAB_SPARSE").contains("true")
+
     def run(nKeys: Int, provider: String, changelog: Boolean): Double = {
       val root = Files.createTempDirectory("graft_ssab").toString
-      // Fixture: `batches` single-file parquet dirs, each covering the
-      // full key space (worst-case per-commit update width).
       (0 until batches).foreach { b =>
-        spark.range(nKeys.toLong)
-          .select(col("id").as("k"), lit(b).as("v"))
+        val width = if (sparse && b > 0) math.max(1L, nKeys / 100L)
+          else nKeys.toLong
+        spark.range(width)
+          .select((col("id") * (if (sparse && b > 0) 97L else 1L) % nKeys)
+            .as("k"), lit(b).as("v"))
           .coalesce(1)
           .write.parquet(s"$root/in/b$b")
       }

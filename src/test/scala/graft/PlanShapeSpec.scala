@@ -48,6 +48,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR: one bucket-stats exchange, one bounded totals window, one " +
+      "per-doc aggregation; score table broadcasts back") {
+    val (sh, bc) = exchanges("q_select_dsir")
+    // Shuffle 1: the 1024-bucket stats groupBy (map-side combined);
+    // shuffle 2: the single-partition totals window (B rows, bounded);
+    // shuffle 3: the per-doc score aggregation; the global top-k is a
+    // TakeOrderedAndProject (no Exchange node). The score table must
+    // BROADCAST back — a fourth shuffle means either the corpus is being
+    // exchanged to meet the B-row score table, or the gram-explode
+    // subtree got duplicated into a second plan branch (the
+    // scalar-crossJoin totals shape this operator was refactored away
+    // from: it doubled the corpus scan).
+    assert(sh == 3, s"q_select_dsir expected 3 shuffles, got $sh")
+    assert(bc == 1, s"q_select_dsir expected 1 broadcast, got $bc")
+  }
+
   test("ANN queries broadcast queries and never shuffle the corpus scan") {
     for (q <- Seq("q_sim_cosine_topk", "q_sim_knn_label")) {
       val (sh, bc) = exchanges(q)
