@@ -542,6 +542,170 @@ object TextQueries {
         col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
 
+  private val bpeMerges = 8
+  private val bpeSep = "\u0001" // control char - never occurs in corpus text
+
+  /** q_txt_bpe_train: distributed BPE merge learning — the tokenizer-
+    * TRAINING half of the token-counting story (Sennrich et al. 2016):
+    * start from characters, repeatedly find the most frequent adjacent
+    * symbol pair (weighted by word frequency, ties broken by pair order)
+    * and fuse it, emitting the first `nMerges` learned merges with their
+    * frequencies.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB at all:
+    * training operates on the WORD-FREQUENCY DICTIONARY, not the corpus.
+    * The corpus contributes exactly one map-side-combined groupBy (word →
+    * count), eagerly localCheckpointed (bounded: the vocabulary), and
+    * every merge round is a vocabulary-scale pair aggregation + a 1-row
+    * TakeOrdered argmax (the only driver traffic: one (pair, freq) row
+    * per round). A production 32k-merge train iterates the same
+    * vocab-resident loop; the corpus is never touched again. Symbols are
+    * kept as a control-char-delimited string and a merge is ONE literal
+    * `replace` per round — left-to-right non-overlapping in both engines,
+    * which IS the greedy BPE application order, so the DuckDB oracle
+    * (the same rounds unrolled as CTE blocks, the argmax row cross-joined
+    * back) replays the training bit-for-bit. */
+  def txtBpeTrain(s: SparkSession, dir: String,
+                  nMerges: Int = bpeMerges): DataFrame = {
+    val d = bpeSep
+    // Word-frequency dictionary: the single corpus-scale pass.
+    val words0 = table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(d),
+        regexp_replace(col("word"), "(.)", "$1" + d)).as("w"), col("freq"))
+      .localCheckpoint(true) // bounded (vocabulary), read 8x below
+    var words = words0
+    val merges = (1 to nMerges).map { rank =>
+      val pairs = words
+        .select(org.apache.spark.sql.functions.filter(
+            split(col("w"), java.util.regex.Pattern.quote(d)),
+            x => x =!= "").as("syms"),
+          col("freq"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("f"))
+      // 1-row argmax per round — the only collect, bounded by design.
+      val top = pairs.orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (l, r, f) = (top.getString(0), top.getString(1), top.getLong(2))
+      words = words.withColumn("w",
+        org.apache.spark.sql.functions.replace(col("w"),
+          lit(d + l + d + r + d), lit(d + l + r + d)))
+      (rank, l, r, f)
+    }
+    import s.implicits._
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("pair_freq"))
+  }
+
+  /** q_txt_bpe_apply: the OTHER half of the tokenizer lifecycle — apply
+    * the learned merge table to the corpus and report each document's
+    * BPE token count next to its whitespace count (the compression-ratio
+    * view that decides whether a tokenizer fits a corpus). Train runs
+    * once ([[txtBpeTrain]]'s vocab-resident loop) and the k merges
+    * arrive as LITERALS in a pure scan-side projection — per word:
+    * delimit characters, k chained literal `replace`s in rank order
+    * (greedy left-to-right = BPE application), count surviving symbols.
+    * Zero joins, zero extra shuffles beyond the per-doc aggregation; at
+    * 100 TB this is exactly how a trained tokenizer deploys (the merge
+    * table ships with the job, the corpus is one pass). */
+  def txtBpeApply(s: SparkSession, dir: String,
+                  nMerges: Int = bpeMerges): DataFrame = {
+    val d = bpeSep
+    val merges = txtBpeTrain(s, dir, nMerges)
+      .orderBy("merge_rank").collect() // k rows — the trained artifact
+      .map(r => (r.getString(1), r.getString(2)))
+    val delimited = concat(lit(d),
+      regexp_replace(col("word"), "(.)", "$1" + d))
+    val applied = merges.foldLeft(delimited) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(d + l + d + r + d), lit(d + l + r + d))
+    }
+    // symbols = delimiters - 1 (string starts and ends with one)
+    val nSyms = (length(applied) -
+      length(org.apache.spark.sql.functions.replace(applied, lit(d)))) - 1
+    table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), nSyms.as("n_syms"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_bpe_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+  }
+
+  /** Shared CTE body replaying [[txtBpeTrain]]'s rounds: `w0` word freqs,
+    * `d0` delimited symbols, and per round k the pair counts `p\$k`, the
+    * argmax `m\$k`, and the post-merge dictionary `d\$k`. */
+  private def bpeTrainCtes: String = {
+    val rounds = (1 to bpeMerges).map { k =>
+      val prev = s"d${k - 1}"
+      s"""s$k AS (SELECT list_filter(string_split(w, chr(1)), x -> x <> '') AS syms,
+         |    freq FROM $prev),
+         |e$k AS (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+         |  FROM s$k WHERE len(syms) >= 2),
+         |p$k AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+         |    syms[CAST(i AS INTEGER) + 1] AS r,
+         |    CAST(SUM(freq) AS BIGINT) AS f
+         |  FROM e$k GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, f FROM p$k ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |d$k AS (SELECT replace(w, chr(1) || m$k.l || chr(1) || m$k.r || chr(1),
+         |    chr(1) || m$k.l || m$k.r || chr(1)) AS w, freq
+         |  FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |d0 AS (SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS w,
+       |    freq FROM w0),
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[txtBpeTrain]]: the merge rounds unrolled as CTE
+    * blocks; each round's argmax row cross-joins back into the next
+    * round's `replace`. */
+  private def bpeOracle: String = {
+    val out = (1 to bpeMerges).map(k =>
+      s"SELECT $k AS merge_rank, l AS left_sym, r AS right_sym, " +
+        s"f AS pair_freq FROM m$k").mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
+       |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym,
+       |  right_sym, pair_freq FROM ($out)""".stripMargin
+  }
+
+  /** DuckDB twin of [[txtBpeApply]]: replay the train rounds, then apply
+    * each round's argmax merge to the per-document word stream and count
+    * surviving symbols via delimiter arithmetic. */
+  private def bpeApplyOracle: String = {
+    val applyRounds = (1 to bpeMerges).map { k =>
+      val prev = s"a${k - 1}"
+      s"""a$k AS (SELECT doc_id,
+         |    replace(w, chr(1) || m$k.l || chr(1) || m$k.r || chr(1),
+         |      chr(1) || m$k.l || m$k.r || chr(1)) AS w
+         |  FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |a0 AS (SELECT doc_id,
+       |    chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> ''),
+       |$applyRounds,
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(length(w) - length(replace(w, chr(1), '')) - 1) AS BIGINT)
+       |      AS n_bpe_tokens
+       |  FROM a$bpeMerges GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS compression
+       |FROM agg""".stripMargin
+  }
+
   /** q_txt_classifier: hashed-feature LINEAR quality classifier — the
     * fastText-shaped "model-based filter" stage of a curation pipeline
     * (CCNet / Gopher-style), expressed as what it is at 100 TB: a pure
@@ -677,6 +841,8 @@ object TextQueries {
     "q_txt_classifier_trained" -> (txtClassifierTrained _),
     "q_txt_classifier_eval" -> (txtClassifierEval _),
     "q_txt_novelty" -> ((s: SparkSession, d: String) => txtNovelty(s, d)),
+    "q_txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
+    "q_txt_bpe_apply" -> ((s: SparkSession, d: String) => txtBpeApply(s, d)),
     "q_txt_lm_familiarity" -> ((s: SparkSession, d: String) => txtLmFamiliarity(s, d)),
     "q_txt_lm_familiarity_hashed" ->
       ((s: SparkSession, d: String) => txtLmFamiliarity(s, d, hashKeys = true)),
@@ -967,6 +1133,8 @@ object TextQueries {
            |       ELSE 'drop' END AS label
            |FROM s""".stripMargin
       })
+      + ("q_txt_bpe_train" -> bpeOracle)
+      + ("q_txt_bpe_apply" -> bpeApplyOracle)
       + ("q_txt_novelty" ->
         """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
