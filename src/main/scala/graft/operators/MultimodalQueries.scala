@@ -211,7 +211,86 @@ object MultimodalQueries {
         col("out_height").cast(StringType)).cast(BinaryType), 256))
   }
 
+  /** 56-bit difference hash over a decoded raster: exact integer 9×7
+    * grid (box x∈[⌊i·w/9⌋,⌊(i+1)·w/9⌋), y likewise over 7 rows — no
+    * interpolation, so both engines can reproduce the boxes exactly),
+    * per-box sample sums, and bit (j·8+i) set iff box i's mean exceeds
+    * box i+1's in row j — compared by INTEGER cross-multiplication, so
+    * no division ever happens. 56 bits (not dHash's usual 64) keeps
+    * every shift below the sign bit, where the two engines' BIGINT
+    * overflow semantics diverge. Sums fit long: ≤255·307·307·3 ≈ 7.2e7
+    * per box, cross-products ≤ 2.2e13. */
+  private def dHash56(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bands = img.getColorModel.getNumComponents
+    val raster = img.getRaster
+    val x0 = Array.tabulate(10)(i => i * w / 9)
+    val y0 = Array.tabulate(8)(j => j * h / 7)
+    var hash = 0L
+    var j = 0
+    while (j < 7) {
+      val sums = new Array[Long](9)
+      val cnts = new Array[Long](9)
+      var i = 0
+      while (i < 9) {
+        var s = 0L
+        var x = x0(i)
+        while (x < x0(i + 1)) {
+          var y = y0(j)
+          while (y < y0(j + 1)) {
+            var k = 0
+            while (k < bands) { s += raster.getSample(x, y, k); k += 1 }
+            y += 1
+          }
+          x += 1
+        }
+        sums(i) = s
+        cnts(i) = (x0(i + 1) - x0(i)).toLong * (y0(j + 1) - y0(j)) * bands
+        i += 1
+      }
+      i = 0
+      while (i < 8) {
+        if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+          hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** q_mm_phash_dedup: PERCEPTUAL image dedup — group by difference hash
+    * of the decoded pixels, the content-level screen byte-sha dedup
+    * (q_mm_dedup) structurally misses: re-encoded, resized, or
+    * differently-channeled copies of the same picture share a phash while
+    * no two bytes match. Real pixel work on the Spark side (the same
+    * mapPartitions decode as q_mm_decode_features, then the integer
+    * 9×7-grid dHash); the DuckDB oracle derives each fixture image's hash
+    * in closed form from the generator (two vertical bands ⇒ the y grid
+    * cancels out of every mean comparison and all 7 rows repeat one byte
+    * — rowbits · 0x01010101010101), so a wrong decode OR a wrong grid
+    * mismatches immediately. The fixture proves the invariance claim:
+    * images of different sizes and channel counts land in the same
+    * group whenever their band structure agrees. Scale shape: decode
+    * runs where the bytes are (no shuffle), grouping is one
+    * map-side-combined exchange on the 8-byte hash. */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(pngFixture(s, dir))
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("phash", LongType)))
+    val rows = src.rdd.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      Row(r.getAs[Long]("doc_id"), dHash56(img))
+    })
+    s.createDataFrame(rows, hashSchema)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
@@ -219,6 +298,32 @@ object MultimodalQueries {
     "q_mm_dedup" -> (mmDedup _))
 
   val oracles: Map[String, String] = Map(
+    // Closed-form dHash-56 of the generator's two-band rasters: the y
+    // grid cancels from every cross-multiplied mean comparison (columns
+    // are y-uniform), all 7 rows repeat one byte, and channel count
+    // divides out — so the hash is a pure integer function of
+    // (width, a, b). The Spark leg must recover it from real pixels.
+    "q_mm_phash_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    8 + 2 * (doc_id % 150) AS w,
+        |    (8 + 2 * (doc_id % 150)) // 2 AS hw,
+        |    doc_id % 256 AS a, (doc_id * 7 + 31) % 256 AS b
+        |  FROM documents),
+        |bx AS (SELECT doc_id, a, b, hw, i.range AS i,
+        |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
+        |  FROM p CROSS JOIN range(0, 9) i),
+        |bs AS (SELECT doc_id, i, x1 - x0 AS cx,
+        |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
+        |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
+        |  FROM bx),
+        |bits AS (SELECT l.doc_id,
+        |    CASE WHEN l.rs * r.cx > r.rs * l.cx THEN 1 << l.i ELSE 0 END AS bv
+        |  FROM bs l JOIN bs r ON l.doc_id = r.doc_id AND r.i = l.i + 1),
+        |ph AS (SELECT doc_id, CAST(SUM(bv) AS BIGINT) * 282578800148737 AS phash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  MIN(doc_id) AS canonical_doc_id
+        |FROM ph GROUP BY phash""".stripMargin,
     "q_mm_dedup" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS sha256,
         |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
