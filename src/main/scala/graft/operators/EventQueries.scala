@@ -34,6 +34,45 @@ object EventQueries {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
 
+  /** q_events_anomaly: robust volume-anomaly flags over the hourly series —
+    * per event_type, the median and MAD (median absolute deviation) of
+    * hourly event counts, each picked by EXACT integer rank selection
+    * (row_number == (n+1) div 2, the same convention-free lower-median
+    * pick as q_txt_quantiles — interpolating percentile functions differ
+    * across engines), and an hour flagged when |count − median| > 4·MAD.
+    * All quantities are exact integers, so both engines agree bit-for-bit
+    * (a MAD of 0 — over half the hours identical — flags ANY deviation,
+    * the standard hypersensitivity of MAD on discrete series; real
+    * deployments fall back to a floor, which would be one `greatest`).
+    * The monitoring pass that catches a broken feed or a bot flood from
+    * volume alone. Scale shape: the corpus pays only the hourly groupBy
+    * (map-side combined); both medians are windows over the HOURLY series
+    * (rows = hours × types, tiny forever), sharing one event_type
+    * exchange. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val hourly = events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    hourly
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("n_events"), col("hour_epoch"))))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .withColumn("median_events",
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_events")))
+          .over(byType))
+      .withColumn("adev", abs(col("n_events") - col("median_events")))
+      .withColumn("rn2", row_number().over(
+        byType.orderBy(col("adev"), col("hour_epoch"))))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(cnt + 1) div 2"), col("adev")))
+          .over(byType))
+      .withColumn("is_anomaly", col("adev") > lit(4) * col("mad"))
+      .select("hour_epoch", "event_type", "n_events", "median_events",
+        "mad", "is_anomaly")
+  }
+
   /** Sessionization: a new session starts after a >30-minute inactivity gap;
     * session ids via running sum of gap flags. One shuffle on user_id; at
     * 100 TB this is the standard sessionize shape (skew-safe because the
@@ -193,6 +232,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_rolling" -> (eventsRolling _),
     "q_events_hourly" -> (eventsHourly _),
+    "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json_extract" -> (eventsJsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
@@ -214,6 +254,26 @@ object EventQueries {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_anomaly" ->
+      """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n_events, hour_epoch) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+        |m1 AS (SELECT *,
+        |    MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_events END)
+        |      OVER (PARTITION BY event_type) AS median_events FROM r1),
+        |a1 AS (SELECT *, ABS(n_events - median_events) AS adev FROM m1),
+        |r2 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY adev, hour_epoch) AS rn2 FROM a1),
+        |m2 AS (SELECT *,
+        |    MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN adev END)
+        |      OVER (PARTITION BY event_type) AS mad FROM r2)
+        |SELECT hour_epoch, event_type, n_events, median_events, mad,
+        |  (adev > 4 * mad) AS is_anomaly FROM m2""".stripMargin,
     "q_events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
