@@ -289,7 +289,149 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Hamming-tolerance perceptual NEAR-dup (banded phash)
+  // -------------------------------------------------------------------
+
+  /** Tones of grid row `j` for image (`id`, `variant`): the base image
+    * (variant 0) paints row j with (a_j, b_j); the near-variant twin
+    * (variant 1, emitted for id % 3 == 0) SWAPS the tones in exactly one
+    * grid row j0 = id % 7 — which flips exactly the dHash bits of that
+    * row whose mean comparison is tone-order-sensitive (1-2 bits when
+    * a_j0 ≠ b_j0, 0 when equal), the "slightly re-compressed copy" whose
+    * phash differs by a bit or two that exact-equality grouping misses. */
+  private def bandTones(id: Long, variant: Int, j: Int): (Int, Int) = {
+    val a = ((id + 11 * j) % 256).toInt
+    val b = ((id * 7 + 31 + 17 * j) % 256).toInt
+    if (variant == 1 && j == (id % 7).toInt) (b, a) else (a, b)
+  }
+
+  /** Per-grid-row two-band raster: width as [[encodePng]], height a
+    * MULTIPLE OF 7 (h = 7·(3 + id % 40)) so the dHash's 7-row grid aligns
+    * exactly with the painted rows and each grid row sees one uniform
+    * (left-tone, right-tone) pair — keeping the 56-bit hash closed-form
+    * in (id, variant) row by row, richer than [[encodePng]]'s single
+    * repeated row byte. */
+  private def encodePngBanded(id: Long, variant: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = 8 + 2 * (id % 150).toInt
+    val m = 3 + (id % 40).toInt
+    val h = 7 * m
+    val gray = id % 2 == 0
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    val bands = if (gray) 1 else 3
+    var j = 0
+    while (j < 7) {
+      val (a, b) = bandTones(id, variant, j)
+      var y = j * m
+      while (y < (j + 1) * m) {
+        var x = 0
+        while (x < w) {
+          val v = if (x < w / 2) a else b
+          var k = 0
+          while (k < bands) { raster.setSample(x, y, k, v); k += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      j += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Row-banded PNG fixture for the near-dup gate: one base image per
+    * document (img_id = 2·doc_id) plus a 1-2-bit perturbed near-variant
+    * twin (img_id = 2·doc_id + 1) for every third document — the seeded
+    * near-pairs the banded search must recover. Distributed encode, same
+    * read-only memoization contract as [[pngFixture]]. */
+  private[operators] def pngNearFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_pngnear_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getLong(0)
+        val base = Row(id * 2, encodePngBanded(id, 0))
+        if (id % 3 == 0) Iterator(base, Row(id * 2 + 1, encodePngBanded(id, 1)))
+        else Iterator(base)
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("img_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/png")
+    }
+    s"$root/png"
+  }
+
+  /** Decoded 56-bit dHash per fixture image — real `javax.imageio` decode
+    * where the bytes are (no shuffle), shared by the gate and its spec. */
+  private[graft] def phashFrame(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(pngNearFixture(s, dir))
+    val hashSchema = StructType(Seq(
+      StructField("img_id", LongType),
+      StructField("phash", LongType)))
+    val rows = src.rdd.mapPartitions(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      Row(r.getAs[Long]("img_id"), dHash56(img))
+    })
+    s.createDataFrame(rows, hashSchema)
+  }
+
+  /** q_mm_phash_neardup: Hamming-TOLERANT perceptual near-dup — the pass
+    * [[mmPhashDedup]]'s exact-equality grouping structurally misses:
+    * a re-compressed or slightly retouched copy flips 1-2 dHash bits and
+    * lands in a different exact group. Same banding idea as
+    * `Sketches.simhashPairs`, applied to the image hash space:
+    *  1. COLLAPSE — group images by exact phash first (min img_id
+    *     canonical, copy count). This is the cardinality guard: the
+    *     candidate join below runs over DISTINCT hashes, never images,
+    *     so a viral image with 10⁶ byte-distinct copies costs one group
+    *     row, not 10¹² candidate pairs.
+    *  2. BAND — split the 56-bit hash into seven 8-bit bands (one per
+    *     dHash grid row); by pigeonhole any pair within Hamming ≤ 6
+    *     agrees exactly on ≥ 1 band, so band-equality candidate
+    *     generation is LOSSLESS for the default tolerance.
+    *  3. VERIFY — exact Hamming distance (bit_count of xor) ≤
+    *     `maxHamming` over the candidates.
+    * Output: one row per near-pair of exact-phash GROUPS (canonical ids,
+    * Hamming distance, group sizes) — hamming ≥ 1 by construction, i.e.
+    * every emitted row is a merge that exact grouping missed. The fixture
+    * seeds such pairs deterministically (see [[bandTones]]); the DuckDB
+    * oracle derives every image's hash in closed form from the generator
+    * and replays banding + Hamming, so a wrong decode, grid, band split,
+    * or distance all mismatch. Scale shape: decode where the bytes are,
+    * one map-side-combined exchange on the 8-byte hash, then a
+    * distinct-hash-sized band self-join (both sides read the same
+    * aggregate exchange — ReusedExchange, the one decode pass). */
+  def mmPhashNeardup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 6,
+      s"7-band pigeonhole guarantees candidates only up to Hamming 6; got $maxHamming")
+    val grp = phashFrame(s, dir)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon"))
+    val banded = grp.select(col("phash"), col("canon"), col("n_copies"),
+      posexplode(expr("transform(sequence(0, 6), b -> (phash >> (b * 8)) & 255)"))
+        .as(Seq("band", "chunk")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"),
+        col("a.canon").as("canon_a"), col("b.canon").as("canon_b"),
+        col("a.n_copies").as("n_a"), col("b.n_copies").as("n_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("canon_a"), col("canon_b"), col("hamming"),
+        col("n_a"), col("n_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
@@ -298,6 +440,58 @@ object MultimodalQueries {
     "q_mm_dedup" -> (mmDedup _))
 
   val oracles: Map[String, String] = Map(
+    // Closed-form dHash-56 of the ROW-BANDED fixture ([[encodePngBanded]]):
+    // grid rows align with painted rows (h = 7·m), so row j's bits follow
+    // the same cross-multiplied two-tone comparison as q_mm_phash_dedup
+    // but with per-(image, row) tones — including the near-variant's one
+    // swapped row. The oracle then replays the collapse → 7×8-bit band →
+    // exact-Hamming pipeline; the Spark leg must recover every hash from
+    // real decoded pixels for the pair set to match.
+    "q_mm_phash_neardup" ->
+      """WITH p AS (SELECT doc_id, 8 + 2 * (doc_id % 150) AS w,
+        |    (8 + 2 * (doc_id % 150)) // 2 AS hw
+        |  FROM documents),
+        |imgs AS (
+        |  SELECT doc_id, w, hw, 0 AS variant, doc_id * 2 AS img_id FROM p
+        |  UNION ALL
+        |  SELECT doc_id, w, hw, 1 AS variant, doc_id * 2 + 1 AS img_id
+        |  FROM p WHERE doc_id % 3 = 0),
+        |rws AS (SELECT img_id, w, hw, j.range AS j,
+        |    CASE WHEN variant = 1 AND j.range = doc_id % 7
+        |         THEN (doc_id * 7 + 31 + 17 * j.range) % 256
+        |         ELSE (doc_id + 11 * j.range) % 256 END AS a,
+        |    CASE WHEN variant = 1 AND j.range = doc_id % 7
+        |         THEN (doc_id + 11 * j.range) % 256
+        |         ELSE (doc_id * 7 + 31 + 17 * j.range) % 256 END AS b
+        |  FROM imgs CROSS JOIN range(0, 7) j),
+        |bx AS (SELECT img_id, j, a, b, hw, i.range AS i,
+        |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
+        |  FROM rws CROSS JOIN range(0, 9) i),
+        |bs AS (SELECT img_id, j, i, x1 - x0 AS cx,
+        |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
+        |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
+        |  FROM bx),
+        |bits AS (SELECT l.img_id,
+        |    CASE WHEN l.rs * r.cx > r.rs * l.cx
+        |         THEN 1::BIGINT << (l.j * 8 + l.i) ELSE 0 END AS bv
+        |  FROM bs l JOIN bs r
+        |    ON l.img_id = r.img_id AND l.j = r.j AND r.i = l.i + 1),
+        |ph AS (SELECT img_id, CAST(SUM(bv) AS BIGINT) AS phash
+        |  FROM bits GROUP BY img_id),
+        |grp AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |    MIN(img_id) AS canon
+        |  FROM ph GROUP BY phash),
+        |banded AS (SELECT phash, canon, n_copies, b.range AS band,
+        |    (phash >> CAST(b.range * 8 AS BIGINT)) & 255 AS chunk
+        |  FROM grp CROSS JOIN range(0, 7) b),
+        |cand AS (SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b,
+        |    a.canon AS canon_a, b.canon AS canon_b,
+        |    a.n_copies AS n_a, b.n_copies AS n_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.phash < b.phash)
+        |SELECT canon_a, canon_b,
+        |  CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming, n_a, n_b
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
     // Closed-form dHash-56 of the generator's two-band rasters: the y
     // grid cancels from every cross-multiplied mean comparison (columns
     // are y-uniform), all 7 rows repeat one byte, and channel count

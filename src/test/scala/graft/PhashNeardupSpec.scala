@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MultimodalQueries
+
+/** q_mm_phash_neardup semantics on sf0.001:
+  *  - the REAL decode recovers the fixture generator's closed-form
+  *    56-bit dHash for every (base, near-variant) image;
+  *  - the seeded near-variants differ from their base by 1-2 bits —
+  *    pairs exact-phash grouping provably misses (distinct hashes);
+  *  - the banded + Hamming-verified gate recovers every such pair.
+  */
+class PhashNeardupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Closed-form dHash-56 of the row-banded raster — the generator's own
+    * arithmetic (mirrors the DuckDB oracle CTEs, independent of the
+    * decode path under test). */
+  private def expectedHash(id: Long, variant: Int): Long = {
+    val w = 8 + 2 * (id % 150).toInt
+    val hw = w / 2
+    var hash = 0L
+    for (j <- 0 until 7) {
+      val j0 = (id % 7).toInt
+      val a0 = ((id + 11 * j) % 256).toInt
+      val b0 = ((id * 7 + 31 + 17 * j) % 256).toInt
+      val (a, b) = if (variant == 1 && j == j0) (b0, a0) else (a0, b0)
+      val x0 = Array.tabulate(10)(i => i * w / 9)
+      def rs(i: Int): Long = {
+        val cx = x0(i + 1) - x0(i)
+        val la = math.min(math.max(hw - x0(i), 0), cx)
+        a.toLong * la + b.toLong * (cx - la)
+      }
+      for (i <- 0 until 8) {
+        val cxl = (x0(i + 1) - x0(i)).toLong
+        val cxr = (x0(i + 2) - x0(i + 1)).toLong
+        if (rs(i) * cxr > rs(i + 1) * cxl) hash |= 1L << (j * 8 + i)
+      }
+    }
+    hash
+  }
+
+  private lazy val decoded: Map[Long, Long] =
+    MultimodalQueries.phashFrame(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private lazy val docIds: Seq[Long] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("real decode recovers the closed-form hash for every fixture image") {
+    assert(decoded.size == docIds.size + docIds.count(_ % 3 == 0))
+    docIds.foreach { d =>
+      assert(decoded(2 * d) == expectedHash(d, 0), s"base hash, doc $d")
+      if (d % 3 == 0)
+        assert(decoded(2 * d + 1) == expectedHash(d, 1), s"variant hash, doc $d")
+    }
+  }
+
+  test("banded near-dup recovers every seeded 1-2-bit pair exact grouping misses") {
+    val out = MultimodalQueries.mmPhashNeardup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("canon_a"), r.getAs[Long]("canon_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    // group canon per phash, as the gate computes it
+    val canonOf = decoded.toSeq.groupBy(_._2)
+      .map { case (ph, imgs) => ph -> imgs.map(_._1).min }
+    val seeded = docIds.filter(_ % 3 == 0).flatMap { d =>
+      val (hb, hv) = (decoded(2 * d), decoded(2 * d + 1))
+      val ham = java.lang.Long.bitCount(hb ^ hv)
+      if (ham == 0) None else Some((d, hb, hv, ham))
+    }
+    // the fixture genuinely seeds near pairs, and they flip only 1-2 bits
+    assert(seeded.nonEmpty, "fixture must contain perturbed near pairs")
+    seeded.foreach { case (d, _, _, ham) =>
+      assert(ham >= 1 && ham <= 2, s"doc $d variant flipped $ham bits")
+    }
+    // every seeded pair: distinct phash (exact grouping MISSES it) but
+    // present in the gate output as a near pair of its two groups
+    seeded.foreach { case (d, hb, hv, ham) =>
+      assert(hb != hv)
+      val key = if (hb < hv) (canonOf(hb), canonOf(hv)) else (canonOf(hv), canonOf(hb))
+      assert(out.contains(key), s"seeded near pair of doc $d missing from gate")
+      assert(out(key) == ham, s"hamming for doc $d")
+    }
+    // and the gate only ever emits merges exact grouping missed
+    assert(out.nonEmpty)
+    out.values.foreach(h => assert(h >= 1 && h <= 3))
+  }
+}
