@@ -49,12 +49,27 @@ object EventQueries {
     * (map-side combined); both medians are windows over the HOURLY series
     * (rows = hours × types, tiny forever), sharing one event_type
     * exchange. */
-  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy(col("event_type"))
-    val hourly = events(s, dir)
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyFlags(eventsHourlyCounts(s, dir), madFloor = 0L)
+      .select("hour_epoch", "event_type", "n_events", "median_events",
+        "mad", "is_anomaly")
+
+  /** The hourly (hour_epoch, event_type, n_events) series every anomaly
+    * variant starts from — the one corpus-scale exchange. */
+  private def eventsHourlyCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Core of [[eventsAnomaly]] over any hourly series: exact-integer
+    * median/MAD per event_type plus the `greatest(mad, madFloor)` MAD
+    * floor — the standard guard against MAD's hypersensitivity on
+    * discrete series (>half the hours identical ⇒ MAD = 0 ⇒ without a
+    * floor EVERY deviating hour flags, however small). `madFloor = 0` is
+    * a no-op (MAD ≥ 0), so the unfloored gate shares this code path. */
+  private[graft] def anomalyFlags(hourly: DataFrame, madFloor: Long): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
     hourly
       .withColumn("rn", row_number().over(
         byType.orderBy(col("n_events"), col("hour_epoch"))))
@@ -68,9 +83,37 @@ object EventQueries {
       .withColumn("mad",
         max(when(col("rn2") === expr("(cnt + 1) div 2"), col("adev")))
           .over(byType))
-      .withColumn("is_anomaly", col("adev") > lit(4) * col("mad"))
+      .withColumn("mad_eff", greatest(col("mad"), lit(madFloor)))
+      .withColumn("is_anomaly", col("adev") > lit(4) * col("mad_eff"))
+  }
+
+  /** q_events_anomaly_floor: [[eventsAnomaly]] with the MAD floor LIVE and
+    * a degenerate series in view. The real event feed never produces a
+    * MAD-0 type at gate scale, so the hourly series is augmented with a
+    * deterministic heartbeat type (`uptime_ping`: exactly 25 events every
+    * observed hour, except 26 in the last hour — a broken-clock blip — and
+    * 1000 in the first — a genuine flood). Its MAD is 0 by construction:
+    * unfloored, BOTH deviating hours flag (the blip is a false positive);
+    * with `greatest(mad, 2)` only the 40σ-equivalent flood survives —
+    * the floor's effect is hash-visible row by row. The heartbeat derives
+    * from the observed hour set alone (min/max via an unpartitioned window
+    * over the bounded hourly frame — hours × types rows, tiny forever, the
+    * DSIR stats-window precedent), so the DuckDB oracle replays it
+    * exactly; real types pay the floor too (their MAD ≥ 1 at this scale,
+    * so `greatest` only ever raises a 0). */
+  def eventsAnomalyFloor(s: SparkSession, dir: String, madFloor: Long = 2L): DataFrame = {
+    val wAll = Window.partitionBy() // bounded: the distinct observed hours
+    val heartbeat = eventsHourlyCounts(s, dir)
+      .select(col("hour_epoch")).distinct()
+      .withColumn("min_h", min("hour_epoch").over(wAll))
+      .withColumn("max_h", max("hour_epoch").over(wAll))
+      .select(col("hour_epoch"), lit("uptime_ping").as("event_type"),
+        when(col("hour_epoch") === col("min_h"), 1000L)
+          .when(col("hour_epoch") === col("max_h"), 26L)
+          .otherwise(25L).as("n_events"))
+    anomalyFlags(eventsHourlyCounts(s, dir).unionByName(heartbeat), madFloor)
       .select("hour_epoch", "event_type", "n_events", "median_events",
-        "mad", "is_anomaly")
+        "mad", "mad_eff", "is_anomaly")
   }
 
   /** Sessionization: a new session starts after a >30-minute inactivity gap;
@@ -233,6 +276,8 @@ object EventQueries {
     "q_events_rolling" -> (eventsRolling _),
     "q_events_hourly" -> (eventsHourly _),
     "q_events_anomaly" -> (eventsAnomaly _),
+    "q_events_anomaly_floor" ->
+      ((s: SparkSession, d: String) => eventsAnomalyFloor(s, d)),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_json_extract" -> (eventsJsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
@@ -254,6 +299,36 @@ object EventQueries {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_anomaly_floor" ->
+      """WITH h0 AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |hrs AS (SELECT DISTINCT hour_epoch,
+        |    MIN(hour_epoch) OVER () AS min_h, MAX(hour_epoch) OVER () AS max_h
+        |  FROM h0),
+        |h AS (SELECT * FROM h0
+        |  UNION ALL
+        |  SELECT hour_epoch, 'uptime_ping' AS event_type,
+        |    CASE WHEN hour_epoch = min_h THEN 1000
+        |         WHEN hour_epoch = max_h THEN 26 ELSE 25 END AS n_events
+        |  FROM hrs),
+        |r1 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n_events, hour_epoch) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+        |m1 AS (SELECT *,
+        |    MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_events END)
+        |      OVER (PARTITION BY event_type) AS median_events FROM r1),
+        |a1 AS (SELECT *, ABS(n_events - median_events) AS adev FROM m1),
+        |r2 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY adev, hour_epoch) AS rn2 FROM a1),
+        |m2 AS (SELECT *,
+        |    MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN adev END)
+        |      OVER (PARTITION BY event_type) AS mad FROM r2)
+        |SELECT hour_epoch, event_type, n_events, median_events, mad,
+        |  GREATEST(mad, 2) AS mad_eff,
+        |  (adev > 4 * GREATEST(mad, 2)) AS is_anomaly FROM m2""".stripMargin,
     "q_events_anomaly" ->
       """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |    event_type, CAST(COUNT(*) AS BIGINT) AS n_events
