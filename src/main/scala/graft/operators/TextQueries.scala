@@ -523,8 +523,9 @@ object TextQueries {
     * integers. Same two-exchange shape as the substring pass: scan-side
     * gram explode, gram-keyed groupBy (map-side combined), doc-keyed
     * aggregation; at 100 TB both gram legs shuffle xxhash64(gram) like
-    * q_dedup_substring_hashed, and the min-doc_id attribution becomes the
-    * incremental screen's "known grams" table when run batch-over-batch. */
+    * q_dedup_substring_hashed, and the min-doc_id attribution IS the
+    * incremental screen's "known grams" table when run batch-over-batch —
+    * realized as [[txtNoveltyIncremental]], gated equal to this leg. */
   def txtNovelty(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val grams = withTokens(table(s, dir, "documents"))
       .filter(size(col("toks")) >= k)
@@ -538,6 +539,58 @@ object TextQueries {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
           .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
+  /** q_txt_novelty_incremental: [[txtNovelty]] run BATCH-OVER-BATCH — the
+    * shape a production pipeline actually executes (daily ingest scored
+    * against the accumulated corpus), realized from the promise on the
+    * one-shot leg: the min-doc_id attribution IS the incremental screen's
+    * known-grams table.
+    *
+    * Batch 1 (doc_id ≤ the range midpoint — the ingestion cut is a pure
+    * function of the data) scores against itself and PRODUCES the
+    * known-grams table (gram → first writer); batch 2 scores each gram
+    * occurrence novel iff the gram is absent from the known table AND
+    * this doc is its first writer within the batch. Because batch ids
+    * all precede the delta's, the union of the two scorings equals the
+    * one-shot leg EXACTLY — which is the gate contract: the oracle is
+    * the ONE-SHOT novelty query, so the two-batch replay must reproduce
+    * it bit-for-bit (the q_stream_* replay-equals-batch discipline,
+    * batch-incremental form). Scale shape: one gram-keyed exchange
+    * pinned by an explicit repartition that all four consumers (two
+    * batch filters × score/known legs) reuse; production persists the
+    * known-grams table between runs keyed on xxhash64(gram) — 8-byte
+    * keys, the q_dedup_substring_hashed discipline — and each day pays
+    * only delta-sized scoring plus a delta-sized table merge. */
+  def txtNoveltyIncremental(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val grams0 = withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
+    // 1-row scalar aggregate, broadcast back — the bounded crossJoin idiom
+    val mid = grams0.agg(
+      ((min("doc_id") + max("doc_id")) / lit(2)).cast(LongType).as("mid"))
+    val g = grams0.crossJoin(broadcast(mid)).repartition(col("gram"))
+    val b1 = g.filter(col("doc_id") <= col("mid"))
+    val b2 = g.filter(col("doc_id") > col("mid"))
+    val known1 = b1.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    val out1 = b1.join(known1, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val first2 = b2.groupBy("gram").agg(min("doc_id").as("first2"))
+    val out2 = b2
+      .join(known1.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
+      .join(first2, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("known").isNull && col("doc_id") === col("first2"), 1L)
+          .otherwise(0L)).as("n_novel"))
+    out1.unionByName(out2)
       .withColumn("novelty",
         col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
@@ -558,11 +611,24 @@ object TextQueries {
     * count), eagerly localCheckpointed (bounded: the vocabulary), and
     * every merge round is a vocabulary-scale pair aggregation + a 1-row
     * TakeOrdered argmax (the only driver traffic: one (pair, freq) row
-    * per round). A production 32k-merge train iterates the same
-    * vocab-resident loop; the corpus is never touched again. Symbols are
-    * kept as a control-char-delimited string and a merge is ONE literal
-    * `replace` per round — left-to-right non-overlapping in both engines,
-    * which IS the greedy BPE application order, so the DuckDB oracle
+    * per round). A production 32k-merge train keeps the same one-corpus-
+    * pass IO shape but pays one Spark job pair of SCHEDULER latency per
+    * round — the standard finish is [[txtBpeTrainDriver]]'s driver-side
+    * loop over the collected dictionary (see SCALE.md for the crossover).
+    *
+    * Symbols are kept as a control-char-delimited string with DOUBLE
+    * `` boundaries, and a merge is ONE literal `replace` per
+    * round with the pattern `␁l␁␁r␁ → ␁lr␁`: each match consumes only
+    * the INNER delimiters of its two boundaries, so the next scan
+    * position still starts with the following symbol's full left
+    * boundary and left-to-right non-overlapping replace merges runs of a
+    * repeated pair exactly like canonical greedy BPE ('aaaa' + (a,a) →
+    * [aa,aa]). A single-delimiter encoding consumes the SHARED boundary
+    * and under-merges every other occurrence in a run ([aa,a,a]) — both
+    * engines would still agree, but frequencies and token counts would
+    * deviate from a reference (Sennrich/HF) tokenizer on repeated-symbol
+    * runs; `BpeCanonicalSpec` pins the canonical behavior against a
+    * plain list-based merge-and-skip re-derivation. The DuckDB oracle
     * (the same rounds unrolled as CTE blocks, the argmax row cross-joined
     * back) replays the training bit-for-bit. */
   def txtBpeTrain(s: SparkSession, dir: String,
@@ -573,8 +639,8 @@ object TextQueries {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(d),
-        regexp_replace(col("word"), "(.)", "$1" + d)).as("w"), col("freq"))
+      .select(concat(lit(d + d),
+        regexp_replace(col("word"), "(.)", "$1" + d + d)).as("w"), col("freq"))
       .localCheckpoint(true) // bounded (vocabulary), read 8x below
     var words = words0
     val merges = (1 to nMerges).map { rank =>
@@ -595,7 +661,72 @@ object TextQueries {
       val (l, r, f) = (top.getString(0), top.getString(1), top.getLong(2))
       words = words.withColumn("w",
         org.apache.spark.sql.functions.replace(col("w"),
-          lit(d + l + d + r + d), lit(d + l + r + d)))
+          lit(d + l + d + d + r + d), lit(d + l + r + d)))
+      (rank, l, r, f)
+    }
+    import s.implicits._
+    merges.toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("pair_freq"))
+  }
+
+  /** Canonical greedy application of ONE merge rule to a symbol sequence:
+    * left-to-right, merge-and-skip. Exactly one pass suffices — a merged
+    * token `l+r` can never re-form the same rule with its neighbors
+    * (`l+r ≠ l` and `l+r ≠ r` since both are non-empty), which is also
+    * why [[txtBpeTrain]]'s double-delimited literal `replace` computes
+    * the identical result (BpeCanonicalSpec pins the equivalence). */
+  private[graft] def mergePairOnce(syms: Array[String], l: String,
+                            r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** q_txt_bpe_train_driver: the PRODUCTION finish of the same train.
+    * [[txtBpeTrain]]'s vocab-resident loop has the right IO shape (one
+    * corpus pass) but pays a Spark job pair of scheduler latency PER
+    * MERGE ROUND — at a production 32k-merge train that is ~64k
+    * scheduler round-trips of pure latency on a vocabulary-sized
+    * problem. The standard shape (what single-machine BPE trainers do
+    * after the count pass) is: ONE corpus-scale map-side-combined
+    * word-frequency groupBy, collect the dictionary — bounded by the
+    * VOCABULARY, not the corpus; this is the one deliberate driver-sized
+    * collect, same contract as the IVF codebook — then run the classic
+    * merge loop driver-side at memory speed. Bit-identical to the
+    * distributed loop by construction (same argmax tie-break, canonical
+    * merge application on both paths — [[mergePairOnce]] vs the
+    * double-delimited replace); the gate pins that with the SAME DuckDB
+    * oracle as q_txt_bpe_train, and BpeCanonicalSpec asserts frame
+    * equality directly. SCALE.md records which shape wins where: driver
+    * finish for real merge counts, vocab-resident rounds only when the
+    * dictionary itself cannot sit on one machine. */
+  def txtBpeTrainDriver(s: SparkSession, dir: String,
+                        nMerges: Int = bpeMerges): DataFrame = {
+    val dict: Array[(Array[String], Long)] = table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .collect() // vocabulary-bounded — the documented driver finish
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var words = dict
+    val merges = (1 to nMerges).map { rank =>
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+      words = words.map { case (syms, fr) => (mergePairOnce(syms, l, r), fr) }
       (rank, l, r, f)
     }
     import s.implicits._
@@ -615,21 +746,36 @@ object TextQueries {
     * Zero joins, zero extra shuffles beyond the per-doc aggregation; at
     * 100 TB this is exactly how a trained tokenizer deploys (the merge
     * table ships with the job, the corpus is one pass). */
+  /** The collected k-row merge table per (sf dir, nMerges) — a trained
+    * ARTIFACT, cached for the JVM the way the IVF codebook and classifier
+    * weights are: [[txtBpeApply]] deploys a tokenizer, it does not
+    * re-train one, so invoking apply twice (spec suites, bench passes)
+    * must not re-run the 8-round training loop and its second corpus
+    * word-frequency shuffle. The TRAIN gate itself stays unmemoized —
+    * q_txt_bpe_train times a live train on every invocation (the
+    * bench-honesty contract; only the apply-side artifact is cached). */
+  private val bpeMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(String, String)]]()
+  private def trainedMerges(s: SparkSession, dir: String,
+                            nMerges: Int): Array[(String, String)] =
+    bpeMergeMemo.computeIfAbsent((dir, nMerges), _ =>
+      txtBpeTrain(s, dir, nMerges)
+        .orderBy("merge_rank").collect() // k rows — the trained artifact
+        .map(r => (r.getString(1), r.getString(2))))
+
   def txtBpeApply(s: SparkSession, dir: String,
                   nMerges: Int = bpeMerges): DataFrame = {
     val d = bpeSep
-    val merges = txtBpeTrain(s, dir, nMerges)
-      .orderBy("merge_rank").collect() // k rows — the trained artifact
-      .map(r => (r.getString(1), r.getString(2)))
-    val delimited = concat(lit(d),
-      regexp_replace(col("word"), "(.)", "$1" + d))
+    val merges = trainedMerges(s, dir, nMerges)
+    val delimited = concat(lit(d + d),
+      regexp_replace(col("word"), "(.)", "$1" + d + d))
     val applied = merges.foldLeft(delimited) { case (c, (l, r)) =>
       org.apache.spark.sql.functions.replace(c,
-        lit(d + l + d + r + d), lit(d + l + r + d))
+        lit(d + l + d + d + r + d), lit(d + l + r + d))
     }
-    // symbols = delimiters - 1 (string starts and ends with one)
-    val nSyms = (length(applied) -
-      length(org.apache.spark.sql.functions.replace(applied, lit(d)))) - 1
+    // symbols = delimiters/2 - 1 (double boundaries, incl. both ends)
+    val nSyms = shiftright(length(applied) -
+      length(org.apache.spark.sql.functions.replace(applied, lit(d))), 1) - 1
     table(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -655,14 +801,16 @@ object TextQueries {
          |    CAST(SUM(freq) AS BIGINT) AS f
          |  FROM e$k GROUP BY 1, 2),
          |m$k AS (SELECT l, r, f FROM p$k ORDER BY f DESC, l ASC, r ASC LIMIT 1),
-         |d$k AS (SELECT replace(w, chr(1) || m$k.l || chr(1) || m$k.r || chr(1),
+         |d$k AS (SELECT replace(w,
+         |    chr(1) || m$k.l || chr(1) || chr(1) || m$k.r || chr(1),
          |    chr(1) || m$k.l || m$k.r || chr(1)) AS w, freq
          |  FROM $prev, m$k)""".stripMargin
     }.mkString(",\n")
     s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word),
-       |d0 AS (SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS w,
+       |d0 AS (SELECT chr(1) || chr(1) ||
+       |    regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g') AS w,
        |    freq FROM w0),
        |$rounds""".stripMargin
   }
@@ -686,20 +834,21 @@ object TextQueries {
     val applyRounds = (1 to bpeMerges).map { k =>
       val prev = s"a${k - 1}"
       s"""a$k AS (SELECT doc_id,
-         |    replace(w, chr(1) || m$k.l || chr(1) || m$k.r || chr(1),
+         |    replace(w, chr(1) || m$k.l || chr(1) || chr(1) || m$k.r || chr(1),
          |      chr(1) || m$k.l || m$k.r || chr(1)) AS w
          |  FROM $prev, m$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH $bpeTrainCtes,
        |a0 AS (SELECT doc_id,
-       |    chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS w
+       |    chr(1) || chr(1) ||
+       |      regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g') AS w
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
        |        FROM documents)
        |  WHERE word <> ''),
        |$applyRounds,
        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |    CAST(SUM(length(w) - length(replace(w, chr(1), '')) - 1) AS BIGINT)
-       |      AS n_bpe_tokens
+       |    CAST(SUM((length(w) - length(replace(w, chr(1), ''))) // 2 - 1)
+       |      AS BIGINT) AS n_bpe_tokens
        |  FROM a$bpeMerges GROUP BY doc_id)
        |SELECT doc_id, n_words, n_bpe_tokens,
        |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS compression
@@ -841,7 +990,11 @@ object TextQueries {
     "q_txt_classifier_trained" -> (txtClassifierTrained _),
     "q_txt_classifier_eval" -> (txtClassifierEval _),
     "q_txt_novelty" -> ((s: SparkSession, d: String) => txtNovelty(s, d)),
+    "q_txt_novelty_incremental" ->
+      ((s: SparkSession, d: String) => txtNoveltyIncremental(s, d)),
     "q_txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
+    "q_txt_bpe_train_driver" ->
+      ((s: SparkSession, d: String) => txtBpeTrainDriver(s, d)),
     "q_txt_bpe_apply" -> ((s: SparkSession, d: String) => txtBpeApply(s, d)),
     "q_txt_lm_familiarity" -> ((s: SparkSession, d: String) => txtLmFamiliarity(s, d)),
     "q_txt_lm_familiarity_hashed" ->
@@ -906,6 +1059,22 @@ object TextQueries {
       |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
       |            THEN 1 ELSE 0 END) AS quality_score
       |  FROM c)""".stripMargin
+
+  private val noveltyOracle: String =
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+          |  FROM t WHERE len(toks) >= 5),
+          |g AS (SELECT doc_id, array_to_string(
+          |    toks[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)], ' ') AS gram
+          |  FROM g0),
+          |fw AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+          |j AS (SELECT g.doc_id,
+          |    CASE WHEN g.doc_id = fw.first_doc THEN 1 ELSE 0 END AS novel
+          |  FROM g JOIN fw USING (gram))
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          |  CAST(SUM(novel) AS BIGINT) AS n_novel,
+          |  CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+          |FROM j GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_txt_classifier" ->
@@ -1134,22 +1303,11 @@ object TextQueries {
            |FROM s""".stripMargin
       })
       + ("q_txt_bpe_train" -> bpeOracle)
+      + ("q_txt_bpe_train_driver" -> bpeOracle)
       + ("q_txt_bpe_apply" -> bpeApplyOracle)
-      + ("q_txt_novelty" ->
-        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-          |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
-          |  FROM t WHERE len(toks) >= 5),
-          |g AS (SELECT doc_id, array_to_string(
-          |    toks[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)], ' ') AS gram
-          |  FROM g0),
-          |fw AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
-          |j AS (SELECT g.doc_id,
-          |    CASE WHEN g.doc_id = fw.first_doc THEN 1 ELSE 0 END AS novel
-          |  FROM g JOIN fw USING (gram))
-          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-          |  CAST(SUM(novel) AS BIGINT) AS n_novel,
-          |  CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
-          |FROM j GROUP BY doc_id""".stripMargin)
+      + ("q_txt_novelty" -> noveltyOracle)
+      // the incremental gate's CONTRACT is replay-equals-one-shot: same oracle
+      + ("q_txt_novelty_incremental" -> noveltyOracle)
       + ("q_txt_classifier_eval" -> {
         val wl = classifierWeights.mkString("[", ",", "]")
         s"""WITH w AS (SELECT $wl AS wl),
