@@ -45,4 +45,18 @@ class NoveltySpec extends AnyFunSuite {
     val minId = want.keys.min
     assert(got(minId)._3 == 1.0)
   }
+
+  test("two-batch incremental replay equals the one-shot leg exactly") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    val oneShot = canon(TextQueries.txtNovelty(spark, dir))
+    val incr = canon(TextQueries.txtNoveltyIncremental(spark, dir))
+    assert(incr == oneShot)
+    // the ingestion cut genuinely splits the corpus (both batches score)
+    val ids = oneShot.keySet
+    val mid = (ids.min + ids.max) / 2
+    assert(ids.exists(_ <= mid) && ids.exists(_ > mid))
+  }
 }
