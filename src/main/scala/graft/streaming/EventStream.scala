@@ -230,6 +230,81 @@ object EventStream {
     * the session function runs (the earlier NoTimeout version had no
     * watermark and sessionized every event, at unbounded state cost);
     * batch execution is unaffected. */
+  /** [[sessionize]] on Spark 4's `transformWithState` — the state API a
+    * NEW deployment would build on (SPARK-49564: explicit typed state
+    * handles + first-class timers, replacing flatMapGroupsWithState's
+    * single state object + timeout conflation; requires the RocksDB
+    * state-store provider). Identical per-user gap logic and output; the
+    * behavioral twin the A/B gate (q_stream_sessionize_tws) hash-pins
+    * against the classic operator. State is one ValueState[SessionState]
+    * per user (O(1)); eviction is an explicit event-time timer at
+    * last-event + gap, re-armed per batch exactly like the classic
+    * `setTimeoutTimestamp` (delete-then-register: one live timer per
+    * key). Timers fire only when the watermark passes them, so the
+    * over-span-horizon replay contract carries over unchanged. */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Long = 30,
+                    horizon: String = "1 hour")
+                   (implicit spark: SparkSession): Dataset[SessionizedEvent] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    val withTs = events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapUs, gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[SessionizedEvent]])
+  }
+
+  /** The per-user session state machine as a `StatefulProcessor` — the
+    * explicit-handle form of [[sessionize]]'s closure. */
+  private final class SessionizeProcessor(gapUs: Long, gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventTs, SessionizedEvent] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, it: Iterator[EventTs],
+                                 timerValues: TimerValues): Iterator[SessionizedEvent] = {
+      // Micro-batch iterators are unordered within the group: sort by
+      // event time before applying the gap rule (same as the classic op).
+      val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = if (state.exists()) state.get() else SessionState(0L, Long.MinValue)
+      val out = batch.map { e =>
+        val newSession = st.sessionSeq == 0L || e.ts_us - st.lastTsUs > gapUs
+        st = SessionState(if (newSession) st.sessionSeq + 1 else st.sessionSeq,
+          e.ts_us)
+        SessionizedEvent(userId, e.event_id, st.sessionSeq)
+      }
+      state.update(st)
+      // One live eviction timer per key, re-armed each batch: delete the
+      // stale one, then arm at gap-close (strictly ahead of the watermark
+      // — the same contract setTimeoutTimestamp enforced).
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(st.lastTsUs / 1000L + gapMs,
+          timerValues.getCurrentWatermarkInMs + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionizedEvent] = {
+      // Idle past watermark + gap: nothing can join this session any
+      // more — drop the state, emit nothing.
+      state.clear()
+      Iterator.empty
+    }
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
                  horizon: String = "1 hour")
                 (implicit spark: SparkSession): Dataset[SessionizedEvent] = {

@@ -321,6 +321,37 @@ object StreamGates {
     }
   }
 
+  /** q_stream_sessionize_tws: the SAME 3-restart sessionize replay driven
+    * through Spark 4's `transformWithState`
+    * ([[EventStream.sessionizeTws]]) instead of flatMapGroupsWithState —
+    * the A/B that certifies the new-API port carries identical semantics
+    * through the state store (explicit ValueState + event-time timers vs
+    * GroupState + timeout). Same slices, same horizon, same oracle as
+    * q_stream_sessionize: the emitted set must hash-match the batch
+    * sessionization exactly. transformWithState requires the RocksDB
+    * state-store provider; it is set for the replay and restored after
+    * (the other replays keep exercising the default HDFS-map provider —
+    * SCALE.md's A/B records both). */
+  def streamSessionizeTws(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_sess_tws", dir) {
+        incoming =>
+          EventStream.sessionizeTws(incoming.as[EventStream.Event],
+            gapMinutes = 30, horizon = "175200 hours").toDF()
+      }
+    finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** q_stream_join: the STREAM-STREAM twin — EventStream.viewPurchaseJoin
     * (watermarked interval self-join of the event feed split into view and
     * purchase streams) replayed across TWO checkpointed AvailableNow
@@ -529,6 +560,7 @@ object StreamGates {
     "q_stream_hourly" -> (streamHourly _),
     "q_stream_attribution" -> (streamAttribution _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_sessionize_tws" -> (streamSessionizeTws _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_cdc_replica" -> (streamCdcReplica _),
@@ -549,6 +581,9 @@ object StreamGates {
     // Sessionization must land exactly where the batch gap-window lands —
     // session numbers carried through the state store and all.
     "q_stream_sessionize" ->
+      graft.operators.EventQueries.oracles("q_events_sessionize"),
+    // same contract, new state API: replay must equal batch sessionize
+    "q_stream_sessionize_tws" ->
       graft.operators.EventQueries.oracles("q_events_sessionize"),
     // Replication must land exactly where the source-of-truth table
     // landed, so the replica gate shares the lifecycle state oracle.
