@@ -416,9 +416,9 @@ object MixQueries {
     * scored bucket table broadcasts back (B rows, never the corpus); the
     * only wide shuffle keys on doc_id and is partial-aggregated. At a
     * real 100 TB corpus the bucket counts approach 2^47 and the smoothed
-    * products would overflow — production divides both counts by a
-    * common power of two first (the ratio is scale-invariant), which the
-    * fixture scale never needs. */
+    * products would overflow BIGINT — [[dsirBucketScores]] carries the
+    * live guard (uniform right-shift of all counts; ranking preserved,
+    * property-tested), a no-op at any scale where bits(nq) ≤ 30. */
   def selectDsir(s: SparkSession, dir: String, k: Int = dsirK): DataFrame = {
     val grams = table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
@@ -429,18 +429,8 @@ object MixQueries {
           "i -> array_join(slice(toks, i, 2), ' '))")).as("tok"))
       .withColumn("b", expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) " +
         s"AS BIGINT) % $dsirBuckets"))
-    val stats = grams.groupBy("b")
-      .agg(count(lit(1)).as("cq"), sum("is_t").as("ct"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy() // B rows total — bounded, never corpus-sized
-    val scored = stats
-      .withColumn("nq", sum("cq").over(wAll))
-      .withColumn("nt", sum("ct").over(wAll))
-      .withColumn("num", (col("ct") + 1) * (col("nq") + dsirBuckets))
-      .withColumn("den", (col("cq") + 1) * (col("nt") + dsirBuckets))
-      .withColumn("s",
-        expr(log2fpSql("num")) - expr(log2fpSql("den")))
-      .select("b", "s")
+    val scored = dsirBucketScores(grams.groupBy("b")
+      .agg(count(lit(1)).as("cq"), sum("is_t").as("ct")))
     grams.join(broadcast(scored), "b")
       .groupBy("doc_id")
       .agg(max("lang").as("lang"), max("source").as("source"),
@@ -449,6 +439,38 @@ object MixQueries {
         col("log_w_fp").cast("double") / col("n_feats").cast("double"))
       .orderBy(col("dsir_score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Smoothed importance-ratio score per bucket over a (b, cq, ct) stats
+    * frame — with the OVERFLOW GUARD live, not just documented: at a real
+    * 100 TB corpus the raw counts approach 2^47 and the smoothed products
+    * (ct+1)(nq+B) would silently wrap BIGINT (log2fp on a negative value
+    * returns garbage). All four counts are uniformly right-shifted by
+    * `sh = max(0, bits(nq) − 30)` BEFORE smoothing — nq bounds every
+    * other count, so both smoothed factors stay under 2^31 and the
+    * products under 2^62, at any corpus size. The ratio is
+    * scale-invariant up to the smoothing constants, so rescaled scores
+    * rank identically (MixDsirSpec property-tests ranking agreement
+    * against exact real-arithmetic scores on synthetic stats near 2^47);
+    * at gate scale bits(nq) ≤ 30 ⇒ sh = 0 and the formula is bit-for-bit
+    * the unguarded one the DuckDB oracle replays. Totals come from an
+    * unpartitioned window over the B-row stats frame (bounded, never
+    * corpus-sized — see [[selectDsir]]'s plan note). */
+  private[graft] def dsirBucketScores(stats: DataFrame): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy() // B rows total — bounded, never corpus-sized
+    stats
+      .withColumn("nq", sum("cq").over(wAll))
+      .withColumn("nt", sum("ct").over(wAll))
+      .withColumn("sh", greatest(lit(0),
+        expr("length(conv(CAST(nq AS STRING), 10, 2)) - 30")))
+      .withColumn("num",
+        expr(s"(shiftright(ct, sh) + 1) * (shiftright(nq, sh) + $dsirBuckets)"))
+      .withColumn("den",
+        expr(s"(shiftright(cq, sh) + 1) * (shiftright(nt, sh) + $dsirBuckets)"))
+      .withColumn("s",
+        expr(log2fpSql("num")) - expr(log2fpSql("den")))
+      .select("b", "s")
   }
 
   /** DuckDB twin of [[log2fpSql]]'s 16 squaring steps, unrolled as chained

@@ -55,4 +55,58 @@ class MixDsirSpec extends AnyFunSuite {
         r.getAs[Long]("log_w_fp").toDouble / r.getAs[Long]("n_feats").toDouble)
     }
   }
+
+  test("overflow guard: bucket stats near 2^47 score without wrap and " +
+      "rank exactly like exact real arithmetic") {
+    import spark.implicits._
+    // Synthetic stats with corpus totals ~2^47 per bucket group — the
+    // raw smoothed products would be ~2^95, far past BIGINT. Ratios are
+    // well separated (>1e-3 relative) so truncation (2^-16) and the
+    // rescale's smoothing perturbation cannot reorder them.
+    val rnd = new scala.util.Random(7)
+    val huge = (0 until 64).map { b =>
+      val cq = (1L << 45) + math.abs(rnd.nextLong()) % (1L << 46)
+      val frac = 0.05 + 0.9 * ((b * 37 % 64) / 64.0)  // distinct ratios
+      val ct = (cq * frac).toLong
+      (b.toLong, cq, ct)
+    }
+    val stats = huge.toDF("b", "cq", "ct")
+    val got = MixQueries.dsirBucketScores(stats).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    val nq = huge.map(_._2).sum  // may wrap? 64 * 2^46.5 ~ 2^52.5 — fine
+    val nt = huge.map(_._3).sum
+    val exact = huge.map { case (b, cq, ct) =>
+      b -> (math.log((ct + 1.0) * (nq + 1024.0)) -
+        math.log((cq + 1.0) * (nt + 1024.0)))
+    }.toMap
+    // no wrapped product: every fp score has a plausible magnitude
+    // (|log2 ratio| < 64 in fixed-point units)
+    got.values.foreach(s => assert(math.abs(s) < 64L * 65536L))
+    // identical ranking
+    val rankFp = got.toSeq.sortBy { case (b, s) => (s, b) }.map(_._1)
+    val rankEx = exact.toSeq.sortBy { case (b, s) => (s, b) }.map(_._1)
+    assert(rankFp == rankEx, "rescaled fixed-point ranking diverged")
+    // and at small counts the guard is a provable no-op (sh = 0): scores
+    // equal the unguarded formula computed directly
+    val small = Seq((0L, 100L, 40L), (1L, 900L, 20L), (2L, 5L, 5L))
+    val gotSmall = MixQueries.dsirBucketScores(small.toDF("b", "cq", "ct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (snq, snt) = (small.map(_._2).sum, small.map(_._3).sum)
+    def fp(n: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      var m = if (e <= 20) n << (20 - e) else n >> (e - 20)
+      var f = 0L
+      for (_ <- 1 to 16) {
+        val sq = m * m
+        if (sq >= (1L << 41)) { m = sq >> 21; f = f * 2 + 1 }
+        else { m = sq >> 20; f = f * 2 }
+      }
+      f + e.toLong * 65536L
+    }
+    small.foreach { case (b, cq, ct) =>
+      val want = fp((ct + 1) * (snq + 1024)) - fp((cq + 1) * (snt + 1024))
+      assert(gotSmall(b) == want, s"sh=0 bucket $b diverged from unguarded")
+    }
+  }
 }
