@@ -105,23 +105,34 @@ object DataQuality {
   /** Key-skew histogram for a prospective shuffle key: per-key row counts
     * bucketed by floor(log2(count)) — the exact integer exponent from the
     * binary-string length, the same transcendental-free idiom as
-    * MixQueries.log2fpSql — with key and row counts plus the bucket's
-    * heaviest key per bucket. The report that decides, BEFORE a 100 TB
-    * job runs, whether a groupBy/join on this key needs salting or AQE
-    * skew handling (a heavy tail = one straggler task per hot key) and
-    * what salt factor the top bucket implies. Cost: the per-key count is
-    * one map-side-combined aggregation — same exchange the audited
-    * shuffle itself would pay — and the histogram folds the key space
-    * down to ~60 rows. */
-  def skewReport(df: DataFrame, key: Column, label: String): DataFrame =
-    df.groupBy(key.as("k")).agg(count(lit(1)).as("n_rows"))
+    * MixQueries.log2fpSql — with key and row counts, the bucket's
+    * heaviest count, AND that hot key's IDENTITY (which is what the
+    * salting decision actually consumes: a salt factor needs the key to
+    * salt). The hot key is the arg-max resolved deterministically — max
+    * count, string-max key among ties — via a per-bucket window max that
+    * shares the final groupBy's partitioning (one Window + Aggregate over
+    * the same tiny keyed frame, no extra corpus exchange). The report
+    * that decides, BEFORE a 100 TB job runs, whether a groupBy/join on
+    * this key needs salting or AQE skew handling (a heavy tail = one
+    * straggler task per hot key) and what salt factor the top bucket
+    * implies. Cost: the per-key count is one map-side-combined
+    * aggregation — same exchange the audited shuffle itself would pay —
+    * and the histogram folds the key space down to ~60 rows. */
+  def skewReport(df: DataFrame, key: Column, label: String): DataFrame = {
+    val perKey = df.groupBy(key.as("k")).agg(count(lit(1)).as("n_rows"))
       .withColumn("log2_bucket",
         expr("CAST(length(conv(CAST(n_rows AS STRING), 10, 2)) - 1 AS INT)"))
+      .withColumn("k_str", col("k").cast("string"))
+    perKey
+      .withColumn("_max_n", max(col("n_rows")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("log2_bucket"))))
       .groupBy("log2_bucket")
       .agg(count(lit(1)).as("n_keys"), sum("n_rows").as("bucket_rows"),
-        max("n_rows").as("max_key_rows"))
+        max("n_rows").as("max_key_rows"),
+        max(when(col("n_rows") === col("_max_n"), col("k_str"))).as("hot_key"))
       .select(lit(label).as("audited_key"), col("log2_bucket"),
-        col("n_keys"), col("bucket_rows"), col("max_key_rows"))
+        col("n_keys"), col("bucket_rows"), col("max_key_rows"), col("hot_key"))
+  }
 
   /** q_dq_skew: [[skewReport]] over the event stream's two candidate
     * shuffle keys — user_id (the key every sessionize/retention/funnel
@@ -155,23 +166,30 @@ object DataQuality {
 
   val oracles: Map[String, String] = Map(
     "q_dq_skew" ->
-      """WITH ku AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      """WITH ku AS (SELECT CAST(user_id AS VARCHAR) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
         |  FROM events GROUP BY user_id),
-        |kt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
-        |  FROM events GROUP BY event_type)
-        |SELECT 'user_id' AS audited_key,
-        |  CAST(length(bin(n_rows)) - 1 AS INTEGER) AS log2_bucket,
+        |kt AS (SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY event_type),
+        |bu AS (SELECT k, n_rows,
+        |    CAST(length(bin(n_rows)) - 1 AS INTEGER) AS lb FROM ku),
+        |bt AS (SELECT k, n_rows,
+        |    CAST(length(bin(n_rows)) - 1 AS INTEGER) AS lb FROM kt),
+        |wu AS (SELECT *, MAX(n_rows) OVER (PARTITION BY lb) AS max_n FROM bu),
+        |wt AS (SELECT *, MAX(n_rows) OVER (PARTITION BY lb) AS max_n FROM bt)
+        |SELECT 'user_id' AS audited_key, lb AS log2_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
         |  CAST(SUM(n_rows) AS BIGINT) AS bucket_rows,
-        |  MAX(n_rows) AS max_key_rows
-        |FROM ku GROUP BY 2
+        |  MAX(n_rows) AS max_key_rows,
+        |  MAX(CASE WHEN n_rows = max_n THEN k END) AS hot_key
+        |FROM wu GROUP BY lb
         |UNION ALL
-        |SELECT 'event_type' AS audited_key,
-        |  CAST(length(bin(n_rows)) - 1 AS INTEGER) AS log2_bucket,
+        |SELECT 'event_type' AS audited_key, lb AS log2_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
         |  CAST(SUM(n_rows) AS BIGINT) AS bucket_rows,
-        |  MAX(n_rows) AS max_key_rows
-        |FROM kt GROUP BY 2""".stripMargin,
+        |  MAX(n_rows) AS max_key_rows,
+        |  MAX(CASE WHEN n_rows = max_n THEN k END) AS hot_key
+        |FROM wt GROUP BY lb""".stripMargin,
     "q_dq_integrity" -> Seq(
       fkEdgeSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       fkEdgeSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
