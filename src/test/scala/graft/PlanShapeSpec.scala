@@ -64,6 +64,63 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bc == 1, s"q_select_dsir expected 1 broadcast, got $bc")
   }
 
+  test("phash near-dup decodes once: the hash aggregate's exchange is " +
+      "REUSED by the band self-join, never recomputed") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_mm_phash_neardup")(spark, dir)
+        .queryExecution.executedPlan
+      val re = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
+      }.size
+      // Exactly one ReusedExchange: the right side of the band self-join
+      // reads the left's banded-aggregate shuffle output, so the
+      // mapPartitions image decode runs ONCE. Shuffle budget: the phash
+      // groupBy, the (band, chunk) join exchange, the pair distinct.
+      assert(re == 1, s"band self-join no longer reuses the decode exchange ($re)")
+      val sh = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(sh == 3, s"q_mm_phash_neardup expected 3 shuffles, got $sh")
+      // and exactly one scan of the image-hash RDD survives in the plan
+      assert(plan.toString.linesIterator.count(_.contains("Scan ExistingRDD")) == 1,
+        "decode RDD scanned more than once")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("incremental novelty consumes the PERSISTED known-grams table, " +
+      "not a live recompute of batch 1's attribution") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_txt_novelty_incremental")(spark, dir)
+        .queryExecution.executedPlan.toString
+      // the known table arrives as a parquet READ of the per-dir fixture
+      // (production: yesterday's table on disk) — both consumers (batch-1
+      // self-score, batch-2 screen) scan it
+      assert(plan.contains("memo_novelty_known_fix"),
+        "known-grams table no longer read from the persisted fixture")
+      assert(plan.linesIterator
+        .count(l => l.contains("FileScan parquet") &&
+          l.contains("memo_novelty_known_fix")) == 2,
+        "expected exactly 2 scans of the persisted known table")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("anomaly gates: all medians/MAD windows share one event_type " +
+      "exchange over the bounded hourly frame") {
+    // q_events_anomaly: shuffle 1 the corpus hourly groupBy, shuffle 2
+    // the event_type windows (rn/cnt/median/rn2/mad all one partition
+    // spec). The floor twin adds the heartbeat derivation: distinct
+    // observed hours (3) and the bounded min/max window over them (4);
+    // the flag windows still collapse into ONE event_type exchange.
+    val (sh1, _) = exchanges("q_events_anomaly")
+    assert(sh1 == 2, s"q_events_anomaly expected 2 shuffles, got $sh1")
+    val (sh2, _) = exchanges("q_events_anomaly_floor")
+    assert(sh2 == 4, s"q_events_anomaly_floor expected 4 shuffles, got $sh2")
+  }
+
   test("ANN queries broadcast queries and never shuffle the corpus scan") {
     for (q <- Seq("q_sim_cosine_topk", "q_sim_knn_label")) {
       val (sh, bc) = exchanges(q)
