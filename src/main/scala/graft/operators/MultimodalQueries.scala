@@ -290,6 +290,138 @@ object MultimodalQueries {
   }
 
   // -------------------------------------------------------------------
+  // Real audio decode (javax.sound.sampled WAV/PCM)
+  // -------------------------------------------------------------------
+
+  /** Deterministic 16-bit PCM WAV payload for `doc_id`: a two-level
+    * square wave — even half-periods at +A, odd at −B, half-period `h`
+    * samples, `n` frames at 8 kHz, mono for even ids and dual-mono
+    * stereo for odd — hand-assembled RIFF container (44-byte canonical
+    * header + little-endian samples), so every audio feature is
+    * CLOSED-FORM in doc_id: with q = n div h full half-periods and
+    * r = n mod h remainder samples, cntA = ⌈q/2⌉·h (+r if q even),
+    * peak = max(A,B), Σ|s| = c·(cntA·A + cntB·B), zero crossings =
+    * ⌊(n−1)/h⌋ (dual-mono interleaving adds none: L=R), energy =
+    * c·(cntA·A² + cntB·B²) — all exact integers. */
+  private def audioParams(id: Long): (Int, Int, Int, Int, Int) = {
+    val n = 256 + (id % 1000).toInt
+    val h = 2 + (id % 30).toInt
+    val a = 1000 + ((id * 13) % 20000).toInt
+    val b = 1000 + ((id * 7 + 500) % 20000).toInt
+    val c = 1 + (id % 2).toInt
+    (n, h, a, b, c)
+  }
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val (n, h, a, b, c) = audioParams(id)
+    val sr = 8000
+    val dataLen = n * c * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(c.toShort).putInt(sr)
+      .putInt(sr * c * 2).putShort((c * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val v = (if ((i / h) % 2 == 0) a else -b).toShort
+      var k = 0
+      while (k < c) { buf.putShort(v); k += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV decode: `javax.sound.sampled.AudioSystem` parses the RIFF
+    * container and format chunk; samples are then read as 16-bit signed
+    * little-endian PCM and every feature is summed in exact integer
+    * arithmetic (the one IEEE op is the final mean division). */
+  private def decodeWav(payload: Array[Byte]): (Int, Int, Long, Long, Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"unexpected PCM layout: $fmt")
+    val c = fmt.getChannels
+    val sr = fmt.getSampleRate.toInt
+    val bytes = in.readAllBytes()
+    in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val total = bytes.length / 2
+    var sumAbs = 0L
+    var energy = 0L
+    var peak = 0L
+    var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < total) {
+      val v = bb.getShort(i * 2).toInt
+      val av = math.abs(v).toLong
+      sumAbs += av
+      energy += av * av
+      if (av > peak) peak = av
+      if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+      prev = v
+      i += 1
+    }
+    (c, sr, total / c, sumAbs, peak, zc, energy)
+  }
+
+  /** WAV payload table, synthesized distributed once per sf dir — the
+    * [[pngFixture]] contract for the audio modality. */
+  private[operators] def wavFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_wav_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        Row(id, encodeWav(id))
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/wav")
+    }
+    s"$root/wav"
+  }
+
+  /** q_mm_audio_features: partition-parallel REAL audio decode/feature
+    * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
+    * read, then the standard audio-intake features (duration, peak,
+    * mean absolute amplitude, zero-crossing count, energy) as exact
+    * integers plus one IEEE division. The DuckDB oracle derives every
+    * value in closed form from the square-wave generator
+    * ([[audioParams]]), so a wrong container parse, endianness, channel
+    * count, or sample loop mismatches immediately — the same
+    * decode-certification contract as q_mm_decode_features, extended to
+    * a second real modality. Scale shape: zero shuffle — decode runs
+    * where the bytes are; at 100 TB this is the audio half of the
+    * multimodal intake pass (language/music screen thresholds consume
+    * exactly these features). */
+  def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(wavFixture(s, dir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("sum_abs", LongType),
+      StructField("peak", LongType),
+      StructField("zero_cross", LongType),
+      StructField("energy", LongType)))
+    val rows = src.rdd.mapPartitions(_.map { r =>
+      val (c, sr, frames, sumAbs, peak, zc, energy) =
+        decodeWav(r.getAs[Array[Byte]]("payload"))
+      Row(r.getAs[Long]("doc_id"), c, sr, frames, sumAbs, peak, zc, energy)
+    })
+    s.createDataFrame(rows, schema)
+      .withColumn("mean_abs", col("sum_abs").cast(DoubleType) /
+        (col("n_frames") * col("channels")).cast(DoubleType))
+  }
+
+  // -------------------------------------------------------------------
   // Hamming-tolerance perceptual NEAR-dup (banded phash)
   // -------------------------------------------------------------------
 
@@ -431,6 +563,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_audio_features" -> (mmAudioFeatures _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
@@ -440,6 +573,32 @@ object MultimodalQueries {
     "q_mm_dedup" -> (mmDedup _))
 
   val oracles: Map[String, String] = Map(
+    // Closed-form features of the square-wave WAV generator
+    // ([[audioParams]]): the Spark leg must RECOVER every value from a
+    // real javax.sound container parse + PCM read.
+    "q_mm_audio_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    256 + doc_id % 1000 AS n,
+        |    2 + doc_id % 30 AS h,
+        |    1000 + (doc_id * 13) % 20000 AS a,
+        |    1000 + (doc_id * 7 + 500) % 20000 AS b,
+        |    1 + doc_id % 2 AS c
+        |  FROM documents),
+        |d AS (SELECT *, n // h AS q, n % h AS r FROM p),
+        |e AS (SELECT *,
+        |    ((q + 1) // 2) * h + CASE WHEN q % 2 = 0 THEN r ELSE 0 END AS cnta
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(c AS INTEGER) AS channels,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(c * (cnta * a + (n - cnta) * b) AS BIGINT) AS sum_abs,
+        |  CAST(GREATEST(a, b) AS BIGINT) AS peak,
+        |  CAST((n - 1) // h AS BIGINT) AS zero_cross,
+        |  CAST(c * (cnta * a * a + (n - cnta) * b * b) AS BIGINT) AS energy,
+        |  CAST(c * (cnta * a + (n - cnta) * b) AS DOUBLE)
+        |    / CAST(n * c AS DOUBLE) AS mean_abs
+        |FROM e""".stripMargin,
     // Closed-form dHash-56 of the ROW-BANDED fixture ([[encodePngBanded]]):
     // grid rows align with painted rows (h = 7·m), so row j's bits follow
     // the same cross-multiplied two-tone comparison as q_mm_phash_dedup
