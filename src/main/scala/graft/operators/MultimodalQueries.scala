@@ -290,6 +290,90 @@ object MultimodalQueries {
   }
 
   // -------------------------------------------------------------------
+  // Video container: real per-frame decode
+  // -------------------------------------------------------------------
+
+  /** Frame count and per-frame pseudo-id of doc `id`'s video fixture:
+    * 2 + id % 4 frames, frame f encoded as [[encodePng]]'s raster for
+    * fid = id·31 + 7·f — so every frame's dims/channels/luma inherit the
+    * PNG generator's closed forms, now keyed by (doc, frame). */
+  private def videoParams(id: Long): (Int, Int => Long) =
+    ((2 + id % 4).toInt, (f: Int) => id * 31 + 7L * f)
+
+  /** Deterministic video payload: a length-prefixed concatenation of PNG
+    * frames behind a tiny magic+count header — a synthetic MJPEG-style
+    * container (the JDK ships no real video codec; the CONTAINER is the
+    * stand-in, the per-frame pixel decode below is real). */
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val (nf, fid) = videoParams(id)
+    val frames = (0 until nf).map(f => encodePng(fid(f)))
+    val buf = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put("GFTV".getBytes("US-ASCII")).putInt(nf)
+    frames.foreach { b => buf.putInt(b.length); buf.put(b) }
+    buf.array()
+  }
+
+  private[operators] def videoFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_gftv_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        Row(id, encodeVideo(id))
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/video")
+    }
+    s"$root/video"
+  }
+
+  /** q_mm_video_frames: per-frame REAL decode out of a video container —
+    * the upgrade of the byte-window frame sampler (q_mm_frame_sample) to
+    * genuine pixel work: parse the container index, decode EVERY frame
+    * with `javax.imageio`, and emit one row per (doc, frame) carrying
+    * decoded dims/channels/mean-luma — the frame table a vision-language
+    * curation pipeline runs dedup/quality/caption passes over. The
+    * container is a synthetic MJPEG-style concatenation (no video codec
+    * ships with the JDK — honestly stubbed at the CONTAINER level only);
+    * every per-frame number is a real decode, and the DuckDB oracle
+    * re-derives all of them closed-form from the generator keyed by
+    * (doc, frame). Scale shape: zero shuffle — container parse + frame
+    * decode fan out rows in place, exactly where the bytes are; frame
+    * identity (doc_id, frame_idx) keys every downstream per-frame
+    * operator. */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(videoFixture(s, dir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val rows = src.rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val magic = new Array[Byte](4)
+      buf.get(magic)
+      require(new String(magic, "US-ASCII") == "GFTV",
+        s"bad container magic for doc $id")
+      val nf = buf.getInt
+      (0 until nf).iterator.map { f =>
+        val len = buf.getInt
+        val frame = new Array[Byte](len)
+        buf.get(frame)
+        val (w, h, c, luma) = decodePng(frame)
+        Row(id, f, w, h, c, luma)
+      }
+    })
+    s.createDataFrame(rows, schema)
+  }
+
+  // -------------------------------------------------------------------
   // Real audio decode (javax.sound.sampled WAV/PCM)
   // -------------------------------------------------------------------
 
@@ -564,6 +648,7 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_features" -> (mmAudioFeatures _),
+    "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
@@ -599,6 +684,21 @@ object MultimodalQueries {
         |  CAST(c * (cnta * a + (n - cnta) * b) AS DOUBLE)
         |    / CAST(n * c AS DOUBLE) AS mean_abs
         |FROM e""".stripMargin,
+    // Closed-form per-frame dims/channels/luma of the video generator:
+    // frame f of doc d is the PNG raster for fid = d*31 + 7f, so the
+    // image generator's closed forms apply keyed by (doc, frame). The
+    // Spark leg must parse the container AND decode every frame.
+    "q_mm_video_frames" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+        |f AS (SELECT doc_id, i.range AS fi, doc_id * 31 + 7 * i.range AS fid
+        |  FROM p CROSS JOIN range(0, 5) i WHERE i.range < nf)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(8 + 2 * (fid % 150) AS INTEGER) AS width,
+        |  CAST(8 + fid % 300 AS INTEGER) AS height,
+        |  CAST(CASE WHEN fid % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+        |  (CAST(fid % 256 AS DOUBLE) + CAST((fid * 7 + 31) % 256 AS DOUBLE))
+        |    / 2.0 AS mean_luma
+        |FROM f""".stripMargin,
     // Closed-form dHash-56 of the ROW-BANDED fixture ([[encodePngBanded]]):
     // grid rows align with painted rows (h = 7·m), so row j's bits follow
     // the same cross-multiplied two-tone comparison as q_mm_phash_dedup
