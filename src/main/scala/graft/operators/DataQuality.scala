@@ -109,30 +109,31 @@ object DataQuality {
     * heaviest count, AND that hot key's IDENTITY (which is what the
     * salting decision actually consumes: a salt factor needs the key to
     * salt). The hot key is the arg-max resolved deterministically — max
-    * count, string-max key among ties — via a per-bucket window max that
-    * shares the final groupBy's partitioning (one Window + Aggregate over
-    * the same tiny keyed frame, no extra corpus exchange). The report
+    * count, string-max key among ties — as `max(struct(n_rows, key))`,
+    * which stays a PARTIAL-AGGREGABLE expression: the per-key frame
+    * (one row per distinct key — billions for a user-id audit) folds to
+    * ~60 combined rows map-side before the bucket exchange, exactly like
+    * the plain max/sum columns beside it. (A per-bucket window would
+    * compute the same value but forces the full per-key frame through a
+    * ~60-partition exchange — one straggler per bucket, the very
+    * pathology this report warns about.) The report
     * that decides, BEFORE a 100 TB job runs, whether a groupBy/join on
     * this key needs salting or AQE skew handling (a heavy tail = one
     * straggler task per hot key) and what salt factor the top bucket
     * implies. Cost: the per-key count is one map-side-combined
     * aggregation — same exchange the audited shuffle itself would pay —
     * and the histogram folds the key space down to ~60 rows. */
-  def skewReport(df: DataFrame, key: Column, label: String): DataFrame = {
-    val perKey = df.groupBy(key.as("k")).agg(count(lit(1)).as("n_rows"))
+  def skewReport(df: DataFrame, key: Column, label: String): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("n_rows"))
       .withColumn("log2_bucket",
         expr("CAST(length(conv(CAST(n_rows AS STRING), 10, 2)) - 1 AS INT)"))
       .withColumn("k_str", col("k").cast("string"))
-    perKey
-      .withColumn("_max_n", max(col("n_rows")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("log2_bucket"))))
       .groupBy("log2_bucket")
       .agg(count(lit(1)).as("n_keys"), sum("n_rows").as("bucket_rows"),
         max("n_rows").as("max_key_rows"),
-        max(when(col("n_rows") === col("_max_n"), col("k_str"))).as("hot_key"))
+        max(struct(col("n_rows"), col("k_str"))).getField("k_str").as("hot_key"))
       .select(lit(label).as("audited_key"), col("log2_bucket"),
         col("n_keys"), col("bucket_rows"), col("max_key_rows"), col("hot_key"))
-  }
 
   /** q_dq_skew: [[skewReport]] over the event stream's two candidate
     * shuffle keys — user_id (the key every sessionize/retention/funnel

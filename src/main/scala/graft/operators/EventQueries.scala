@@ -92,7 +92,8 @@ object EventQueries {
     * MAD-0 type at gate scale, so the hourly series is augmented with a
     * deterministic heartbeat type (`uptime_ping`: exactly 25 events every
     * observed hour, except 26 in the last hour — a broken-clock blip — and
-    * 1000 in the first — a genuine flood). Its MAD is 0 by construction:
+    * 1000 in the first — a genuine flood). With >= 4 observed hours (the
+    * events fixture spans hundreds) its MAD is 0 by construction:
     * unfloored, BOTH deviating hours flag (the blip is a false positive);
     * with `greatest(mad, 2)` only the 40σ-equivalent flood survives —
     * the floor's effect is hash-visible row by row. The heartbeat derives

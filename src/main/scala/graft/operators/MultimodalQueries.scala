@@ -110,25 +110,31 @@ object MultimodalQueries {
     (w, h, c, sum.toDouble / (w.toLong * h * c).toDouble)
   }
 
-  /** PNG payload table (doc_id, payload BINARY) — synthesized
-    * DISTRIBUTED (mapPartitions encode, no driver bytes) once per sf dir
-    * and consumed read-only, the same source-table shape as every other
-    * fixture: in production the media parquet exists once and every
-    * consumer reads it. */
-  private[operators] def pngFixture(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_png_fix", dir) { r =>
+  /** Shared media-fixture builder: one binary payload per document,
+    * encoded DISTRIBUTED (mapPartitions, no driver bytes) once per
+    * (name, sf dir) and consumed read-only — in production the media
+    * parquet exists once and every consumer reads it. All per-doc media
+    * fixtures (PNG, WAV, video container) go through here; the near-dup
+    * fixture has its own builder (it emits variant twins under img_id). */
+  private def payloadFixture(s: SparkSession, dir: String, name: String)
+                            (encode: Long => Array[Byte]): String = {
+    val root = graft.sources.ScratchDirs.memoized(name, dir) { r =>
       val ids = table(s, dir, "documents").select(col("doc_id"))
       val rows = ids.rdd.mapPartitions(_.map { row =>
         val id = row.getLong(0)
-        Row(id, encodePng(id))
+        Row(id, encode(id))
       })
       s.createDataFrame(rows, StructType(Seq(
           StructField("doc_id", LongType),
           StructField("payload", BinaryType))))
-        .write.parquet(s"$r/png")
+        .write.parquet(s"$r/data")
     }
-    s"$root/png"
+    s"$root/data"
   }
+
+  /** PNG payload table (doc_id, payload BINARY). */
+  private[operators] def pngFixture(s: SparkSession, dir: String): String =
+    payloadFixture(s, dir, "mm_png_fix")(encodePng)
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -274,20 +280,10 @@ object MultimodalQueries {
     * group whenever their band structure agrees. Scale shape: decode
     * runs where the bytes are (no shuffle), grouping is one
     * map-side-combined exchange on the 8-byte hash. */
-  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(pngFixture(s, dir))
-    val hashSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("phash", LongType)))
-    val rows = src.rdd.mapPartitions(_.map { r =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
-      Row(r.getAs[Long]("doc_id"), dHash56(img))
-    })
-    s.createDataFrame(rows, hashSchema)
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame =
+    dHashFrame(s, pngFixture(s, dir), "doc_id")
       .groupBy("phash")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
-  }
 
   // -------------------------------------------------------------------
   // Video container: real per-frame decode
@@ -314,20 +310,8 @@ object MultimodalQueries {
     buf.array()
   }
 
-  private[operators] def videoFixture(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_gftv_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
-      val rows = ids.rdd.mapPartitions(_.map { row =>
-        val id = row.getLong(0)
-        Row(id, encodeVideo(id))
-      })
-      s.createDataFrame(rows, StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("payload", BinaryType))))
-        .write.parquet(s"$r/video")
-    }
-    s"$root/video"
-  }
+  private[operators] def videoFixture(s: SparkSession, dir: String): String =
+    payloadFixture(s, dir, "mm_gftv_fix")(encodeVideo)
 
   /** q_mm_video_frames: per-frame REAL decode out of a video container —
     * the upgrade of the byte-window frame sampler (q_mm_frame_sample) to
@@ -456,20 +440,8 @@ object MultimodalQueries {
 
   /** WAV payload table, synthesized distributed once per sf dir — the
     * [[pngFixture]] contract for the audio modality. */
-  private[operators] def wavFixture(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_wav_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
-      val rows = ids.rdd.mapPartitions(_.map { row =>
-        val id = row.getLong(0)
-        Row(id, encodeWav(id))
-      })
-      s.createDataFrame(rows, StructType(Seq(
-          StructField("doc_id", LongType),
-          StructField("payload", BinaryType))))
-        .write.parquet(s"$r/wav")
-    }
-    s"$root/wav"
-  }
+  private[operators] def wavFixture(s: SparkSession, dir: String): String =
+    payloadFixture(s, dir, "mm_wav_fix")(encodeWav)
 
   /** q_mm_audio_features: partition-parallel REAL audio decode/feature
     * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
@@ -581,20 +553,25 @@ object MultimodalQueries {
     s"$root/png"
   }
 
-  /** Decoded 56-bit dHash per fixture image — real `javax.imageio` decode
-    * where the bytes are (no shuffle), shared by the gate and its spec. */
-  private[graft] def phashFrame(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(pngNearFixture(s, dir))
+  /** Decoded 56-bit dHash per payload of an (id, payload) fixture — real
+    * `javax.imageio` decode where the bytes are (no shuffle). Shared by
+    * both phash gates (and the near-dup spec). */
+  private def dHashFrame(s: SparkSession, path: String, idCol: String): DataFrame = {
+    val src = s.read.parquet(path)
     val hashSchema = StructType(Seq(
-      StructField("img_id", LongType),
+      StructField(idCol, LongType),
       StructField("phash", LongType)))
     val rows = src.rdd.mapPartitions(_.map { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
-      Row(r.getAs[Long]("img_id"), dHash56(img))
+      Row(r.getLong(0), dHash56(img))
     })
     s.createDataFrame(rows, hashSchema)
   }
+
+  /** The near-dup fixture's image hashes. */
+  private[graft] def phashFrame(s: SparkSession, dir: String): DataFrame =
+    dHashFrame(s, pngNearFixture(s, dir), "img_id")
 
   /** q_mm_phash_neardup: Hamming-TOLERANT perceptual near-dup — the pass
     * [[mmPhashDedup]]'s exact-equality grouping structurally misses:

@@ -575,9 +575,13 @@ object TextQueries {
           s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
     // 1-row scalar aggregate, broadcast back — the bounded crossJoin
     // idiom. The cut is a pure function of the data, so the fixture
-    // build and the live run derive the identical boundary.
-    val mid = grams.agg(
-      ((min("doc_id") + max("doc_id")) / lit(2)).cast(LongType).as("mid"))
+    // build and the live run derive the identical boundary. Computed
+    // over the DOCUMENTS frame (same id range as the gram frame — every
+    // gram doc has >= k tokens and vice versa), not the exploded grams:
+    // a scalar min/max must not pay a corpus-scale gram explode.
+    val mid = withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= k)
+      .agg(((min("doc_id") + max("doc_id")) / lit(2)).cast(LongType).as("mid"))
     def b1(g: DataFrame) = g.crossJoin(broadcast(mid))
       .filter(col("doc_id") <= col("mid")).drop("mid")
     def b2(g: DataFrame) = g.crossJoin(broadcast(mid))
@@ -721,12 +725,24 @@ object TextQueries {
     * dictionary itself cannot sit on one machine. */
   def txtBpeTrainDriver(s: SparkSession, dir: String,
                         nMerges: Int = bpeMerges): DataFrame = {
+    // CODE-POINT symbols (a plain per-char map would split supplementary
+    // characters into surrogate halves — the regex `(.)` both engine legs
+    // use matches whole code points), and UTF-8 BINARY tie-break order (=
+    // code-point order, what Spark's UTF8String and DuckDB both sort by;
+    // Java String compareTo is UTF-16 code-unit order, which ranks
+    // supplementary chars below U+E000 and would pick different tie
+    // winners on a non-BMP corpus).
+    def codePoints(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val dict: Array[(Array[String], Long)] = table(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .collect() // vocabulary-bounded — the documented driver finish
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map(r => (codePoints(r.getString(0)), r.getLong(1)))
     var words = dict
     val merges = (1 to nMerges).map { rank =>
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -738,7 +754,9 @@ object TextQueries {
           i += 1
         }
       }
-      val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+      val utf8Ord: Ordering[String] = (a, b) => utf8Cmp(a, b)
+      val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }(
+        Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
       words = words.map { case (syms, fr) => (mergePairOnce(syms, l, r), fr) }
       (rank, l, r, f)
     }

@@ -216,7 +216,7 @@ object StreamGates {
     * Returns the exactly-once parquet sink's final frame. Data stays
     * distributed throughout (no driver-side feeding). */
   private def replaySlices(s: SparkSession, ev: DataFrame, nSlices: Int,
-      name: String, memoKey: String)(
+      name: String, memoKey: String, sliceName: String = "")(
       transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     // ONE pass writes every slice (partitioned by _slice); each restart
@@ -226,8 +226,13 @@ object StreamGates {
     // JVM (ScratchDirs.memoized) and linked into each replay's fresh
     // source dir — re-cutting identical slices every bench pass re-times
     // fixture synthesis, not the restart semantics under test.
+    // A gate replaying the SAME frame and cut as another (the TWS twin)
+    // passes that gate's `sliceName` and shares its slice fixture — the
+    // cut is a pure function of (frame, nSlices), so a second memo would
+    // be a bit-identical duplicate on disk.
+    val sliceFix = if (sliceName.isEmpty) name else sliceName
     val slicesRoot = graft.sources.ScratchDirs.memoized(
-        s"${name}_slices", memoKey) { r =>
+        s"${sliceFix}_slices", memoKey) { r =>
       val bounds =
         ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
       val sliced = ev.crossJoin(bounds).withColumn("_slice",
@@ -341,7 +346,8 @@ object StreamGates {
     s.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try
-      replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_sess_tws", dir) {
+      replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_sess_tws", dir,
+          sliceName = "stream_sess") {
         incoming =>
           EventStream.sessionizeTws(incoming.as[EventStream.Event],
             gapMinutes = 30, horizon = "175200 hours").toDF()
