@@ -357,6 +357,50 @@ object MultimodalQueries {
     s.createDataFrame(rows, schema)
   }
 
+  /** q_mm_video_frame_dedup: CROSS-VIDEO duplicated-frame detection —
+    * the re-posted-clip screen: decode every frame ([[mmVideoFrames]]'s
+    * container walk), perceptual-hash it (the same integer 9×7 dHash as
+    * the image gates), and group hashes ACROSS videos, keeping only
+    * hashes seen in ≥ 2 distinct videos. A clip re-encoded into another
+    * upload shares frame phashes while no container byte matches — the
+    * video-level analogue of what q_mm_phash_dedup does for stills. The
+    * fixture guarantees true positives: frame pseudo-ids collide in
+    * dHash space across unrelated videos whenever their band structure
+    * agrees (the oracle derives every frame's hash closed-form, so the
+    * Spark leg's real decode + hash must reproduce the exact group
+    * set). Scale shape: decode + hash fan out rows in place (zero
+    * shuffle), then ONE map-side-combined exchange on the 8-byte hash;
+    * cross-video-ness is a count-distinct over the video id riding the
+    * same exchange. */
+  def mmVideoFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(videoFixture(s, dir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("phash", LongType)))
+    val rows = src.rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getAs[Long]("doc_id")
+      val buf = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("payload"))
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      buf.position(4) // magic checked by q_mm_video_frames
+      val nf = buf.getInt
+      (0 until nf).iterator.map { f =>
+        val len = buf.getInt
+        val frame = new Array[Byte](len)
+        buf.get(frame)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frame))
+        Row(id, f, dHash56(img))
+      }
+    })
+    s.createDataFrame(rows, schema)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_videos"),
+        min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_videos") >= 2)
+  }
+
   // -------------------------------------------------------------------
   // Real audio decode (javax.sound.sampled WAV/PCM)
   // -------------------------------------------------------------------
@@ -626,6 +670,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_features" -> (mmAudioFeatures _),
     "q_mm_video_frames" -> (mmVideoFrames _),
+    "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
@@ -661,6 +706,37 @@ object MultimodalQueries {
         |  CAST(c * (cnta * a + (n - cnta) * b) AS DOUBLE)
         |    / CAST(n * c AS DOUBLE) AS mean_abs
         |FROM e""".stripMargin,
+    // Cross-video frame dedup: every frame's dHash in closed form (the
+    // q_mm_phash_dedup two-band formula keyed by the frame pseudo-id,
+    // which is globally unique: 31(d-d') = 7(f'-f) has no solution with
+    // |f'-f| < 7 except identity), then the hash group/distinct-video
+    // aggregation. The Spark leg must really decode every frame.
+    "q_mm_video_frame_dedup" ->
+      """WITH p0 AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT doc_id, doc_id * 31 + 7 * i.range AS fid
+        |  FROM p0 CROSS JOIN range(0, 5) i WHERE i.range < nf),
+        |p AS (SELECT doc_id, fid,
+        |    8 + 2 * (fid % 150) AS w, (8 + 2 * (fid % 150)) // 2 AS hw,
+        |    fid % 256 AS a, (fid * 7 + 31) % 256 AS b
+        |  FROM fr),
+        |bx AS (SELECT fid, a, b, hw, i.range AS i,
+        |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
+        |  FROM p CROSS JOIN range(0, 9) i),
+        |bs AS (SELECT fid, i, x1 - x0 AS cx,
+        |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
+        |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
+        |  FROM bx),
+        |bits AS (SELECT l.fid,
+        |    CASE WHEN l.rs * r.cx > r.rs * l.cx THEN 1 << l.i ELSE 0 END AS bv
+        |  FROM bs l JOIN bs r ON l.fid = r.fid AND r.i = l.i + 1),
+        |ph AS (SELECT fid, CAST(SUM(bv) AS BIGINT) * 282578800148737 AS phash
+        |  FROM bits GROUP BY fid),
+        |j AS (SELECT fr.doc_id, ph.phash FROM fr JOIN ph ON fr.fid = ph.fid)
+        |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+        |  MIN(doc_id) AS canonical_doc_id
+        |FROM j GROUP BY phash
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     // Closed-form per-frame dims/channels/luma of the video generator:
     // frame f of doc d is the PNG raster for fid = d*31 + 7f, so the
     // image generator's closed forms apply keyed by (doc, frame). The
