@@ -643,12 +643,18 @@ object MultimodalQueries {
     * one map-side-combined exchange on the 8-byte hash, then a
     * distinct-hash-sized band self-join (both sides read the same
     * aggregate exchange — ReusedExchange, the one decode pass). */
-  def mmPhashNeardup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 6,
-      s"7-band pigeonhole guarantees candidates only up to Hamming 6; got $maxHamming")
-    val grp = phashFrame(s, dir)
+  /** Exact-phash groups of the near-dup fixture (the collapse stage). */
+  private def phashGroups(s: SparkSession, dir: String): DataFrame =
+    phashFrame(s, dir)
       .groupBy("phash")
       .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon"))
+
+  /** Banded candidate generation + exact-Hamming verify over a
+    * (phash, canon, n_copies) group frame — stages 2-3 of the near-dup
+    * pipeline, shared by the pair gate and the cluster gate. */
+  private def phashGroupPairs(grp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6,
+      s"7-band pigeonhole guarantees candidates only up to Hamming 6; got $maxHamming")
     val banded = grp.select(col("phash"), col("canon"), col("n_copies"),
       posexplode(expr("transform(sequence(0, 6), b -> (phash >> (b * 8)) & 255)"))
         .as(Seq("band", "chunk")))
@@ -663,8 +669,41 @@ object MultimodalQueries {
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast(IntegerType))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  def mmPhashNeardup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    phashGroupPairs(phashGroups(s, dir), maxHamming)
       .select(col("canon_a"), col("canon_b"), col("hamming"),
         col("n_a"), col("n_b"))
+
+  /** q_mm_phash_clusters: the full image-dedup scale path — exact-phash
+    * collapse → banded near pairs → CONNECTED COMPONENTS → one canonical
+    * representative per perceptual cluster (the same pairs→clusters
+    * closure q_dedup_cc runs for text, applied to the image hash graph:
+    * a chain of 1-2-bit re-encodes A~B~C merges into one cluster even
+    * when A and C differ by more than the pairwise tolerance). Emits one
+    * row per exact-phash GROUP that participates in a near relation:
+    * cluster id (min reachable canon — deterministic), the group's copy
+    * count, and per-cluster group/image totals — the drop-list input
+    * (keep `cluster_id`'s group, drop the rest). The group table is
+    * eagerly checkpointed so the decode pass runs ONCE for both the
+    * pair edges and the size join (bounded: distinct hashes). Oracle:
+    * closed-form hashes → the same banding/Hamming → recursive-CTE
+    * transitive closure, the q_dedup_cc discipline. */
+  def mmPhashClusters(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val grp = phashGroups(s, dir).localCheckpoint(true) // bounded: distinct hashes
+    val pairs = phashGroupPairs(grp, maxHamming).select("canon_a", "canon_b")
+    val cc = GraphCC.connectedComponents(pairs, "canon_a", "canon_b")
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    cc.select(col("node").as("canon"), col("component").as("cluster_id"))
+      .join(grp.select(col("canon"), col("n_copies")), "canon")
+      .withColumn("n_groups", count(lit(1)).over(byCluster))
+      .withColumn("cluster_images", sum(col("n_copies")).over(byCluster))
+      .withColumn("is_canonical",
+        when(col("canon") === col("cluster_id"), 1).otherwise(0))
+      .select(col("canon"), col("cluster_id"), col("n_copies"),
+        col("n_groups"), col("cluster_images"), col("is_canonical"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -672,12 +711,62 @@ object MultimodalQueries {
     "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
+    "q_mm_phash_clusters" -> ((s: SparkSession, d: String) => mmPhashClusters(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
     "q_mm_resize" -> ((s: SparkSession, d: String) => mmResize(s, d)),
     "q_mm_dedup" -> (mmDedup _))
+
+  /** Shared oracle CTEs: closed-form per-image hash of the near-dup
+    * fixture, then collapse + banding + Hamming-verified group pairs —
+    * the prefix both the pair gate's and the cluster gate's oracles
+    * build on. */
+  private val phashPairCtes: String =
+    """p AS (SELECT doc_id, 8 + 2 * (doc_id % 150) AS w,
+      |    (8 + 2 * (doc_id % 150)) // 2 AS hw
+      |  FROM documents),
+      |imgs AS (
+      |  SELECT doc_id, w, hw, 0 AS variant, doc_id * 2 AS img_id FROM p
+      |  UNION ALL
+      |  SELECT doc_id, w, hw, 1 AS variant, doc_id * 2 + 1 AS img_id
+      |  FROM p WHERE doc_id % 3 = 0),
+      |rws AS (SELECT img_id, w, hw, j.range AS j,
+      |    CASE WHEN variant = 1 AND j.range = doc_id % 7
+      |         THEN (doc_id * 7 + 31 + 17 * j.range) % 256
+      |         ELSE (doc_id + 11 * j.range) % 256 END AS a,
+      |    CASE WHEN variant = 1 AND j.range = doc_id % 7
+      |         THEN (doc_id + 11 * j.range) % 256
+      |         ELSE (doc_id * 7 + 31 + 17 * j.range) % 256 END AS b
+      |  FROM imgs CROSS JOIN range(0, 7) j),
+      |bx AS (SELECT img_id, j, a, b, hw, i.range AS i,
+      |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
+      |  FROM rws CROSS JOIN range(0, 9) i),
+      |bs AS (SELECT img_id, j, i, x1 - x0 AS cx,
+      |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
+      |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
+      |  FROM bx),
+      |bits AS (SELECT l.img_id,
+      |    CASE WHEN l.rs * r.cx > r.rs * l.cx
+      |         THEN 1::BIGINT << (l.j * 8 + l.i) ELSE 0 END AS bv
+      |  FROM bs l JOIN bs r
+      |    ON l.img_id = r.img_id AND l.j = r.j AND r.i = l.i + 1),
+      |ph AS (SELECT img_id, CAST(SUM(bv) AS BIGINT) AS phash
+      |  FROM bits GROUP BY img_id),
+      |grp AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |    MIN(img_id) AS canon
+      |  FROM ph GROUP BY phash),
+      |banded AS (SELECT phash, canon, n_copies, b.range AS band,
+      |    (phash >> CAST(b.range * 8 AS BIGINT)) & 255 AS chunk
+      |  FROM grp CROSS JOIN range(0, 7) b),
+      |cand AS (SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b,
+      |    a.canon AS canon_a, b.canon AS canon_b,
+      |    a.n_copies AS n_a, b.n_copies AS n_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.phash < b.phash),
+      |near AS (SELECT * FROM cand
+      |  WHERE bit_count(xor(ph_a, ph_b)) <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Closed-form features of the square-wave WAV generator
@@ -760,50 +849,29 @@ object MultimodalQueries {
     // exact-Hamming pipeline; the Spark leg must recover every hash from
     // real decoded pixels for the pair set to match.
     "q_mm_phash_neardup" ->
-      """WITH p AS (SELECT doc_id, 8 + 2 * (doc_id % 150) AS w,
-        |    (8 + 2 * (doc_id % 150)) // 2 AS hw
-        |  FROM documents),
-        |imgs AS (
-        |  SELECT doc_id, w, hw, 0 AS variant, doc_id * 2 AS img_id FROM p
-        |  UNION ALL
-        |  SELECT doc_id, w, hw, 1 AS variant, doc_id * 2 + 1 AS img_id
-        |  FROM p WHERE doc_id % 3 = 0),
-        |rws AS (SELECT img_id, w, hw, j.range AS j,
-        |    CASE WHEN variant = 1 AND j.range = doc_id % 7
-        |         THEN (doc_id * 7 + 31 + 17 * j.range) % 256
-        |         ELSE (doc_id + 11 * j.range) % 256 END AS a,
-        |    CASE WHEN variant = 1 AND j.range = doc_id % 7
-        |         THEN (doc_id + 11 * j.range) % 256
-        |         ELSE (doc_id * 7 + 31 + 17 * j.range) % 256 END AS b
-        |  FROM imgs CROSS JOIN range(0, 7) j),
-        |bx AS (SELECT img_id, j, a, b, hw, i.range AS i,
-        |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
-        |  FROM rws CROSS JOIN range(0, 9) i),
-        |bs AS (SELECT img_id, j, i, x1 - x0 AS cx,
-        |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
-        |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
-        |  FROM bx),
-        |bits AS (SELECT l.img_id,
-        |    CASE WHEN l.rs * r.cx > r.rs * l.cx
-        |         THEN 1::BIGINT << (l.j * 8 + l.i) ELSE 0 END AS bv
-        |  FROM bs l JOIN bs r
-        |    ON l.img_id = r.img_id AND l.j = r.j AND r.i = l.i + 1),
-        |ph AS (SELECT img_id, CAST(SUM(bv) AS BIGINT) AS phash
-        |  FROM bits GROUP BY img_id),
-        |grp AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_copies,
-        |    MIN(img_id) AS canon
-        |  FROM ph GROUP BY phash),
-        |banded AS (SELECT phash, canon, n_copies, b.range AS band,
-        |    (phash >> CAST(b.range * 8 AS BIGINT)) & 255 AS chunk
-        |  FROM grp CROSS JOIN range(0, 7) b),
-        |cand AS (SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b,
-        |    a.canon AS canon_a, b.canon AS canon_b,
-        |    a.n_copies AS n_a, b.n_copies AS n_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.chunk = b.chunk AND a.phash < b.phash)
+      s"""WITH $phashPairCtes
         |SELECT canon_a, canon_b,
         |  CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming, n_a, n_b
-        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+        |FROM near""".stripMargin,
+    // Transitive closure over the near-pair canon graph — the q_dedup_cc
+    // recursive-CTE discipline applied to image hash groups.
+    "q_mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+        |edges AS (
+        |  SELECT canon_a AS s, canon_b AS d FROM near
+        |  UNION SELECT canon_b, canon_a FROM near),
+        |reach(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node),
+        |cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT cc.node AS canon, cc.cluster_id, g.n_copies,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_groups,
+        |  CAST(SUM(g.n_copies) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |    AS cluster_images,
+        |  CAST(CASE WHEN cc.node = cc.cluster_id THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_canonical
+        |FROM cc JOIN grp g ON cc.node = g.canon""".stripMargin,
     // Closed-form dHash-56 of the generator's two-band rasters: the y
     // grid cancels from every cross-multiplied mean comparison (columns
     // are y-uniform), all 7 rows repeat one byte, and channel count

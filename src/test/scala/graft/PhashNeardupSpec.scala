@@ -87,4 +87,27 @@ class PhashNeardupSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     out.values.foreach(h => assert(h >= 1 && h <= 3))
   }
+
+  test("clusters are the transitive closure of the near pairs") {
+    val pairs = MultimodalQueries.mmPhashNeardup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("canon_a"), r.getAs[Long]("canon_b")))
+    val rows = MultimodalQueries.mmPhashClusters(spark, dir).collect()
+    val cluster = rows.map(r => r.getAs[Long]("canon") ->
+      r.getAs[Long]("cluster_id")).toMap
+    // both endpoints of every near pair share one cluster, and every
+    // clustered group appears in at least one pair (nodes come from edges)
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(cluster.keySet == inPairs)
+    // per-cluster totals are consistent
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rs) =>
+      assert(rs.forall(_.getAs[Long]("n_groups") == rs.length))
+      val total = rs.map(_.getAs[Long]("n_copies")).sum
+      assert(rs.forall(_.getAs[Long]("cluster_images") == total))
+      assert(rs.count(_.getAs[Int]("is_canonical") == 1) == 1)
+      assert(cid == rs.map(_.getAs[Long]("canon")).min)
+    }
+  }
 }
