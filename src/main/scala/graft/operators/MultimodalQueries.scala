@@ -424,17 +424,34 @@ object MultimodalQueries {
     (n, h, a, b, c)
   }
 
-  private def encodeWav(id: Long): Array[Byte] = {
+  private def encodeWav(id: Long): Array[Byte] = encodeWavContainer(id, None)
+
+  /** RIFF assembly with an optional LIST/INFO metadata chunk between
+    * `fmt ` and `data` — the bytes a tag editor or re-wrapper inserts:
+    * the PCM payload is UNTOUCHED, every byte-level hash changes. */
+  private def encodeWavContainer(id: Long, info: Option[String]): Array[Byte] = {
     val (n, h, a, b, c) = audioParams(id)
     val sr = 8000
     val dataLen = n * c * 2
-    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+    // LIST chunk: "LIST" + size + "INFO" + "IART" + size + text (padded even)
+    val infoBytes = info.map { t =>
+      val txt0 = t.getBytes("US-ASCII")
+      val txt = if (txt0.length % 2 == 0) txt0 else txt0 :+ 0.toByte
+      val chunk = java.nio.ByteBuffer.allocate(8 + 4 + 8 + txt.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      chunk.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + txt.length)
+        .put("INFO".getBytes("US-ASCII"))
+        .put("IART".getBytes("US-ASCII")).putInt(txt.length).put(txt)
+      chunk.array()
+    }.getOrElse(Array.emptyByteArray)
+    val buf = java.nio.ByteBuffer.allocate(44 + infoBytes.length + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + infoBytes.length + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(c.toShort).putInt(sr)
       .putInt(sr * c * 2).putShort((c * 2).toShort).putShort(16)
+      .put(infoBytes)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
@@ -486,6 +503,83 @@ object MultimodalQueries {
     * [[pngFixture]] contract for the audio modality. */
   private[operators] def wavFixture(s: SparkSession, dir: String): String =
     payloadFixture(s, dir, "mm_wav_fix")(encodeWav)
+
+  /** Audio-dedup fixture: one clean WAV per document (audio_id =
+    * 2·doc_id) plus, for every fifth document, a RE-CONTAINERED twin
+    * (audio_id = 2·doc_id + 1) — identical PCM behind an inserted
+    * LIST/INFO metadata chunk, the re-wrap a tag editor produces. The
+    * [[pngNearFixture]] contract: seeded positives byte-level identity
+    * provably misses. */
+  private[operators] def wavDupFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_wavdup_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getLong(0)
+        val base = Row(id * 2, encodeWav(id))
+        if (id % 5 == 0)
+          Iterator(base,
+            Row(id * 2 + 1, encodeWavContainer(id, Some(s"artist-$id"))))
+        else Iterator(base)
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("audio_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/wav")
+    }
+    s"$root/wav"
+  }
+
+  /** q_mm_audio_dedup: CONTAINER-INVARIANT audio dedup — group by the
+    * SHA-256 of the DECODED PCM stream (prefixed with the
+    * channels/sample-rate format identity), not of the payload bytes:
+    * the same recording re-wrapped with different container metadata
+    * (the fixture's LIST/INFO twins) shares a PCM hash while no two
+    * payload bytes match, which is exactly the duplicate class
+    * byte-sha dedup (q_mm_dedup's shape) structurally misses. The gate
+    * makes the miss hash-visible: `n_containers` counts DISTINCT
+    * payload-byte hashes inside each PCM group — equal to `n_copies`
+    * on every twin group, i.e. byte-level identity found nothing to
+    * merge. Scale shape: decode + both hashes run where the bytes are;
+    * one map-side-combined exchange on the 32-byte PCM hash. The
+    * oracle derives group structure closed-form (PCM is a pure
+    * function of doc_id, and no two documents share one — the
+    * parameter lattice (1000,30,20000,2) has no collision in range),
+    * so a decode that reads container bytes into the PCM stream, or
+    * misses the twin's identical samples, mismatches immediately. */
+  def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(wavDupFixture(s, dir))
+    val schema = StructType(Seq(
+      StructField("audio_id", LongType),
+      StructField("pcm_sha", StringType),
+      StructField("payload_sha", StringType),
+      StructField("n_frames", LongType)))
+    val rows = src.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        in.close()
+        md.reset()
+        md.update(s"${fmt.getChannels}:${fmt.getSampleRate.toInt}:".getBytes("US-ASCII"))
+        md.update(pcm)
+        val pcmSha = md.digest().map("%02x".format(_)).mkString
+        md.reset()
+        val paySha = md.digest(payload).map("%02x".format(_)).mkString
+        Row(r.getAs[Long]("audio_id"), pcmSha, paySha,
+          pcm.length.toLong / (2L * fmt.getChannels))
+      }
+    }
+    s.createDataFrame(rows, schema)
+      .groupBy("pcm_sha")
+      .agg(min("audio_id").as("canonical_audio_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("payload_sha")).as("n_containers"),
+        max("n_frames").as("n_frames"))
+      .select("canonical_audio_id", "n_copies", "n_containers", "n_frames")
+  }
 
   /** q_mm_audio_features: partition-parallel REAL audio decode/feature
     * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
@@ -708,6 +802,7 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_features" -> (mmAudioFeatures _),
+    "q_mm_audio_dedup" -> (mmAudioDedup _),
     "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
@@ -769,6 +864,19 @@ object MultimodalQueries {
       |  WHERE bit_count(xor(ph_a, ph_b)) <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Group structure of the PCM-identity dedup in closed form: every
+    // doc is its own PCM group (the (1000,30,20000,20000,2) parameter
+    // lattice has no in-range collision), with a re-containered twin for
+    // doc % 5 == 0 — two copies, two DISTINCT containers (the LIST/INFO
+    // bytes differ), one PCM.
+    "q_mm_audio_dedup" ->
+      """SELECT doc_id * 2 AS canonical_audio_id,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_copies,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_containers,
+        |  CAST(256 + doc_id % 1000 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
     // Closed-form features of the square-wave WAV generator
     // ([[audioParams]]): the Spark leg must RECOVER every value from a
     // real javax.sound container parse + PCM read.
