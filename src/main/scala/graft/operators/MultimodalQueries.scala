@@ -529,6 +529,92 @@ object MultimodalQueries {
     s"$root/wav"
   }
 
+  /** Gapped waveform for the segmentation gate: the square wave of
+    * [[audioParams]] with every fourth half-period SILENCED (samples 0)
+    * — so maximal non-silent runs, hence the segmentation a
+    * silence-splitter must recover, are closed-form: segment k spans
+    * frames [4k·h, min((4k+3)·h, n) − 1], k < ⌈n / 4h⌉. */
+  private def encodeWavGapped(id: Long): Array[Byte] = {
+    val (n, h, a, b, c) = audioParams(id)
+    val sr = 8000
+    val dataLen = n * c * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(c.toShort).putInt(sr)
+      .putInt(sr * c * 2).putShort((c * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val j = i / h
+      val v = (if (j % 4 == 3) 0
+               else if (j % 2 == 0) a else -b).toShort
+      var k = 0
+      while (k < c) { buf.putShort(v); k += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  private[operators] def wavGapFixture(s: SparkSession, dir: String): String =
+    payloadFixture(s, dir, "mm_wavgap_fix")(encodeWavGapped)
+
+  /** q_mm_audio_segments: SILENCE-SPLIT segmentation — the speech-pause
+    * pass an audio curation pipeline runs before per-utterance dedup,
+    * transcription, or packing: decode the PCM (real `javax.sound`
+    * parse), walk frames once, and emit one row per maximal non-silent
+    * run with (audio, segment) identity and frame extent. Segmentation
+    * happens INSIDE the decode loop (imperative per-partition work — the
+    * F1 mapPartitions contract), so the operator adds zero shuffle and
+    * zero row blow-up beyond its output: at 100 TB the corpus-scale cost
+    * is the same single decode pass the feature gate pays, and segments
+    * flow keyed (doc_id, seg_idx) into every downstream per-segment
+    * operator. The fixture silences every fourth half-period, so the
+    * expected segment set is closed-form in (n, h) and the DuckDB oracle
+    * replays it exactly — a decoder that misses a gap, merges across
+    * one, or mis-counts a truncated tail mismatches immediately. */
+  def mmAudioSegments(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(wavGapFixture(s, dir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("seg_idx", IntegerType),
+      StructField("start_frame", LongType),
+      StructField("end_frame", LongType),
+      StructField("n_frames", LongType)))
+    val rows = src.rdd.mapPartitions(_.flatMap { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      val c = in.getFormat.getChannels
+      val bytes = in.readAllBytes()
+      in.close()
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val frames = bytes.length / (2 * c)
+      val segs = Vector.newBuilder[(Long, Long)]
+      var segStart = -1L
+      var f = 0
+      while (f < frames) {
+        var silent = true
+        var k = 0
+        while (k < c && silent) {
+          if (bb.getShort((f * c + k) * 2) != 0) silent = false
+          k += 1
+        }
+        if (!silent && segStart < 0) segStart = f
+        if (silent && segStart >= 0) { segs += ((segStart, f - 1L)); segStart = -1L }
+        f += 1
+      }
+      if (segStart >= 0) segs += ((segStart, frames - 1L))
+      val id = r.getAs[Long]("doc_id")
+      segs.result().iterator.zipWithIndex.map { case ((s0, e0), i) =>
+        Row(id, i, s0, e0, e0 - s0 + 1)
+      }
+    })
+    s.createDataFrame(rows, schema)
+  }
+
   /** q_mm_audio_dedup: CONTAINER-INVARIANT audio dedup — group by the
     * SHA-256 of the DECODED PCM stream (prefixed with the
     * channels/sample-rate format identity), not of the payload bytes:
@@ -803,6 +889,7 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_features" -> (mmAudioFeatures _),
     "q_mm_audio_dedup" -> (mmAudioDedup _),
+    "q_mm_audio_segments" -> (mmAudioSegments _),
     "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
@@ -864,6 +951,23 @@ object MultimodalQueries {
       |  WHERE bit_count(xor(ph_a, ph_b)) <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Closed-form silence-split segmentation of the gapped waveform:
+    // segment k spans frames [4kh, min((4k+3)h, n) - 1] for k < ceil(n/4h)
+    // (the range(0,250) cover bound: n <= 1255, h >= 2 => k < 157).
+    "q_mm_audio_segments" ->
+      """WITH p AS (SELECT doc_id,
+        |    256 + doc_id % 1000 AS n, 2 + doc_id % 30 AS h
+        |  FROM documents),
+        |segs AS (SELECT doc_id, k.range AS seg_idx,
+        |    4 * k.range * h AS start_frame,
+        |    LEAST((4 * k.range + 3) * h, n) - 1 AS end_frame
+        |  FROM p CROSS JOIN range(0, 250) k
+        |  WHERE 4 * k.range * h < n)
+        |SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(end_frame - start_frame + 1 AS BIGINT) AS n_frames
+        |FROM segs""".stripMargin,
     // Group structure of the PCM-identity dedup in closed form: every
     // doc is its own PCM group (the (1000,30,20000,20000,2) parameter
     // lattice has no in-range collision), with a re-containered twin for
