@@ -26,10 +26,24 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("scan-side operators shuffle nothing") {
+    // incl. the real-decode media gates: container parse, pixel/PCM read,
+    // and in-loop segmentation all run where the bytes are
     for (q <- Seq("q_txt_repetition", "q_split_assign", "q_s13_schema_project",
-      "q_txt_tokens", "q_txt_redact", "q_mm_binary_meta", "q_chunk_windows")) {
+      "q_txt_tokens", "q_txt_redact", "q_mm_binary_meta", "q_chunk_windows",
+      "q_mm_video_frames", "q_mm_audio_features", "q_mm_audio_segments")) {
       val (sh, _) = exchanges(q)
       assert(sh == 0, s"$q grew a shuffle")
+    }
+  }
+
+  test("media dedup gates pay exactly the two-phase distinct budget") {
+    // groupBy on the content hash with a count-distinct alongside plans
+    // as the standard two-exchange distinct-expand — never a third
+    // (which would mean the decode subtree was duplicated into a
+    // second plan branch).
+    for (q <- Seq("q_mm_audio_dedup", "q_mm_video_frame_dedup")) {
+      val (sh, _) = exchanges(q)
+      assert(sh == 2, s"$q expected 2 shuffles, got $sh")
     }
   }
 
