@@ -581,7 +581,42 @@ object SimilarityQueries {
       .unionByName(overlap("pq", simPqTopK(s, dir)))
   }
 
+  /** q_emb_outliers: embedding-space QUALITY screen — per label class,
+    * flag vectors whose L2 norm sits more than `k`·MAD from the class
+    * median: truncated/zero-padded embeddings, un-normalized strays, or
+    * encoder failures all surface as norm outliers before they poison
+    * ANN search or SemDeDup thresholds (cosine hides magnitude, so no
+    * similarity gate catches these). Same exact-rank median/MAD idiom
+    * as q_events_anomaly, applied to doubles: rank SELECTION returns an
+    * existing norm value (no interpolation), the norm itself is the
+    * in-order float64 fold + IEEE sqrt (bit-portable — the file-header
+    * contract every embedding oracle here relies on), and the flag is
+    * one multiply+compare, so both engines agree bit-for-bit. Scale
+    * shape: norms scan-side (native expression), then the label-keyed
+    * windows share ONE bounded exchange (rows = vectors, keyed by a
+    * bounded class set — the event_type discipline). */
+  def embNormOutliers(s: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val byLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), l2Norm(col("embedding")).as("norm"))
+      .withColumn("rn", row_number().over(
+        byLabel.orderBy(col("norm"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(byLabel))
+      .withColumn("median_norm",
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("norm")))
+          .over(byLabel))
+      .withColumn("adev", abs(col("norm") - col("median_norm")))
+      .withColumn("rn2", row_number().over(
+        byLabel.orderBy(col("adev"), col("vec_id"))))
+      .withColumn("mad_norm",
+        max(when(col("rn2") === expr("(cnt + 1) div 2"), col("adev")))
+          .over(byLabel))
+      .withColumn("is_outlier", col("adev") > lit(k) * col("mad_norm"))
+      .select("vec_id", "label", "norm", "median_norm", "mad_norm", "is_outlier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_outliers" -> ((s: SparkSession, d: String) => embNormOutliers(s, d)),
     "q_sim_recall" -> ((s: SparkSession, d: String) => simRecall(s, d)),
     "q_emb_label_quality" -> (embLabelQuality _),
     "q_sim_knn_label" -> ((s: SparkSession, d: String) => simKnnLabel(s, d)),
@@ -784,6 +819,30 @@ object SimilarityQueries {
        |FROM h""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact-rank median/MAD over the bit-portable float64 norm fold —
+    // selection (not interpolation), so every emitted double is a value
+    // both engines computed identically.
+    "q_emb_outliers" ->
+      """WITH n AS (SELECT vec_id, label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |r1 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY norm, vec_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY label) AS cnt FROM n),
+        |m1 AS (SELECT *,
+        |    MAX(CASE WHEN rn = (cnt + 1) // 2 THEN norm END)
+        |      OVER (PARTITION BY label) AS median_norm FROM r1),
+        |a1 AS (SELECT *, ABS(norm - median_norm) AS adev FROM m1),
+        |r2 AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY adev, vec_id) AS rn2
+        |  FROM a1),
+        |m2 AS (SELECT *,
+        |    MAX(CASE WHEN rn2 = (cnt + 1) // 2 THEN adev END)
+        |      OVER (PARTITION BY label) AS mad_norm FROM r2)
+        |SELECT vec_id, label, norm, median_norm, mad_norm,
+        |  (adev > 3 * mad_norm) AS is_outlier
+        |FROM m2""".stripMargin,
     "q_emb_label_quality" ->
       s"""WITH ${graft.operators.TextQueries.qualityScoreCtesSql},
          |a AS (
