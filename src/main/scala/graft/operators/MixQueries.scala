@@ -526,12 +526,36 @@ object MixQueries {
        |FROM ds ORDER BY dsir_score DESC, doc_id ASC LIMIT $dsirK""".stripMargin
   }
 
+  /** q_mix_epochs: multi-EPOCH repeat planning under data constraint
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeating the best data for a few epochs is near-free,
+    * value decays fast after ~4) — assign each document a repeat factor
+    * from its quality tier (4 epochs top tier, 2 mid, 1 low, 0 = junk
+    * dropped) and EXPLODE the deterministic (doc, epoch) assignments a
+    * training loader consumes, token payload attached. Chains on the
+    * quality gate's scan-side arithmetic; the explode is in-place row
+    * fan-out bounded by 4× — the whole plan is Scan → Project →
+    * Generate, zero shuffle, so the epoch plan costs one corpus read at
+    * any scale. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame =
+    TextQueries.txtQuality(s, dir)
+      .withColumn("repeat_factor",
+        when(col("quality_score") >= 4, 4)
+          .when(col("quality_score") === 3, 2)
+          .when(col("quality_score") >= 2, 1)
+          .otherwise(0))
+      .filter(col("repeat_factor") >= 1)
+      .select(col("doc_id"), col("quality_score"), col("repeat_factor"),
+        col("n_tokens"),
+        explode(expr("sequence(1, repeat_factor)")).as("epoch_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_select_dsir" -> ((s: SparkSession, d: String) => selectDsir(s, d)),
     "q_split_leakage" -> (splitLeakage _),
     "q_curation_e2e" -> (curationE2e _),
     "q_sample_stratified" -> ((s: SparkSession, d: String) => sampleStratified(s, d)),
     "q_mix_sample" -> (mixSample _),
+    "q_mix_epochs" -> (mixEpochs _),
     "q_mix_temperature" -> ((s: SparkSession, d: String) => mixTemperature(s, d)),
     "q_mix_domain_budget" -> (mixDomainBudget _),
     "q_txt_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -542,6 +566,34 @@ object MixQueries {
     "q_sample_weighted" -> ((s: SparkSession, d: String) => sampleWeighted(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // The quality gate's tiering replayed, then the epoch fan-out as a
+    // bounded range cross join.
+    "q_mix_epochs" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','to','and','in'))) AS INTEGER) AS stop_cnt
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
+        |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
+        |            THEN 1 ELSE 0 END
+        |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+        |            THEN 1 ELSE 0 END) AS quality_score
+        |  FROM c),
+        |r AS (SELECT *,
+        |    CASE WHEN quality_score >= 4 THEN 4
+        |         WHEN quality_score = 3 THEN 2
+        |         WHEN quality_score >= 2 THEN 1 ELSE 0 END AS repeat_factor
+        |  FROM q)
+        |SELECT doc_id, CAST(quality_score AS INTEGER) AS quality_score,
+        |  CAST(repeat_factor AS INTEGER) AS repeat_factor, n_tokens,
+        |  CAST(e.range + 1 AS INTEGER) AS epoch_idx
+        |FROM r CROSS JOIN range(0, 4) e
+        |WHERE repeat_factor >= 1 AND e.range < repeat_factor""".stripMargin,
     "q_select_dsir" -> dsirOracle,
     // Composition oracle: each stage is its own gate oracle, nested as a
     // FROM-subquery — an edit to any stage's bar is an edit to both.
