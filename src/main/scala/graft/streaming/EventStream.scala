@@ -230,6 +230,79 @@ object EventStream {
     * the session function runs (the earlier NoTimeout version had no
     * watermark and sessionized every event, at unbounded state cost);
     * batch execution is unaffected. */
+  final case class RecentFeatures(user_id: Long, event_id: Long,
+                                  n_prev: Int,
+                                  max_prev_value: Option[Double],
+                                  gap_us: Option[Long])
+
+  /** ONLINE FEATURE computation over a bounded per-user history — the
+    * feature-store shape: for every event, features over that user's
+    * PREVIOUS up-to-`n` events (count, max value, microseconds since the
+    * immediately-previous event), emitted at event time. State is a
+    * `transformWithState` ListState holding the trailing `n` events per
+    * user — O(n) per key however long the stream runs — trimmed on every
+    * append and evicted by the same re-armed event-time timer contract
+    * as [[sessionizeTws]]. Equality contract: events are processed in
+    * (ts_us, event_id) order (slices are time-contiguous, batches
+    * sorted), so the emitted features equal the batch window
+    * `rowsBetween(-n, -1)` over the same ordering exactly — which is
+    * what the replay gate hash-pins. */
+  def recentFeaturesTws(events: Dataset[Event], n: Int = 5,
+                        gapMinutes: Long = 30, horizon: String = "1 hour")
+                       (implicit spark: SparkSession): Dataset[RecentFeatures] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val withTs = events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
+      .transformWithState(
+        new RecentFeaturesProcessor(n, gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[RecentFeatures]])
+  }
+
+  /** Trailing-`n` event history as explicit ListState. */
+  private final class RecentFeaturesProcessor(n: Int, gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventTs, RecentFeatures] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[EventTs] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[EventTs]("recent",
+        org.apache.spark.sql.Encoders.product[EventTs], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, it: Iterator[EventTs],
+                                 timerValues: TimerValues): Iterator[RecentFeatures] = {
+      val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var buf: Vector[EventTs] =
+        if (recent.exists()) recent.get().toVector else Vector.empty
+      val out = batch.map { e =>
+        val feats = RecentFeatures(userId, e.event_id, buf.size,
+          if (buf.isEmpty) None else Some(buf.map(_.value).max),
+          if (buf.isEmpty) None else Some(e.ts_us - buf.last.ts_us))
+        buf = (buf :+ e).takeRight(n)
+        feats
+      }
+      recent.put(buf.toArray)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(buf.last.ts_us / 1000L + gapMs,
+          timerValues.getCurrentWatermarkInMs + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[RecentFeatures] = {
+      recent.clear()
+      Iterator.empty
+    }
+  }
+
   /** [[sessionize]] on Spark 4's `transformWithState` — the state API a
     * NEW deployment would build on (SPARK-49564: explicit typed state
     * handles + first-class timers, replacing flatMapGroupsWithState's

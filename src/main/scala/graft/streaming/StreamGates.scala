@@ -358,6 +358,37 @@ object StreamGates {
     }
   }
 
+  /** q_stream_recent_tws: ONLINE FEATURES over bounded per-user history —
+    * `transformWithState` ListState holding each user's trailing 5
+    * events ([[EventStream.recentFeaturesTws]]), replayed across the
+    * same 3 checkpointed restarts (and the same slice fixture) as the
+    * sessionize gates. Features computed for an event in batch 3 over
+    * events from batches 1-2 flow THROUGH THE LIST STATE — the carry
+    * this gate hashes. The oracle is the batch window
+    * `ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING` over (ts_us, event_id)
+    * order: the replay must equal it exactly, which certifies the
+    * trim-to-n state discipline loses nothing the window sees. */
+  def streamRecentTws(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try
+      replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_recent_tws", dir,
+          sliceName = "stream_sess") {
+        incoming =>
+          EventStream.recentFeaturesTws(incoming.as[EventStream.Event],
+            n = 5, horizon = "175200 hours").toDF()
+      }
+    finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** q_stream_join: the STREAM-STREAM twin — EventStream.viewPurchaseJoin
     * (watermarked interval self-join of the event feed split into view and
     * purchase streams) replayed across TWO checkpointed AvailableNow
@@ -567,6 +598,7 @@ object StreamGates {
     "q_stream_attribution" -> (streamAttribution _),
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_sessionize_tws" -> (streamSessionizeTws _),
+    "q_stream_recent_tws" -> (streamRecentTws _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_cdc_replica" -> (streamCdcReplica _),
@@ -591,6 +623,20 @@ object StreamGates {
     // same contract, new state API: replay must equal batch sessionize
     "q_stream_sessionize_tws" ->
       graft.operators.EventQueries.oracles("q_events_sessionize"),
+    // the trailing-5 ListState replay must equal the batch window
+    "q_stream_recent_tws" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |w AS (SELECT user_id, event_id,
+        |    CAST(COUNT(*) OVER win AS INTEGER) AS n_prev,
+        |    MAX(value) OVER win AS max_prev_value,
+        |    ts_us - LAG(ts_us, 1) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, n_prev, max_prev_value, gap_us
+        |FROM w""".stripMargin,
     // Replication must land exactly where the source-of-truth table
     // landed, so the replica gate shares the lifecycle state oracle.
     "q_stream_cdc_replica" ->
