@@ -569,22 +569,12 @@ object MixQueries {
     // The quality gate's tiering replayed, then the epoch fan-out as a
     // bounded range cross join.
     "q_mix_epochs" ->
-      """WITH t AS (SELECT doc_id, n_chars,
-        |    string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT doc_id, n_chars,
-        |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_types,
-        |    CAST(len(list_filter(toks,
-        |      x -> x IN ('the','a','of','to','and','in'))) AS INTEGER) AS stop_cnt
-        |  FROM t),
-        |q AS (SELECT doc_id, n_tokens,
-        |    (CASE WHEN n_tokens >= 30 THEN 2 ELSE 1 END
-        |     + CASE WHEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.4
-        |            THEN 1 ELSE 0 END
-        |     + CASE WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
-        |            THEN 1 ELSE 0 END) AS quality_score
-        |  FROM c),
-        |r AS (SELECT *,
+      // reuses the ONE quality-bar definition (TextQueries.qualityScoreCtesSql
+      // — the same CTEs q_txt_quality and q_emb_label_quality replay), so an
+      // edit to the quality bar is an edit to this oracle too.
+      s"""WITH ${TextQueries.qualityScoreCtesSql},
+        |r AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |    quality_score,
         |    CASE WHEN quality_score >= 4 THEN 4
         |         WHEN quality_score = 3 THEN 2
         |         WHEN quality_score >= 2 THEN 1 ELSE 0 END AS repeat_factor

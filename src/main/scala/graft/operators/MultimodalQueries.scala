@@ -327,6 +327,27 @@ object MultimodalQueries {
     * decode fan out rows in place, exactly where the bytes are; frame
     * identity (doc_id, frame_idx) keys every downstream per-frame
     * operator. */
+  /** Walk a GFTV container: validate magic, then yield each frame's
+    * (index, PNG bytes) — the ONE parser both video gates share, so a
+    * corrupt payload fails fast with the doc id instead of misreading
+    * garbage frame lengths. */
+  private def videoFrameIter(id: Long,
+                             payload: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GFTV",
+      s"bad container magic for doc $id")
+    val nf = buf.getInt
+    (0 until nf).iterator.map { f =>
+      val len = buf.getInt
+      val frame = new Array[Byte](len)
+      buf.get(frame)
+      (f, frame)
+    }
+  }
+
   def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
     val src = s.read.parquet(videoFixture(s, dir))
     val schema = StructType(Seq(
@@ -338,18 +359,7 @@ object MultimodalQueries {
       StructField("mean_luma", DoubleType)))
     val rows = src.rdd.mapPartitions(_.flatMap { r =>
       val id = r.getAs[Long]("doc_id")
-      val bytes = r.getAs[Array[Byte]]("payload")
-      val buf = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.BIG_ENDIAN)
-      val magic = new Array[Byte](4)
-      buf.get(magic)
-      require(new String(magic, "US-ASCII") == "GFTV",
-        s"bad container magic for doc $id")
-      val nf = buf.getInt
-      (0 until nf).iterator.map { f =>
-        val len = buf.getInt
-        val frame = new Array[Byte](len)
-        buf.get(frame)
+      videoFrameIter(id, r.getAs[Array[Byte]]("payload")).map { case (f, frame) =>
         val (w, h, c, luma) = decodePng(frame)
         Row(id, f, w, h, c, luma)
       }
@@ -380,14 +390,7 @@ object MultimodalQueries {
       StructField("phash", LongType)))
     val rows = src.rdd.mapPartitions(_.flatMap { r =>
       val id = r.getAs[Long]("doc_id")
-      val buf = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("payload"))
-        .order(java.nio.ByteOrder.BIG_ENDIAN)
-      buf.position(4) // magic checked by q_mm_video_frames
-      val nf = buf.getInt
-      (0 until nf).iterator.map { f =>
-        val len = buf.getInt
-        val frame = new Array[Byte](len)
-        buf.get(frame)
+      videoFrameIter(id, r.getAs[Array[Byte]]("payload")).map { case (f, frame) =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(frame))
         Row(id, f, dHash56(img))
@@ -428,8 +431,14 @@ object MultimodalQueries {
 
   /** RIFF assembly with an optional LIST/INFO metadata chunk between
     * `fmt ` and `data` — the bytes a tag editor or re-wrapper inserts:
-    * the PCM payload is UNTOUCHED, every byte-level hash changes. */
-  private def encodeWavContainer(id: Long, info: Option[String]): Array[Byte] = {
+    * the PCM payload is UNTOUCHED, every byte-level hash changes.
+    * `tagId = true` (the dedup fixture) additionally stamps the first 4
+    * frames with 14-bit slices of doc_id, making the PCM stream a
+    * COLLISION-FREE function of the document at any corpus size — the
+    * raw parameter lattice repeats every lcm(1000,30,20000,2) = 60 000
+    * ids, which would silently merge oracle groups past 60k documents. */
+  private def encodeWavContainer(id: Long, info: Option[String],
+                                 tagId: Boolean = false): Array[Byte] = {
     val (n, h, a, b, c) = audioParams(id)
     val sr = 8000
     val dataLen = n * c * 2
@@ -455,7 +464,8 @@ object MultimodalQueries {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < n) {
-      val v = (if ((i / h) % 2 == 0) a else -b).toShort
+      val v = if (tagId && i < 4) idTagSample(id, i)
+              else (if ((i / h) % 2 == 0) a else -b).toShort
       var k = 0
       while (k < c) { buf.putShort(v); k += 1 }
       i += 1
@@ -515,10 +525,13 @@ object MultimodalQueries {
       val ids = table(s, dir, "documents").select(col("doc_id"))
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
-        val base = Row(id * 2, encodeWav(id))
+        // tagId stamps the doc id into the PCM so streams are
+        // collision-free at ANY corpus size (see encodeWavContainer)
+        val base = Row(id * 2, encodeWavContainer(id, None, tagId = true))
         if (id % 5 == 0)
           Iterator(base,
-            Row(id * 2 + 1, encodeWavContainer(id, Some(s"artist-$id"))))
+            Row(id * 2 + 1,
+              encodeWavContainer(id, Some(s"artist-$id"), tagId = true)))
         else Iterator(base)
       })
       s.createDataFrame(rows, StructType(Seq(
@@ -557,6 +570,11 @@ object MultimodalQueries {
     }
     buf.array()
   }
+
+  /** 14-bit doc-id slice stamped into tagged frame `k` (always > 0 —
+    * never collides with silence and fits a signed short). */
+  private def idTagSample(id: Long, k: Int): Short =
+    (((id >> (14 * k)) & 0x3FFF) + 1).toShort
 
   private[operators] def wavGapFixture(s: SparkSession, dir: String): String =
     payloadFixture(s, dir, "mm_wavgap_fix")(encodeWavGapped)
@@ -627,9 +645,10 @@ object MultimodalQueries {
     * on every twin group, i.e. byte-level identity found nothing to
     * merge. Scale shape: decode + both hashes run where the bytes are;
     * one map-side-combined exchange on the 32-byte PCM hash. The
-    * oracle derives group structure closed-form (PCM is a pure
-    * function of doc_id, and no two documents share one — the
-    * parameter lattice (1000,30,20000,2) has no collision in range),
+    * oracle derives group structure closed-form (PCM is a pure,
+    * COLLISION-FREE function of doc_id: the fixture stamps doc-id bits
+    * into the first frames, because the parameter lattice alone repeats
+    * every 60 000 ids and would merge oracle groups at larger corpora),
     * so a decode that reads container bytes into the PCM stream, or
     * misses the twin's identical samples, mismatches immediately. */
   def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
@@ -969,10 +988,11 @@ object MultimodalQueries {
         |  CAST(end_frame - start_frame + 1 AS BIGINT) AS n_frames
         |FROM segs""".stripMargin,
     // Group structure of the PCM-identity dedup in closed form: every
-    // doc is its own PCM group (the (1000,30,20000,20000,2) parameter
-    // lattice has no in-range collision), with a re-containered twin for
-    // doc % 5 == 0 — two copies, two DISTINCT containers (the LIST/INFO
-    // bytes differ), one PCM.
+    // doc is its own PCM group AT ANY CORPUS SIZE (the fixture stamps
+    // 14-bit doc-id slices into the first 4 frames — the raw parameter
+    // lattice alone would repeat every 60 000 ids), with a re-containered
+    // twin for doc % 5 == 0 — two copies, two DISTINCT containers (the
+    // LIST/INFO bytes differ), one PCM.
     "q_mm_audio_dedup" ->
       """SELECT doc_id * 2 AS canonical_audio_id,
         |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)

@@ -214,26 +214,16 @@ object EventStream {
       }
   }
 
-  /** Stateful sessionization with `flatMapGroupsWithState`: per-user state
-    * carries (current session seq, last event time); a >`gapMinutes` gap
-    * opens a new session.
-    *
-    * State is EVICTED via `EventTimeTimeout`: a user's state expires once
-    * the watermark passes their last event + session gap (the session can
-    * never continue past the gap anyway, so eviction is lossless for
-    * in-watermark data; a user returning later simply restarts session
-    * numbering — the same bounded-memory contract as streamingDedup's
-    * horizon). Without this, idle users' state grows without bound at
-    * stream scale. `horizon` is the watermark lateness allowance — NOTE
-    * the watermark also means streaming events arriving more than
-    * `horizon` behind the max seen event time are dropped as late before
-    * the session function runs (the earlier NoTimeout version had no
-    * watermark and sessionized every event, at unbounded state cost);
-    * batch execution is unaffected. */
   final case class RecentFeatures(user_id: Long, event_id: Long,
                                   n_prev: Int,
                                   max_prev_value: Option[Double],
                                   gap_us: Option[Long])
+
+  /** Minimal per-event state record for the trailing history — only the
+    * two fields the features read (the full EventTs would serialize
+    * event_type/event_ts/redundant ids through RocksDB every batch,
+    * ~2-3x the bytes, for an operator whose point is small state). */
+  final case class RecentEvent(ts_us: Long, value: Double)
 
   /** ONLINE FEATURE computation over a bounded per-user history — the
     * feature-store shape: for every event, features over that user's
@@ -244,9 +234,14 @@ object EventStream {
     * append and evicted by the same re-armed event-time timer contract
     * as [[sessionizeTws]]. Equality contract: events are processed in
     * (ts_us, event_id) order (slices are time-contiguous, batches
-    * sorted), so the emitted features equal the batch window
-    * `rowsBetween(-n, -1)` over the same ordering exactly — which is
-    * what the replay gate hash-pins. */
+    * sorted), so AS LONG AS NO EVICTION FIRES the emitted features equal
+    * the batch window `rowsBetween(-n, -1)` over the same ordering
+    * exactly — which is what the replay gate hash-pins (over-span
+    * horizon). At a production horizon, a user idle past watermark + gap
+    * has the history cleared and their next event restarts from
+    * n_prev = 0 — the same bounded-state freshness trade [[attribute]]
+    * and [[sessionize]] document (features older than the gap are stale
+    * anyway); EventStreamSpec pins that reset behavior. */
   def recentFeaturesTws(events: Dataset[Event], n: Int = 5,
                         gapMinutes: Long = 30, horizon: String = "1 hour")
                        (implicit spark: SparkSession): Dataset[RecentFeatures] = {
@@ -269,23 +264,23 @@ object EventStream {
         Long, EventTs, RecentFeatures] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
     @transient private var recent:
-      org.apache.spark.sql.streaming.ListState[EventTs] = _
+      org.apache.spark.sql.streaming.ListState[RecentEvent] = _
 
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      recent = getHandle.getListState[EventTs]("recent",
-        org.apache.spark.sql.Encoders.product[EventTs], TTLConfig.NONE)
+      recent = getHandle.getListState[RecentEvent]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEvent], TTLConfig.NONE)
 
     override def handleInputRows(userId: Long, it: Iterator[EventTs],
                                  timerValues: TimerValues): Iterator[RecentFeatures] = {
       val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var buf: Vector[EventTs] =
+      var buf: Vector[RecentEvent] =
         if (recent.exists()) recent.get().toVector else Vector.empty
       val out = batch.map { e =>
         val feats = RecentFeatures(userId, e.event_id, buf.size,
           if (buf.isEmpty) None else Some(buf.map(_.value).max),
           if (buf.isEmpty) None else Some(e.ts_us - buf.last.ts_us))
-        buf = (buf :+ e).takeRight(n)
+        buf = (buf :+ RecentEvent(e.ts_us, e.value)).takeRight(n)
         feats
       }
       recent.put(buf.toArray)
@@ -378,6 +373,22 @@ object EventStream {
     }
   }
 
+  /** Stateful sessionization with `flatMapGroupsWithState`: per-user state
+    * carries (current session seq, last event time); a >`gapMinutes` gap
+    * opens a new session.
+    *
+    * State is EVICTED via `EventTimeTimeout`: a user's state expires once
+    * the watermark passes their last event + session gap (the session can
+    * never continue past the gap anyway, so eviction is lossless for
+    * in-watermark data; a user returning later simply restarts session
+    * numbering — the same bounded-memory contract as streamingDedup's
+    * horizon). Without this, idle users' state grows without bound at
+    * stream scale. `horizon` is the watermark lateness allowance — NOTE
+    * the watermark also means streaming events arriving more than
+    * `horizon` behind the max seen event time are dropped as late before
+    * the session function runs (the earlier NoTimeout version had no
+    * watermark and sessionized every event, at unbounded state cost);
+    * batch execution is unaffected. */
   def sessionize(events: Dataset[Event], gapMinutes: Long = 30,
                  horizon: String = "1 hour")
                 (implicit spark: SparkSession): Dataset[SessionizedEvent] = {

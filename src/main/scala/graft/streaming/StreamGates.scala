@@ -326,6 +326,20 @@ object StreamGates {
     }
   }
 
+  /** Scope with the RocksDB state-store provider set (transformWithState
+    * requires it) and the previous provider restored after — shared by
+    * every TWS gate. */
+  private def withRocksDBProvider[T](s: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** q_stream_sessionize_tws: the SAME 3-restart sessionize replay driven
     * through Spark 4's `transformWithState`
     * ([[EventStream.sessionizeTws]]) instead of flatMapGroupsWithState —
@@ -341,20 +355,13 @@ object StreamGates {
       withReplayParallelism(s) {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try
+    withRocksDBProvider(s) {
       replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_sess_tws", dir,
           sliceName = "stream_sess") {
         incoming =>
           EventStream.sessionizeTws(incoming.as[EventStream.Event],
             gapMinutes = 30, horizon = "175200 hours").toDF()
       }
-    finally prev match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
     }
   }
 
@@ -372,20 +379,13 @@ object StreamGates {
       withReplayParallelism(s) {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try
+    withRocksDBProvider(s) {
       replaySlices(s, eventsNarrow(s, dir), nSlices = 3, "stream_recent_tws", dir,
           sliceName = "stream_sess") {
         incoming =>
           EventStream.recentFeaturesTws(incoming.as[EventStream.Event],
             n = 5, horizon = "175200 hours").toDF()
       }
-    finally prev match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
     }
   }
 

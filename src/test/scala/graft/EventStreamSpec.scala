@@ -252,4 +252,50 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got(4L) == 1L, s"state not evicted: $got")
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("recent-features ListState (TWS) evicts idle users and restarts from empty") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val min = 60L * 1000000L
+      val stream = MemoryStream[Event]
+      val q = EventStream.recentFeaturesTws(stream.toDS(), n = 5,
+          gapMinutes = 30, horizon = "1 hour").writeStream
+        .format("memory").queryName("recent_evict_out")
+        .outputMode("append").start()
+      val base = 1000L
+      // batch 1: user 1's only activity (timer armed at base+30min)
+      stream.addData(Event(1, 1, (base + 0) * min, "a", 7.0))
+      q.processAllAvailable()
+      // batch 2: user 9 far in the future advances the watermark
+      stream.addData(Event(2, 9, (base + 300) * min, "b", 1.0))
+      q.processAllAvailable()
+      // batch 3: two events for user 8 — normal in-batch accumulation —
+      // and the expired timer clears user 1's history
+      stream.addData(Event(3, 8, (base + 310) * min, "b", 3.0),
+        Event(5, 8, (base + 311) * min, "b", 4.0))
+      q.processAllAvailable()
+      // batch 4: user 1 returns — with history evicted, features restart
+      // from n_prev = 0 (surviving state would say n_prev = 1, gap 320min)
+      stream.addData(Event(4, 1, (base + 320) * min, "a", 2.0))
+      q.processAllAvailable(); q.stop()
+
+      val rows = spark.table("recent_evict_out").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Int]("n_prev"),
+            Option(r.getAs[Any]("max_prev_value")),
+            Option(r.getAs[Any]("gap_us"))))).toMap
+      assert(rows(4L) == ((0, None, None)), s"history not evicted: $rows")
+      // in-state accumulation still works where no eviction happened
+      assert(rows(3L) == ((0, None, None)))
+      assert(rows(5L) == ((1, Some(3.0), Some(1L * min))))
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
