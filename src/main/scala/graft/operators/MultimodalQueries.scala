@@ -826,10 +826,24 @@ object MultimodalQueries {
     *     candidate join below runs over DISTINCT hashes, never images,
     *     so a viral image with 10⁶ byte-distinct copies costs one group
     *     row, not 10¹² candidate pairs.
-    *  2. BAND — split the 56-bit hash into seven 8-bit bands (one per
-    *     dHash grid row); by pigeonhole any pair within Hamming ≤ 6
-    *     agrees exactly on ≥ 1 band, so band-equality candidate
-    *     generation is LOSSLESS for the default tolerance.
+    *  2. BAND — split the 56-bit hash into `maxHamming + 1` bands (4
+    *     bands × 14 bits at the default k = 3): by pigeonhole any pair
+    *     within Hamming ≤ maxHamming agrees exactly on ≥ 1 band, so
+    *     band-equality candidate generation is LOSSLESS at the requested
+    *     tolerance — and no WIDER. Band count is derived from the
+    *     tolerance rather than fixed at the 7 grid rows because the band
+    *     key space is what bounds collision rates: 7×8-bit bands give
+    *     only 1,792 (band, chunk) buckets, quadratic in distinct hashes
+    *     at corpus scale, while 4×14-bit bands give 65,536 — ~64× fewer
+    *     collisions per bucket for the same recall guarantee. Buckets
+    *     above `maxBucket` are DROPPED before the self-join (the
+    *     `Sketches.simhashPairs` production skew guard — flat images,
+    *     letterboxes, and test patterns concentrate real dHash values),
+    *     bounding any bucket's join cost at maxBucket²; the count rides
+    *     the (band, chunk) exchange the join already pays, so the guard
+    *     adds no shuffle. The cap never triggers at oracle scale
+    *     (sf ≤ 0.1 buckets are orders of magnitude below it), so the
+    *     DuckDB replay stays capless — the simhash precedent.
     *  3. VERIFY — exact Hamming distance (bit_count of xor) ≤
     *     `maxHamming` over the candidates.
     * Output: one row per near-pair of exact-phash GROUPS (canonical ids,
@@ -850,15 +864,35 @@ object MultimodalQueries {
 
   /** Banded candidate generation + exact-Hamming verify over a
     * (phash, canon, n_copies) group frame — stages 2-3 of the near-dup
-    * pipeline, shared by the pair gate and the cluster gate. */
-  private def phashGroupPairs(grp: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 6,
-      s"7-band pigeonhole guarantees candidates only up to Hamming 6; got $maxHamming")
+    * pipeline, shared by the pair gate and the cluster gate. Band count
+    * derives from the tolerance (`maxHamming + 1` bands of
+    * ⌈56 / nBands⌉ bits — pigeonhole-lossless, maximal per-band key
+    * space) and `maxBucket` drops degenerate (band, chunk) buckets
+    * before the self-join, the same windowed count-and-drop guard as
+    * [[Sketches.simhashPairs]] — it rides the exchange the join already
+    * pays. Recall effect: a pair agreeing ONLY on dropped buckets is
+    * lost, which is exactly the pathological flat-image cluster the cap
+    * exists to exclude (`PhashNeardupSpec` pins both directions on a
+    * degenerate fixture). */
+  private[graft] def phashGroupPairs(grp: DataFrame, maxHamming: Int,
+                                     maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 6,
+      s"band tolerance must be in [1, 6]; got $maxHamming")
+    val nBands = maxHamming + 1
+    val chunkBits = (56 + nBands - 1) / nBands
+    val mask = (1L << chunkBits) - 1
     val banded = grp.select(col("phash"), col("canon"), col("n_copies"),
-      posexplode(expr("transform(sequence(0, 6), b -> (phash >> (b * 8)) & 255)"))
+      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> (phash >> (b * $chunkBits)) & $mask)"))
         .as(Seq("band", "chunk")))
-    banded.alias("a")
-      .join(banded.alias("b"),
+    val capped = banded
+      .withColumn("_bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("chunk"))))
+      .filter(col("_bucket_n") <= maxBucket)
+      .drop("_bucket_n")
+    capped.alias("a")
+      .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.phash") < col("b.phash"))
       .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"),
@@ -959,8 +993,8 @@ object MultimodalQueries {
       |    MIN(img_id) AS canon
       |  FROM ph GROUP BY phash),
       |banded AS (SELECT phash, canon, n_copies, b.range AS band,
-      |    (phash >> CAST(b.range * 8 AS BIGINT)) & 255 AS chunk
-      |  FROM grp CROSS JOIN range(0, 7) b),
+      |    (phash >> CAST(b.range * 14 AS BIGINT)) & 16383 AS chunk
+      |  FROM grp CROSS JOIN range(0, 4) b),
       |cand AS (SELECT DISTINCT a.phash AS ph_a, b.phash AS ph_b,
       |    a.canon AS canon_a, b.canon AS canon_b,
       |    a.n_copies AS n_a, b.n_copies AS n_b
@@ -1077,9 +1111,11 @@ object MultimodalQueries {
     // grid rows align with painted rows (h = 7·m), so row j's bits follow
     // the same cross-multiplied two-tone comparison as q_mm_phash_dedup
     // but with per-(image, row) tones — including the near-variant's one
-    // swapped row. The oracle then replays the collapse → 7×8-bit band →
-    // exact-Hamming pipeline; the Spark leg must recover every hash from
-    // real decoded pixels for the pair set to match.
+    // swapped row. The oracle then replays the collapse → 4×14-bit band →
+    // exact-Hamming pipeline (the k = 3 tolerance's banding; capless —
+    // the bucket cap cannot trigger at oracle scale); the Spark leg must
+    // recover every hash from real decoded pixels for the pair set to
+    // match.
     "q_mm_phash_neardup" ->
       s"""WITH $phashPairCtes
         |SELECT canon_a, canon_b,

@@ -88,6 +88,38 @@ class PhashNeardupSpec extends AnyFunSuite {
     out.values.foreach(h => assert(h >= 1 && h <= 3))
   }
 
+  test("bucket cap drops degenerate flat-image bands but keeps pairs " +
+      "agreeing on a healthy band") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // Degenerate cluster: 200 DISTINCT hashes whose low 14 bits are all
+    // zero (the flat-image / letterbox pathology: band 0's chunk — and
+    // bands 2-3's, since i < 2^14 — is shared by every one of them).
+    // Plus one seeded near pair (A, B) that shares healthy band-1 chunk
+    // 300 and differs only in band 0 (Hamming 2).
+    val spark2 = spark
+    import spark2.implicits._
+    val flat = (1L to 200L).map(i => i << 14)
+    val a = (300L << 14) | 5L
+    val b = (300L << 14) | 6L
+    val grp = (flat :+ a :+ b).toDF("phash")
+      .withColumn("canon", col("phash"))
+      .withColumn("n_copies", lit(1L))
+    // Uncapped: the 200-hash flat cluster floods the candidate join —
+    // every pair agrees on band 0 (and 2, 3), so candidates are ~C(200,2).
+    val uncapped = MultimodalQueries.phashGroupPairs(grp, 3, Int.MaxValue)
+      .collect()
+    assert(uncapped.length > 199,
+      "degenerate fixture must flood the uncapped join with near pairs")
+    // Capped at 10: all four degenerate buckets exceed the cap and are
+    // dropped BEFORE the join; the only surviving candidate is the seeded
+    // pair, which agrees on its healthy (2-member) band-1 bucket.
+    val capped = MultimodalQueries.phashGroupPairs(grp, 3, 10).collect()
+    assert(capped.length == 1, s"capped join kept ${capped.length} pairs")
+    assert(capped.head.getAs[Long]("canon_a") == math.min(a, b) &&
+      capped.head.getAs[Long]("canon_b") == math.max(a, b))
+    assert(capped.head.getAs[Int]("hamming") == 2)
+  }
+
   test("clusters are the transitive closure of the near pairs") {
     val pairs = MultimodalQueries.mmPhashNeardup(spark, dir).collect()
       .map(r => (r.getAs[Long]("canon_a"), r.getAs[Long]("canon_b")))

@@ -96,7 +96,14 @@ class PlanShapeSpec extends AnyFunSuite {
       val sh = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.size
+      // STILL 3 with the maxBucket guard: its count window partitions by
+      // (band, chunk) — the join's own distribution — so the cap rides
+      // the existing exchange instead of adding a fourth.
       assert(sh == 3, s"q_mm_phash_neardup expected 3 shuffles, got $sh")
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.size
+      assert(wins == 2, s"expected the bucket-cap window on both join sides, got $wins")
       // and exactly one scan of the image-hash RDD survives in the plan
       assert(plan.toString.linesIterator.count(_.contains("Scan ExistingRDD")) == 1,
         "decode RDD scanned more than once")
