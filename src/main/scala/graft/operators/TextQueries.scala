@@ -777,22 +777,34 @@ object TextQueries {
     * Zero joins, zero extra shuffles beyond the per-doc aggregation; at
     * 100 TB this is exactly how a trained tokenizer deploys (the merge
     * table ships with the job, the corpus is one pass). */
-  /** The collected k-row merge table per (sf dir, nMerges) — a trained
-    * ARTIFACT, cached for the JVM the way the IVF codebook and classifier
-    * weights are: [[txtBpeApply]] deploys a tokenizer, it does not
-    * re-train one, so invoking apply twice (spec suites, bench passes)
-    * must not re-run the 8-round training loop and its second corpus
-    * word-frequency shuffle. The TRAIN gate itself stays unmemoized —
-    * q_txt_bpe_train times a live train on every invocation (the
-    * bench-honesty contract; only the apply-side artifact is cached). */
-  private val bpeMergeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(String, String)]]()
+  /** The trained k-row merge table per (sf dir, nMerges) — a trained
+    * ARTIFACT, persisted as parquet through
+    * [[graft.sources.ScratchDirs.memoized]] so the memoization is
+    * AUDITABLE: `requestedMemoNames` (the bench-honesty observable)
+    * records `bpe_merges_fix` on every apply invocation, where the
+    * previous bare in-JVM map hid the cache from the guard entirely.
+    * [[txtBpeApply]] deploys a tokenizer, it does not re-train one, so
+    * invoking apply twice (spec suites, bench passes) must not re-run the
+    * 8-round training loop and its second corpus word-frequency shuffle.
+    * The TRAIN gates stay unmemoized — q_txt_bpe_train times a live
+    * train on every invocation (`BenchHonestySpec` pins that with a
+    * per-round job-count assert; only the apply-side artifact is
+    * cached). */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
   private def trainedMerges(s: SparkSession, dir: String,
-                            nMerges: Int): Array[(String, String)] =
-    bpeMergeMemo.computeIfAbsent((dir, nMerges), _ =>
-      txtBpeTrain(s, dir, nMerges)
-        .orderBy("merge_rank").collect() // k rows — the trained artifact
+                            nMerges: Int): Array[(String, String)] = {
+    // memoized() runs on EVERY invocation (a map hit after the first), so
+    // the artifact name stays visible per-invocation to the audit.
+    val root = graft.sources.ScratchDirs.memoized("bpe_merges_fix",
+      s"$dir#$nMerges") { r =>
+      txtBpeTrain(s, dir, nMerges).orderBy("merge_rank")
+        .write.parquet(s"$r/merges") // k rows — the trained artifact
+    }
+    bpeMergeCache.computeIfAbsent(root, _ =>
+      s.read.parquet(s"$root/merges").orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))))
+  }
 
   def txtBpeApply(s: SparkSession, dir: String,
                   nMerges: Int = bpeMerges): DataFrame = {

@@ -38,6 +38,7 @@ object ScratchDirs {
   def memoized(name: String, key: String)(build: String => Unit): String =
     memoRoots.synchronized {
       requested += name
+      requestCount(name) = requestCount.getOrElse(name, 0L) + 1L
       memoRoots.getOrElseUpdate((name, key), {
         val root = fresh(s"memo_${name}_" + Integer.toHexString(key.hashCode))
         build(root)
@@ -50,7 +51,15 @@ object ScratchDirs {
     * their pipeline on EVERY invocation (they are the bench's only honest
     * full-pipeline timings), so their run roots must never appear here.
     * Only the CLI gates' published runs (`*cli_run`) and read-only
-    * fixtures (`*_raw`/`*_fix`/`*_orc`/...) are legitimate entries. */
+    * fixtures (`*_raw`/`*_fix`/`*_orc`/...) are legitimate entries.
+    * EVERY in-JVM artifact cache must route its lookup through
+    * [[memoized]] (a bare ConcurrentHashMap is invisible here — the r14
+    * audit bypass); [[requestedMemoCounts]] exposes per-name request
+    * counts so a guard can assert a cache is consulted on every
+    * invocation, not just the first. */
   private val requested = scala.collection.mutable.Set.empty[String]
+  private val requestCount = scala.collection.mutable.HashMap.empty[String, Long]
   def requestedMemoNames: Set[String] = memoRoots.synchronized(requested.toSet)
+  def requestedMemoCounts: Map[String, Long] =
+    memoRoots.synchronized(requestCount.toMap)
 }

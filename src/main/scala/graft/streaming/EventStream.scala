@@ -245,6 +245,10 @@ object EventStream {
   def recentFeaturesTws(events: Dataset[Event], n: Int = 5,
                         gapMinutes: Long = 30, horizon: String = "1 hour")
                        (implicit spark: SparkSession): Dataset[RecentFeatures] = {
+    // n = 0 would leave the processor's post-append buffer empty and its
+    // timer registration (buf.last) throwing at RUNTIME inside a task —
+    // fail at plan-build time instead.
+    require(n >= 1, s"trailing-history size must be >= 1; got $n")
     import spark.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val withTs = events

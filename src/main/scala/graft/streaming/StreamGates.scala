@@ -328,7 +328,12 @@ object StreamGates {
 
   /** Scope with the RocksDB state-store provider set (transformWithState
     * requires it) and the previous provider restored after — shared by
-    * every TWS gate. */
+    * every TWS gate. SEQUENTIAL-ONLY: the provider conf is session-global
+    * mutable state, so two gates racing on one SparkSession could restore
+    * out of order and run a non-TWS replay on the wrong provider. Fine
+    * under the current one-gate-at-a-time Verify/Bench drivers; if gate
+    * concurrency is ever introduced, move the provider to a per-query
+    * `writeStream` option (or give TWS gates their own session). */
   private def withRocksDBProvider[T](s: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(provKey)

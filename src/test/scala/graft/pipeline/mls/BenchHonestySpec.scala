@@ -41,6 +41,39 @@ class BenchHonestySpec extends AnyFunSuite {
     }
   }
 
+  test("the BPE apply artifact is memoized ONLY through the auditable " +
+      "registry, and the train gate stays live on every invocation") {
+    import graft.operators.TextQueries
+    // 1. Registry visibility (the r14 audit bypass): every apply
+    // invocation must consult ScratchDirs.memoized under a *_fix name —
+    // a bare in-JVM map would leave the request count flat.
+    val c0 = ScratchDirs.requestedMemoCounts.getOrElse("bpe_merges_fix", 0L)
+    TextQueries.txtBpeApply(spark, dir).count()
+    val c1 = ScratchDirs.requestedMemoCounts.getOrElse("bpe_merges_fix", 0L)
+    TextQueries.txtBpeApply(spark, dir).count()
+    val c2 = ScratchDirs.requestedMemoCounts.getOrElse("bpe_merges_fix", 0L)
+    assert(c1 > c0 && c2 > c1,
+      "txtBpeApply no longer routes its trained-merge artifact through " +
+        "ScratchDirs.memoized on every invocation — the cache is " +
+        "invisible to the bench-honesty audit")
+    assert(fixtureSuffixes.exists("bpe_merges_fix".endsWith))
+    // 2. The TRAIN gate must never deploy that artifact: a SECOND
+    // invocation still submits one Spark job per merge round (the 1-row
+    // argmax collects). A refactor that memoizes the train submits ~0.
+    val sc = spark.sparkContext
+    def liveTrainJobs(tag: String): Int = {
+      sc.setJobGroup(tag, "bench-honesty live-train assert")
+      try TextQueries.txtBpeTrain(spark, dir).collect()
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    liveTrainJobs("bpe_live_train_1")
+    val second = liveTrainJobs("bpe_live_train_2")
+    assert(second >= 8,
+      s"q_txt_bpe_train's second invocation submitted only $second jobs — " +
+        "the per-round pair aggregation is no longer running live")
+  }
+
   test("q_job1_e2e/q_job2_e2e return the pipeline plan, not a table read") {
     // A memoized gate would return a bare scan of its published state; the
     // honest gates' plans carry the latest-wins window logic downstream of
