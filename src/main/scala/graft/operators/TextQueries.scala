@@ -563,10 +563,14 @@ object TextQueries {
     * q_stream_neardup corpus-index precedent: production's incremental
     * input is yesterday's table on disk) and consumed by a plain read,
     * so today's scoring pays delta-sized work plus one table scan, never
-    * a corpus recompute. At 100 TB the persisted table keys on
+    * a corpus recompute. NOTE the GATE still re-emits batch 1's scores
+    * (the oracle must see every document), so its timed work includes
+    * batch 1's explode; a deployment persists yesterday's scores and
+    * pays only the delta leg. At 100 TB the persisted table keys on
     * xxhash64(gram) — 8-byte keys, the q_dedup_substring_hashed
     * discipline — and each day ends with a delta-sized merge of new
-    * first-writers into it. */
+    * first-writers into it, realized (and plan-pinned delta-sized) in
+    * [[txtNoveltyRolling]]'s [[noveltyKnownMerge]]. */
   def txtNoveltyIncremental(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     def grams = withTokens(table(s, dir, "documents"))
       .filter(size(col("toks")) >= k)
@@ -608,6 +612,115 @@ object TextQueries {
         sum(when(col("known").isNull && col("doc_id") === col("first2"), 1L)
           .otherwise(0L)).as("n_novel"))
     out1.unionByName(out2)
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
+  }
+
+  /** K-gram explode of the qualifying documents — the one corpus-scale
+    * pass every novelty leg batches over. */
+  private def noveltyGrams(s: SparkSession, dir: String, k: Int): DataFrame =
+    withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
+
+  /** Range-third ingestion cuts (t1, t2) over the qualifying documents —
+    * a 1-row scalar aggregate (pure function of the data, so fixture
+    * build, live legs, and spec all derive identical boundaries),
+    * broadcast back via the bounded-crossJoin idiom. Integer `div` keeps
+    * the cut exact. Computed over the DOCUMENTS frame, never the
+    * exploded grams — a scalar must not pay a corpus-scale explode. */
+  private def noveltyCuts(s: SparkSession, dir: String, k: Int): DataFrame =
+    withTokens(table(s, dir, "documents"))
+      .filter(size(col("toks")) >= k)
+      .agg(expr("min(doc_id) + (max(doc_id) - min(doc_id)) div 3").as("t1"),
+        expr("min(doc_id) + ((max(doc_id) - min(doc_id)) * 2) div 3").as("t2"))
+
+  private def noveltyBatch(g: DataFrame, cuts: DataFrame)
+                          (pred: org.apache.spark.sql.Column): DataFrame =
+    g.crossJoin(broadcast(cuts)).filter(pred).drop("t1", "t2")
+
+  /** Batch-1 first-writer known-grams table for the ROLLING gate,
+    * persisted once per (sf dir, k) — "the day-before-yesterday's table
+    * on disk" the 3-batch replay starts from. */
+  private def rollingKnownPath(s: SparkSession, dir: String, k: Int): String = {
+    val root = graft.sources.ScratchDirs.memoized("novelty_roll_fix",
+      s"$dir#$k") { r =>
+      val g = noveltyGrams(s, dir, k)
+      val cuts = noveltyCuts(s, dir, k)
+      noveltyBatch(g, cuts)(col("doc_id") <= col("t1"))
+        .groupBy("gram").agg(min("doc_id").as("first_doc"))
+        .write.parquet(s"$r/known")
+    }
+    s"$root/known"
+  }
+
+  /** The END-OF-DAY MERGE of the rolling-novelty screen: fold batch 2's
+    * first-writers into the persisted known-grams table. DELTA-sized by
+    * construction — the only gram explode in this leg is batch 2's (the
+    * day's delta), and the accumulated corpus contributes one parquet
+    * scan + one anti-join; no corpus-scale recompute of batch 1's
+    * attribution ever runs (PlanShapeSpec pins exactly one Generate and
+    * the known-table FileScan in this plan). At 100 TB both gram legs
+    * key on xxhash64(gram) like q_dedup_substring_hashed and the merge
+    * is an append of anti-joined novel grams. */
+  private[graft] def noveltyKnownMerge(s: SparkSession, dir: String,
+                                       k: Int = 5): DataFrame = {
+    val known1 = s.read.parquet(rollingKnownPath(s, dir, k))
+    val cuts = noveltyCuts(s, dir, k)
+    val first2 = noveltyBatch(noveltyGrams(s, dir, k), cuts)(
+        col("doc_id") > col("t1") && col("doc_id") <= col("t2"))
+      .groupBy("gram").agg(min("doc_id").as("first_doc"))
+    known1.unionByName(
+      first2.join(known1.select("gram"), Seq("gram"), "left_anti"))
+  }
+
+  /** q_txt_novelty_rolling: the THREE-batch form of
+    * [[txtNoveltyIncremental]], realizing the known-grams end-of-day
+    * merge that gate's docstring promises: batch 1 (ids ≤ t1, range
+    * thirds) scores against the PERSISTED known-grams table it produced;
+    * batch 2 (t1, t2] scores against that table + its own first-writers;
+    * then [[noveltyKnownMerge]] folds batch 2's novel grams into the
+    * known table (delta-sized — see its scaladoc) and batch 3 (> t2)
+    * scores against the merged table. Because ids are monotone across
+    * batches, the 3-batch union equals the ONE-SHOT novelty query
+    * bit-for-bit — which is the oracle (the replay-equals-batch
+    * discipline). NOTE: the gate re-emits batches 1-2's scores because
+    * the oracle must see every document; a deployment persists
+    * yesterday's scores and pays only batch 3's scoring plus the delta
+    * merge per day. */
+  def txtNoveltyRolling(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    def g = noveltyGrams(s, dir, k)
+    val cuts = noveltyCuts(s, dir, k)
+    val known1 = s.read.parquet(rollingKnownPath(s, dir, k))
+    def b2(df: DataFrame) = noveltyBatch(df, cuts)(
+      col("doc_id") > col("t1") && col("doc_id") <= col("t2"))
+    def b3(df: DataFrame) = noveltyBatch(df, cuts)(col("doc_id") > col("t2"))
+    val out1 = noveltyBatch(g, cuts)(col("doc_id") <= col("t1"))
+      .join(known1, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+    val first2 = b2(g).groupBy("gram").agg(min("doc_id").as("first2"))
+    val out2 = b2(g)
+      .join(known1.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
+      .join(first2, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("known").isNull && col("doc_id") === col("first2"), 1L)
+          .otherwise(0L)).as("n_novel"))
+    val known2 = noveltyKnownMerge(s, dir, k)
+    val first3 = b3(g).groupBy("gram").agg(min("doc_id").as("first3"))
+    val out3 = b3(g)
+      .join(known2.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
+      .join(first3, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("known").isNull && col("doc_id") === col("first3"), 1L)
+          .otherwise(0L)).as("n_novel"))
+    out1.unionByName(out2).unionByName(out3)
       .withColumn("novelty",
         col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
   }
@@ -1035,6 +1148,8 @@ object TextQueries {
     "q_txt_novelty" -> ((s: SparkSession, d: String) => txtNovelty(s, d)),
     "q_txt_novelty_incremental" ->
       ((s: SparkSession, d: String) => txtNoveltyIncremental(s, d)),
+    "q_txt_novelty_rolling" ->
+      ((s: SparkSession, d: String) => txtNoveltyRolling(s, d)),
     "q_txt_bpe_train" -> ((s: SparkSession, d: String) => txtBpeTrain(s, d)),
     "q_txt_bpe_train_driver" ->
       ((s: SparkSession, d: String) => txtBpeTrainDriver(s, d)),
@@ -1351,6 +1466,8 @@ object TextQueries {
       + ("q_txt_novelty" -> noveltyOracle)
       // the incremental gate's CONTRACT is replay-equals-one-shot: same oracle
       + ("q_txt_novelty_incremental" -> noveltyOracle)
+      // ...and the 3-batch rolling replay shares the same contract
+      + ("q_txt_novelty_rolling" -> noveltyOracle)
       + ("q_txt_classifier_eval" -> {
         val wl = classifierWeights.mkString("[", ",", "]")
         s"""WITH w AS (SELECT $wl AS wl),

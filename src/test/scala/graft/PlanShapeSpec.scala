@@ -129,6 +129,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("rolling novelty's end-of-day merge is DELTA-sized: one batch-2 " +
+      "gram explode plus a scan of the persisted known table") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val merge = graft.operators.TextQueries.noveltyKnownMerge(spark, dir)
+        .queryExecution.executedPlan
+      val planStr = merge.toString
+      assert(planStr.contains("memo_novelty_roll_fix"),
+        "merge leg no longer reads the persisted known-grams table")
+      // exactly ONE Generate: batch 2's gram explode (the day's delta).
+      // A second one would mean batch 1's corpus-scale attribution is
+      // being recomputed for the table update.
+      val gens = merge.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.size
+      assert(gens == 1, s"merge leg expected 1 gram explode, got $gens")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("anomaly gates: all medians/MAD windows share one event_type " +
       "exchange over the bounded hourly frame") {
     // q_events_anomaly: shuffle 1 the corpus hourly groupBy, shuffle 2
