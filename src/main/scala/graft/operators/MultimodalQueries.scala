@@ -89,9 +89,12 @@ object MultimodalQueries {
     * every sample as an exact integer and divides ONCE, so the value is
     * bit-identical to the fixture's closed form ((a+b)/2 — exact in
     * IEEE). */
-  private def decodePng(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+  private def decodePng(payload: Array[Byte]): (Int, Int, Int, Double) =
+    decodedFeatures(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+
+  private def decodedFeatures(
+      img: java.awt.image.BufferedImage): (Int, Int, Int, Double) = {
     val w = img.getWidth
     val h = img.getHeight
     val c = img.getColorModel.getNumComponents
@@ -184,37 +187,95 @@ object MultimodalQueries {
         octet_length(col("frame")).as("frame_bytes"),
         sha2(col("frame"), 256).as("frame_sha"))
 
-  /** Resize planning over REAL decoded dimensions: fit every image inside
-    * a `box`×`box` bounding box preserving aspect ratio (integer floor
-    * arithmetic — the exact dims a thumbnailer must produce), pass
-    * through images already inside the box (the PNG fixture's 8..307
-    * range straddles the box on purpose), and content-address the
-    * would-be resized output deterministically (the address is a pure
-    * function of doc_id and target dims, so the oracle replays it; a
-    * real resizer would emit the pixels alongside). Chains on
-    * [[mmDecodeFeatures]] the way a real pipeline chains resize after
-    * decode — per-partition decode then projection, zero shuffle. */
+  /** Exact-integer AREA-AVERAGE downscale: output sample (x, y, k) is the
+    * FLOOR mean of the input box [⌊x·w/w2⌋, ⌊(x+1)·w/w2⌋) ×
+    * [⌊y·h/h2⌋, ⌊(y+1)·h/h2⌋) — no interpolation and no floating point,
+    * so every output pixel is reproducible by any engine in integer
+    * arithmetic (the property the DuckDB oracle exploits). */
+  private def areaAverageResize(img: java.awt.image.BufferedImage,
+                                w2: Int, h2: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val c = img.getColorModel.getNumComponents
+    val out = new java.awt.image.BufferedImage(w2, h2, img.getType)
+    val rin = img.getRaster
+    val rout = out.getRaster
+    var y = 0
+    while (y < h2) {
+      val y0 = (y.toLong * h / h2).toInt
+      val y1 = ((y + 1).toLong * h / h2).toInt
+      var x = 0
+      while (x < w2) {
+        val x0 = (x.toLong * w / w2).toInt
+        val x1 = ((x + 1).toLong * w / w2).toInt
+        var k = 0
+        while (k < c) {
+          var sum = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) { sum += rin.getSample(xx, yy, k); xx += 1 }
+            yy += 1
+          }
+          rout.setSample(x, y, k,
+            (sum / ((x1 - x0).toLong * (y1 - y0))).toInt)
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** q_mm_resize: REAL thumbnailing — fit every image inside a `box`×`box`
+    * bounding box preserving aspect ratio (integer floor arithmetic — the
+    * exact dims a thumbnailer must produce), pass through images already
+    * inside the box (the PNG fixture's 8..307 range straddles the box on
+    * purpose), and for the rest produce the RESIZED PIXELS via
+    * [[areaAverageResize]], re-encode them as PNG — the artifact a real
+    * pipeline ships — then CERTIFY the emitted payload by re-decoding it
+    * and measuring dims/channels/mean-luma from its pixels. The DuckDB
+    * oracle re-derives every measured value closed-form: the fixture's
+    * two-tone columns make each output column's floor-mean an exact
+    * rational of the tone split (y-uniformity means the y boxes cancel),
+    * so a resizer that interpolates, rounds instead of floors, mis-boxes,
+    * or fakes the output payload mismatches immediately. Scale shape:
+    * decode→resize→encode→re-decode all run where the bytes are — zero
+    * shuffle, the F1 mapPartitions contract. */
   def mmResize(s: SparkSession, dir: String, box: Int = 256): DataFrame = {
-    val d = mmDecodeFeatures(s, dir)
-    val scaleNeeded = col("width") > box || col("height") > box
-    // floor(dim * box / longest side) with exact integer arithmetic
-    // (`div`, not `/` — Spark's `/` on integers is true division)
-    val w2 = when(col("width") >= col("height"), lit(box))
-      .otherwise(expr(s"CAST((CAST(width AS BIGINT) * $box) div height AS INT)"))
-    val h2 = when(col("width") >= col("height"),
-      expr(s"CAST((CAST(height AS BIGINT) * $box) div width AS INT)"))
-      .otherwise(lit(box))
-    d.select(col("doc_id"), col("width"), col("height"),
-        when(scaleNeeded, w2).otherwise(col("width")).as("out_width"),
-        when(scaleNeeded, h2).otherwise(col("height")).as("out_height"),
-        scaleNeeded.cast(StringType).as("resized"))
-      // concat (null-propagating) rather than concat_ws (null-skipping):
-      // pins the same semantics as the oracle's `||` chain should a dim
-      // ever become nullable.
-      .withColumn("out_sha", sha2(concat(
-        col("doc_id").cast(StringType), lit("x"),
-        col("out_width").cast(StringType), lit("x"),
-        col("out_height").cast(StringType)).cast(BinaryType), 256))
+    val src = s.read.parquet(pngFixture(s, dir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("out_width", IntegerType),
+      StructField("out_height", IntegerType),
+      StructField("resized", StringType),
+      StructField("out_channels", IntegerType),
+      StructField("out_mean_luma", DoubleType)))
+    val rows = src.rdd.mapPartitions(_.map { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val needs = w > box || h > box
+      val (w2, h2) =
+        if (!needs) (w, h)
+        else if (w >= h) (box, (h.toLong * box / w).toInt)
+        else ((w.toLong * box / h).toInt, box)
+      val outBytes =
+        if (!needs) payload
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(areaAverageResize(img, w2, h2), "png", bos)
+          bos.toByteArray
+        }
+      // re-decode the EMITTED payload: the reported features are measured
+      // from the artifact itself, never from the plan
+      val (dw, dh, dc, luma) = decodePng(outBytes)
+      Row(r.getAs[Long]("doc_id"), w, h, dw, dh, needs.toString, dc, luma)
+    })
+    s.createDataFrame(rows, schema)
   }
 
   /** 56-bit difference hash over a decoded raster: exact integer 9×7
@@ -367,42 +428,83 @@ object MultimodalQueries {
     s.createDataFrame(rows, schema)
   }
 
+  /** Persisted FRAME TABLE: every video decoded ONCE per sf dir, with the
+    * per-frame artifacts (decoded dims/channels/luma + perceptual hash)
+    * written as parquet — the production shape for multi-consumer frame
+    * work: previously both frame consumers re-decoded every frame inline
+    * (~17k real PNG decodes × 2 gates per bench pass); a deployment
+    * decodes once and every frame operator (dedup, quality screens,
+    * future caption/sampling passes) reads the table. q_mm_video_frames
+    * stays a LIVE decode — it is the gate that times (and certifies) the
+    * decode itself; the consumers below are plan-pinned to a FileScan of
+    * this table (PlanShapeSpec), never a second decode. */
+  private[graft] def videoFrameTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_frames_fix", dir) { r =>
+      val src = s.read.parquet(videoFixture(s, dir))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("phash", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("mean_luma", DoubleType)))
+      val rows = src.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getAs[Long]("doc_id")
+        videoFrameIter(id, row.getAs[Array[Byte]]("payload")).map {
+          case (f, frame) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            val (w, h, c, luma) = decodedFeatures(img)
+            Row(id, f, dHash56(img), w, h, c, luma)
+        }
+      })
+      s.createDataFrame(rows, schema).write.parquet(s"$r/frames")
+    }
+    s"$root/frames"
+  }
+
   /** q_mm_video_frame_dedup: CROSS-VIDEO duplicated-frame detection —
-    * the re-posted-clip screen: decode every frame ([[mmVideoFrames]]'s
-    * container walk), perceptual-hash it (the same integer 9×7 dHash as
-    * the image gates), and group hashes ACROSS videos, keeping only
-    * hashes seen in ≥ 2 distinct videos. A clip re-encoded into another
-    * upload shares frame phashes while no container byte matches — the
-    * video-level analogue of what q_mm_phash_dedup does for stills. The
-    * fixture guarantees true positives: frame pseudo-ids collide in
-    * dHash space across unrelated videos whenever their band structure
-    * agrees (the oracle derives every frame's hash closed-form, so the
-    * Spark leg's real decode + hash must reproduce the exact group
-    * set). Scale shape: decode + hash fan out rows in place (zero
-    * shuffle), then ONE map-side-combined exchange on the 8-byte hash;
-    * cross-video-ness is a count-distinct over the video id riding the
-    * same exchange. */
-  def mmVideoFrameDedup(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(videoFixture(s, dir))
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("frame_idx", IntegerType),
-      StructField("phash", LongType)))
-    val rows = src.rdd.mapPartitions(_.flatMap { r =>
-      val id = r.getAs[Long]("doc_id")
-      videoFrameIter(id, r.getAs[Array[Byte]]("payload")).map { case (f, frame) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(frame))
-        Row(id, f, dHash56(img))
-      }
-    })
-    s.createDataFrame(rows, schema)
+    * the re-posted-clip screen: group the frame table's perceptual
+    * hashes (the same integer 9×7 dHash as the image gates, computed
+    * from REAL per-frame decodes when [[videoFrameTablePath]] built the
+    * table) ACROSS videos, keeping only hashes seen in ≥ 2 distinct
+    * videos. A clip re-encoded into another upload shares frame phashes
+    * while no container byte matches — the video-level analogue of what
+    * q_mm_phash_dedup does for stills. The oracle derives every frame's
+    * hash closed-form from the generator, so a wrong decode at table
+    * build, or a consumer that reads anything but the real table,
+    * mismatches. Scale shape: ONE FileScan of the persisted frame table
+    * (decode already paid, once, by the table build), then ONE
+    * map-side-combined exchange on the 8-byte hash; cross-video-ness is
+    * a count-distinct over the video id riding the same exchange. */
+  def mmVideoFrameDedup(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(videoFrameTablePath(s, dir))
       .groupBy("phash")
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("doc_id")).as("n_videos"),
         min(col("doc_id")).as("canonical_doc_id"))
       .filter(col("n_videos") >= 2)
-  }
+
+  /** q_mm_video_stats: per-video frame-QUALITY summary — the second
+    * consumer of the persisted frame table (proving the decode-once
+    * shape): frame count, DISTINCT perceptual hashes (a static clip —
+    * every frame perceptually identical — is the classic low-value
+    * upload a video curation pass drops), luma extremes and spread
+    * (exposure screen). All closed-form for the oracle: frame f of doc d
+    * is the PNG raster for fid = d·31 + 7f, so luma = (a+b)/2 exactly
+    * and the within-video hash collisions replay from the generator.
+    * One FileScan + one map-side-combined groupBy on the video id. */
+  def mmVideoStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(videoFrameTablePath(s, dir))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("phash")).as("n_distinct_frames"),
+        min("mean_luma").as("min_luma"),
+        max("mean_luma").as("max_luma"))
+      .withColumn("luma_range", col("max_luma") - col("min_luma"))
+      .withColumn("is_static",
+        (col("n_distinct_frames") === 1).cast(StringType))
 
   // -------------------------------------------------------------------
   // Real audio decode (javax.sound.sampled WAV/PCM)
@@ -686,6 +788,178 @@ object MultimodalQueries {
       .select("canonical_audio_id", "n_copies", "n_containers", "n_frames")
   }
 
+  // -------------------------------------------------------------------
+  // Perceptual audio near-dup (energy-profile fingerprint)
+  // -------------------------------------------------------------------
+
+  /** Per-segment amplitude of the near-dup fixture's piecewise waveform:
+    * doc `id`, segment `i` (0..56) plays at
+    * `500 + ((id·13 + i·37) % 64) · 200` — adjacent segments never tie
+    * (37 ∤ 64), and 2× gain stays inside a signed short (max 26 200). */
+  private def nearAmp(id: Long, i: Int): Int =
+    500 + (((id * 13 + i * 37L) % 64).toInt * 200)
+
+  /** Audio near-dup fixture: 57 equal segments of `m = 2 + id % 6`
+    * frames each (n = 57·m), segment `i` at constant amplitude
+    * [[nearAmp]] — so the 56-bit energy-profile fingerprint below is
+    * CLOSED-FORM: bit i = amp(i) > amp(i+1). Seeded twins per doc
+    * (audio_id = 4·doc_id + variant), each a duplicate class exact-PCM
+    * identity provably misses:
+    *  - variant 1 (doc % 3 = 0): RESAMPLED 2× — every frame doubled;
+    *    window boundaries stay segment-aligned, so the fingerprint is
+    *    IDENTICAL and the twin lands in the base's exact-fingerprint
+    *    group (caught at the collapse stage);
+    *  - variant 2 (doc % 4 = 0): GAIN 2× — amplitudes doubled; the
+    *    fingerprint compares window energies cross-multiplied, so gain
+    *    cancels and the twin collapses likewise;
+    *  - variant 3 (doc % 5 = 0): NEAR twin — amplitudes of segments j
+    *    and j+1 swapped (j = doc % 56): bit j provably flips (adjacent
+    *    amps never tie) and only bits {j−1, j, j+1} can change, so the
+    *    twin sits at Hamming 1–3 from its base — the pair the BANDED
+    *    search must recover. */
+  private def encodeWavNear(id: Long, variant: Int): Array[Byte] = {
+    val m = (2 + id % 6).toInt
+    val c = (1 + id % 2).toInt
+    val rep = if (variant == 1) 2 else 1
+    val gain = if (variant == 2) 2 else 1
+    val j = (id % 56).toInt
+    val n = 57 * m * rep
+    val sr = 8000
+    val dataLen = n * c * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(c.toShort).putInt(sr)
+      .putInt(sr * c * 2).putShort((c * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < 57) {
+      val seg = if (variant == 3) {
+        if (i == j) j + 1 else if (i == j + 1) j else i
+      } else i
+      val v = (nearAmp(id, seg) * gain).toShort
+      var f = 0
+      while (f < m * rep) {
+        var k = 0
+        while (k < c) { buf.putShort(v); k += 1 }
+        f += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  private[graft] def wavNearFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_wavnear_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getLong(0)
+        val out = Vector.newBuilder[Row]
+        out += Row(id * 4, encodeWavNear(id, 0))
+        if (id % 3 == 0) out += Row(id * 4 + 1, encodeWavNear(id, 1))
+        if (id % 4 == 0) out += Row(id * 4 + 2, encodeWavNear(id, 2))
+        if (id % 5 == 0) out += Row(id * 4 + 3, encodeWavNear(id, 3))
+        out.result().iterator
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("audio_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/wav")
+    }
+    s"$root/wav"
+  }
+
+  /** 56-bit ENERGY-PROFILE fingerprint over decoded PCM: split the clip
+    * into 57 equal time windows (⌊i·n/57⌋ boundaries — time-proportional,
+    * so a resampled copy lands in the same windows), sum |sample| per
+    * window in exact integers, and set bit i iff window i's mean
+    * amplitude exceeds window i+1's — compared by INTEGER
+    * cross-multiplication (sumᵢ·cntᵢ₊₁ > sumᵢ₊₁·cntᵢ), so gain scaling
+    * and channel count cancel and no division ever happens. The audio
+    * analogue of the image dHash (same 56-bit space, same banding): what
+    * changes is the axis — time-ordered energy deltas instead of spatial
+    * luma deltas. Sums fit long: ≤ 32767·2·799·2 ≈ 2·10⁸ per window,
+    * cross-products ≤ 3·10¹¹. */
+  private def audioFingerprint56(payload: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"unexpected PCM layout: $fmt")
+    val c = fmt.getChannels
+    val bytes = in.readAllBytes()
+    in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = bytes.length / (2 * c)
+    val x0 = Array.tabulate(58)(i => (i.toLong * n / 57).toInt)
+    val sums = new Array[Long](57)
+    var w = 0
+    while (w < 57) {
+      var s = 0L
+      var f = x0(w)
+      while (f < x0(w + 1)) {
+        var k = 0
+        while (k < c) { s += math.abs(bb.getShort((f * c + k) * 2).toInt); k += 1 }
+        f += 1
+      }
+      sums(w) = s
+      w += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 56) {
+      val cl = (x0(i + 1) - x0(i)).toLong
+      val cr = (x0(i + 2) - x0(i + 1)).toLong
+      if (sums(i) * cr > sums(i + 1) * cl) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** The near-dup fixture's audio fingerprints — real `javax.sound`
+    * decode where the bytes are (no shuffle). Column named `phash` so
+    * the banded candidate machinery is shared verbatim with the image
+    * gates. */
+  private[graft] def audioFingerprintFrame(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.parquet(wavNearFixture(s, dir))
+    val rows = src.rdd.mapPartitions(_.map { r =>
+      Row(r.getLong(0), audioFingerprint56(r.getAs[Array[Byte]]("payload")))
+    })
+    s.createDataFrame(rows, StructType(Seq(
+      StructField("audio_id", LongType),
+      StructField("phash", LongType))))
+  }
+
+  /** q_mm_audio_neardup: PERCEPTUAL audio near-dup — the duplicate class
+    * [[mmAudioDedup]]'s exact-PCM identity structurally misses: a
+    * re-encoded copy (resampled 2×, gain-scaled) shares not one PCM
+    * byte with its source, and a lightly edited one flips 1–3
+    * fingerprint bits. Identical pipeline to q_mm_phash_neardup with the
+    * image dHash swapped for the [[audioFingerprint56]] energy profile:
+    * exact-fingerprint COLLAPSE (the resample/gain twins merge here —
+    * visible as n_copies > 1 on their groups), tolerance-derived capped
+    * BANDING, exact-Hamming VERIFY ≤ `maxHamming`. Every emitted pair is
+    * a merge exact fingerprinting missed (hamming ≥ 1); the fixture
+    * seeds such pairs via adjacent-segment swaps and the DuckDB oracle
+    * replays fingerprint, collapse, banding, and Hamming closed-form
+    * from the generator — a wrong decode, window split, or comparison
+    * mismatches immediately. Scale shape: ONE decode pass, one
+    * map-side-combined exchange on the 8-byte fingerprint, then the
+    * capped distinct-fingerprint band self-join — the exact plan the
+    * image gate pins. */
+  def mmAudioNeardup(s: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val grp = audioFingerprintFrame(s, dir)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
+    phashGroupPairs(grp, maxHamming)
+      .select(col("canon_a"), col("canon_b"), col("hamming"),
+        col("n_a"), col("n_b"))
+  }
+
   /** q_mm_audio_features: partition-parallel REAL audio decode/feature
     * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
     * read, then the standard audio-intake features (duration, peak,
@@ -942,17 +1216,43 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_features" -> (mmAudioFeatures _),
     "q_mm_audio_dedup" -> (mmAudioDedup _),
+    "q_mm_audio_neardup" -> ((s: SparkSession, d: String) => mmAudioNeardup(s, d)),
     "q_mm_audio_segments" -> (mmAudioSegments _),
     "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
     "q_mm_phash_neardup" -> ((s: SparkSession, d: String) => mmPhashNeardup(s, d)),
     "q_mm_phash_clusters" -> ((s: SparkSession, d: String) => mmPhashClusters(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
+    "q_mm_video_stats" -> (mmVideoStats _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
     "q_mm_resize" -> ((s: SparkSession, d: String) => mmResize(s, d)),
     "q_mm_dedup" -> (mmDedup _))
+
+  /** Shared oracle CTEs: closed-form per-frame dHash of the video
+    * fixture keyed by the frame pseudo-id — the prefix both frame-table
+    * consumers (dedup, stats) build on. */
+  private val videoPhashCtes: String =
+    """p0 AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+      |fr AS (SELECT doc_id, doc_id * 31 + 7 * i.range AS fid
+      |  FROM p0 CROSS JOIN range(0, 5) i WHERE i.range < nf),
+      |p AS (SELECT doc_id, fid,
+      |    8 + 2 * (fid % 150) AS w, (8 + 2 * (fid % 150)) // 2 AS hw,
+      |    fid % 256 AS a, (fid * 7 + 31) % 256 AS b
+      |  FROM fr),
+      |bx AS (SELECT fid, a, b, hw, i.range AS i,
+      |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
+      |  FROM p CROSS JOIN range(0, 9) i),
+      |bs AS (SELECT fid, i, x1 - x0 AS cx,
+      |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
+      |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
+      |  FROM bx),
+      |bits AS (SELECT l.fid,
+      |    CASE WHEN l.rs * r.cx > r.rs * l.cx THEN 1 << l.i ELSE 0 END AS bv
+      |  FROM bs l JOIN bs r ON l.fid = r.fid AND r.i = l.i + 1),
+      |ph AS (SELECT fid, CAST(SUM(bv) AS BIGINT) * 282578800148737 AS phash
+      |  FROM bits GROUP BY fid)""".stripMargin
 
   /** Shared oracle CTEs: closed-form per-image hash of the near-dup
     * fixture, then collapse + banding + Hamming-verified group pairs —
@@ -1035,6 +1335,50 @@ object MultimodalQueries {
         |    AS n_containers,
         |  CAST(256 + doc_id % 1000 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // Closed-form energy-profile fingerprints of the piecewise fixture
+    // (bit i = amp(i) > amp(i+1); the near variant swaps segments j, j+1;
+    // resample/gain variants share the base fingerprint by construction),
+    // then the same collapse -> 4x14-bit band -> Hamming<=3 replay as the
+    // image near-dup oracle. The Spark leg must recover every fingerprint
+    // from REAL decoded PCM for the pair set to match.
+    "q_mm_audio_neardup" ->
+      """WITH v AS (
+        |  SELECT doc_id, 0 AS variant, doc_id * 4 AS audio_id FROM documents
+        |  UNION ALL SELECT doc_id, 1, doc_id * 4 + 1 FROM documents
+        |    WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 2, doc_id * 4 + 2 FROM documents
+        |    WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 3, doc_id * 4 + 3 FROM documents
+        |    WHERE doc_id % 5 = 0),
+        |amp AS (SELECT audio_id, doc_id, i.range AS i,
+        |    CASE WHEN variant = 3 AND i.range = doc_id % 56
+        |           THEN doc_id % 56 + 1
+        |         WHEN variant = 3 AND i.range = doc_id % 56 + 1
+        |           THEN doc_id % 56
+        |         ELSE i.range END AS seg
+        |  FROM v CROSS JOIN range(0, 57) i),
+        |a2 AS (SELECT audio_id, i,
+        |    500 + ((doc_id * 13 + seg * 37) % 64) * 200 AS a
+        |  FROM amp),
+        |bits AS (SELECT l.audio_id,
+        |    CASE WHEN l.a > r.a THEN 1::BIGINT << l.i ELSE 0 END AS bv
+        |  FROM a2 l JOIN a2 r ON l.audio_id = r.audio_id AND r.i = l.i + 1),
+        |fp AS (SELECT audio_id, CAST(SUM(bv) AS BIGINT) AS fh
+        |  FROM bits GROUP BY audio_id),
+        |grp AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |    MIN(audio_id) AS canon
+        |  FROM fp GROUP BY fh),
+        |banded AS (SELECT fh, canon, n_copies, b.range AS band,
+        |    (fh >> CAST(b.range * 14 AS BIGINT)) & 16383 AS chunk
+        |  FROM grp CROSS JOIN range(0, 4) b),
+        |cand AS (SELECT DISTINCT a.fh AS fa, b.fh AS fb,
+        |    a.canon AS canon_a, b.canon AS canon_b,
+        |    a.n_copies AS n_a, b.n_copies AS n_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.fh < b.fh)
+        |SELECT canon_a, canon_b,
+        |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming, n_a, n_b
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
     // Closed-form features of the square-wave WAV generator
     // ([[audioParams]]): the Spark leg must RECOVER every value from a
     // real javax.sound container parse + PCM read.
@@ -1065,33 +1409,29 @@ object MultimodalQueries {
     // q_mm_phash_dedup two-band formula keyed by the frame pseudo-id,
     // which is globally unique: 31(d-d') = 7(f'-f) has no solution with
     // |f'-f| < 7 except identity), then the hash group/distinct-video
-    // aggregation. The Spark leg must really decode every frame.
+    // aggregation. The table build must really decode every frame.
     "q_mm_video_frame_dedup" ->
-      """WITH p0 AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
-        |fr AS (SELECT doc_id, doc_id * 31 + 7 * i.range AS fid
-        |  FROM p0 CROSS JOIN range(0, 5) i WHERE i.range < nf),
-        |p AS (SELECT doc_id, fid,
-        |    8 + 2 * (fid % 150) AS w, (8 + 2 * (fid % 150)) // 2 AS hw,
-        |    fid % 256 AS a, (fid * 7 + 31) % 256 AS b
-        |  FROM fr),
-        |bx AS (SELECT fid, a, b, hw, i.range AS i,
-        |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
-        |  FROM p CROSS JOIN range(0, 9) i),
-        |bs AS (SELECT fid, i, x1 - x0 AS cx,
-        |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
-        |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
-        |  FROM bx),
-        |bits AS (SELECT l.fid,
-        |    CASE WHEN l.rs * r.cx > r.rs * l.cx THEN 1 << l.i ELSE 0 END AS bv
-        |  FROM bs l JOIN bs r ON l.fid = r.fid AND r.i = l.i + 1),
-        |ph AS (SELECT fid, CAST(SUM(bv) AS BIGINT) * 282578800148737 AS phash
-        |  FROM bits GROUP BY fid),
+      s"""WITH $videoPhashCtes,
         |j AS (SELECT fr.doc_id, ph.phash FROM fr JOIN ph ON fr.fid = ph.fid)
         |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_frames,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
         |  MIN(doc_id) AS canonical_doc_id
         |FROM j GROUP BY phash
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    // Per-video frame-quality summary off the same closed-form frame
+    // hashes + lumas ((a+b)/2 — exact halves, portable doubles).
+    "q_mm_video_stats" ->
+      s"""WITH $videoPhashCtes,
+        |j AS (SELECT fr.doc_id, fr.fid, ph.phash,
+        |    (CAST(fr.fid % 256 AS DOUBLE)
+        |      + CAST((fr.fid * 7 + 31) % 256 AS DOUBLE)) / 2.0 AS luma
+        |  FROM fr JOIN ph ON fr.fid = ph.fid)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_distinct_frames,
+        |  MIN(luma) AS min_luma, MAX(luma) AS max_luma,
+        |  MAX(luma) - MIN(luma) AS luma_range,
+        |  CAST(COUNT(DISTINCT phash) = 1 AS STRING) AS is_static
+        |FROM j GROUP BY doc_id""".stripMargin,
     // Closed-form per-frame dims/channels/luma of the video generator:
     // frame f of doc d is the PNG raster for fid = d*31 + 7f, so the
     // image generator's closed forms apply keyed by (doc, frame). The
@@ -1211,28 +1551,41 @@ object MultimodalQueries {
         |  CAST(octet_length(CAST(frame AS BLOB)) AS INTEGER) AS frame_bytes,
         |  sha256(frame) AS frame_sha
         |FROM w""".stripMargin,
-    // Chains on the real-decode oracle: the fixture's closed-form dims,
-    // then the aspect-fit integer arithmetic and the deterministic
-    // address.
+    // Closed-form re-decode of the REAL resized payload: the fixture's
+    // two-tone columns make each output column's floor-mean an exact
+    // rational of the tone split (vx below), the y boxes cancel by
+    // y-uniformity, and the final mean is one IEEE division of exact
+    // integers — identical to what the Spark leg measures off the pixels
+    // of the PNG it actually emitted.
     "q_mm_resize" ->
-      """WITH d AS (SELECT doc_id,
-        |    CAST(8 + 2 * (doc_id % 150) AS INTEGER) AS width,
-        |    CAST(8 + (doc_id % 300) AS INTEGER) AS height
+      """WITH p AS (SELECT doc_id,
+        |    8 + 2 * (doc_id % 150) AS w, 8 + (doc_id % 300) AS h,
+        |    (8 + 2 * (doc_id % 150)) // 2 AS hw,
+        |    doc_id % 256 AS a, (doc_id * 7 + 31) % 256 AS b,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
         |  FROM documents),
-        |r AS (SELECT doc_id, width, height,
-        |    (width > 256 OR height > 256) AS scale_needed,
-        |    CASE WHEN width >= height THEN 256
-        |         ELSE CAST((CAST(width AS BIGINT) * 256) // height AS INTEGER) END AS w2,
-        |    CASE WHEN width >= height
-        |         THEN CAST((CAST(height AS BIGINT) * 256) // width AS INTEGER)
-        |         ELSE 256 END AS h2
-        |  FROM d)
-        |SELECT doc_id, width, height,
-        |  CASE WHEN scale_needed THEN w2 ELSE width END AS out_width,
-        |  CASE WHEN scale_needed THEN h2 ELSE height END AS out_height,
-        |  CAST(scale_needed AS STRING) AS resized,
-        |  sha256(CAST(doc_id AS STRING) || 'x'
-        |    || CAST(CASE WHEN scale_needed THEN w2 ELSE width END AS STRING) || 'x'
-        |    || CAST(CASE WHEN scale_needed THEN h2 ELSE height END AS STRING)) AS out_sha
-        |FROM r""".stripMargin)
+        |d AS (SELECT *, (w > 256 OR h > 256) AS needs,
+        |    CASE WHEN NOT (w > 256 OR h > 256) THEN w
+        |         WHEN w >= h THEN 256 ELSE (w * 256) // h END AS w2,
+        |    CASE WHEN NOT (w > 256 OR h > 256) THEN h
+        |         WHEN w >= h THEN (h * 256) // w ELSE 256 END AS h2
+        |  FROM p),
+        |cols AS (SELECT doc_id, hw, a, b, x.range AS x,
+        |    (x.range * w) // w2 AS x0, ((x.range + 1) * w) // w2 AS x1
+        |  FROM d CROSS JOIN range(0, 256) x WHERE x.range < w2),
+        |v AS (SELECT doc_id,
+        |    (a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
+        |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)))
+        |      // (x1 - x0) AS vx
+        |  FROM cols),
+        |sv AS (SELECT doc_id, CAST(SUM(vx) AS BIGINT) AS sx
+        |  FROM v GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(w2 AS INTEGER) AS out_width, CAST(h2 AS INTEGER) AS out_height,
+        |  CAST(needs AS STRING) AS resized,
+        |  CAST(c AS INTEGER) AS out_channels,
+        |  CAST(h2 * c * sx AS DOUBLE) / CAST(w2 * h2 * c AS DOUBLE)
+        |    AS out_mean_luma
+        |FROM d JOIN sv ON d.doc_id = sv.doc_id""".stripMargin)
 }

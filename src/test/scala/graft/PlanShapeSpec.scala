@@ -129,6 +129,18 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("video frame consumers read the persisted frame table, never a " +
+      "second decode pass") {
+    for (q <- Seq("q_mm_video_frame_dedup", "q_mm_video_stats")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("memo_mm_frames_fix"),
+        s"$q no longer reads the persisted frame table")
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"$q re-decodes frames inline instead of scanning the table")
+    }
+  }
+
   test("rolling novelty's end-of-day merge is DELTA-sized: one batch-2 " +
       "gram explode plus a scan of the persisted known table") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
