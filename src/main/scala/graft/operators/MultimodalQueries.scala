@@ -950,15 +950,29 @@ object MultimodalQueries {
     * map-side-combined exchange on the 8-byte fingerprint, then the
     * capped distinct-fingerprint band self-join — the exact plan the
     * image gate pins. */
-  def mmAudioNeardup(s: SparkSession, dir: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val grp = audioFingerprintFrame(s, dir)
+  /** Exact-fingerprint groups of the audio near-dup fixture (the
+    * collapse stage shared by the pair and cluster gates). */
+  private def audioFpGroups(s: SparkSession, dir: String): DataFrame =
+    audioFingerprintFrame(s, dir)
       .groupBy("phash")
       .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
-    phashGroupPairs(grp, maxHamming)
+
+  def mmAudioNeardup(s: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame =
+    phashGroupPairs(audioFpGroups(s, dir), maxHamming)
       .select(col("canon_a"), col("canon_b"), col("hamming"),
         col("n_a"), col("n_b"))
-  }
+
+  /** q_mm_audio_clusters: the audio drop-list — near pairs closed into
+    * CONNECTED COMPONENTS, one canonical per perceptual cluster (a chain
+    * of light edits A~B~C merges even past the pairwise tolerance) —
+    * [[mmPhashClusters]]'s closure applied to the audio fingerprint
+    * graph via the shared [[hashGroupClusters]] stage. Oracle: the same
+    * closed-form fingerprints → banding → Hamming pairs → recursive-CTE
+    * transitive closure. */
+  def mmAudioClusters(s: SparkSession, dir: String,
+                      maxHamming: Int = 3): DataFrame =
+    hashGroupClusters(audioFpGroups(s, dir), maxHamming, "cluster_audios")
 
   /** q_mm_audio_features: partition-parallel REAL audio decode/feature
     * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
@@ -1197,8 +1211,19 @@ object MultimodalQueries {
     * pair edges and the size join (bounded: distinct hashes). Oracle:
     * closed-form hashes → the same banding/Hamming → recursive-CTE
     * transitive closure, the q_dedup_cc discipline. */
-  def mmPhashClusters(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val grp = phashGroups(s, dir).localCheckpoint(true) // bounded: distinct hashes
+  def mmPhashClusters(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    hashGroupClusters(phashGroups(s, dir), maxHamming, "cluster_images")
+
+  /** Shared pairs→clusters closure over a (phash, canon, n_copies) group
+    * frame: banded near pairs → checkpointed pointer-jumping CC → one
+    * canonical per perceptual cluster with per-cluster totals — the
+    * drop-list stage both the image and audio near-dup families end in.
+    * The group frame is eagerly checkpointed so the decode pass runs
+    * ONCE for both the pair edges and the size join (bounded: distinct
+    * hashes). */
+  private def hashGroupClusters(groups: DataFrame, maxHamming: Int,
+                                totalCol: String): DataFrame = {
+    val grp = groups.localCheckpoint(true) // bounded: distinct hashes
     val pairs = phashGroupPairs(grp, maxHamming).select("canon_a", "canon_b")
     val cc = GraphCC.connectedComponents(pairs, "canon_a", "canon_b")
     val byCluster = org.apache.spark.sql.expressions.Window
@@ -1206,17 +1231,18 @@ object MultimodalQueries {
     cc.select(col("node").as("canon"), col("component").as("cluster_id"))
       .join(grp.select(col("canon"), col("n_copies")), "canon")
       .withColumn("n_groups", count(lit(1)).over(byCluster))
-      .withColumn("cluster_images", sum(col("n_copies")).over(byCluster))
+      .withColumn(totalCol, sum(col("n_copies")).over(byCluster))
       .withColumn("is_canonical",
         when(col("canon") === col("cluster_id"), 1).otherwise(0))
       .select(col("canon"), col("cluster_id"), col("n_copies"),
-        col("n_groups"), col("cluster_images"), col("is_canonical"))
+        col("n_groups"), col(totalCol), col("is_canonical"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_features" -> (mmAudioFeatures _),
     "q_mm_audio_dedup" -> (mmAudioDedup _),
     "q_mm_audio_neardup" -> ((s: SparkSession, d: String) => mmAudioNeardup(s, d)),
+    "q_mm_audio_clusters" -> ((s: SparkSession, d: String) => mmAudioClusters(s, d)),
     "q_mm_audio_segments" -> (mmAudioSegments _),
     "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
@@ -1229,6 +1255,48 @@ object MultimodalQueries {
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
     "q_mm_resize" -> ((s: SparkSession, d: String) => mmResize(s, d)),
     "q_mm_dedup" -> (mmDedup _))
+
+  /** Shared oracle CTEs: closed-form energy-profile fingerprint of every
+    * audio near-dup fixture variant, then collapse + 4×14-bit banding +
+    * Hamming-verified group pairs — the prefix both the audio pair
+    * gate's and the audio cluster gate's oracles build on. */
+  private val audioFpCtes: String =
+    """v AS (
+      |  SELECT doc_id, 0 AS variant, doc_id * 4 AS audio_id FROM documents
+      |  UNION ALL SELECT doc_id, 1, doc_id * 4 + 1 FROM documents
+      |    WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id, 2, doc_id * 4 + 2 FROM documents
+      |    WHERE doc_id % 4 = 0
+      |  UNION ALL SELECT doc_id, 3, doc_id * 4 + 3 FROM documents
+      |    WHERE doc_id % 5 = 0),
+      |amp AS (SELECT audio_id, doc_id, i.range AS i,
+      |    CASE WHEN variant = 3 AND i.range = doc_id % 56
+      |           THEN doc_id % 56 + 1
+      |         WHEN variant = 3 AND i.range = doc_id % 56 + 1
+      |           THEN doc_id % 56
+      |         ELSE i.range END AS seg
+      |  FROM v CROSS JOIN range(0, 57) i),
+      |a2 AS (SELECT audio_id, i,
+      |    500 + ((doc_id * 13 + seg * 37) % 64) * 200 AS a
+      |  FROM amp),
+      |bits AS (SELECT l.audio_id,
+      |    CASE WHEN l.a > r.a THEN 1::BIGINT << l.i ELSE 0 END AS bv
+      |  FROM a2 l JOIN a2 r ON l.audio_id = r.audio_id AND r.i = l.i + 1),
+      |fp AS (SELECT audio_id, CAST(SUM(bv) AS BIGINT) AS fh
+      |  FROM bits GROUP BY audio_id),
+      |grp AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |    MIN(audio_id) AS canon
+      |  FROM fp GROUP BY fh),
+      |banded AS (SELECT fh, canon, n_copies, b.range AS band,
+      |    (fh >> CAST(b.range * 14 AS BIGINT)) & 16383 AS chunk
+      |  FROM grp CROSS JOIN range(0, 4) b),
+      |cand AS (SELECT DISTINCT a.fh AS fa, b.fh AS fb,
+      |    a.canon AS canon_a, b.canon AS canon_b,
+      |    a.n_copies AS n_a, b.n_copies AS n_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.fh < b.fh),
+      |near AS (SELECT * FROM cand
+      |  WHERE bit_count(xor(fa, fb)) <= 3)""".stripMargin
 
   /** Shared oracle CTEs: closed-form per-frame dHash of the video
     * fixture keyed by the frame pseudo-id — the prefix both frame-table
@@ -1342,43 +1410,29 @@ object MultimodalQueries {
     // image near-dup oracle. The Spark leg must recover every fingerprint
     // from REAL decoded PCM for the pair set to match.
     "q_mm_audio_neardup" ->
-      """WITH v AS (
-        |  SELECT doc_id, 0 AS variant, doc_id * 4 AS audio_id FROM documents
-        |  UNION ALL SELECT doc_id, 1, doc_id * 4 + 1 FROM documents
-        |    WHERE doc_id % 3 = 0
-        |  UNION ALL SELECT doc_id, 2, doc_id * 4 + 2 FROM documents
-        |    WHERE doc_id % 4 = 0
-        |  UNION ALL SELECT doc_id, 3, doc_id * 4 + 3 FROM documents
-        |    WHERE doc_id % 5 = 0),
-        |amp AS (SELECT audio_id, doc_id, i.range AS i,
-        |    CASE WHEN variant = 3 AND i.range = doc_id % 56
-        |           THEN doc_id % 56 + 1
-        |         WHEN variant = 3 AND i.range = doc_id % 56 + 1
-        |           THEN doc_id % 56
-        |         ELSE i.range END AS seg
-        |  FROM v CROSS JOIN range(0, 57) i),
-        |a2 AS (SELECT audio_id, i,
-        |    500 + ((doc_id * 13 + seg * 37) % 64) * 200 AS a
-        |  FROM amp),
-        |bits AS (SELECT l.audio_id,
-        |    CASE WHEN l.a > r.a THEN 1::BIGINT << l.i ELSE 0 END AS bv
-        |  FROM a2 l JOIN a2 r ON l.audio_id = r.audio_id AND r.i = l.i + 1),
-        |fp AS (SELECT audio_id, CAST(SUM(bv) AS BIGINT) AS fh
-        |  FROM bits GROUP BY audio_id),
-        |grp AS (SELECT fh, CAST(COUNT(*) AS BIGINT) AS n_copies,
-        |    MIN(audio_id) AS canon
-        |  FROM fp GROUP BY fh),
-        |banded AS (SELECT fh, canon, n_copies, b.range AS band,
-        |    (fh >> CAST(b.range * 14 AS BIGINT)) & 16383 AS chunk
-        |  FROM grp CROSS JOIN range(0, 4) b),
-        |cand AS (SELECT DISTINCT a.fh AS fa, b.fh AS fb,
-        |    a.canon AS canon_a, b.canon AS canon_b,
-        |    a.n_copies AS n_a, b.n_copies AS n_b
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.chunk = b.chunk AND a.fh < b.fh)
+      s"""WITH $audioFpCtes
         |SELECT canon_a, canon_b,
         |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming, n_a, n_b
-        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+        |FROM near""".stripMargin,
+    // Transitive closure over the audio near-pair canon graph — the
+    // q_mm_phash_clusters recursive-CTE discipline on fingerprints.
+    "q_mm_audio_clusters" ->
+      s"""WITH RECURSIVE $audioFpCtes,
+        |edges AS (
+        |  SELECT canon_a AS s, canon_b AS d FROM near
+        |  UNION SELECT canon_b, canon_a FROM near),
+        |reach(node, r) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node),
+        |cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT cc.node AS canon, cc.cluster_id, g.n_copies,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_groups,
+        |  CAST(SUM(g.n_copies) OVER (PARTITION BY cluster_id) AS BIGINT)
+        |    AS cluster_audios,
+        |  CAST(CASE WHEN cc.node = cc.cluster_id THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_canonical
+        |FROM cc JOIN grp g ON cc.node = g.canon""".stripMargin,
     // Closed-form features of the square-wave WAV generator
     // ([[audioParams]]): the Spark leg must RECOVER every value from a
     // real javax.sound container parse + PCM read.

@@ -307,6 +307,83 @@ object EventStream {
     }
   }
 
+  final case class TypeCount(user_id: Long, event_id: Long,
+                             event_type: String, n_prev_same_type: Long)
+
+  /** ONLINE per-(user, event_type) running counts — the THIRD
+    * `transformWithState` state shape (MapState), completing the typed
+    * triad with [[sessionizeTws]]'s ValueState and [[recentFeaturesTws]]'s
+    * ListState: for every event, emit how many of that user's PREVIOUS
+    * events shared its type — the frequency feature a personalization or
+    * abuse model reads at event time. State is ONE MapState[event_type →
+    * count] per user: bounded by the type alphabet (and each entry is a
+    * single long), not by stream length, and keyed access means a batch
+    * touches only the types it contains — the property a ValueState
+    * holding a whole map would lose (full deserialize/reserialize per
+    * update). Evicted by the same re-armed event-time timer contract as
+    * the sibling processors; after eviction a user's counts restart from
+    * 0 — the bounded-state freshness trade every per-user operator here
+    * documents. Equality contract: events processed in (ts_us, event_id)
+    * order, so absent eviction the emitted counts equal the batch window
+    * `COUNT(*) OVER (PARTITION BY user_id, event_type ORDER BY ts_us,
+    * event_id ROWS UNBOUNDED PRECEDING → 1 PRECEDING)` exactly — what the
+    * replay gate hash-pins across checkpointed restarts. */
+  def typeCountsTws(events: Dataset[Event], gapMinutes: Long = 30,
+                    horizon: String = "1 hour")
+                   (implicit spark: SparkSession): Dataset[TypeCount] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val withTs = events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
+      .transformWithState(
+        new TypeCountsProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[TypeCount]])
+  }
+
+  /** Per-user running type counts as explicit MapState. */
+  private final class TypeCountsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventTs, TypeCount] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, it: Iterator[EventTs],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var lastTsUs = Long.MinValue
+      val out = batch.map { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        lastTsUs = e.ts_us
+        TypeCount(userId, e.event_id, e.event_type, prev)
+      }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(lastTsUs / 1000L + gapMs,
+          timerValues.getCurrentWatermarkInMs + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TypeCount] = {
+      counts.clear()
+      Iterator.empty
+    }
+  }
+
   /** [[sessionize]] on Spark 4's `transformWithState` — the state API a
     * NEW deployment would build on (SPARK-49564: explicit typed state
     * handles + first-class timers, replacing flatMapGroupsWithState's

@@ -394,6 +394,29 @@ object StreamGates {
     }
   }
 
+  /** q_stream_typecounts_tws: per-(user, type) ONLINE frequency counts —
+    * `transformWithState` MapState ([[EventStream.typeCountsTws]]),
+    * completing the typed-state triad the two sibling TWS gates started
+    * (ValueState: sessionize; ListState: recent features; MapState:
+    * keyed counts). Replayed across the same 3 checkpointed restarts and
+    * slice fixture; a count for an event in batch 3 includes its user's
+    * batch-1/2 events of that type THROUGH THE MAP STATE — the carry
+    * this gate hashes. Oracle: the batch running-count window over
+    * (ts_us, event_id) order. */
+  def streamTypeCountsTws(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    withRocksDBProvider(s) {
+      replaySlices(s, eventsNarrow(s, dir), nSlices = 3,
+          "stream_typecounts_tws", dir, sliceName = "stream_sess") {
+        incoming =>
+          EventStream.typeCountsTws(incoming.as[EventStream.Event],
+            horizon = "175200 hours").toDF()
+      }
+    }
+  }
+
   /** q_stream_join: the STREAM-STREAM twin — EventStream.viewPurchaseJoin
     * (watermarked interval self-join of the event feed split into view and
     * purchase streams) replayed across TWO checkpointed AvailableNow
@@ -604,6 +627,7 @@ object StreamGates {
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_sessionize_tws" -> (streamSessionizeTws _),
     "q_stream_recent_tws" -> (streamRecentTws _),
+    "q_stream_typecounts_tws" -> (streamTypeCountsTws _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_cdc_replica" -> (streamCdcReplica _),
@@ -642,6 +666,14 @@ object StreamGates {
         |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
         |SELECT user_id, event_id, n_prev, max_prev_value, gap_us
         |FROM w""".stripMargin,
+    // the MapState running counts must equal the batch window
+    "q_stream_typecounts_tws" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |    AS n_prev_same_type
+        |FROM events""".stripMargin,
     // Replication must land exactly where the source-of-truth table
     // landed, so the replica gate shares the lifecycle state oracle.
     "q_stream_cdc_replica" ->

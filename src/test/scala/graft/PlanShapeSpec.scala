@@ -78,12 +78,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bc == 1, s"q_select_dsir expected 1 broadcast, got $bc")
   }
 
-  test("phash near-dup decodes once: the hash aggregate's exchange is " +
+  for (q <- Seq("q_mm_phash_neardup", "q_mm_audio_neardup"))
+  test(s"$q decodes once: the hash aggregate's exchange is " +
       "REUSED by the band self-join, never recomputed") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = SparkEntry.queries("q_mm_phash_neardup")(spark, dir)
+      val plan = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan
       val re = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
@@ -99,7 +100,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // STILL 3 with the maxBucket guard: its count window partitions by
       // (band, chunk) — the join's own distribution — so the cap rides
       // the existing exchange instead of adding a fourth.
-      assert(sh == 3, s"q_mm_phash_neardup expected 3 shuffles, got $sh")
+      assert(sh == 3, s"$q expected 3 shuffles, got $sh")
       val wins = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }.size
