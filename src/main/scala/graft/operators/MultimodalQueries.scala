@@ -194,9 +194,19 @@ object MultimodalQueries {
     * arithmetic (the property the DuckDB oracle exploits). */
   private def areaAverageResize(img: java.awt.image.BufferedImage,
                                 w2: Int, h2: Int): java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
     val (w, h) = (img.getWidth, img.getHeight)
     val c = img.getColorModel.getNumComponents
-    val out = new java.awt.image.BufferedImage(w2, h2, img.getType)
+    // derive the output type from the channel count — img.getType is
+    // TYPE_CUSTOM (0) for palette/16-bit/typed-RGBA decodes, and
+    // BufferedImage rejects 0 outright
+    val outType = c match {
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case 3 => BufferedImage.TYPE_3BYTE_BGR
+      case 4 => BufferedImage.TYPE_4BYTE_ABGR
+      case n => throw new IllegalArgumentException(s"unsupported channel count $n")
+    }
+    val out = new BufferedImage(w2, h2, outType)
     val rin = img.getRaster
     val rout = out.getRaster
     var y = 0
@@ -263,16 +273,18 @@ object MultimodalQueries {
         if (!needs) (w, h)
         else if (w >= h) (box, (h.toLong * box / w).toInt)
         else ((w.toLong * box / h).toInt, box)
-      val outBytes =
-        if (!needs) payload
+      // resized branch: re-decode the EMITTED payload, so the reported
+      // features are measured from the artifact itself, never from the
+      // plan. Pass-throughs emit their input bytes unchanged — the decode
+      // already in hand IS that payload's decode, so a second full PNG
+      // read would be bit-identical busywork (~70% of the fixture).
+      val (dw, dh, dc, luma) =
+        if (!needs) decodedFeatures(img)
         else {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(areaAverageResize(img, w2, h2), "png", bos)
-          bos.toByteArray
+          decodePng(bos.toByteArray)
         }
-      // re-decode the EMITTED payload: the reported features are measured
-      // from the artifact itself, never from the plan
-      val (dw, dh, dc, luma) = decodePng(outBytes)
       Row(r.getAs[Long]("doc_id"), w, h, dw, dh, needs.toString, dc, luma)
     })
     s.createDataFrame(rows, schema)

@@ -572,11 +572,7 @@ object TextQueries {
     * first-writers into it, realized (and plan-pinned delta-sized) in
     * [[txtNoveltyRolling]]'s [[noveltyKnownMerge]]. */
   def txtNoveltyIncremental(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    def grams = withTokens(table(s, dir, "documents"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), " +
-          s"i -> array_join(slice(toks, i, $k), ' '))")).as("gram"))
+    def grams = noveltyGrams(s, dir, k)
     // 1-row scalar aggregate, broadcast back — the bounded crossJoin
     // idiom. The cut is a pure function of the data, so the fixture
     // build and the live run derive the identical boundary. Computed
@@ -586,31 +582,18 @@ object TextQueries {
     val mid = withTokens(table(s, dir, "documents"))
       .filter(size(col("toks")) >= k)
       .agg(((min("doc_id") + max("doc_id")) / lit(2)).cast(LongType).as("mid"))
-    def b1(g: DataFrame) = g.crossJoin(broadcast(mid))
-      .filter(col("doc_id") <= col("mid")).drop("mid")
-    def b2(g: DataFrame) = g.crossJoin(broadcast(mid))
-      .filter(col("doc_id") > col("mid")).drop("mid")
+    def b1(g: DataFrame) = noveltyBatch(g, mid)(col("doc_id") <= col("mid"))
+    def b2(g: DataFrame) = noveltyBatch(g, mid)(col("doc_id") > col("mid"))
     // Yesterday's state: batch 1's first-writer table, persisted once
     // per sf dir and read back like any other source table.
     val knownRoot = graft.sources.ScratchDirs.memoized("novelty_known_fix", dir) {
       r =>
-        b1(grams).groupBy("gram").agg(min("doc_id").as("first_doc"))
-          .write.parquet(s"$r/known")
+        noveltyFirstWriters(b1(grams)).write.parquet(s"$r/known")
     }
     val known = s.read.parquet(s"$knownRoot/known")
-    val out1 = b1(grams).join(known, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("n_novel"))
-    val first2 = b2(grams).groupBy("gram").agg(min("doc_id").as("first2"))
-    val out2 = b2(grams)
-      .join(known.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
-      .join(first2, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("known").isNull && col("doc_id") === col("first2"), 1L)
-          .otherwise(0L)).as("n_novel"))
+    val out1 = noveltyScoreSelf(b1(grams), known)
+    val out2 = noveltyScoreDelta(b2(grams), known,
+      noveltyFirstWriters(b2(grams)))
     out1.unionByName(out2)
       .withColumn("novelty",
         col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))
@@ -639,7 +622,36 @@ object TextQueries {
 
   private def noveltyBatch(g: DataFrame, cuts: DataFrame)
                           (pred: org.apache.spark.sql.Column): DataFrame =
-    g.crossJoin(broadcast(cuts)).filter(pred).drop("t1", "t2")
+    g.crossJoin(broadcast(cuts)).filter(pred).drop(cuts.columns: _*)
+
+  /** Per-gram first writer of a batch — the attribution/known-table unit. */
+  private def noveltyFirstWriters(g: DataFrame): DataFrame =
+    g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+
+  /** Self-scored batch: every gram occurrence counted, novel iff this doc
+    * is the first writer `firstWriters` (gram, first_doc) records — the
+    * scoring shape for a batch measured against its OWN attribution. */
+  private def noveltyScoreSelf(grams: DataFrame,
+                               firstWriters: DataFrame): DataFrame =
+    grams.join(firstWriters, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+
+  /** Delta-scored batch: novel iff the gram is absent from `known` AND
+    * this doc is the batch's own first writer (`first`: gram, first_doc)
+    * — the ONE scoring rule every later batch applies, shared so the
+    * incremental and rolling gates cannot silently diverge. */
+  private def noveltyScoreDelta(grams: DataFrame, known: DataFrame,
+                                first: DataFrame): DataFrame =
+    grams
+      .join(known.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
+      .join(first, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("known").isNull && col("doc_id") === col("first_doc"), 1L)
+          .otherwise(0L)).as("n_novel"))
 
   /** Batch-1 first-writer known-grams table for the ROLLING gate,
     * persisted once per (sf dir, k) — "the day-before-yesterday's table
@@ -649,8 +661,7 @@ object TextQueries {
       s"$dir#$k") { r =>
       val g = noveltyGrams(s, dir, k)
       val cuts = noveltyCuts(s, dir, k)
-      noveltyBatch(g, cuts)(col("doc_id") <= col("t1"))
-        .groupBy("gram").agg(min("doc_id").as("first_doc"))
+      noveltyFirstWriters(noveltyBatch(g, cuts)(col("doc_id") <= col("t1")))
         .write.parquet(s"$r/known")
     }
     s"$root/known"
@@ -669,12 +680,19 @@ object TextQueries {
                                        k: Int = 5): DataFrame = {
     val known1 = s.read.parquet(rollingKnownPath(s, dir, k))
     val cuts = noveltyCuts(s, dir, k)
-    val first2 = noveltyBatch(noveltyGrams(s, dir, k), cuts)(
-        col("doc_id") > col("t1") && col("doc_id") <= col("t2"))
-      .groupBy("gram").agg(min("doc_id").as("first_doc"))
+    val first2 = noveltyFirstWriters(
+      noveltyBatch(noveltyGrams(s, dir, k), cuts)(
+        col("doc_id") > col("t1") && col("doc_id") <= col("t2")))
+    noveltyKnownMergeFrom(known1, first2)
+  }
+
+  /** The merge itself over already-built frames — the gate passes its
+    * shared known1/first2 here so the batch-2 attribution is declared
+    * once in the gate plan rather than rebuilt per consumer. */
+  private def noveltyKnownMergeFrom(known1: DataFrame,
+                                    first2: DataFrame): DataFrame =
     known1.unionByName(
       first2.join(known1.select("gram"), Seq("gram"), "left_anti"))
-  }
 
   /** q_txt_novelty_rolling: the THREE-batch form of
     * [[txtNoveltyIncremental]], realizing the known-grams end-of-day
@@ -697,29 +715,14 @@ object TextQueries {
     def b2(df: DataFrame) = noveltyBatch(df, cuts)(
       col("doc_id") > col("t1") && col("doc_id") <= col("t2"))
     def b3(df: DataFrame) = noveltyBatch(df, cuts)(col("doc_id") > col("t2"))
-    val out1 = noveltyBatch(g, cuts)(col("doc_id") <= col("t1"))
-      .join(known1, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("n_novel"))
-    val first2 = b2(g).groupBy("gram").agg(min("doc_id").as("first2"))
-    val out2 = b2(g)
-      .join(known1.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
-      .join(first2, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("known").isNull && col("doc_id") === col("first2"), 1L)
-          .otherwise(0L)).as("n_novel"))
-    val known2 = noveltyKnownMerge(s, dir, k)
-    val first3 = b3(g).groupBy("gram").agg(min("doc_id").as("first3"))
-    val out3 = b3(g)
-      .join(known2.select(col("gram"), lit(1).as("known")), Seq("gram"), "left")
-      .join(first3, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("known").isNull && col("doc_id") === col("first3"), 1L)
-          .otherwise(0L)).as("n_novel"))
+    val out1 = noveltyScoreSelf(
+      noveltyBatch(g, cuts)(col("doc_id") <= col("t1")), known1)
+    val first2 = noveltyFirstWriters(b2(g))
+    val out2 = noveltyScoreDelta(b2(g), known1, first2)
+    // the end-of-day merge, fed the SAME first2 frame out2 scored with —
+    // declared once in this plan, not rebuilt per consumer
+    val known2 = noveltyKnownMergeFrom(known1, first2)
+    val out3 = noveltyScoreDelta(b3(g), known2, noveltyFirstWriters(b3(g)))
     out1.unionByName(out2).unionByName(out3)
       .withColumn("novelty",
         col("n_novel").cast(DoubleType) / col("n_grams").cast(DoubleType))

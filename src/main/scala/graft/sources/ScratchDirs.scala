@@ -37,10 +37,15 @@ object ScratchDirs {
   private val memoRoots = scala.collection.mutable.HashMap.empty[(String, String), String]
   def memoized(name: String, key: String)(build: String => Unit): String =
     memoRoots.synchronized {
-      requested += name
       requestCount(name) = requestCount.getOrElse(name, 0L) + 1L
       memoRoots.getOrElseUpdate((name, key), {
-        val root = fresh(s"memo_${name}_" + Integer.toHexString(key.hashCode))
+        // collision-resistant key digest: two distinct keys sharing a
+        // 32-bit hashCode would otherwise share (and silently overwrite)
+        // one root while memoRoots kept both keys pointing at it
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString
+        val root = fresh(s"memo_${name}_" + digest)
         build(root)
         root
       })
@@ -57,9 +62,9 @@ object ScratchDirs {
     * audit bypass); [[requestedMemoCounts]] exposes per-name request
     * counts so a guard can assert a cache is consulted on every
     * invocation, not just the first. */
-  private val requested = scala.collection.mutable.Set.empty[String]
   private val requestCount = scala.collection.mutable.HashMap.empty[String, Long]
-  def requestedMemoNames: Set[String] = memoRoots.synchronized(requested.toSet)
+  def requestedMemoNames: Set[String] =
+    memoRoots.synchronized(requestCount.keySet.toSet)
   def requestedMemoCounts: Map[String, Long] =
     memoRoots.synchronized(requestCount.toMap)
 }
