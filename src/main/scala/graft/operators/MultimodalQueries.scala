@@ -373,14 +373,17 @@ object MultimodalQueries {
     * frames behind a tiny magic+count header — a synthetic MJPEG-style
     * container (the JDK ships no real video codec; the CONTAINER is the
     * stand-in, the per-frame pixel decode below is real). */
-  private def encodeVideo(id: Long): Array[Byte] = {
-    val (nf, fid) = videoParams(id)
-    val frames = (0 until nf).map(f => encodePng(fid(f)))
+  private def gftvContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
-    buf.put("GFTV".getBytes("US-ASCII")).putInt(nf)
+    buf.put("GFTV".getBytes("US-ASCII")).putInt(frames.size)
     frames.foreach { b => buf.putInt(b.length); buf.put(b) }
     buf.array()
+  }
+
+  private def encodeVideo(id: Long): Array[Byte] = {
+    val (nf, fid) = videoParams(id)
+    gftvContainer((0 until nf).map(f => encodePng(fid(f))))
   }
 
   private[operators] def videoFixture(s: SparkSession, dir: String): String =
@@ -517,6 +520,169 @@ object MultimodalQueries {
       .withColumn("luma_range", col("max_luma") - col("min_luma"))
       .withColumn("is_static",
         (col("n_distinct_frames") === 1).cast(StringType))
+
+  // -------------------------------------------------------------------
+  // Temporal clip-level near-dup (frame-SEQUENCE shingles)
+  // -------------------------------------------------------------------
+
+  /** Clip-reuse fixture: base video 2d has nf = 3 + d % 3 frames (frame
+    * f's raster keyed by fid = 31d + 7f); for every fourth doc a
+    * RE-UPLOAD video 2d+1 drops frame 0, keeps frames 1..nf−1 VERBATIM,
+    * and appends one new closing frame (fid = 31d + 7nf + 13) — the
+    * trimmed re-post. Neither whole-video identity nor the frame SET
+    * matches, and single-frame dedup (q_mm_video_frame_dedup's shape)
+    * sees only isolated hash hits — but every shared CONSECUTIVE frame
+    * pair survives, which is what the temporal-shingle gate detects. */
+  /** Per-cell tone of the GRID raster: z² mod 65521 mod 256 of the
+    * (fid, row, col) cell id z — NONLINEAR on purpose (quadratic through
+    * a prime, exact in both engines' BIGINT: z ≤ ~10⁷, z² ≤ 10¹⁴).
+    * Two-tone and row-banded rasters leave the 56 dHash bits heavily
+    * correlated (the per-row comparison pattern has a handful of forms —
+    * measured: 63 distinct hashes over 2,124 frames), and a LINEAR cell
+    * hash (multiplicative constant on consecutive ids) is a fixed-step
+    * lattice with the same disease; the quadratic gives 2,075 distinct
+    * hashes over the same 2,124 frames (max collision 3), so frame
+    * hashes are effectively unique and a shared temporal shingle MEANS
+    * a shared clip — exactly the 125 seeded twin pairs at sf0.01,
+    * zero coincidences. */
+  private def gridTone(fid: Long, j: Int, i: Int): Int = {
+    val z = fid * 63 + j * 9 + i + 1
+    (((z * z) % 65521L) % 256L).toInt
+  }
+
+  /** 7×9-grid raster aligned to the dHash grid (w = 9u, h = 7m), cell
+    * (j, i) filled with [[gridTone]] — so the decoded dHash is
+    * closed-form bit (j·8+i) = tone(j,i) > tone(j,i+1), with full 56-bit
+    * entropy. */
+  private def encodePngGrid(fid: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val u = 2 + (fid % 5).toInt
+    val m = 2 + (fid % 4).toInt
+    val (w, h) = (9 * u, 7 * m)
+    val gray = fid % 2 == 0
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    val bands = if (gray) 1 else 3
+    var j = 0
+    while (j < 7) {
+      var i = 0
+      while (i < 9) {
+        val v = gridTone(fid, j, i)
+        var y = j * m
+        while (y < (j + 1) * m) {
+          var x = i * u
+          while (x < (i + 1) * u) {
+            var k = 0
+            while (k < bands) { raster.setSample(x, y, k, v); k += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def encodeVideoClip(id: Long, twin: Boolean): Array[Byte] = {
+    val nf = (3 + id % 3).toInt
+    def fid(f: Int): Long = id * 31 + 7L * f
+    val fids =
+      if (!twin) (0 until nf).map(fid)
+      else (1 until nf).map(fid) :+ (id * 31 + 7L * nf + 13L)
+    gftvContainer(fids.map(encodePngGrid))
+  }
+
+  private[operators] def videoClipFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_gftv2_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getLong(0)
+        val base = Row(id * 2, encodeVideoClip(id, twin = false))
+        if (id % 4 == 0)
+          Iterator(base, Row(id * 2 + 1, encodeVideoClip(id, twin = true)))
+        else Iterator(base)
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("video_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/vid")
+    }
+    s"$root/vid"
+  }
+
+  /** Frame table of the clip fixture — the same decode-once discipline
+    * as [[videoFrameTablePath]], minimal (video, frame, phash) schema. */
+  private[graft] def videoClipFrameTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_frames2_fix", dir) { r =>
+      val src = s.read.parquet(videoClipFixture(s, dir))
+      val rows = src.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getAs[Long]("video_id")
+        videoFrameIter(id, row.getAs[Array[Byte]]("payload")).map {
+          case (f, frame) =>
+            Row(id, f, dHash56(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))))
+        }
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("video_id", LongType),
+          StructField("frame_idx", IntegerType),
+          StructField("phash", LongType))))
+        .write.parquet(s"$r/frames")
+    }
+    s"$root/frames"
+  }
+
+  /** q_mm_video_clip_neardup: TEMPORAL clip-level near-dup — detect
+    * videos sharing a RUN of consecutive frames (a re-posted clip,
+    * trimmed or extended) by shingling each video's perceptual-hash
+    * SEQUENCE into adjacent-pair 2-shingles and scoring pairs by shared
+    * shingles + Jaccard: the sequence analogue of text shingle-Jaccard,
+    * one level above single-frame dedup (which sees isolated hash hits
+    * but says nothing about temporal alignment — the difference between
+    * "these uploads share a stock still" and "this upload contains that
+    * clip"). Scale shape: shingles assemble INSIDE one per-video
+    * aggregation (collect_list of the bounded frame list, sort, adjacent
+    * concat — one map-side-combined exchange on the video id); the
+    * candidate self-join keys on the shingle with the simhash-style
+    * `maxDf` windowed cap riding its exchange (flat-frame shingles are
+    * the degenerate bucket class), and the pair aggregation carries both
+    * videos' shingle counts so Jaccard needs no second pass. Oracle:
+    * closed-form frame hashes → the same shingling → the same pair
+    * scores, exactly. */
+  def mmVideoClipNeardup(s: SparkSession, dir: String,
+                         maxDf: Int = 1000): DataFrame = {
+    val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
+    val vs = frames.groupBy("video_id")
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
+        .as("fs"))
+      .select(col("video_id"), expr(
+        "CASE WHEN size(fs) < 2 THEN array() ELSE " +
+          "array_distinct(transform(sequence(0, size(fs) - 2), " +
+          "i -> concat(cast(fs[i].phash AS string), ':', " +
+          "cast(fs[i + 1].phash AS string)))) END").as("shs"))
+      .select(col("video_id"), explode(col("shs")).as("shingle"))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("video_id")))
+    val capped = vs
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+    capped.alias("a")
+      .join(capped.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.video_id") < col("b.video_id"))
+      .groupBy(col("a.video_id").as("video_a"), col("b.video_id").as("video_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
+      .withColumn("jaccard", col("n_shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+  }
 
   // -------------------------------------------------------------------
   // Real audio decode (javax.sound.sampled WAV/PCM)
@@ -1262,6 +1428,8 @@ object MultimodalQueries {
     "q_mm_phash_clusters" -> ((s: SparkSession, d: String) => mmPhashClusters(s, d)),
     "q_mm_phash_dedup" -> (mmPhashDedup _),
     "q_mm_video_stats" -> (mmVideoStats _),
+    "q_mm_video_clip_neardup" ->
+      ((s: SparkSession, d: String) => mmVideoClipNeardup(s, d)),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
@@ -1484,6 +1652,54 @@ object MultimodalQueries {
         |  MIN(doc_id) AS canonical_doc_id
         |FROM j GROUP BY phash
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    // Temporal clip near-dup: the clip fixture's frame sequences in
+    // closed form (base video 2d = fids 31d+7f, f < nf; the re-upload
+    // twin drops frame 0, keeps 1..nf-1, appends fid 31d+7nf+13), each
+    // frame's dHash closed-form from the GRID raster (cells align with
+    // the 7x9 dHash grid, so bit (j*8+i) = tone(j,i) > tone(j,i+1) with
+    // Knuth-hashed tones — full-entropy, ~unique hashes), then the SAME
+    // adjacent-pair shingling + shared-shingle/Jaccard pair scoring the
+    // Spark leg computes from real decoded pixels.
+    "q_mm_video_clip_neardup" ->
+      """WITH p AS (SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents),
+        |vf AS (
+        |  SELECT doc_id * 2 AS vid, i.range AS f,
+        |      doc_id * 31 + 7 * i.range AS fid
+        |    FROM p CROSS JOIN range(0, 5) i WHERE i.range < nf
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, i.range - 1, doc_id * 31 + 7 * i.range
+        |    FROM p CROSS JOIN range(1, 5) i
+        |    WHERE doc_id % 4 = 0 AND i.range < nf
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, nf - 1, doc_id * 31 + 7 * nf + 13
+        |    FROM p WHERE doc_id % 4 = 0),
+        |d0 AS (SELECT DISTINCT fid FROM vf),
+        |cells AS (SELECT fid, j.range AS j, i.range AS i,
+        |    (((fid * 63 + j.range * 9 + i.range + 1)
+        |      * (fid * 63 + j.range * 9 + i.range + 1)) % 65521) % 256 AS t1,
+        |    (((fid * 63 + j.range * 9 + i.range + 2)
+        |      * (fid * 63 + j.range * 9 + i.range + 2)) % 65521) % 256 AS t2
+        |  FROM d0 CROSS JOIN range(0, 7) j CROSS JOIN range(0, 8) i),
+        |ph AS (SELECT fid, CAST(SUM(
+        |    CASE WHEN t1 > t2 THEN 1::BIGINT << (j * 8 + i) ELSE 0 END)
+        |    AS BIGINT) AS phash
+        |  FROM cells GROUP BY fid),
+        |sq AS (SELECT vf.vid, vf.f, ph.phash
+        |  FROM vf JOIN ph ON vf.fid = ph.fid),
+        |sh AS (SELECT DISTINCT l.vid,
+        |    CAST(l.phash AS STRING) || ':' || CAST(r.phash AS STRING) AS shingle
+        |  FROM sq l JOIN sq r ON l.vid = r.vid AND r.f = l.f + 1),
+        |sz AS (SELECT vid, COUNT(*) AS n_sh FROM sh GROUP BY vid),
+        |pr AS (SELECT a.vid AS video_a, b.vid AS video_b,
+        |    COUNT(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.vid < b.vid
+        |  GROUP BY 1, 2)
+        |SELECT video_a, video_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+        |  CAST(n_shared AS DOUBLE)
+        |    / CAST(za.n_sh + zb.n_sh - n_shared AS DOUBLE) AS jaccard
+        |FROM pr JOIN sz za ON pr.video_a = za.vid
+        |  JOIN sz zb ON pr.video_b = zb.vid""".stripMargin,
     // Per-video frame-quality summary off the same closed-form frame
     // hashes + lumas ((a+b)/2 — exact halves, portable doubles).
     "q_mm_video_stats" ->
