@@ -197,9 +197,20 @@ object MultimodalQueries {
     import java.awt.image.BufferedImage
     val (w, h) = (img.getWidth, img.getHeight)
     val c = img.getColorModel.getNumComponents
-    // derive the output type from the channel count — img.getType is
-    // TYPE_CUSTOM (0) for palette/16-bit/typed-RGBA decodes, and
-    // BufferedImage rejects 0 outright
+    // Supported envelope, checked LOUDLY: 8-bit component images whose
+    // raster carries one band per color component (gray, RGB, RGBA).
+    // img.getType can be TYPE_CUSTOM (0), which BufferedImage rejects,
+    // so the output type derives from the channel count — but palette
+    // rasters (bands != components) and >8-bit samples are refused
+    // rather than silently truncated: a deployment adds an explicit
+    // up-front conversion for those, it does not let a thumbnailer
+    // quietly corrupt them.
+    require(img.getRaster.getNumBands == c,
+      s"palette/indexed raster (bands=${img.getRaster.getNumBands}, " +
+        s"components=$c): convert before resizing")
+    require(img.getColorModel.getComponentSize(0) <= 8,
+      s"${img.getColorModel.getComponentSize(0)}-bit samples: convert " +
+        "before resizing")
     val outType = c match {
       case 1 => BufferedImage.TYPE_BYTE_GRAY
       case 3 => BufferedImage.TYPE_3BYTE_BGR
@@ -525,14 +536,6 @@ object MultimodalQueries {
   // Temporal clip-level near-dup (frame-SEQUENCE shingles)
   // -------------------------------------------------------------------
 
-  /** Clip-reuse fixture: base video 2d has nf = 3 + d % 3 frames (frame
-    * f's raster keyed by fid = 31d + 7f); for every fourth doc a
-    * RE-UPLOAD video 2d+1 drops frame 0, keeps frames 1..nf−1 VERBATIM,
-    * and appends one new closing frame (fid = 31d + 7nf + 13) — the
-    * trimmed re-post. Neither whole-video identity nor the frame SET
-    * matches, and single-frame dedup (q_mm_video_frame_dedup's shape)
-    * sees only isolated hash hits — but every shared CONSECUTIVE frame
-    * pair survives, which is what the temporal-shingle gate detects. */
   /** Per-cell tone of the GRID raster: z² mod 65521 mod 256 of the
     * (fid, row, col) cell id z — NONLINEAR on purpose (quadratic through
     * a prime, exact in both engines' BIGINT: z ≤ ~10⁷, z² ≤ 10¹⁴).
@@ -588,6 +591,14 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
+  /** Clip-reuse fixture payload: base video 2d has nf = 3 + d % 3 frames
+    * (frame f's raster keyed by fid = 31d + 7f); for every fourth doc a
+    * RE-UPLOAD video 2d+1 drops frame 0, keeps frames 1..nf−1 VERBATIM,
+    * and appends one new closing frame (fid = 31d + 7nf + 13) — the
+    * trimmed re-post. Neither whole-video identity nor the frame SET
+    * matches, and single-frame dedup (q_mm_video_frame_dedup's shape)
+    * sees only isolated hash hits — but every shared CONSECUTIVE frame
+    * pair survives, which is what the temporal-shingle gate detects. */
   private def encodeVideoClip(id: Long, twin: Boolean): Array[Byte] = {
     val nf = (3 + id % 3).toInt
     def fid(f: Int): Long = id * 31 + 7L * f
@@ -1657,7 +1668,7 @@ object MultimodalQueries {
     // twin drops frame 0, keeps 1..nf-1, appends fid 31d+7nf+13), each
     // frame's dHash closed-form from the GRID raster (cells align with
     // the 7x9 dHash grid, so bit (j*8+i) = tone(j,i) > tone(j,i+1) with
-    // Knuth-hashed tones — full-entropy, ~unique hashes), then the SAME
+    // quadratic-hashed tones — full-entropy, ~unique hashes), then the SAME
     // adjacent-pair shingling + shared-shingle/Jaccard pair scoring the
     // Spark leg computes from real decoded pixels.
     "q_mm_video_clip_neardup" ->

@@ -38,7 +38,10 @@ class BandingPropertySpec extends AnyFunSuite {
 
   test("uncapped banding equals brute force at every tolerance") {
     val rnd = new scala.util.Random(42)
-    for (k <- Seq(1, 3, 6)) {
+    // ALL supported tolerances — k = 2/4/5 are the uneven splits
+    // (nBands·chunkBits > 56) where a mis-sliced last band would lose
+    // pairs while the even splits stayed green
+    for (k <- 1 to 6) {
       val base = Vector.fill(50)(rnd.nextLong() & mask56)
       // seed genuine near pairs: flip 1..k random bits of some bases
       val near = base.take(25).map { h =>

@@ -130,6 +130,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("clip near-dup: shingles assemble in one video exchange, the DF " +
+      "cap rides the shingle exchange, the self-join reuses it") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_mm_video_clip_neardup")(spark, dir)
+        .queryExecution.executedPlan
+      val sh = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val re = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
+      }.size
+      // 3 shuffles: the per-video shingle assembly groupBy, the shingle
+      // exchange (cap window + join distribution), the pair aggregation.
+      // The n_sh window rides the video groupBy's partitioning and the
+      // join's right side REUSES the shingle exchange.
+      assert(sh == 3, s"q_mm_video_clip_neardup expected 3 shuffles, got $sh")
+      assert(re == 1, s"shingle self-join no longer reuses its exchange ($re)")
+      assert(plan.toString.contains("memo_mm_frames2_fix"),
+        "clip gate no longer reads the persisted frame table")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("video frame consumers read the persisted frame table, never a " +
       "second decode pass") {
     for (q <- Seq("q_mm_video_frame_dedup", "q_mm_video_stats")) {
