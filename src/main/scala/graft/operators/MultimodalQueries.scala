@@ -665,6 +665,30 @@ object MultimodalQueries {
     * videos' shingle counts so Jaccard needs no second pass. Oracle:
     * closed-form frame hashes → the same shingling → the same pair
     * scores, exactly. */
+  /** q_mm_video_curation: the video DROP-LIST — per-video frame stats
+    * joined with the clip near-dup pair set, folded into the keep/drop
+    * decision a curation pipeline publishes: drop the non-canonical side
+    * of every detected clip pair (video_a < video_b by construction, so
+    * the kept copy is the minimum id — the same canonical-election rule
+    * every dedup family here uses), keep everything else, and carry the
+    * per-video stats (frame count, distinct perceptual hashes) the
+    * downstream loader reads. One extra left join over the clip gate's
+    * plan; the stats ride a second consumer scan of the same persisted
+    * frame table. */
+  def mmVideoCuration(s: SparkSession, dir: String): DataFrame = {
+    val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
+    val stats = frames.groupBy("video_id")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("phash")).as("n_distinct_frames"))
+    val drops = mmVideoClipNeardup(s, dir)
+      .select(col("video_b").as("video_id")).distinct()
+      .withColumn("drop_reason", lit("clip_dup"))
+    stats.join(drops, Seq("video_id"), "left")
+      .select(col("video_id"), col("n_frames"), col("n_distinct_frames"),
+        col("drop_reason").isNull.cast(StringType).as("kept"),
+        coalesce(col("drop_reason"), lit("")).as("drop_reason"))
+  }
+
   def mmVideoClipNeardup(s: SparkSession, dir: String,
                          maxDf: Int = 1000): DataFrame = {
     val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
@@ -1441,11 +1465,53 @@ object MultimodalQueries {
     "q_mm_video_stats" -> (mmVideoStats _),
     "q_mm_video_clip_neardup" ->
       ((s: SparkSession, d: String) => mmVideoClipNeardup(s, d)),
+    "q_mm_video_curation" -> (mmVideoCuration _),
     "q_mm_binary_meta" -> (mmBinaryMeta _),
     "q_mm_decode_features" -> (mmDecodeFeatures _),
     "q_mm_frame_sample" -> ((s: SparkSession, d: String) => mmFrameSample(s, d)),
     "q_mm_resize" -> ((s: SparkSession, d: String) => mmResize(s, d)),
     "q_mm_dedup" -> (mmDedup _))
+
+  /** Shared oracle CTEs: the clip fixture's frame sequences (base video
+    * 2d = fids 31d+7f, f < nf; the trimmed re-upload twin), each frame's
+    * grid-raster dHash closed-form (cells align with the 7×9 dHash grid,
+    * bit (j·8+i) = tone(j,i) > tone(j,i+1), quadratic tones), then the
+    * adjacent-pair temporal shingling and shared-shingle pair scores —
+    * the prefix the clip-near-dup and video-curation oracles build on. */
+  private val videoClipCtes: String =
+    """p AS (SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents),
+      |vf AS (
+      |  SELECT doc_id * 2 AS vid, i.range AS f,
+      |      doc_id * 31 + 7 * i.range AS fid
+      |    FROM p CROSS JOIN range(0, 5) i WHERE i.range < nf
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, i.range - 1, doc_id * 31 + 7 * i.range
+      |    FROM p CROSS JOIN range(1, 5) i
+      |    WHERE doc_id % 4 = 0 AND i.range < nf
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, nf - 1, doc_id * 31 + 7 * nf + 13
+      |    FROM p WHERE doc_id % 4 = 0),
+      |d0 AS (SELECT DISTINCT fid FROM vf),
+      |cells AS (SELECT fid, j.range AS j, i.range AS i,
+      |    (((fid * 63 + j.range * 9 + i.range + 1)
+      |      * (fid * 63 + j.range * 9 + i.range + 1)) % 65521) % 256 AS t1,
+      |    (((fid * 63 + j.range * 9 + i.range + 2)
+      |      * (fid * 63 + j.range * 9 + i.range + 2)) % 65521) % 256 AS t2
+      |  FROM d0 CROSS JOIN range(0, 7) j CROSS JOIN range(0, 8) i),
+      |ph AS (SELECT fid, CAST(SUM(
+      |    CASE WHEN t1 > t2 THEN 1::BIGINT << (j * 8 + i) ELSE 0 END)
+      |    AS BIGINT) AS phash
+      |  FROM cells GROUP BY fid),
+      |sq AS (SELECT vf.vid, vf.f, ph.phash
+      |  FROM vf JOIN ph ON vf.fid = ph.fid),
+      |sh AS (SELECT DISTINCT l.vid,
+      |    CAST(l.phash AS STRING) || ':' || CAST(r.phash AS STRING) AS shingle
+      |  FROM sq l JOIN sq r ON l.vid = r.vid AND r.f = l.f + 1),
+      |sz AS (SELECT vid, COUNT(*) AS n_sh FROM sh GROUP BY vid),
+      |pr AS (SELECT a.vid AS video_a, b.vid AS video_b,
+      |    COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.vid < b.vid
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared oracle CTEs: closed-form energy-profile fingerprint of every
     * audio near-dup fixture variant, then collapse + 4×14-bit banding +
@@ -1672,45 +1738,28 @@ object MultimodalQueries {
     // adjacent-pair shingling + shared-shingle/Jaccard pair scoring the
     // Spark leg computes from real decoded pixels.
     "q_mm_video_clip_neardup" ->
-      """WITH p AS (SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents),
-        |vf AS (
-        |  SELECT doc_id * 2 AS vid, i.range AS f,
-        |      doc_id * 31 + 7 * i.range AS fid
-        |    FROM p CROSS JOIN range(0, 5) i WHERE i.range < nf
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1, i.range - 1, doc_id * 31 + 7 * i.range
-        |    FROM p CROSS JOIN range(1, 5) i
-        |    WHERE doc_id % 4 = 0 AND i.range < nf
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1, nf - 1, doc_id * 31 + 7 * nf + 13
-        |    FROM p WHERE doc_id % 4 = 0),
-        |d0 AS (SELECT DISTINCT fid FROM vf),
-        |cells AS (SELECT fid, j.range AS j, i.range AS i,
-        |    (((fid * 63 + j.range * 9 + i.range + 1)
-        |      * (fid * 63 + j.range * 9 + i.range + 1)) % 65521) % 256 AS t1,
-        |    (((fid * 63 + j.range * 9 + i.range + 2)
-        |      * (fid * 63 + j.range * 9 + i.range + 2)) % 65521) % 256 AS t2
-        |  FROM d0 CROSS JOIN range(0, 7) j CROSS JOIN range(0, 8) i),
-        |ph AS (SELECT fid, CAST(SUM(
-        |    CASE WHEN t1 > t2 THEN 1::BIGINT << (j * 8 + i) ELSE 0 END)
-        |    AS BIGINT) AS phash
-        |  FROM cells GROUP BY fid),
-        |sq AS (SELECT vf.vid, vf.f, ph.phash
-        |  FROM vf JOIN ph ON vf.fid = ph.fid),
-        |sh AS (SELECT DISTINCT l.vid,
-        |    CAST(l.phash AS STRING) || ':' || CAST(r.phash AS STRING) AS shingle
-        |  FROM sq l JOIN sq r ON l.vid = r.vid AND r.f = l.f + 1),
-        |sz AS (SELECT vid, COUNT(*) AS n_sh FROM sh GROUP BY vid),
-        |pr AS (SELECT a.vid AS video_a, b.vid AS video_b,
-        |    COUNT(*) AS n_shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.vid < b.vid
-        |  GROUP BY 1, 2)
+      s"""WITH $videoClipCtes
         |SELECT video_a, video_b, CAST(n_shared AS BIGINT) AS n_shared,
         |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
         |  CAST(n_shared AS DOUBLE)
         |    / CAST(za.n_sh + zb.n_sh - n_shared AS DOUBLE) AS jaccard
         |FROM pr JOIN sz za ON pr.video_a = za.vid
         |  JOIN sz zb ON pr.video_b = zb.vid""".stripMargin,
+    // Full video drop-list: per-video frame stats + the clip pair set
+    // folded into keep/drop decisions (drop the non-canonical side of
+    // every detected clip pair).
+    "q_mm_video_curation" ->
+      s"""WITH $videoClipCtes,
+        |drops AS (SELECT DISTINCT video_b AS vid FROM pr),
+        |st AS (SELECT vid, COUNT(*) AS n_frames,
+        |    COUNT(DISTINCT phash) AS n_distinct
+        |  FROM sq GROUP BY vid)
+        |SELECT st.vid AS video_id, CAST(st.n_frames AS BIGINT) AS n_frames,
+        |  CAST(st.n_distinct AS BIGINT) AS n_distinct_frames,
+        |  CAST(drops.vid IS NULL AS STRING) AS kept,
+        |  CASE WHEN drops.vid IS NULL THEN '' ELSE 'clip_dup' END
+        |    AS drop_reason
+        |FROM st LEFT JOIN drops ON st.vid = drops.vid""".stripMargin,
     // Per-video frame-quality summary off the same closed-form frame
     // hashes + lumas ((a+b)/2 — exact halves, portable doubles).
     "q_mm_video_stats" ->
