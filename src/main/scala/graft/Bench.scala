@@ -66,6 +66,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.operators.SkewCap.registerWarnings(spark)
 
     var sinceGc = 0
     def cleanup(): Unit = if (clean) {

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.operators.SkewCap.registerWarnings(spark)
     new java.io.File(outDir).mkdirs()
     // Optional trailing args: run only the named queries (local iteration).
     SparkEntry.queries

@@ -648,23 +648,6 @@ object MultimodalQueries {
     s"$root/frames"
   }
 
-  /** q_mm_video_clip_neardup: TEMPORAL clip-level near-dup — detect
-    * videos sharing a RUN of consecutive frames (a re-posted clip,
-    * trimmed or extended) by shingling each video's perceptual-hash
-    * SEQUENCE into adjacent-pair 2-shingles and scoring pairs by shared
-    * shingles + Jaccard: the sequence analogue of text shingle-Jaccard,
-    * one level above single-frame dedup (which sees isolated hash hits
-    * but says nothing about temporal alignment — the difference between
-    * "these uploads share a stock still" and "this upload contains that
-    * clip"). Scale shape: shingles assemble INSIDE one per-video
-    * aggregation (collect_list of the bounded frame list, sort, adjacent
-    * concat — one map-side-combined exchange on the video id); the
-    * candidate self-join keys on the shingle with the simhash-style
-    * `maxDf` windowed cap riding its exchange (flat-frame shingles are
-    * the degenerate bucket class), and the pair aggregation carries both
-    * videos' shingle counts so Jaccard needs no second pass. Oracle:
-    * closed-form frame hashes → the same shingling → the same pair
-    * scores, exactly. */
   /** q_mm_video_curation: the video DROP-LIST — per-video frame stats
     * joined with the clip near-dup pair set, folded into the keep/drop
     * decision a curation pipeline publishes: drop the non-canonical side
@@ -689,25 +672,44 @@ object MultimodalQueries {
         coalesce(col("drop_reason"), lit("")).as("drop_reason"))
   }
 
+  /** q_mm_video_clip_neardup: TEMPORAL clip-level near-dup — detect
+    * videos sharing a RUN of consecutive frames (a re-posted clip,
+    * trimmed or extended) by shingling each video's perceptual-hash
+    * SEQUENCE into adjacent-pair 2-shingles and scoring pairs by shared
+    * shingles + Jaccard: the sequence analogue of text shingle-Jaccard,
+    * one level above single-frame dedup (which sees isolated hash hits
+    * but says nothing about temporal alignment — the difference between
+    * "these uploads share a stock still" and "this upload contains that
+    * clip"). Scale shape: shingles assemble INSIDE one per-video
+    * aggregation (collect_list of the bounded frame list, sort, adjacent
+    * pairing into a `struct(ph_a, ph_b)` 16-byte key — one
+    * map-side-combined exchange on the video id; a decimal-string
+    * `concat` key here would be ~40 shuffle bytes for the same
+    * information, the repo's hashed-key discipline applied to a
+    * composite key that needs no hashing at all); the candidate
+    * self-join keys on the shingle struct with the simhash-style
+    * `maxDf` windowed cap riding its exchange (flat-frame shingles are
+    * the degenerate bucket class), and the pair aggregation carries both
+    * videos' shingle counts so Jaccard needs no second pass. Oracle:
+    * closed-form frame hashes → the same shingling → the same pair
+    * scores, exactly. */
   def mmVideoClipNeardup(s: SparkSession, dir: String,
                          maxDf: Int = 1000): DataFrame = {
     val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
     val vs = frames.groupBy("video_id")
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
         .as("fs"))
+      .filter(size(col("fs")) >= 2) // <2 frames => no shingles (explode
+      //                               of the empty list emits nothing)
       .select(col("video_id"), expr(
-        "CASE WHEN size(fs) < 2 THEN array() ELSE " +
-          "array_distinct(transform(sequence(0, size(fs) - 2), " +
-          "i -> concat(cast(fs[i].phash AS string), ':', " +
-          "cast(fs[i + 1].phash AS string)))) END").as("shs"))
+        "array_distinct(transform(sequence(0, size(fs) - 2), " +
+          "i -> named_struct('ph_a', fs[i].phash, " +
+          "'ph_b', fs[i + 1].phash)))").as("shs"))
       .select(col("video_id"), explode(col("shs")).as("shingle"))
       .withColumn("n_sh", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("video_id")))
-    val capped = vs
-      .withColumn("_df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("_df") <= maxDf)
-      .drop("_df")
+    val capped = SkewCap.dropOverCap(vs, Seq(col("shingle")), maxDf,
+      "clip_shingle_cap")
     capped.alias("a")
       .join(capped.alias("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -1172,7 +1174,8 @@ object MultimodalQueries {
 
   def mmAudioNeardup(s: SparkSession, dir: String,
                      maxHamming: Int = 3): DataFrame =
-    phashGroupPairs(audioFpGroups(s, dir), maxHamming)
+    phashGroupPairs(audioFpGroups(s, dir), maxHamming,
+        capMetric = "audio_band_cap")
       .select(col("canon_a"), col("canon_b"), col("hamming"),
         col("n_a"), col("n_b"))
 
@@ -1185,7 +1188,8 @@ object MultimodalQueries {
     * transitive closure. */
   def mmAudioClusters(s: SparkSession, dir: String,
                       maxHamming: Int = 3): DataFrame =
-    hashGroupClusters(audioFpGroups(s, dir), maxHamming, "cluster_audios")
+    hashGroupClusters(audioFpGroups(s, dir), maxHamming, "cluster_audios",
+      capMetric = "audio_band_cap")
 
   /** q_mm_audio_features: partition-parallel REAL audio decode/feature
     * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
@@ -1376,7 +1380,8 @@ object MultimodalQueries {
     * exists to exclude (`PhashNeardupSpec` pins both directions on a
     * degenerate fixture). */
   private[graft] def phashGroupPairs(grp: DataFrame, maxHamming: Int,
-                                     maxBucket: Int = 100000): DataFrame = {
+                                     maxBucket: Int = 100000,
+                                     capMetric: String = "phash_band_cap"): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 6,
       s"band tolerance must be in [1, 6]; got $maxHamming")
     val nBands = maxHamming + 1
@@ -1386,12 +1391,8 @@ object MultimodalQueries {
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> (phash >> (b * $chunkBits)) & $mask)"))
         .as(Seq("band", "chunk")))
-    val capped = banded
-      .withColumn("_bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("chunk"))))
-      .filter(col("_bucket_n") <= maxBucket)
-      .drop("_bucket_n")
+    val capped = SkewCap.dropOverCap(banded,
+      Seq(col("band"), col("chunk")), maxBucket, capMetric)
     capped.alias("a")
       .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -1435,9 +1436,11 @@ object MultimodalQueries {
     * ONCE for both the pair edges and the size join (bounded: distinct
     * hashes). */
   private def hashGroupClusters(groups: DataFrame, maxHamming: Int,
-                                totalCol: String): DataFrame = {
+                                totalCol: String,
+                                capMetric: String = "phash_band_cap"): DataFrame = {
     val grp = groups.localCheckpoint(true) // bounded: distinct hashes
-    val pairs = phashGroupPairs(grp, maxHamming).select("canon_a", "canon_b")
+    val pairs = phashGroupPairs(grp, maxHamming, capMetric = capMetric)
+      .select("canon_a", "canon_b")
     val cc = GraphCC.connectedComponents(pairs, "canon_a", "canon_b")
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
@@ -1504,13 +1507,13 @@ object MultimodalQueries {
       |  FROM cells GROUP BY fid),
       |sq AS (SELECT vf.vid, vf.f, ph.phash
       |  FROM vf JOIN ph ON vf.fid = ph.fid),
-      |sh AS (SELECT DISTINCT l.vid,
-      |    CAST(l.phash AS STRING) || ':' || CAST(r.phash AS STRING) AS shingle
+      |sh AS (SELECT DISTINCT l.vid, l.phash AS ph_a, r.phash AS ph_b
       |  FROM sq l JOIN sq r ON l.vid = r.vid AND r.f = l.f + 1),
       |sz AS (SELECT vid, COUNT(*) AS n_sh FROM sh GROUP BY vid),
       |pr AS (SELECT a.vid AS video_a, b.vid AS video_b,
       |    COUNT(*) AS n_shared
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.vid < b.vid
+      |  FROM sh a JOIN sh b
+      |    ON a.ph_a = b.ph_a AND a.ph_b = b.ph_b AND a.vid < b.vid
       |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared oracle CTEs: closed-form energy-profile fingerprint of every

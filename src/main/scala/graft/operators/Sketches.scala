@@ -131,12 +131,8 @@ object Sketches {
     val banded = docs.select(col("doc_id"), col("simhash"),
       posexplode(expr("transform(sequence(0, 7), " +
         "b -> (simhash >> (b * 8)) & 255)")).as(Seq("band", "chunk")))
-    val capped = banded
-      .withColumn("_bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("chunk"))))
-      .filter(col("_bucket_n") <= maxBucket)
-      .drop("_bucket_n")
+    val capped = SkewCap.dropOverCap(banded,
+      Seq(col("band"), col("chunk")), maxBucket, "simhash_band_cap")
     capped.alias("a")
       .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The windowed count-and-drop skew guard every banded candidate join
+  * here uses (simhash bands, phash/audio-fingerprint bands, clip
+  * shingles), with the drop made OBSERVABLE — the no-silent-caps
+  * discipline: a cap that fires at a larger sf would otherwise remove
+  * candidate pairs with no signal beyond a far-away oracle hash mismatch.
+  *
+  * Observability is two-layered, both zero-cost on the data path:
+  *  - `observe()` attaches a CollectMetrics node carrying the number of
+  *    rows the cap removed and the largest bucket seen — the counts ride
+  *    the exchange the join already pays (no extra job, no extra pass),
+  *    and [[registerWarnings]] logs a WARN with the metric name and
+  *    counts whenever a query completes with a non-zero drop. Metric
+  *    names are per CALL SITE (`*_cap`), not per helper, because one
+  *    query may compose several capped families (the multimodal curation
+  *    capstone) and Spark requires observed-metric names to be unique
+  *    within a plan unless the subtrees are identical.
+  *  - [[droppedCount]] exposes the same count as an eager scalar for
+  *    oracle-scale asserts (the caps must NEVER fire at gate scale — the
+  *    DuckDB replays are capless, so a firing cap IS a correctness
+  *    divergence there; CapObservabilitySpec pins this for every capped
+  *    family).
+  */
+object SkewCap {
+
+  /** Drop rows whose (keys) bucket exceeds `cap`, observing the removal.
+    * The windowed count rides the partitionBy(keys) exchange the caller's
+    * self-join needs anyway. `metric` must be unique per call site and
+    * end in `_cap` for [[registerWarnings]] to pick it up. */
+  def dropOverCap(df: DataFrame, keys: Seq[Column], cap: Int,
+                  metric: String): DataFrame =
+    df.withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .observe(metric,
+        coalesce(sum(when(col("_bucket_n") > cap, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("rows_dropped"),
+        coalesce(max(col("_bucket_n")), lit(0L)).as("max_bucket"))
+      .filter(col("_bucket_n") <= cap)
+      .drop("_bucket_n")
+
+  /** Eager count of the rows [[dropOverCap]] would remove — the
+    * oracle-scale assert form (the capless-DuckDB contract). */
+  def droppedCount(df: DataFrame, keys: Seq[Column], cap: Int): Long =
+    df.withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("_bucket_n") > cap)
+      .count()
+
+  /** Log a WARN whenever any `*_cap` observed metric completes a query
+    * with rows_dropped > 0 — the runtime signal that a skew cap removed
+    * candidate pairs (expected at degenerate-corpus scale, a correctness
+    * alarm at oracle scale). Idempotent per session. */
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  def registerWarnings(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.endsWith("_cap")) {
+                val dropped = Option(row.getAs[Any]("rows_dropped"))
+                  .map(_.toString.toLong).getOrElse(0L)
+                if (dropped > 0L) {
+                  val maxB = Option(row.getAs[Any]("max_bucket"))
+                    .map(_.toString).getOrElse("?")
+                  System.err.println(
+                    s"[graft][WARN] skew cap '$name' dropped $dropped " +
+                      s"banded rows (max bucket $maxB) — candidate pairs " +
+                      "agreeing only on dropped buckets are lost")
+                }
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+}

@@ -327,7 +327,12 @@ object EventStream {
     * order, so absent eviction the emitted counts equal the batch window
     * `COUNT(*) OVER (PARTITION BY user_id, event_type ORDER BY ts_us,
     * event_id ROWS UNBOUNDED PRECEDING → 1 PRECEDING)` exactly — what the
-    * replay gate hash-pins across checkpointed restarts. */
+    * replay gate hash-pins across checkpointed restarts. Like the sibling
+    * processors, ordering is per-BATCH: the contract additionally needs
+    * equal-ts events of one user never split across replay batches in
+    * event_id-inverted order, which the gate's slice cut guarantees (a
+    * pure function of ts_us — asserted at slice-fixture build in
+    * StreamGates.replaySlices). */
   def typeCountsTws(events: Dataset[Event], gapMinutes: Long = 30,
                     horizon: String = "1 hour")
                    (implicit spark: SparkSession): Dataset[TypeCount] = {

@@ -239,6 +239,23 @@ object StreamGates {
         least(lit(nSlices - 1),
           floor((col("ts_us") - col("_mn")).cast("double") * nSlices /
             (col("_mx") - col("_mn") + 1).cast("double")).cast("int")))
+      // The per-user processors (sessionize, attribute, the TWS triad)
+      // order events only WITHIN each replay batch by (ts_us, event_id);
+      // their batch-window equality contract therefore rests on equal-ts
+      // events never splitting across slices (two equal-ts events of one
+      // user+type arriving in event_id-inverted order across slices would
+      // diverge from the oracle's global (ts, event_id) window). The cut
+      // above guarantees that — _slice is a pure function of ts_us — and
+      // this build-time assert makes the contract EXPLICIT against any
+      // future cut that keys on anything finer than the timestamp. Runs
+      // once per (gate, sf dir) at fixture build, never per replay.
+      val crossSliceTs = sliced.groupBy(col("ts_us"))
+        .agg(countDistinct(col("_slice")).as("_ns"))
+        .filter(col("_ns") > 1).count()
+      require(crossSliceTs == 0L,
+        s"slice cut split $crossSliceTs equal-ts groups across slices — " +
+          "the per-user processors' (ts_us, event_id) ordering contract " +
+          "only holds when the cut is a pure function of ts_us")
       sliced.drop("_mn", "_mx")
         .write.partitionBy("_slice").parquet(s"$r/slices")
     }
