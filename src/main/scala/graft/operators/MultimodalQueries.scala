@@ -608,6 +608,16 @@ object MultimodalQueries {
     gftvContainer(fids.map(encodePngGrid))
   }
 
+  /** STATIC clip for doc d (id 2d+1, seeded when d % 4 == 2 — the twin
+    * slot is free there): 3 copies of ONE frame, fid = 31d + 1. The fid
+    * never collides with any base/twin fid (31Δd = 7f − 1 and
+    * 31Δd = 7nf + 12 have no solutions in range), so a static clip's
+    * lone (x, x) shingle pairs with nothing — it exists to be dropped by
+    * the curation gate's frame-stats screen (n_distinct_frames = 1), the
+    * classic low-value upload, NOT by clip near-dup. */
+  private def encodeVideoStatic(id: Long): Array[Byte] =
+    gftvContainer(Seq.fill(3)(encodePngGrid(id * 31 + 1)))
+
   private[operators] def videoClipFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_gftv2_fix", dir) { r =>
       val ids = table(s, dir, "documents").select(col("doc_id"))
@@ -616,6 +626,8 @@ object MultimodalQueries {
         val base = Row(id * 2, encodeVideoClip(id, twin = false))
         if (id % 4 == 0)
           Iterator(base, Row(id * 2 + 1, encodeVideoClip(id, twin = true)))
+        else if (id % 4 == 2)
+          Iterator(base, Row(id * 2 + 1, encodeVideoStatic(id)))
         else Iterator(base)
       })
       s.createDataFrame(rows, StructType(Seq(
@@ -648,28 +660,53 @@ object MultimodalQueries {
     s"$root/frames"
   }
 
+  /** Persisted clip-pair table: the near-dup pair set computed ONCE per
+    * sf dir and written as parquet — the [[videoFrameTablePath]]
+    * decode-once discipline lifted one stage: the pair set is a
+    * multi-consumer curation artifact (the drop list here, the
+    * cross-modality leakage groups in the curation capstone), and each
+    * consumer should pay a FileScan, not a re-run of the shingle
+    * self-join. q_mm_video_clip_neardup stays the LIVE leg — it times
+    * (and certifies) the pair computation itself. */
+  private[graft] def videoClipPairTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_clippairs_fix", dir) { r =>
+      mmVideoClipNeardup(s, dir).write.parquet(s"$r/pairs")
+    }
+    s"$root/pairs"
+  }
+
   /** q_mm_video_curation: the video DROP-LIST — per-video frame stats
     * joined with the clip near-dup pair set, folded into the keep/drop
-    * decision a curation pipeline publishes: drop the non-canonical side
-    * of every detected clip pair (video_a < video_b by construction, so
-    * the kept copy is the minimum id — the same canonical-election rule
-    * every dedup family here uses), keep everything else, and carry the
-    * per-video stats (frame count, distinct perceptual hashes) the
-    * downstream loader reads. One extra left join over the clip gate's
-    * plan; the stats ride a second consumer scan of the same persisted
-    * frame table. */
+    * decision a curation pipeline publishes, with MULTI-REASON drop
+    * attribution (the MLS `_reject_reasons` concat_ws precedent,
+    * mls_listings_transform.py:118): `clip_dup` drops the non-canonical
+    * side of every detected clip pair (video_a < video_b by
+    * construction, so the kept copy is the minimum id — the same
+    * canonical-election rule every dedup family here uses) and
+    * `static_clip` drops clips whose every frame is perceptually
+    * identical (n_distinct_frames = 1 — the classic low-value upload;
+    * the fixture seeds one per doc ≡ 2 mod 4). A video failing several
+    * screens lists every reason, comma-joined in screen order. Scale
+    * shape: BOTH inputs are persisted artifacts — the frame table and
+    * the clip-pair table — so the published list costs two FileScans,
+    * one stats groupBy, and one left join; the expensive shingle
+    * self-join was paid once when the pair table was built
+    * (q_mm_video_clip_neardup stays the live leg timing it). */
   def mmVideoCuration(s: SparkSession, dir: String): DataFrame = {
     val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
     val stats = frames.groupBy("video_id")
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("phash")).as("n_distinct_frames"))
-    val drops = mmVideoClipNeardup(s, dir)
+    val drops = s.read.parquet(videoClipPairTablePath(s, dir))
       .select(col("video_b").as("video_id")).distinct()
-      .withColumn("drop_reason", lit("clip_dup"))
+      .withColumn("is_dup", lit(true))
     stats.join(drops, Seq("video_id"), "left")
+      .withColumn("drop_reason", concat_ws(",",
+        when(col("is_dup"), lit("clip_dup")),
+        when(col("n_distinct_frames") === 1, lit("static_clip"))))
       .select(col("video_id"), col("n_frames"), col("n_distinct_frames"),
-        col("drop_reason").isNull.cast(StringType).as("kept"),
-        coalesce(col("drop_reason"), lit("")).as("drop_reason"))
+        (col("drop_reason") === "").cast(StringType).as("kept"),
+        col("drop_reason"))
   }
 
   /** q_mm_video_clip_neardup: TEMPORAL clip-level near-dup — detect
@@ -1493,7 +1530,10 @@ object MultimodalQueries {
       |    WHERE doc_id % 4 = 0 AND i.range < nf
       |  UNION ALL
       |  SELECT doc_id * 2 + 1, nf - 1, doc_id * 31 + 7 * nf + 13
-      |    FROM p WHERE doc_id % 4 = 0),
+      |    FROM p WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, i.range, doc_id * 31 + 1
+      |    FROM p CROSS JOIN range(0, 3) i WHERE doc_id % 4 = 2),
       |d0 AS (SELECT DISTINCT fid FROM vf),
       |cells AS (SELECT fid, j.range AS j, i.range AS i,
       |    (((fid * 63 + j.range * 9 + i.range + 1)
@@ -1749,20 +1789,26 @@ object MultimodalQueries {
         |FROM pr JOIN sz za ON pr.video_a = za.vid
         |  JOIN sz zb ON pr.video_b = zb.vid""".stripMargin,
     // Full video drop-list: per-video frame stats + the clip pair set
-    // folded into keep/drop decisions (drop the non-canonical side of
-    // every detected clip pair).
+    // folded into MULTI-REASON keep/drop decisions (drop the
+    // non-canonical side of every detected clip pair AND every static
+    // clip; a video failing both lists both, comma-joined — concat_ws
+    // skips NULLs identically in both engines).
     "q_mm_video_curation" ->
       s"""WITH $videoClipCtes,
         |drops AS (SELECT DISTINCT video_b AS vid FROM pr),
         |st AS (SELECT vid, COUNT(*) AS n_frames,
         |    COUNT(DISTINCT phash) AS n_distinct
-        |  FROM sq GROUP BY vid)
-        |SELECT st.vid AS video_id, CAST(st.n_frames AS BIGINT) AS n_frames,
-        |  CAST(st.n_distinct AS BIGINT) AS n_distinct_frames,
-        |  CAST(drops.vid IS NULL AS STRING) AS kept,
-        |  CASE WHEN drops.vid IS NULL THEN '' ELSE 'clip_dup' END
-        |    AS drop_reason
-        |FROM st LEFT JOIN drops ON st.vid = drops.vid""".stripMargin,
+        |  FROM sq GROUP BY vid),
+        |rs AS (SELECT st.vid, st.n_frames, st.n_distinct,
+        |    concat_ws(',',
+        |      CASE WHEN drops.vid IS NOT NULL THEN 'clip_dup' END,
+        |      CASE WHEN st.n_distinct = 1 THEN 'static_clip' END)
+        |      AS drop_reason
+        |  FROM st LEFT JOIN drops ON st.vid = drops.vid)
+        |SELECT vid AS video_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct_frames,
+        |  CAST(drop_reason = '' AS STRING) AS kept, drop_reason
+        |FROM rs""".stripMargin,
     // Per-video frame-quality summary off the same closed-form frame
     // hashes + lumas ((a+b)/2 — exact halves, portable doubles).
     "q_mm_video_stats" ->

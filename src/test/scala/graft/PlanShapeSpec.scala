@@ -154,6 +154,25 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("video curation reads BOTH persisted artifacts (frame + clip-pair " +
+      "tables) and never re-runs the shingle pipeline") {
+    val plan = SparkEntry.queries("q_mm_video_curation")(spark, dir)
+      .queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("memo_mm_frames2_fix"),
+      "curation no longer reads the persisted frame table")
+    assert(planStr.contains("memo_mm_clippairs_fix"),
+      "curation no longer reads the persisted clip-pair table")
+    // a Generate here = the shingle explode got re-inlined (the pair
+    // table exists so consumers never pay the self-join again)
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.size
+    assert(gens == 0, s"curation re-runs the shingle explode ($gens Generate)")
+    assert(!planStr.contains("Scan ExistingRDD"),
+      "curation re-decodes frames inline instead of scanning the table")
+  }
+
   test("video frame consumers read the persisted frame table, never a " +
       "second decode pass") {
     for (q <- Seq("q_mm_video_frame_dedup", "q_mm_video_stats")) {

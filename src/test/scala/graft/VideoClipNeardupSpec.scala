@@ -47,13 +47,18 @@ class VideoClipNeardupSpec extends AnyFunSuite {
         assert(frames((2 * d + 1, nf - 1)) ==
           expectedHash(d * 31 + 7L * nf + 13L))
       }
+      if (d % 4 == 2) // static clip: 3 copies of the one seeded frame
+        for (f <- 0 until 3)
+          assert(frames((2 * d + 1, f)) == expectedHash(d * 31 + 1),
+            s"static frame hash, doc $d frame $f")
     }
     // near-uniqueness over DISTINCT fids (twin videos re-list their
     // base's frames by construction, so raw rows double-count them)
     val fids = docIds.flatMap { d =>
       val nf = (3 + d % 3).toInt
       (0 until nf).map(f => d * 31 + 7L * f) ++
-        (if (d % 4 == 0) Seq(d * 31 + 7L * nf + 13L) else Nil)
+        (if (d % 4 == 0) Seq(d * 31 + 7L * nf + 13L) else Nil) ++
+        (if (d % 4 == 2) Seq(d * 31 + 1L) else Nil)
     }.distinct
     val hs = frames.values.toSeq.distinct
     assert(hs.size > fids.size * 9 / 10,
@@ -79,5 +84,27 @@ class VideoClipNeardupSpec extends AnyFunSuite {
         s"overlap for doc $d: shared=$shared na=$na nb=$nb")
       assert(jac == (nf - 2).toDouble / nf.toDouble, s"jaccard for doc $d")
     }
+  }
+
+  test("curation folds every screen into the drop list: clip_dup for " +
+      "twin re-uploads, static_clip for the seeded static clips, " +
+      "everything else kept") {
+    val out = MultimodalQueries.mmVideoCuration(spark, dir).collect()
+      .map(r => r.getAs[Long]("video_id") ->
+        (r.getAs[String]("kept"), r.getAs[String]("drop_reason"))).toMap
+    docIds.foreach { d =>
+      assert(out(2 * d) == (("true", "")), s"base video of doc $d")
+      if (d % 4 == 0)
+        assert(out(2 * d + 1) == (("false", "clip_dup")),
+          s"twin re-upload of doc $d")
+      if (d % 4 == 2)
+        assert(out(2 * d + 1) == (("false", "static_clip")),
+          s"static clip of doc $d")
+    }
+    // funnel counts: one row per video, drops = twins + statics
+    val nTwins = docIds.count(_ % 4 == 0)
+    val nStatic = docIds.count(_ % 4 == 2)
+    assert(out.size == docIds.size + nTwins + nStatic)
+    assert(out.values.count(_._1 == "false") == nTwins + nStatic)
   }
 }
