@@ -78,9 +78,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bc == 1, s"q_select_dsir expected 1 broadcast, got $bc")
   }
 
-  for (q <- Seq("q_mm_phash_neardup", "q_mm_audio_neardup"))
-  test(s"$q decodes once: the hash aggregate's exchange is " +
-      "REUSED by the band self-join, never recomputed") {
+  for ((q, fix) <- Seq("q_mm_phash_neardup" -> "memo_mm_phgrp_fix",
+    "q_mm_audio_neardup" -> "memo_mm_afpgrp_fix"))
+  test(s"$q reads the persisted group table; the banded exchange is " +
+      "REUSED by the self-join, never recomputed") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -90,25 +91,44 @@ class PlanShapeSpec extends AnyFunSuite {
         case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
       }.size
       // Exactly one ReusedExchange: the right side of the band self-join
-      // reads the left's banded-aggregate shuffle output, so the
-      // mapPartitions image decode runs ONCE. Shuffle budget: the phash
-      // groupBy, the (band, chunk) join exchange, the pair distinct.
-      assert(re == 1, s"band self-join no longer reuses the decode exchange ($re)")
+      // reads the left's banded shuffle output, so the group-table scan
+      // + banding explode run ONCE.
+      assert(re == 1, s"band self-join no longer reuses the banded exchange ($re)")
       val sh = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.size
-      // STILL 3 with the maxBucket guard: its count window partitions by
-      // (band, chunk) — the join's own distribution — so the cap rides
-      // the existing exchange instead of adding a fourth.
-      assert(sh == 3, s"$q expected 3 shuffles, got $sh")
+      // 2 shuffles: the (band, chunk) join exchange (the maxBucket cap's
+      // count window rides it) and the pair distinct. The old third — the
+      // collapse groupBy — was paid once when the persisted group table
+      // was built (decode-once discipline).
+      assert(sh == 2, s"$q expected 2 shuffles, got $sh")
       val wins = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }.size
       assert(wins == 2, s"expected the bucket-cap window on both join sides, got $wins")
-      // and exactly one scan of the image-hash RDD survives in the plan
-      assert(plan.toString.linesIterator.count(_.contains("Scan ExistingRDD")) == 1,
-        "decode RDD scanned more than once")
+      val planStr = plan.toString
+      assert(planStr.contains(fix),
+        s"$q no longer reads the persisted group table")
+      assert(!planStr.contains("Scan ExistingRDD"),
+        s"$q re-decodes payloads inline instead of scanning the table")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("perceptual cluster + image-dedup gates ride the persisted hash " +
+      "tables, never an inline re-decode") {
+    for ((q, fix) <- Seq("q_mm_phash_clusters" -> "memo_mm_phgrp_fix",
+      "q_mm_audio_clusters" -> "memo_mm_afpgrp_fix",
+      "q_mm_phash_dedup" -> "memo_mm_phash_fix")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(fix), s"$q no longer reads $fix")
+      // (the cluster gates' CC labels legitimately arrive as checkpoint
+      // RDDs; the hash SOURCE must still be the persisted table, which
+      // the fixture-name assert above pins)
+      if (q == "q_mm_phash_dedup")
+        assert(!plan.contains("Scan ExistingRDD"),
+          s"$q re-decodes payloads inline instead of scanning the table")
+    }
   }
 
   test("incremental novelty consumes the PERSISTED known-grams table, " +
