@@ -740,27 +740,42 @@ object MultimodalQueries {
     * closed-form frame hashes → the same shingling → the same pair
     * scores, exactly. */
   def mmVideoClipNeardup(s: SparkSession, dir: String,
-                         maxDf: Int = 1000): DataFrame = {
-    val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
-    val vs = frames.groupBy("video_id")
-      .agg(sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
+                         maxDf: Int = 1000): DataFrame =
+    seqShinglePairs(s.read.parquet(videoClipFrameTablePath(s, dir)),
+        "video_id", "frame_idx", "phash", maxDf, "clip_shingle_cap")
+      .withColumnRenamed("id_a", "video_a")
+      .withColumnRenamed("id_b", "video_b")
+
+  /** Capped adjacent-pair SEQUENCE-shingle candidate join — the temporal
+    * reuse machinery shared by the video clip gate and the audio splice
+    * gate: per id, sort the (ord, value) rows, shingle adjacent value
+    * pairs into `struct(ph_a, ph_b)` 16-byte keys inside one
+    * map-side-combined exchange on the id, self-join on the shingle with
+    * the `maxDf` windowed cap riding the shingle exchange, and score
+    * pairs by shared-shingle count + Jaccard (both sides' shingle counts
+    * ride the pair aggregation — no second pass). */
+  private[graft] def seqShinglePairs(seq: DataFrame, idCol: String,
+      ordCol: String, valCol: String, maxDf: Int,
+      capMetric: String): DataFrame = {
+    val vs = seq.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col(ordCol), col(valCol))))
         .as("fs"))
-      .filter(size(col("fs")) >= 2) // <2 frames => no shingles (explode
+      .filter(size(col("fs")) >= 2) // <2 rows => no shingles (explode
       //                               of the empty list emits nothing)
-      .select(col("video_id"), expr(
-        "array_distinct(transform(sequence(0, size(fs) - 2), " +
-          "i -> named_struct('ph_a', fs[i].phash, " +
-          "'ph_b', fs[i + 1].phash)))").as("shs"))
-      .select(col("video_id"), explode(col("shs")).as("shingle"))
+      .select(col(idCol), expr(
+        s"array_distinct(transform(sequence(0, size(fs) - 2), " +
+          s"i -> named_struct('ph_a', fs[i].$valCol, " +
+          s"'ph_b', fs[i + 1].$valCol)))").as("shs"))
+      .select(col(idCol), explode(col("shs")).as("shingle"))
       .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("video_id")))
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
     val capped = SkewCap.dropOverCap(vs, Seq(col("shingle")), maxDf,
-      "clip_shingle_cap")
+      capMetric)
     capped.alias("a")
       .join(capped.alias("b"),
         col("a.shingle") === col("b.shingle") &&
-          col("a.video_id") < col("b.video_id"))
-      .groupBy(col("a.video_id").as("video_a"), col("b.video_id").as("video_b"))
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .agg(count(lit(1)).as("n_shared"),
         max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard", col("n_shared").cast(DoubleType) /
@@ -1143,7 +1158,7 @@ object MultimodalQueries {
     * changes is the axis — time-ordered energy deltas instead of spatial
     * luma deltas. Sums fit long: ≤ 32767·2·799·2 ≈ 2·10⁸ per window,
     * cross-products ≤ 3·10¹¹. */
-  private def audioFingerprint56(payload: Array[Byte]): Long = {
+  private[graft] def audioFingerprint56(payload: Array[Byte]): Long = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val fmt = in.getFormat
@@ -1255,6 +1270,176 @@ object MultimodalQueries {
                       maxHamming: Int = 3): DataFrame =
     hashGroupClusters(audioFpGroups(s, dir), maxHamming, "cluster_audios",
       capMetric = "audio_band_cap")
+
+  // -------------------------------------------------------------------
+  // Temporal audio reuse (segment-SEQUENCE shingles)
+  // -------------------------------------------------------------------
+
+  /** Two-window amplitudes of segment `zi` of doc `id`'s splice fixture:
+    * window k (k = 0 first half, 1 second half) plays at
+    * 500 + ((z² mod 65521) mod 16000), z = 71·id + 2·zi + k + 1 — the
+    * [[gridTone]] quadratic-entropy rule on the segment axis, so segment
+    * signatures (two packed amplitudes ≈ 28 bits) make a shared 2-shingle
+    * (4 amplitudes ≈ 56 bits) MEAN a shared segment run, not a
+    * coincidence. Amplitudes stay in [500, 16499]: always audible (the
+    * silence splitter never cuts inside a segment) and well inside a
+    * signed short. */
+  private def segAmp(id: Long, zi: Int, k: Int): Int = {
+    val z = id * 71 + 2L * zi + k + 1
+    (500L + ((z * z) % 65521L) % 16000L).toInt
+  }
+
+  /** Splice fixture payload: recording 2d plays ns = 10 + d % 5 segments
+    * (segment i = segLen frames, first half at [[segAmp]](d, i, 0),
+    * second half at segAmp(d, i, 1); segLen = 8 + 4·(d % 2), even so the
+    * halves split exactly — and ns·segLen ≥ 98 frames keeps recordings
+    * LONGER than the whole-clip fingerprint's 57 windows, where a
+    * too-short clip's profile degenerates) separated by 2-frame
+    * silences; for every
+    * fourth doc a SPLICED twin 2d+1 EMBEDS the base's segments 1..ns−1
+    * VERBATIM between one new head segment (zi = ns) and one new tail
+    * segment (zi = ns + 1) — the clip-inside-a-longer-recording reuse
+    * whole-clip fingerprints (q_mm_audio_neardup's axis) structurally
+    * miss: the twin's 57-window energy profile shares nothing with the
+    * base's, but every shared CONSECUTIVE segment pair survives, which
+    * is what the temporal-shingle gate detects. */
+  private def encodeWavSplice(id: Long, twin: Boolean): Array[Byte] = {
+    val ns = (10 + id % 5).toInt
+    val segLen = (8 + 4 * (id % 2)).toInt
+    val c = (1 + id % 2).toInt
+    val zis: Seq[Int] =
+      if (!twin) 0 until ns
+      else Seq(ns) ++ (1 until ns) ++ Seq(ns + 1)
+    val gap = 2
+    val n = zis.size * segLen + (zis.size - 1) * gap
+    val sr = 8000
+    val dataLen = n * c * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(c.toShort).putInt(sr)
+      .putInt(sr * c * 2).putShort((c * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    zis.zipWithIndex.foreach { case (zi, pos) =>
+      var f = 0
+      while (f < segLen) {
+        val v = segAmp(id, zi, if (f < segLen / 2) 0 else 1).toShort
+        var k = 0
+        while (k < c) { buf.putShort(v); k += 1 }
+        f += 1
+      }
+      if (pos < zis.size - 1) {
+        var g = 0
+        while (g < gap * c) { buf.putShort(0); g += 1 }
+      }
+    }
+    buf.array()
+  }
+
+  private[graft] def wavSpliceFixture(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_wavsplice_fix", dir) { r =>
+      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val rows = ids.rdd.mapPartitions(_.flatMap { row =>
+        val id = row.getLong(0)
+        val base = Row(id * 2, encodeWavSplice(id, twin = false))
+        if (id % 4 == 0)
+          Iterator(base, Row(id * 2 + 1, encodeWavSplice(id, twin = true)))
+        else Iterator(base)
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("audio_id", LongType),
+          StructField("payload", BinaryType))))
+        .write.parquet(s"$r/wav")
+    }
+    s"$root/wav"
+  }
+
+  /** Persisted segment-SIGNATURE table of the splice fixture: real
+    * `javax.sound` decode + in-loop silence segmentation (the
+    * [[mmAudioSegments]] walk) + a 2-window integer energy profile per
+    * segment, written once per sf dir — the decode-once discipline
+    * ([[videoFrameTablePath]]) on the audio temporal axis. The signature
+    * packs the two window means (exact integers — each window is a
+    * constant-amplitude half, so the floor mean IS the amplitude; a
+    * misaligned split lands between amplitudes and mismatches the
+    * oracle) as mean₀ · 32768 + mean₁. */
+  private[graft] def audioSegTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_aseg_fix", dir) { r =>
+      val src = s.read.parquet(wavSpliceFixture(s, dir))
+      val rows = src.rdd.mapPartitions(_.flatMap { row =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload")))
+        val c = in.getFormat.getChannels
+        val bytes = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val frames = bytes.length / (2 * c)
+        val segs = Vector.newBuilder[(Int, Int)] // [start, end) frame
+        var segStart = -1
+        var f = 0
+        while (f < frames) {
+          var silent = true
+          var k = 0
+          while (k < c && silent) {
+            if (bb.getShort((f * c + k) * 2) != 0) silent = false
+            k += 1
+          }
+          if (!silent && segStart < 0) segStart = f
+          if (silent && segStart >= 0) { segs += ((segStart, f)); segStart = -1 }
+          f += 1
+        }
+        if (segStart >= 0) segs += ((segStart, frames))
+        val id = row.getAs[Long]("audio_id")
+        segs.result().iterator.zipWithIndex.map { case ((s0, e0), i) =>
+          val half = s0 + (e0 - s0) / 2
+          var sum0 = 0L; var sum1 = 0L
+          var ff = s0
+          while (ff < e0) {
+            var k = 0
+            while (k < c) {
+              val v = math.abs(bb.getShort((ff * c + k) * 2).toInt).toLong
+              if (ff < half) sum0 += v else sum1 += v
+              k += 1
+            }
+            ff += 1
+          }
+          val m0 = sum0 / ((half - s0).toLong * c)
+          val m1 = sum1 / ((e0 - half).toLong * c)
+          Row(id, i, m0 * 32768L + m1)
+        }
+      })
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("audio_id", LongType),
+          StructField("seg_idx", IntegerType),
+          StructField("sig", LongType))))
+        .write.parquet(s"$r/segs")
+    }
+    s"$root/segs"
+  }
+
+  /** q_mm_audio_clip_neardup: TEMPORAL audio reuse — detect a clip
+    * EMBEDDED in a longer recording (re-broadcast with new intro/outro,
+    * a sample spliced into a mix) by shingling each recording's
+    * silence-split segment-signature SEQUENCE: the audio analogue of
+    * [[mmVideoClipNeardup]], one level above whole-clip fingerprinting
+    * (q_mm_audio_neardup compares 57 time-PROPORTIONAL windows, so
+    * prepending one segment shifts every window and the fingerprints
+    * share nothing — the seeded spliced twins here are exactly that
+    * miss). Reuses the capped [[seqShinglePairs]] machinery verbatim on
+    * the persisted segment table (decode + segmentation paid once —
+    * [[audioSegTablePath]]); same 16-byte struct keys, same `maxDf`
+    * degenerate-shingle cap, same shared-count + Jaccard scores. Oracle:
+    * closed-form segment signatures → the same shingling → the same
+    * pair scores, exactly. */
+  def mmAudioClipNeardup(s: SparkSession, dir: String,
+                         maxDf: Int = 1000): DataFrame =
+    seqShinglePairs(s.read.parquet(audioSegTablePath(s, dir)),
+        "audio_id", "seg_idx", "sig", maxDf, "audio_shingle_cap")
+      .withColumnRenamed("id_a", "audio_a")
+      .withColumnRenamed("id_b", "audio_b")
 
   /** q_mm_audio_features: partition-parallel REAL audio decode/feature
     * extraction — `javax.sound.sampled` WAV container parse + 16-bit PCM
@@ -1531,6 +1716,8 @@ object MultimodalQueries {
     "q_mm_audio_dedup" -> (mmAudioDedup _),
     "q_mm_audio_neardup" -> ((s: SparkSession, d: String) => mmAudioNeardup(s, d)),
     "q_mm_audio_clusters" -> ((s: SparkSession, d: String) => mmAudioClusters(s, d)),
+    "q_mm_audio_clip_neardup" ->
+      ((s: SparkSession, d: String) => mmAudioClipNeardup(s, d)),
     "q_mm_audio_segments" -> (mmAudioSegments _),
     "q_mm_video_frames" -> (mmVideoFrames _),
     "q_mm_video_frame_dedup" -> (mmVideoFrameDedup _),
@@ -1768,6 +1955,47 @@ object MultimodalQueries {
         |  CAST(CASE WHEN cc.node = cc.cluster_id THEN 1 ELSE 0 END AS INTEGER)
         |    AS is_canonical
         |FROM cc JOIN grp g ON cc.node = g.canon""".stripMargin,
+    // Temporal audio reuse: the splice fixture's segment sequences in
+    // closed form (base recording 2d = signature indices 0..ns-1; the
+    // spliced twin embeds 1..ns-1 between new head/tail indices ns and
+    // ns+1), each segment's packed 2-window signature from the quadratic
+    // amplitude rule, then the SAME adjacent-pair shingling +
+    // shared-shingle/Jaccard scoring the Spark leg computes from real
+    // decoded + silence-split PCM.
+    "q_mm_audio_clip_neardup" ->
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 5 AS ns FROM documents),
+        |seg AS (
+        |  SELECT doc_id, doc_id * 2 AS aid, i.range AS si, i.range AS zi
+        |    FROM p CROSS JOIN range(0, 15) i WHERE i.range < ns
+        |  UNION ALL
+        |  SELECT doc_id, doc_id * 2 + 1, 0, ns FROM p WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id * 2 + 1, i.range, i.range
+        |    FROM p CROSS JOIN range(1, 15) i
+        |    WHERE doc_id % 4 = 0 AND i.range < ns
+        |  UNION ALL
+        |  SELECT doc_id, doc_id * 2 + 1, ns, ns + 1 FROM p
+        |    WHERE doc_id % 4 = 0),
+        |sg AS (SELECT aid, si,
+        |    (500 + (((doc_id * 71 + 2 * zi + 1) * (doc_id * 71 + 2 * zi + 1))
+        |      % 65521) % 16000) * 32768
+        |    + 500 + (((doc_id * 71 + 2 * zi + 2) * (doc_id * 71 + 2 * zi + 2))
+        |      % 65521) % 16000 AS sig
+        |  FROM seg),
+        |sh AS (SELECT DISTINCT l.aid, l.sig AS ph_a, r.sig AS ph_b
+        |  FROM sg l JOIN sg r ON l.aid = r.aid AND r.si = l.si + 1),
+        |sz AS (SELECT aid, COUNT(*) AS n_sh FROM sh GROUP BY aid),
+        |pr AS (SELECT a.aid AS audio_a, b.aid AS audio_b,
+        |    COUNT(*) AS n_shared
+        |  FROM sh a JOIN sh b
+        |    ON a.ph_a = b.ph_a AND a.ph_b = b.ph_b AND a.aid < b.aid
+        |  GROUP BY 1, 2)
+        |SELECT audio_a, audio_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+        |  CAST(n_shared AS DOUBLE)
+        |    / CAST(za.n_sh + zb.n_sh - n_shared AS DOUBLE) AS jaccard
+        |FROM pr JOIN sz za ON pr.audio_a = za.aid
+        |  JOIN sz zb ON pr.audio_b = zb.aid""".stripMargin,
     // Closed-form features of the square-wave WAV generator
     // ([[audioParams]]): the Spark leg must RECOVER every value from a
     // real javax.sound container parse + PCM read.

@@ -150,12 +150,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("clip near-dup: shingles assemble in one video exchange, the DF " +
-      "cap rides the shingle exchange, the self-join reuses it") {
+  for ((q, fix) <- Seq("q_mm_video_clip_neardup" -> "memo_mm_frames2_fix",
+    "q_mm_audio_clip_neardup" -> "memo_mm_aseg_fix"))
+  test(s"$q: shingles assemble in one per-id exchange over the persisted " +
+      "table, the DF cap rides the shingle exchange, the self-join reuses it") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = SparkEntry.queries("q_mm_video_clip_neardup")(spark, dir)
+      val plan = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan
       val sh = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
@@ -163,14 +165,14 @@ class PlanShapeSpec extends AnyFunSuite {
       val re = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
       }.size
-      // 3 shuffles: the per-video shingle assembly groupBy, the shingle
+      // 3 shuffles: the per-id shingle assembly groupBy, the shingle
       // exchange (cap window + join distribution), the pair aggregation.
-      // The n_sh window rides the video groupBy's partitioning and the
+      // The n_sh window rides the id groupBy's partitioning and the
       // join's right side REUSES the shingle exchange.
-      assert(sh == 3, s"q_mm_video_clip_neardup expected 3 shuffles, got $sh")
+      assert(sh == 3, s"$q expected 3 shuffles, got $sh")
       assert(re == 1, s"shingle self-join no longer reuses its exchange ($re)")
-      assert(plan.toString.contains("memo_mm_frames2_fix"),
-        "clip gate no longer reads the persisted frame table")
+      assert(plan.toString.contains(fix),
+        s"$q no longer reads the persisted table $fix")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
