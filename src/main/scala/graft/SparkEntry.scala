@@ -23,6 +23,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++ MixQueries.queries ++
       EventQueries.queries ++ SpecialJoins.queries ++ DataQuality.queries ++
       Sketches.queries ++ GraphCC.queries ++ PackQueries.queries ++
+      CurationMm.queries ++
       Clustering.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       LifecycleQueries.queries ++ graft.sources.CatalogBucketing.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ MixQueries.oracles ++
       EventQueries.oracles ++ SpecialJoins.oracles ++ DataQuality.oracles ++
       Sketches.oracles ++ GraphCC.oracles ++ PackQueries.oracles ++
+      CurationMm.oracles ++
       Clustering.oracles ++
       SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
       LifecycleQueries.oracles ++ graft.sources.CatalogBucketing.oracles ++

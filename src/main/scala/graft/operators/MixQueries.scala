@@ -25,10 +25,10 @@ object MixQueries {
     * (salt || id) as a long — ONE definition of the hash-draw idiom shared
     * by mixing and split assignment, with [[saltedDrawSql]] as its
     * byte-identical DuckDB twin. */
-  private def saltedDraw(salt: String, id: org.apache.spark.sql.Column) =
+  private[operators] def saltedDraw(salt: String, id: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
-  private def saltedDrawSql(salt: String, idExpr: String): String =
+  private[operators] def saltedDrawSql(salt: String, idExpr: String): String =
     s"('0x' || substr(md5('$salt' || CAST($idExpr AS STRING)), 1, 8))::BIGINT"
 
   /** q_mix_sample: deterministic data mixing by language.

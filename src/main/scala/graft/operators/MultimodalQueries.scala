@@ -1070,10 +1070,22 @@ object MultimodalQueries {
 
   /** Per-segment amplitude of the near-dup fixture's piecewise waveform:
     * doc `id`, segment `i` (0..56) plays at
-    * `500 + ((id·13 + i·37) % 64) · 200` — adjacent segments never tie
-    * (37 ∤ 64), and 2× gain stays inside a signed short (max 26 200). */
-  private def nearAmp(id: Long, i: Int): Int =
-    500 + (((id * 13 + i * 37L) % 64).toInt * 200)
+    * `500 + 2·((w² mod 65519) mod 7900) + (i mod 2)` with
+    * w = z² mod 65521, z = (48271·id + i + 1) mod 65521 — the
+    * double-squared quadratic-entropy rule ([[nearTone]]'s construction
+    * on the audio axis: the original linear `(13·id + 37·i) mod 64`
+    * gave every doc ≡ id (mod 64) an IDENTICAL 56-bit profile, which
+    * the curation capstone's doc-level funnel exposed as 499/500
+    * spurious audio-dup drops; a single squaring still leaves a
+    * mod-lattice — see [[nearTone]]), with the parity term
+    * guaranteeing adjacent segments NEVER
+    * tie (the variant-3 bit-flip proof needs it). 2× gain stays inside
+    * a signed short (max 2·16 299 = 32 598). */
+  private def nearAmp(id: Long, i: Int): Int = {
+    val z = (id * 48271L + i + 1) % 65521L
+    val w = (z * z) % 65521L
+    (500L + 2L * (((w * w) % 65519L) % 7900L) + i % 2).toInt
+  }
 
   /** Audio near-dup fixture: 57 equal segments of `m = 2 + id % 6`
     * frames each (n = 57·m), segment `i` at constant amplitude
@@ -1243,12 +1255,23 @@ object MultimodalQueries {
     s.read.parquet(s"$root/groups")
   }
 
+  /** Persisted per-clip fingerprint table of the audio near-dup fixture
+    * (audio_id, phash) — the [[phashHashTablePath]] contract on the
+    * audio axis. */
+  private[operators] def audioFpHashTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_afph_fix", dir) { r =>
+      audioFingerprintFrame(s, dir).write.parquet(s"$r/hashes")
+    }
+    s"$root/hashes"
+  }
+
   /** Exact-fingerprint groups of the audio near-dup fixture (the
     * collapse stage shared by the pair and cluster gates) — read from
-    * the persisted per-sf-dir group table. */
-  private def audioFpGroups(s: SparkSession, dir: String): DataFrame =
+    * the persisted per-sf-dir group table, itself derived from the
+    * persisted fingerprint table (one decode pass total). */
+  private[operators] def audioFpGroups(s: SparkSession, dir: String): DataFrame =
     hashGroupTable(s, dir, "mm_afpgrp_fix")(
-      audioFingerprintFrame(s, dir)
+      s.read.parquet(audioFpHashTablePath(s, dir))
         .groupBy("phash")
         .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon")))
 
@@ -1479,30 +1502,47 @@ object MultimodalQueries {
   // Hamming-tolerance perceptual NEAR-dup (banded phash)
   // -------------------------------------------------------------------
 
-  /** Tones of grid row `j` for image (`id`, `variant`): the base image
-    * (variant 0) paints row j with (a_j, b_j); the near-variant twin
-    * (variant 1, emitted for id % 3 == 0) SWAPS the tones in exactly one
-    * grid row j0 = id % 7 — which flips exactly the dHash bits of that
-    * row whose mean comparison is tone-order-sensitive (1-2 bits when
-    * a_j0 ≠ b_j0, 0 when equal), the "slightly re-compressed copy" whose
-    * phash differs by a bit or two that exact-equality grouping misses. */
-  private def bandTones(id: Long, variant: Int, j: Int): (Int, Int) = {
-    val a = ((id + 11 * j) % 256).toInt
-    val b = ((id * 7 + 31 + 17 * j) % 256).toInt
-    if (variant == 1 && j == (id % 7).toInt) (b, a) else (a, b)
+  /** Tone of dHash cell (j, i) for image (`id`, `variant`):
+    * `2·((w² mod 65519) mod 120) + (i mod 2)` with w = z² mod 65521 and
+    * z = (48271·id + 9·j + i + 1) mod 65521 — the [[gridTone]]
+    * quadratic-entropy rule hardened to a DOUBLE squaring through two
+    * different primes (one squaring of a doc-LINEAR z leaves a lattice:
+    * whenever 63·Δdoc·2 ≡ 0 mod the outer modulus, whole blocks shift by
+    * a near-constant and two documents' hashes land within Hamming 3 —
+    * measured 214 spurious near pairs over 500 docs; the second
+    * squaring decorrelates any residual constant shift) WITH a parity
+    * term, so (a)
+    * the 56-bit hash carries full entropy (the original two-tones-per-row
+    * raster left only ~1 informative bit per row — every doc with the
+    * same 7 tone-order signs shared a hash, which the curation capstone's
+    * doc-level funnel exposed as 498/500 spurious image-dup drops), and
+    * (b) horizontally adjacent cells NEVER tie (parities differ), which
+    * the variant bit-flip proof needs. The near-variant twin (variant 1,
+    * emitted for id % 3 == 0) SWAPS the tones of cells (j0, i0) and
+    * (j0, i0 + 1), j0 = id % 7, i0 = id % 8 — only that row's bits
+    * i0−1, i0, i0+1 can change and bit i0 provably flips, so the twin
+    * sits at Hamming 1–3 from its base: the "slightly re-compressed
+    * copy" exact-equality grouping misses. */
+  private def nearTone(id: Long, variant: Int, j: Int, i: Int): Int = {
+    val si =
+      if (variant == 1 && j == (id % 7).toInt) {
+        val i0 = (id % 8).toInt
+        if (i == i0) i0 + 1 else if (i == i0 + 1) i0 else i
+      } else i
+    val z = (id * 48271L + j * 9 + si + 1) % 65521L
+    val w = (z * z) % 65521L
+    (2L * (((w * w) % 65519L) % 120L) + si % 2).toInt
   }
 
-  /** Per-grid-row two-band raster: width as [[encodePng]], height a
-    * MULTIPLE OF 7 (h = 7·(3 + id % 40)) so the dHash's 7-row grid aligns
-    * exactly with the painted rows and each grid row sees one uniform
-    * (left-tone, right-tone) pair — keeping the 56-bit hash closed-form
-    * in (id, variant) row by row, richer than [[encodePng]]'s single
-    * repeated row byte. */
+  /** 7×9-grid raster aligned to the dHash grid (w = 9u, h = 7m), cell
+    * (j, i) filled with [[nearTone]] — so the decoded 56-bit hash is
+    * closed-form bit (j·8+i) = tone(j, i) > tone(j, i+1), cell by
+    * cell. */
   private def encodePngBanded(id: Long, variant: Int): Array[Byte] = {
     import java.awt.image.BufferedImage
-    val w = 8 + 2 * (id % 150).toInt
+    val u = 1 + (id % 28).toInt
     val m = 3 + (id % 40).toInt
-    val h = 7 * m
+    val (w, h) = (9 * u, 7 * m)
     val gray = id % 2 == 0
     val img = new BufferedImage(w, h,
       if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
@@ -1510,17 +1550,20 @@ object MultimodalQueries {
     val bands = if (gray) 1 else 3
     var j = 0
     while (j < 7) {
-      val (a, b) = bandTones(id, variant, j)
-      var y = j * m
-      while (y < (j + 1) * m) {
-        var x = 0
-        while (x < w) {
-          val v = if (x < w / 2) a else b
-          var k = 0
-          while (k < bands) { raster.setSample(x, y, k, v); k += 1 }
-          x += 1
+      var i = 0
+      while (i < 9) {
+        val v = nearTone(id, variant, j, i)
+        var y = j * m
+        while (y < (j + 1) * m) {
+          var x = i * u
+          while (x < (i + 1) * u) {
+            var k = 0
+            while (k < bands) { raster.setSample(x, y, k, v); k += 1 }
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        i += 1
       }
       j += 1
     }
@@ -1529,8 +1572,8 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
-  /** Row-banded PNG fixture for the near-dup gate: one base image per
-    * document (img_id = 2·doc_id) plus a 1-2-bit perturbed near-variant
+  /** Grid-raster PNG fixture for the near-dup gate: one base image per
+    * document (img_id = 2·doc_id) plus a 1-3-bit perturbed near-variant
     * twin (img_id = 2·doc_id + 1) for every third document — the seeded
     * near-pairs the banded search must recover. Distributed encode, same
     * read-only memoization contract as [[pngFixture]]. */
@@ -1573,7 +1616,7 @@ object MultimodalQueries {
 
   /** q_mm_phash_neardup: Hamming-TOLERANT perceptual near-dup — the pass
     * [[mmPhashDedup]]'s exact-equality grouping structurally misses:
-    * a re-compressed or slightly retouched copy flips 1-2 dHash bits and
+    * a re-compressed or slightly retouched copy flips 1-3 dHash bits and
     * lands in a different exact group. Same banding idea as
     * `Sketches.simhashPairs`, applied to the image hash space:
     *  1. COLLAPSE — group images by exact phash first (min img_id
@@ -1613,12 +1656,24 @@ object MultimodalQueries {
     * are); the gate is a FileScan of that table, the banding explode,
     * and the distinct-hash-sized band self-join (both sides read the
     * same banded exchange — ReusedExchange). */
+  /** Persisted per-image hash table of the near-dup fixture (img_id,
+    * phash) — the decode runs once, here; the group table and any
+    * membership consumer (the curation capstone joins an attached image
+    * to its group) read it back. */
+  private[operators] def phashHashTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_phnh_fix", dir) { r =>
+      phashFrame(s, dir).write.parquet(s"$r/hashes")
+    }
+    s"$root/hashes"
+  }
+
   /** Exact-phash groups of the near-dup fixture (the collapse stage) —
     * read from the persisted per-sf-dir group table
-    * ([[hashGroupTable]]). */
-  private def phashGroups(s: SparkSession, dir: String): DataFrame =
+    * ([[hashGroupTable]]), itself derived from the persisted hash table
+    * (one decode pass total). */
+  private[operators] def phashGroups(s: SparkSession, dir: String): DataFrame =
     hashGroupTable(s, dir, "mm_phgrp_fix")(
-      phashFrame(s, dir)
+      s.read.parquet(phashHashTablePath(s, dir))
         .groupBy("phash")
         .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon")))
 
@@ -1740,7 +1795,7 @@ object MultimodalQueries {
     * bit (j·8+i) = tone(j,i) > tone(j,i+1), quadratic tones), then the
     * adjacent-pair temporal shingling and shared-shingle pair scores —
     * the prefix the clip-near-dup and video-curation oracles build on. */
-  private val videoClipCtes: String =
+  private[operators] val videoClipCtes: String =
     """p AS (SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents),
       |vf AS (
       |  SELECT doc_id * 2 AS vid, i.range AS f,
@@ -1782,7 +1837,7 @@ object MultimodalQueries {
     * audio near-dup fixture variant, then collapse + 4×14-bit banding +
     * Hamming-verified group pairs — the prefix both the audio pair
     * gate's and the audio cluster gate's oracles build on. */
-  private val audioFpCtes: String =
+  private[operators] val audioFpCtes: String =
     """v AS (
       |  SELECT doc_id, 0 AS variant, doc_id * 4 AS audio_id FROM documents
       |  UNION ALL SELECT doc_id, 1, doc_id * 4 + 1 FROM documents
@@ -1798,9 +1853,13 @@ object MultimodalQueries {
       |           THEN doc_id % 56
       |         ELSE i.range END AS seg
       |  FROM v CROSS JOIN range(0, 57) i),
-      |a2 AS (SELECT audio_id, i,
-      |    500 + ((doc_id * 13 + seg * 37) % 64) * 200 AS a
+      |az AS (SELECT audio_id, i, seg,
+      |    (doc_id * 48271 + seg + 1) % 65521 AS z
       |  FROM amp),
+      |aw AS (SELECT audio_id, i, seg, (z * z) % 65521 AS w FROM az),
+      |a2 AS (SELECT audio_id, i,
+      |    500 + 2 * (((w * w) % 65519) % 7900) + seg % 2 AS a
+      |  FROM aw),
       |bits AS (SELECT l.audio_id,
       |    CASE WHEN l.a > r.a THEN 1::BIGINT << l.i ELSE 0 END AS bv
       |  FROM a2 l JOIN a2 r ON l.audio_id = r.audio_id AND r.i = l.i + 1),
@@ -1823,7 +1882,7 @@ object MultimodalQueries {
   /** Shared oracle CTEs: closed-form per-frame dHash of the video
     * fixture keyed by the frame pseudo-id — the prefix both frame-table
     * consumers (dedup, stats) build on. */
-  private val videoPhashCtes: String =
+  private[operators] val videoPhashCtes: String =
     """p0 AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
       |fr AS (SELECT doc_id, doc_id * 31 + 7 * i.range AS fid
       |  FROM p0 CROSS JOIN range(0, 5) i WHERE i.range < nf),
@@ -1845,37 +1904,36 @@ object MultimodalQueries {
       |  FROM bits GROUP BY fid)""".stripMargin
 
   /** Shared oracle CTEs: closed-form per-image hash of the near-dup
-    * fixture, then collapse + banding + Hamming-verified group pairs —
-    * the prefix both the pair gate's and the cluster gate's oracles
-    * build on. */
-  private val phashPairCtes: String =
-    """p AS (SELECT doc_id, 8 + 2 * (doc_id % 150) AS w,
-      |    (8 + 2 * (doc_id % 150)) // 2 AS hw
-      |  FROM documents),
-      |imgs AS (
-      |  SELECT doc_id, w, hw, 0 AS variant, doc_id * 2 AS img_id FROM p
+    * fixture (grid raster: cells align with the 7×9 dHash grid, bit
+    * (j·8+i) = tone(j,i) > tone(j,i+1) with [[nearTone]]'s
+    * quadratic-plus-parity tones, including the near-variant's one
+    * swapped cell pair), then collapse + banding + Hamming-verified
+    * group pairs — the prefix both the pair gate's and the cluster
+    * gate's oracles build on. */
+  private[operators] val phashPairCtes: String =
+    """imgs AS (
+      |  SELECT doc_id, 0 AS variant, doc_id * 2 AS img_id FROM documents
       |  UNION ALL
-      |  SELECT doc_id, w, hw, 1 AS variant, doc_id * 2 + 1 AS img_id
-      |  FROM p WHERE doc_id % 3 = 0),
-      |rws AS (SELECT img_id, w, hw, j.range AS j,
+      |  SELECT doc_id, 1, doc_id * 2 + 1 FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |cells AS (SELECT img_id, doc_id, variant, j.range AS j, i.range AS i,
       |    CASE WHEN variant = 1 AND j.range = doc_id % 7
-      |         THEN (doc_id * 7 + 31 + 17 * j.range) % 256
-      |         ELSE (doc_id + 11 * j.range) % 256 END AS a,
-      |    CASE WHEN variant = 1 AND j.range = doc_id % 7
-      |         THEN (doc_id + 11 * j.range) % 256
-      |         ELSE (doc_id * 7 + 31 + 17 * j.range) % 256 END AS b
-      |  FROM imgs CROSS JOIN range(0, 7) j),
-      |bx AS (SELECT img_id, j, a, b, hw, i.range AS i,
-      |    (i.range * w) // 9 AS x0, ((i.range + 1) * w) // 9 AS x1
-      |  FROM rws CROSS JOIN range(0, 9) i),
-      |bs AS (SELECT img_id, j, i, x1 - x0 AS cx,
-      |    a * LEAST(GREATEST(hw - x0, 0), x1 - x0)
-      |      + b * (x1 - x0 - LEAST(GREATEST(hw - x0, 0), x1 - x0)) AS rs
-      |  FROM bx),
+      |           AND i.range = doc_id % 8 THEN doc_id % 8 + 1
+      |         WHEN variant = 1 AND j.range = doc_id % 7
+      |           AND i.range = doc_id % 8 + 1 THEN doc_id % 8
+      |         ELSE i.range END AS si
+      |  FROM imgs CROSS JOIN range(0, 7) j CROSS JOIN range(0, 9) i),
+      |cz AS (SELECT img_id, j, i, si,
+      |    (doc_id * 48271 + j * 9 + si + 1) % 65521 AS z
+      |  FROM cells),
+      |cw AS (SELECT img_id, j, i, si, (z * z) % 65521 AS w FROM cz),
+      |ct AS (SELECT img_id, j, i,
+      |    2 * (((w * w) % 65519) % 120) + si % 2 AS t
+      |  FROM cw),
       |bits AS (SELECT l.img_id,
-      |    CASE WHEN l.rs * r.cx > r.rs * l.cx
+      |    CASE WHEN l.t > r.t
       |         THEN 1::BIGINT << (l.j * 8 + l.i) ELSE 0 END AS bv
-      |  FROM bs l JOIN bs r
+      |  FROM ct l JOIN ct r
       |    ON l.img_id = r.img_id AND l.j = r.j AND r.i = l.i + 1),
       |ph AS (SELECT img_id, CAST(SUM(bv) AS BIGINT) AS phash
       |  FROM bits GROUP BY img_id),
@@ -2101,11 +2159,11 @@ object MultimodalQueries {
         |  (CAST(fid % 256 AS DOUBLE) + CAST((fid * 7 + 31) % 256 AS DOUBLE))
         |    / 2.0 AS mean_luma
         |FROM f""".stripMargin,
-    // Closed-form dHash-56 of the ROW-BANDED fixture ([[encodePngBanded]]):
-    // grid rows align with painted rows (h = 7·m), so row j's bits follow
-    // the same cross-multiplied two-tone comparison as q_mm_phash_dedup
-    // but with per-(image, row) tones — including the near-variant's one
-    // swapped row. The oracle then replays the collapse → 4×14-bit band →
+    // Closed-form dHash-56 of the GRID fixture ([[encodePngBanded]]):
+    // cells align with the 7×9 dHash grid (w = 9u, h = 7m), so bit
+    // (j·8+i) = tone(j,i) > tone(j,i+1) with the quadratic-plus-parity
+    // tones — including the near-variant's one swapped cell pair.
+    // The oracle then replays the collapse → 4×14-bit band →
     // exact-Hamming pipeline (the k = 3 tolerance's banding; capless —
     // the bucket cap cannot trigger at oracle scale); the Spark leg must
     // recover every hash from real decoded pixels for the pair set to

@@ -17,8 +17,11 @@ class AudioNeardupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def amp(id: Long, i: Int): Int =
-    500 + (((id * 13 + i * 37L) % 64).toInt * 200)
+  private def amp(id: Long, i: Int): Int = {
+    val z = (id * 48271L + i + 1) % 65521L
+    val w = (z * z) % 65521L
+    (500L + 2L * (((w * w) % 65519L) % 7900L) + i % 2).toInt
+  }
 
   /** Closed-form fingerprint — the generator's own arithmetic, mirroring
     * the DuckDB oracle CTEs, independent of the decode path under test. */

@@ -6,7 +6,7 @@ import graft.operators.MultimodalQueries
 /** q_mm_phash_neardup semantics on sf0.001:
   *  - the REAL decode recovers the fixture generator's closed-form
   *    56-bit dHash for every (base, near-variant) image;
-  *  - the seeded near-variants differ from their base by 1-2 bits —
+  *  - the seeded near-variants differ from their base by 1-3 bits —
   *    pairs exact-phash grouping provably misses (distinct hashes);
   *  - the banded + Hamming-verified gate recovers every such pair.
   */
@@ -14,30 +14,23 @@ class PhashNeardupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  /** Closed-form dHash-56 of the row-banded raster — the generator's own
+  /** Closed-form dHash-56 of the grid raster — the generator's own
     * arithmetic (mirrors the DuckDB oracle CTEs, independent of the
     * decode path under test). */
   private def expectedHash(id: Long, variant: Int): Long = {
-    val w = 8 + 2 * (id % 150).toInt
-    val hw = w / 2
-    var hash = 0L
-    for (j <- 0 until 7) {
-      val j0 = (id % 7).toInt
-      val a0 = ((id + 11 * j) % 256).toInt
-      val b0 = ((id * 7 + 31 + 17 * j) % 256).toInt
-      val (a, b) = if (variant == 1 && j == j0) (b0, a0) else (a0, b0)
-      val x0 = Array.tabulate(10)(i => i * w / 9)
-      def rs(i: Int): Long = {
-        val cx = x0(i + 1) - x0(i)
-        val la = math.min(math.max(hw - x0(i), 0), cx)
-        a.toLong * la + b.toLong * (cx - la)
-      }
-      for (i <- 0 until 8) {
-        val cxl = (x0(i + 1) - x0(i)).toLong
-        val cxr = (x0(i + 2) - x0(i + 1)).toLong
-        if (rs(i) * cxr > rs(i + 1) * cxl) hash |= 1L << (j * 8 + i)
-      }
+    def tone(j: Int, i: Int): Int = {
+      val si =
+        if (variant == 1 && j == (id % 7).toInt) {
+          val i0 = (id % 8).toInt
+          if (i == i0) i0 + 1 else if (i == i0 + 1) i0 else i
+        } else i
+      val z = (id * 48271L + j * 9 + si + 1) % 65521L
+      val w = (z * z) % 65521L
+      (2L * (((w * w) % 65519L) % 120L) + si % 2).toInt
     }
+    var hash = 0L
+    for (j <- 0 until 7; i <- 0 until 8)
+      if (tone(j, i) > tone(j, i + 1)) hash |= 1L << (j * 8 + i)
     hash
   }
 
@@ -70,10 +63,11 @@ class PhashNeardupSpec extends AnyFunSuite {
       val ham = java.lang.Long.bitCount(hb ^ hv)
       if (ham == 0) None else Some((d, hb, hv, ham))
     }
-    // the fixture genuinely seeds near pairs, and they flip only 1-2 bits
+    // the fixture genuinely seeds near pairs, and they flip only 1-3 bits
+    // (bit i0 guaranteed; only that row's i0-1, i0, i0+1 can change)
     assert(seeded.nonEmpty, "fixture must contain perturbed near pairs")
     seeded.foreach { case (d, _, _, ham) =>
-      assert(ham >= 1 && ham <= 2, s"doc $d variant flipped $ham bits")
+      assert(ham >= 1 && ham <= 3, s"doc $d variant flipped $ham bits")
     }
     // every seeded pair: distinct phash (exact grouping MISSES it) but
     // present in the gate output as a near pair of its two groups
