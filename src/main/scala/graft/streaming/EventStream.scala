@@ -349,6 +349,97 @@ object EventStream {
         implicitly[org.apache.spark.sql.Encoder[TypeCount]])
   }
 
+  /** One initial-state row per user for [[typeCountsTwsWithInit]]:
+    * parallel arrays of (event_type, running count) — a SINGLE row per
+    * key, so the bootstrap is independent of whether the engine invokes
+    * `handleInitialState` once per key or once per initial-state row. */
+  final case class TypeSeed(user_id: Long, types: Array[String],
+                            counts: Array[Long])
+
+  /** [[typeCountsTws]] with BATCH-BOOTSTRAPPED state
+    * (`StatefulProcessorWithInitialState` — the production migration
+    * path: a backfill job computes per-key state from the historical
+    * table, the streaming query starts FROM that state instead of
+    * replaying history through the state store). `init` carries one
+    * [[TypeSeed]] row per user (the per-type running counts the batch
+    * leg computed); events then stream on top, and absent eviction the
+    * combined batch + streamed output must equal the full batch window
+    * exactly — what the replay gate hash-pins. Initial state applies
+    * only on the FIRST query start; checkpointed restarts resume from
+    * the state store and skip it (the semantics the gate's restart leg
+    * exercises). */
+  def typeCountsTwsWithInit(events: Dataset[Event], init: Dataset[TypeSeed],
+                            gapMinutes: Long = 30, horizon: String = "1 hour")
+                           (implicit spark: SparkSession): Dataset[TypeCount] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val withTs = events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .as[EventTs]
+      .withWatermark("event_ts", horizon)
+    withTs.groupByKey(_.user_id)
+      .transformWithState(
+        new TypeCountsInitProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        init.groupByKey(_.user_id),
+        implicitly[org.apache.spark.sql.Encoder[TypeCount]],
+        implicitly[org.apache.spark.sql.Encoder[TypeSeed]])
+  }
+
+  /** [[TypeCountsProcessor]]'s initial-state twin: identical per-batch
+    * logic (the ~15 lines are duplicated because the two Spark parent
+    * classes differ), plus the `handleInitialState` hook loading the
+    * batch-computed per-type counts into the MapState before the first
+    * input batch. No timer is armed for bootstrapped-only users — their
+    * first live event arms one exactly like a cold-start user's. */
+  private final class TypeCountsInitProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, EventTs, TypeCount, TypeSeed] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, seed: TypeSeed,
+                                    timerValues: TimerValues): Unit = {
+      var i = 0
+      while (i < seed.types.length) {
+        counts.updateValue(seed.types(i), seed.counts(i))
+        i += 1
+      }
+    }
+
+    override def handleInputRows(userId: Long, it: Iterator[EventTs],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var lastTsUs = Long.MinValue
+      val out = batch.map { e =>
+        val prev =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+        lastTsUs = e.ts_us
+        TypeCount(userId, e.event_id, e.event_type, prev)
+      }
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        math.max(lastTsUs / 1000L + gapMs,
+          timerValues.getCurrentWatermarkInMs + 1))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TypeCount] = {
+      counts.clear()
+      Iterator.empty
+    }
+  }
+
   /** Per-user running type counts as explicit MapState. */
   private final class TypeCountsProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[

@@ -216,22 +216,48 @@ object StreamGates {
     * Returns the exactly-once parquet sink's final frame. Data stays
     * distributed throughout (no driver-side feeding). */
   private def replaySlices(s: SparkSession, ev: DataFrame, nSlices: Int,
-      name: String, memoKey: String, sliceName: String = "")(
+      name: String, memoKey: String, sliceName: String = "",
+      startSlice: Int = 0)(
       transform: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
-    // ONE pass writes every slice (partitioned by _slice); each restart
-    // then just hard-links slice k's files into the source dir. The slice
-    // cut is a pure function of ts over a deterministic input frame, so
-    // the landed files are a per-(gate, sf-dir) FIXTURE: built once per
-    // JVM (ScratchDirs.memoized) and linked into each replay's fresh
-    // source dir — re-cutting identical slices every bench pass re-times
-    // fixture synthesis, not the restart semantics under test.
-    // A gate replaying the SAME frame and cut as another (the TWS twin)
-    // passes that gate's `sliceName` and shares its slice fixture — the
-    // cut is a pure function of (frame, nSlices), so a second memo would
-    // be a bit-identical duplicate on disk.
+    val slicesRoot =
+      sliceFixtureRoot(s, ev, nSlices, name, memoKey, sliceName)
+    val root = graft.sources.ScratchDirs.fresh(name)
+    val inDir = Paths.get(s"$root/in")
+    Files.createDirectories(inDir)
+    val out = s"$root/agg"
+    // startSlice > 0: earlier slices were consumed by a BATCH leg (the
+    // initial-state bootstrap gate) — only the remainder streams.
+    (startSlice until nSlices).foreach { k =>
+      linkParquet(s"$slicesRoot/slices/_slice=$k", inDir, s"s${k}_")
+      val q = transform(s.readStream.schema(ev.schema).parquet(s"$root/in"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
+  }
+
+  /** The slice FIXTURE: one pass writes every slice (partitioned by
+    * _slice); each restart then just hard-links slice k's files into the
+    * source dir. The slice cut is a pure function of ts over a
+    * deterministic input frame, so the landed files are a per-(gate,
+    * sf-dir) fixture: built once per JVM (ScratchDirs.memoized) and
+    * linked into each replay's fresh source dir — re-cutting identical
+    * slices every bench pass re-times fixture synthesis, not the restart
+    * semantics under test. A gate replaying the SAME frame and cut as
+    * another (the TWS twins, the initial-state bootstrap's batch leg)
+    * passes that gate's `sliceName` and shares its slice fixture — the
+    * cut is a pure function of (frame, nSlices), so a second memo would
+    * be a bit-identical duplicate on disk. */
+  private def sliceFixtureRoot(s: SparkSession, ev: DataFrame, nSlices: Int,
+      name: String, memoKey: String, sliceName: String = ""): String = {
     val sliceFix = if (sliceName.isEmpty) name else sliceName
-    val slicesRoot = graft.sources.ScratchDirs.memoized(
+    graft.sources.ScratchDirs.memoized(
         s"${sliceFix}_slices", memoKey) { r =>
       val bounds =
         ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
@@ -259,22 +285,6 @@ object StreamGates {
       sliced.drop("_mn", "_mx")
         .write.partitionBy("_slice").parquet(s"$r/slices")
     }
-    val root = graft.sources.ScratchDirs.fresh(name)
-    val inDir = Paths.get(s"$root/in")
-    Files.createDirectories(inDir)
-    val out = s"$root/agg"
-    (0 until nSlices).foreach { k =>
-      linkParquet(s"$slicesRoot/slices/_slice=$k", inDir, s"s${k}_")
-      val q = transform(s.readStream.schema(ev.schema).parquet(s"$root/in"))
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    s.read.parquet(out)
   }
 
   /** Hard-link every parquet part under `srcDir` (if it exists) into
@@ -431,6 +441,55 @@ object StreamGates {
           EventStream.typeCountsTws(incoming.as[EventStream.Event],
             horizon = "175200 hours").toDF()
       }
+    }
+  }
+
+  /** q_stream_typecounts_init: BATCH-BOOTSTRAPPED state — the
+    * `StatefulProcessorWithInitialState` migration path the triad's
+    * cold-start gates leave unexercised: production moves a historical
+    * backfill INTO online state instead of replaying history through
+    * the state store. Slice 0 is consumed by a BATCH leg (its output
+    * rows from the batch running-count window; one per-user seed row of
+    * per-type counts from a groupBy), the streaming query starts from
+    * that seeded state and replays slices 1-2 across a checkpointed
+    * restart (initial state applies on first start only; the restart
+    * resumes from the store — both paths exercised). The batch rows ∪
+    * streamed rows must hash-equal the SAME full batch window oracle as
+    * q_stream_typecounts_tws: a seed that loaded wrong counts, or a
+    * restart that re-applied the initial state, shifts every
+    * n_prev_same_type after the cut and breaks the hash. */
+  def streamTypeCountsInit(s: SparkSession, dir: String): DataFrame =
+      withReplayParallelism(s) {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    withRocksDBProvider(s) {
+      val ev = eventsNarrow(s, dir)
+      val slicesRoot = sliceFixtureRoot(s, ev, nSlices = 3, "stream_sess", dir)
+      val slice0 = s.read.parquet(s"$slicesRoot/slices/_slice=0")
+      // batch leg: the historical table's own output rows...
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val batchRows = slice0.select(col("user_id"), col("event_id"),
+        col("event_type"), count(lit(1)).over(w).as("n_prev_same_type"))
+      // ...and the per-user seed the online query boots from
+      val seeds = slice0.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("event_type"), col("n"))).as("ts"))
+        .select(col("user_id"), col("ts.event_type").as("types"),
+          col("ts.n").as("counts"))
+        .as[EventStream.TypeSeed]
+      val streamed = replaySlices(s, ev, nSlices = 3,
+          "stream_typecounts_init", dir, sliceName = "stream_sess",
+          startSlice = 1) {
+        incoming =>
+          EventStream.typeCountsTwsWithInit(incoming.as[EventStream.Event],
+            seeds, horizon = "175200 hours").toDF()
+      }
+      batchRows.unionByName(streamed.select(col("user_id"), col("event_id"),
+        col("event_type"), col("n_prev_same_type")))
     }
   }
 
@@ -645,6 +704,7 @@ object StreamGates {
     "q_stream_sessionize_tws" -> (streamSessionizeTws _),
     "q_stream_recent_tws" -> (streamRecentTws _),
     "q_stream_typecounts_tws" -> (streamTypeCountsTws _),
+    "q_stream_typecounts_init" -> (streamTypeCountsInit _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_cdc_replica" -> (streamCdcReplica _),
@@ -685,6 +745,16 @@ object StreamGates {
         |FROM w""".stripMargin,
     // the MapState running counts must equal the batch window
     "q_stream_typecounts_tws" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |    AS n_prev_same_type
+        |FROM events""".stripMargin,
+    // Batch-bootstrapped state must land exactly where the cold-start
+    // replay lands: SAME full batch window oracle (an initial-state load
+    // that shifted any count diverges immediately).
+    "q_stream_typecounts_init" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(COUNT(*) OVER (PARTITION BY user_id, event_type
         |    ORDER BY epoch_us(ts), event_id
