@@ -71,10 +71,11 @@ object CurationMm {
     val att = attachments(s, dir)
     val docs = table(s, dir, "documents").select(col("doc_id"))
 
-    // --- text: near-dup clusters (PPJoin pairs -> CC) + quality bar ---
-    val textCl = GraphCC.dedupClusters(s, dir)
+    // --- text: near-dup clusters from the PERSISTED table (the
+    // pipeline the corpus already ran — q_dedup_cc / q_curation_e2e
+    // stay the live legs timing it) + quality bar ---
+    val textCl = s.read.parquet(GraphCC.clusterTablePath(s, dir))
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
-      .localCheckpoint(true) // CC labels: bounded by clustered docs
     val quality = TextQueries.txtQuality(s, dir)
       .select(col("doc_id"), col("quality_score"), col("n_tokens"))
 

@@ -141,6 +141,21 @@ object GraphCC {
         when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
   }
 
+  /** PERSISTED text-cluster table: [[dedupClusters]]' labels written
+    * once per sf dir — the decode-once/persisted-artifact discipline
+    * (the mm_clippairs_fix precedent) applied to the text axis: cluster
+    * labels are a multi-consumer curation artifact (leakage-safe splits,
+    * the multimodal manifest), and each consumer should pay a FileScan,
+    * not a re-run of the PPJoin + CC pipeline. q_dedup_cc stays the LIVE
+    * leg — it times (and certifies) the cluster computation itself; so
+    * does q_curation_e2e, the text pipeline's own composed gate. */
+  private[operators] def clusterTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("txt_cc_fix", dir) { r =>
+      dedupClusters(s, dir).write.parquet(s"$r/cc")
+    }
+    s"$root/cc"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> (dedupClusters _))
 

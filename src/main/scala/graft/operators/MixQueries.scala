@@ -288,14 +288,18 @@ object MixQueries {
     * own id via the left join + coalesce, preserving splitAssign's
     * stability under corpus growth.
     *
-    * Scale shape: the CC labels table is tiny next to the corpus (only
-    * docs incident to a near-dup pair), so AQE broadcasts the left join;
-    * the split draw itself is scan-side — the operator adds ONE broadcast
-    * join on top of the dedup pipeline the corpus already runs. */
+    * Scale shape: the CC labels arrive from the PERSISTED cluster table
+    * ([[GraphCC.clusterTablePath]] — the pipeline the corpus already ran,
+    * paid once per sf dir; q_dedup_cc stays the live leg timing it), and
+    * the table is tiny next to the corpus (only docs incident to a
+    * near-dup pair), so AQE broadcasts the left join; the split draw
+    * itself is scan-side — the operator adds ONE FileScan and ONE
+    * broadcast join. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame =
     splitLeakageFrom(
       table(s, dir, "documents").select(col("doc_id")),
-      GraphCC.dedupClusters(s, dir).select(col("doc_id"), col("cluster_id")))
+      s.read.parquet(GraphCC.clusterTablePath(s, dir))
+        .select(col("doc_id"), col("cluster_id")))
 
   /** Split assignment from an EXISTING cluster labeling — lets a pipeline
     * that already ran the dedup (CurationDemo) reuse it instead of paying

@@ -176,6 +176,16 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("split leakage reads the PERSISTED text-cluster table, never a " +
+      "re-run of the PPJoin + CC pipeline") {
+    val plan = SparkEntry.queries("q_split_leakage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("memo_txt_cc_fix"),
+      "q_split_leakage no longer reads the persisted cluster table")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "q_split_leakage re-runs the CC pipeline inline")
+  }
+
   test("video curation reads BOTH persisted artifacts (frame + clip-pair " +
       "tables) and never re-runs the shingle pipeline") {
     val plan = SparkEntry.queries("q_mm_video_curation")(spark, dir)
