@@ -185,8 +185,49 @@ object CurationMm {
         col("group_id"), col("quality_score"), col("n_tokens"))
   }
 
+  /** PERSISTED manifest: the capstone's output written once per sf dir —
+    * the manifest IS the published curation artifact (that is the point
+    * of publishing it), and downstream loader-side consumers pay a
+    * FileScan. q_curation_mm_e2e stays the LIVE leg driving the full
+    * composition per invocation. */
+  private[graft] def manifestTablePath(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ScratchDirs.memoized("mm_manifest_fix", dir) { r =>
+      curationMmE2e(s, dir).write.parquet(s"$r/manifest")
+    }
+    s"$root/manifest"
+  }
+
+  /** q_curation_pack_e2e: the LOADER-READY end of the pipeline — the
+    * published manifest's kept TRAIN-split documents packed into
+    * fixed-`budget`-token training sequences (the concatenate-and-chunk
+    * layout, [[PackQueries.packSequences]]'s distributed two-pass prefix
+    * sum over the FILTERED doc_id-ordered token stream). This is the
+    * composition a training job actually consumes: curation decided WHAT
+    * survives and WHERE it may appear (kept, split); packing decides the
+    * physical sequence layout — and running it off the persisted
+    * manifest proves the artifact is sufficient for the loader (no
+    * side-channel back into the curation pipeline). Scale shape: one
+    * manifest FileScan + the parallel prefix sum (range sort + partial
+    * sums + broadcast bases — no single-partition window at any corpus
+    * size). */
+  def curationPackE2e(s: SparkSession, dir: String,
+                      budget: Long = 2048L): DataFrame = {
+    val kept = s.read.parquet(manifestTablePath(s, dir))
+      .filter(col("kept") === "true" && col("split") === "train")
+      .select(col("doc_id"),
+        col("n_tokens").cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+    PackQueries.withExclusivePrefixSum(s, kept,
+        Seq(col("doc_id").asc), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("bin_id"),
+        (col("cum_before") % budget).as("bin_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_curation_mm_e2e" -> (curationMmE2e _))
+    "q_curation_mm_e2e" -> (curationMmE2e _),
+    "q_curation_pack_e2e" ->
+      ((s: SparkSession, d: String) => curationPackE2e(s, d)))
 
   /** Composition oracle: every stage is its own gate's closed form —
     * the per-modality CTE prefixes replayed in isolated subquery scopes
@@ -194,8 +235,9 @@ object CurationMm {
     * recursive CTEs, then the cross-modality closure over the same
     * encoded-node graph the Spark leg builds. An edit to any modality's
     * bar is an edit to this oracle too. */
-  val oracles: Map[String, String] = Map(
-    "q_curation_mm_e2e" -> {
+  /** The capstone manifest's oracle SQL — also nested by the pack
+    * oracle (the loader must see exactly the published manifest). */
+  private val manifestOracle: String = {
       val tq = TextQueries.oracles("q_txt_quality")
       val tcc = GraphCC.oracles("q_dedup_cc")
       val im = MultimodalQueries.phashPairCtes
@@ -297,5 +339,25 @@ object CurationMm {
          |  FROM (SELECT node // 8 AS doc_id, comp AS group_id FROM gcc
          |        WHERE node % 8 = 0) g2) b
          |  ON b.doc_id = rs.doc_id""".stripMargin
-    })
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_curation_mm_e2e" -> manifestOracle,
+    // Loader-ready packing over the published manifest: kept train-split
+    // docs, doc_id-ordered exclusive token prefix sum, 2048-token bins —
+    // the q_pack_sequences closed form on the manifest oracle's output.
+    "q_curation_pack_e2e" ->
+      s"""WITH m AS MATERIALIZED (SELECT doc_id,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens
+         |  FROM ($manifestOracle) mm
+         |  WHERE kept = 'true' AND split = 'train'),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM m)
+         |SELECT doc_id, n_tokens,
+         |  cum_before // 2048 AS bin_id,
+         |  cum_before % 2048 AS bin_offset
+         |FROM c""".stripMargin)
 }

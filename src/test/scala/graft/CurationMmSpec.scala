@@ -86,4 +86,26 @@ class CurationMmSpec extends AnyFunSuite {
     assert(byGroup.size > docIds.size / 10,
       s"only ${byGroup.size} groups — grouping collapsed")
   }
+
+  test("loader-ready packing covers exactly the kept train-split docs, " +
+      "with a gapless token stream") {
+    val kept = rows.collect {
+      case (d, ("true", _, "train", _)) => d
+    }.toSet
+    assert(kept.nonEmpty)
+    val packed = CurationMm.curationPackE2e(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))
+      .sortBy(_._1)
+    assert(packed.map(_._1).toSet == kept,
+      "pack assignment does not cover exactly the kept train docs")
+    assert(packed.map(_._1).distinct.length == packed.length)
+    // the concatenated stream is gapless: each doc starts where the
+    // previous one ended (bin_id * budget + bin_offset == running sum)
+    var cum = 0L
+    packed.foreach { case (d, n, bin, off) =>
+      assert(bin * 2048L + off == cum, s"doc $d starts at gap/overlap")
+      cum += n
+    }
+  }
 }

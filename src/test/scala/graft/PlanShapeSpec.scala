@@ -186,6 +186,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_split_leakage re-runs the CC pipeline inline")
   }
 
+  test("loader-ready packing reads the PERSISTED manifest, never a re-run " +
+      "of the curation composition") {
+    // The prefix-sum checkpoint detaches the final plan from its source,
+    // so the pin rides the memo registry (the BenchHonestySpec pattern):
+    // every invocation must request the manifest fixture.
+    import graft.sources.ScratchDirs
+    val c0 = ScratchDirs.requestedMemoCounts.getOrElse("mm_manifest_fix", 0L)
+    SparkEntry.queries("q_curation_pack_e2e")(spark, dir).count()
+    val c1 = ScratchDirs.requestedMemoCounts.getOrElse("mm_manifest_fix", 0L)
+    SparkEntry.queries("q_curation_pack_e2e")(spark, dir).count()
+    val c2 = ScratchDirs.requestedMemoCounts.getOrElse("mm_manifest_fix", 0L)
+    assert(c1 > c0 && c2 > c1,
+      "q_curation_pack_e2e no longer routes through the persisted manifest")
+  }
+
   test("video curation reads BOTH persisted artifacts (frame + clip-pair " +
       "tables) and never re-runs the shingle pipeline") {
     val plan = SparkEntry.queries("q_mm_video_curation")(spark, dir)
