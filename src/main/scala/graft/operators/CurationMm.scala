@@ -190,12 +190,9 @@ object CurationMm {
     * of publishing it), and downstream loader-side consumers pay a
     * FileScan. q_curation_mm_e2e stays the LIVE leg driving the full
     * composition per invocation. */
-  private[graft] def manifestTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_manifest_fix", dir) { r =>
-      curationMmE2e(s, dir).write.parquet(s"$r/manifest")
-    }
-    s"$root/manifest"
-  }
+  private[graft] def manifestTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_manifest_fix", dir)(
+      curationMmE2e(s, dir))
 
   /** q_curation_pack_e2e: the LOADER-READY end of the pipeline — the
     * published manifest's kept TRAIN-split documents packed into
@@ -336,8 +333,7 @@ object CurationMm {
          |JOIN (SELECT doc_id,
          |    ${MixQueries.saltedDrawSql(mmSplitSalt, "group_id")} % 100
          |      AS bucket
-         |  FROM (SELECT node // 8 AS doc_id, comp AS group_id FROM gcc
-         |        WHERE node % 8 = 0) g2) b
+         |  FROM gd) b
          |  ON b.doc_id = rs.doc_id""".stripMargin
   }
 

@@ -149,12 +149,9 @@ object GraphCC {
     * not a re-run of the PPJoin + CC pipeline. q_dedup_cc stays the LIVE
     * leg — it times (and certifies) the cluster computation itself; so
     * does q_curation_e2e, the text pipeline's own composed gate. */
-  private[operators] def clusterTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("txt_cc_fix", dir) { r =>
-      dedupClusters(s, dir).write.parquet(s"$r/cc")
-    }
-    s"$root/cc"
-  }
+  private[operators] def clusterTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("txt_cc_fix", dir)(
+      dedupClusters(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cc" -> (dedupClusters _))

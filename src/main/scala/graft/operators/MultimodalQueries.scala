@@ -370,10 +370,8 @@ object MultimodalQueries {
     * 8-byte hash. q_mm_decode_features stays the live-decode certifying
     * gate for this fixture. */
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val root = graft.sources.ScratchDirs.memoized("mm_phash_fix", dir) { r =>
-      dHashFrame(s, pngFixture(s, dir), "doc_id").write.parquet(s"$r/hashes")
-    }
-    s.read.parquet(s"$root/hashes")
+    s.read.parquet(graft.sources.ScratchDirs.persistedParquet(
+        "mm_phash_fix", dir)(dHashFrame(s, pngFixture(s, dir), "doc_id")))
       .groupBy("phash")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
   }
@@ -473,8 +471,8 @@ object MultimodalQueries {
     * stays a LIVE decode — it is the gate that times (and certifies) the
     * decode itself; the consumers below are plan-pinned to a FileScan of
     * this table (PlanShapeSpec), never a second decode. */
-  private[graft] def videoFrameTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_frames_fix", dir) { r =>
+  private[graft] def videoFrameTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_frames_fix", dir) {
       val src = s.read.parquet(videoFixture(s, dir))
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -494,10 +492,8 @@ object MultimodalQueries {
             Row(id, f, dHash56(img), w, h, c, luma)
         }
       })
-      s.createDataFrame(rows, schema).write.parquet(s"$r/frames")
+      s.createDataFrame(rows, schema)
     }
-    s"$root/frames"
-  }
 
   /** q_mm_video_frame_dedup: CROSS-VIDEO duplicated-frame detection —
     * the re-posted-clip screen: group the frame table's perceptual
@@ -545,9 +541,12 @@ object MultimodalQueries {
   // Temporal clip-level near-dup (frame-SEQUENCE shingles)
   // -------------------------------------------------------------------
 
-  /** Per-cell tone of the GRID raster: z² mod 65521 mod 256 of the
-    * (fid, row, col) cell id z — NONLINEAR on purpose (quadratic through
-    * a prime, exact in both engines' BIGINT: z ≤ ~10⁷, z² ≤ 10¹⁴).
+  /** Per-cell tone of the GRID raster: the double-squared reduced form
+    * (z = cell id mod 65521; w = z² mod 65521; tone = (w² mod 65519)
+    * mod 256) — NONLINEAR on purpose (quadratic through two primes,
+    * exact in both engines' BIGINT: every factor < 65521, products
+    * < 4.3e9; the earlier unreduced z² overflowed Long past
+    * fid ≈ 4.8e7, i.e. well inside a billion-video corpus).
     * Two-tone and row-banded rasters leave the 56 dHash bits heavily
     * correlated (the per-row comparison pattern has a handful of forms —
     * measured: 63 distinct hashes over 2,124 frames), and a LINEAR cell
@@ -558,8 +557,9 @@ object MultimodalQueries {
     * a shared clip — exactly the 125 seeded twin pairs at sf0.01,
     * zero coincidences. */
   private def gridTone(fid: Long, j: Int, i: Int): Int = {
-    val z = fid * 63 + j * 9 + i + 1
-    (((z * z) % 65521L) % 256L).toInt
+    val z = (fid * 63 + j * 9 + i + 1) % 65521L
+    val w = (z * z) % 65521L
+    (((w * w) % 65519L) % 256L).toInt
   }
 
   /** 7×9-grid raster aligned to the dHash grid (w = 9u, h = 7m), cell
@@ -649,8 +649,8 @@ object MultimodalQueries {
 
   /** Frame table of the clip fixture — the same decode-once discipline
     * as [[videoFrameTablePath]], minimal (video, frame, phash) schema. */
-  private[graft] def videoClipFrameTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_frames2_fix", dir) { r =>
+  private[graft] def videoClipFrameTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_frames2_fix", dir) {
       val src = s.read.parquet(videoClipFixture(s, dir))
       val rows = src.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getAs[Long]("video_id")
@@ -661,13 +661,10 @@ object MultimodalQueries {
         }
       })
       s.createDataFrame(rows, StructType(Seq(
-          StructField("video_id", LongType),
-          StructField("frame_idx", IntegerType),
-          StructField("phash", LongType))))
-        .write.parquet(s"$r/frames")
+        StructField("video_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("phash", LongType))))
     }
-    s"$root/frames"
-  }
 
   /** Persisted clip-pair table: the near-dup pair set computed ONCE per
     * sf dir and written as parquet — the [[videoFrameTablePath]]
@@ -677,12 +674,9 @@ object MultimodalQueries {
     * consumer should pay a FileScan, not a re-run of the shingle
     * self-join. q_mm_video_clip_neardup stays the LIVE leg — it times
     * (and certifies) the pair computation itself. */
-  private[graft] def videoClipPairTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_clippairs_fix", dir) { r =>
-      mmVideoClipNeardup(s, dir).write.parquet(s"$r/pairs")
-    }
-    s"$root/pairs"
-  }
+  private[graft] def videoClipPairTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_clippairs_fix", dir)(
+      mmVideoClipNeardup(s, dir))
 
   /** q_mm_video_curation: the video DROP-LIST — per-video frame stats
     * joined with the clip near-dup pair set, folded into the keep/drop
@@ -1248,22 +1242,15 @@ object MultimodalQueries {
     * real decode + one map-side-combined exchange; consumers pay a
     * FileScan (distinct-hash-sized — tiny next to the corpus). */
   private def hashGroupTable(s: SparkSession, dir: String, name: String)
-                            (build: => DataFrame): DataFrame = {
-    val root = graft.sources.ScratchDirs.memoized(name, dir) { r =>
-      build.write.parquet(s"$r/groups")
-    }
-    s.read.parquet(s"$root/groups")
-  }
+                            (build: => DataFrame): DataFrame =
+    s.read.parquet(graft.sources.ScratchDirs.persistedParquet(name, dir)(build))
 
   /** Persisted per-clip fingerprint table of the audio near-dup fixture
     * (audio_id, phash) — the [[phashHashTablePath]] contract on the
     * audio axis. */
-  private[operators] def audioFpHashTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_afph_fix", dir) { r =>
-      audioFingerprintFrame(s, dir).write.parquet(s"$r/hashes")
-    }
-    s"$root/hashes"
-  }
+  private[operators] def audioFpHashTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_afph_fix", dir)(
+      audioFingerprintFrame(s, dir))
 
   /** Exact-fingerprint groups of the audio near-dup fixture (the
     * collapse stage shared by the pair and cluster gates) — read from
@@ -1300,16 +1287,20 @@ object MultimodalQueries {
 
   /** Two-window amplitudes of segment `zi` of doc `id`'s splice fixture:
     * window k (k = 0 first half, 1 second half) plays at
-    * 500 + ((z² mod 65521) mod 16000), z = 71·id + 2·zi + k + 1 — the
-    * [[gridTone]] quadratic-entropy rule on the segment axis, so segment
+    * 500 + ((w² mod 65519) mod 16000) with w = z² mod 65521 and
+    * z = (71·id + 2·zi + k + 1) mod 65521 — the [[gridTone]]
+    * double-squared reduced quadratic-entropy rule on the segment axis
+    * (every factor < 65521, so nothing overflows at any corpus size),
+    * so segment
     * signatures (two packed amplitudes ≈ 28 bits) make a shared 2-shingle
     * (4 amplitudes ≈ 56 bits) MEAN a shared segment run, not a
     * coincidence. Amplitudes stay in [500, 16499]: always audible (the
     * silence splitter never cuts inside a segment) and well inside a
     * signed short. */
   private def segAmp(id: Long, zi: Int, k: Int): Int = {
-    val z = id * 71 + 2L * zi + k + 1
-    (500L + ((z * z) % 65521L) % 16000L).toInt
+    val z = (id * 71 + 2L * zi + k + 1) % 65521L
+    val w = (z * z) % 65521L
+    (500L + ((w * w) % 65519L) % 16000L).toInt
   }
 
   /** Splice fixture payload: recording 2d plays ns = 10 + d % 5 segments
@@ -1388,8 +1379,8 @@ object MultimodalQueries {
     * constant-amplitude half, so the floor mean IS the amplitude; a
     * misaligned split lands between amplitudes and mismatches the
     * oracle) as mean₀ · 32768 + mean₁. */
-  private[graft] def audioSegTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_aseg_fix", dir) { r =>
+  private[graft] def audioSegTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_aseg_fix", dir) {
       val src = s.read.parquet(wavSpliceFixture(s, dir))
       val rows = src.rdd.mapPartitions(_.flatMap { row =>
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -1435,13 +1426,10 @@ object MultimodalQueries {
         }
       })
       s.createDataFrame(rows, StructType(Seq(
-          StructField("audio_id", LongType),
-          StructField("seg_idx", IntegerType),
-          StructField("sig", LongType))))
-        .write.parquet(s"$r/segs")
+        StructField("audio_id", LongType),
+        StructField("seg_idx", IntegerType),
+        StructField("sig", LongType))))
     }
-    s"$root/segs"
-  }
 
   /** q_mm_audio_clip_neardup: TEMPORAL audio reuse — detect a clip
     * EMBEDDED in a longer recording (re-broadcast with new intro/outro,
@@ -1660,12 +1648,9 @@ object MultimodalQueries {
     * phash) — the decode runs once, here; the group table and any
     * membership consumer (the curation capstone joins an attached image
     * to its group) read it back. */
-  private[operators] def phashHashTablePath(s: SparkSession, dir: String): String = {
-    val root = graft.sources.ScratchDirs.memoized("mm_phnh_fix", dir) { r =>
-      phashFrame(s, dir).write.parquet(s"$r/hashes")
-    }
-    s"$root/hashes"
-  }
+  private[operators] def phashHashTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_phnh_fix", dir)(
+      phashFrame(s, dir))
 
   /** Exact-phash groups of the near-dup fixture (the collapse stage) —
     * read from the persisted per-sf-dir group table
@@ -1750,14 +1735,13 @@ object MultimodalQueries {
   private def hashGroupClusters(groups: DataFrame, maxHamming: Int,
                                 totalCol: String,
                                 capMetric: String = "phash_band_cap"): DataFrame = {
-    val grp = groups
-    val pairs = phashGroupPairs(grp, maxHamming, capMetric = capMetric)
+    val pairs = phashGroupPairs(groups, maxHamming, capMetric = capMetric)
       .select("canon_a", "canon_b")
     val cc = GraphCC.connectedComponents(pairs, "canon_a", "canon_b")
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
     cc.select(col("node").as("canon"), col("component").as("cluster_id"))
-      .join(grp.select(col("canon"), col("n_copies")), "canon")
+      .join(groups.select(col("canon"), col("n_copies")), "canon")
       .withColumn("n_groups", count(lit(1)).over(byCluster))
       .withColumn(totalCol, sum(col("n_copies")).over(byCluster))
       .withColumn("is_canonical",
@@ -1812,16 +1796,17 @@ object MultimodalQueries {
       |  SELECT doc_id * 2 + 1, i.range, doc_id * 31 + 1
       |    FROM p CROSS JOIN range(0, 3) i WHERE doc_id % 4 = 2),
       |d0 AS (SELECT DISTINCT fid FROM vf),
-      |cells AS (SELECT fid, j.range AS j, i.range AS i,
-      |    (((fid * 63 + j.range * 9 + i.range + 1)
-      |      * (fid * 63 + j.range * 9 + i.range + 1)) % 65521) % 256 AS t1,
-      |    (((fid * 63 + j.range * 9 + i.range + 2)
-      |      * (fid * 63 + j.range * 9 + i.range + 2)) % 65521) % 256 AS t2
-      |  FROM d0 CROSS JOIN range(0, 7) j CROSS JOIN range(0, 8) i),
-      |ph AS (SELECT fid, CAST(SUM(
-      |    CASE WHEN t1 > t2 THEN 1::BIGINT << (j * 8 + i) ELSE 0 END)
-      |    AS BIGINT) AS phash
-      |  FROM cells GROUP BY fid),
+      |cz AS (SELECT fid, j.range AS j, i.range AS i,
+      |    (fid * 63 + j.range * 9 + i.range + 1) % 65521 AS z
+      |  FROM d0 CROSS JOIN range(0, 7) j CROSS JOIN range(0, 9) i),
+      |cw AS (SELECT fid, j, i, (z * z) % 65521 AS w FROM cz),
+      |ctn AS (SELECT fid, j, i, ((w * w) % 65519) % 256 AS t FROM cw),
+      |ph AS (SELECT l.fid, CAST(SUM(
+      |    CASE WHEN l.t > r.t THEN 1::BIGINT << (l.j * 8 + l.i)
+      |         ELSE 0 END) AS BIGINT) AS phash
+      |  FROM ctn l JOIN ctn r
+      |    ON l.fid = r.fid AND l.j = r.j AND r.i = l.i + 1
+      |  GROUP BY l.fid),
       |sq AS (SELECT vf.vid, vf.f, ph.phash
       |  FROM vf JOIN ph ON vf.fid = ph.fid),
       |sh AS (SELECT DISTINCT l.vid, l.phash AS ph_a, r.phash AS ph_b
@@ -2034,12 +2019,17 @@ object MultimodalQueries {
         |  UNION ALL
         |  SELECT doc_id, doc_id * 2 + 1, ns, ns + 1 FROM p
         |    WHERE doc_id % 4 = 0),
-        |sg AS (SELECT aid, si,
-        |    (500 + (((doc_id * 71 + 2 * zi + 1) * (doc_id * 71 + 2 * zi + 1))
-        |      % 65521) % 16000) * 32768
-        |    + 500 + (((doc_id * 71 + 2 * zi + 2) * (doc_id * 71 + 2 * zi + 2))
-        |      % 65521) % 16000 AS sig
+        |sgz AS (SELECT aid, si,
+        |    (doc_id * 71 + 2 * zi + 1) % 65521 AS z1,
+        |    (doc_id * 71 + 2 * zi + 2) % 65521 AS z2
         |  FROM seg),
+        |sgw AS (SELECT aid, si,
+        |    (z1 * z1) % 65521 AS w1, (z2 * z2) % 65521 AS w2
+        |  FROM sgz),
+        |sg AS (SELECT aid, si,
+        |    (500 + ((w1 * w1) % 65519) % 16000) * 32768
+        |    + 500 + ((w2 * w2) % 65519) % 16000 AS sig
+        |  FROM sgw),
         |sh AS (SELECT DISTINCT l.aid, l.sig AS ph_a, r.sig AS ph_b
         |  FROM sg l JOIN sg r ON l.aid = r.aid AND r.si = l.si + 1),
         |sz AS (SELECT aid, COUNT(*) AS n_sh FROM sh GROUP BY aid),

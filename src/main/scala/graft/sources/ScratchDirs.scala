@@ -51,6 +51,19 @@ object ScratchDirs {
       })
     }
 
+  /** The persisted-parquet fixture idiom in one place: build `frame`
+    * once per (name, key), write it under the memo root, return the
+    * parquet path — the shape every decode-once/persisted-artifact table
+    * (hash, group, pair, segment, cluster, manifest) shares. One helper
+    * instead of per-site copies kills the mismatched-subdir copy-paste
+    * class and keeps every such cache visible to the [[memoized]]
+    * audit. */
+  def persistedParquet(name: String, key: String)(
+      frame: => org.apache.spark.sql.DataFrame): String = {
+    val root = memoized(name, key)(r => frame.write.parquet(s"$r/data"))
+    s"$root/data"
+  }
+
   /** Every fixture name ever requested through [[memoized]] in this JVM —
     * the observable the bench-honesty guard pins: e2e gates must drive
     * their pipeline on EVERY invocation (they are the bench's only honest

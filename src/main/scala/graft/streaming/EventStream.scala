@@ -379,20 +379,24 @@ object EventStream {
       .withWatermark("event_ts", horizon)
     withTs.groupByKey(_.user_id)
       .transformWithState(
-        new TypeCountsInitProcessor(gapMinutes * 60L * 1000L),
+        new TypeCountsProcessor(gapMinutes * 60L * 1000L),
         TimeMode.EventTime(), OutputMode.Append(),
         init.groupByKey(_.user_id),
         implicitly[org.apache.spark.sql.Encoder[TypeCount]],
         implicitly[org.apache.spark.sql.Encoder[TypeSeed]])
   }
 
-  /** [[TypeCountsProcessor]]'s initial-state twin: identical per-batch
-    * logic (the ~15 lines are duplicated because the two Spark parent
-    * classes differ), plus the `handleInitialState` hook loading the
-    * batch-computed per-type counts into the MapState before the first
-    * input batch. No timer is armed for bootstrapped-only users — their
-    * first live event arms one exactly like a cold-start user's. */
-  private final class TypeCountsInitProcessor(gapMs: Long)
+  /** Per-user running type counts as explicit MapState — ONE processor
+    * for both the cold-start and the bootstrapped gate:
+    * `StatefulProcessorWithInitialState` IS a `StatefulProcessor`, so
+    * the plain `transformWithState` overload accepts it and simply never
+    * invokes `handleInitialState` (q_stream_typecounts_tws), while the
+    * initial-state overload loads the batch-computed per-type counts
+    * into the MapState before the first input batch
+    * (q_stream_typecounts_init). No timer is armed for
+    * bootstrapped-only users — their first live event arms one exactly
+    * like a cold-start user's. */
+  private final class TypeCountsProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
         Long, EventTs, TypeCount, TypeSeed] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
@@ -413,46 +417,6 @@ object EventStream {
         i += 1
       }
     }
-
-    override def handleInputRows(userId: Long, it: Iterator[EventTs],
-                                 timerValues: TimerValues): Iterator[TypeCount] = {
-      val batch = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var lastTsUs = Long.MinValue
-      val out = batch.map { e =>
-        val prev =
-          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
-          else 0L
-        counts.updateValue(e.event_type, prev + 1L)
-        lastTsUs = e.ts_us
-        TypeCount(userId, e.event_id, e.event_type, prev)
-      }
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(
-        math.max(lastTsUs / 1000L + gapMs,
-          timerValues.getCurrentWatermarkInMs + 1))
-      out.iterator
-    }
-
-    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[TypeCount] = {
-      counts.clear()
-      Iterator.empty
-    }
-  }
-
-  /** Per-user running type counts as explicit MapState. */
-  private final class TypeCountsProcessor(gapMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, EventTs, TypeCount] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimerValues}
-    @transient private var counts:
-      org.apache.spark.sql.streaming.MapState[String, Long] = _
-
-    override def init(outputMode: OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      counts = getHandle.getMapState[String, Long]("counts",
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
 
     override def handleInputRows(userId: Long, it: Iterator[EventTs],
                                  timerValues: TimerValues): Iterator[TypeCount] = {

@@ -21,8 +21,9 @@ class AudioClipNeardupSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def amp(d: Long, zi: Int, k: Int): Long = {
-    val z = d * 71 + 2L * zi + k + 1
-    500L + ((z * z) % 65521L) % 16000L
+    val z = (d * 71 + 2L * zi + k + 1) % 65521L
+    val w = (z * z) % 65521L
+    500L + ((w * w) % 65519L) % 16000L
   }
   private def sig(d: Long, zi: Int): Long =
     amp(d, zi, 0) * 32768L + amp(d, zi, 1)

@@ -17,8 +17,9 @@ class VideoClipNeardupSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def tone(fid: Long, j: Int, i: Int): Int = {
-    val z = fid * 63 + j * 9 + i + 1
-    (((z * z) % 65521L) % 256L).toInt
+    val z = (fid * 63 + j * 9 + i + 1) % 65521L
+    val w = (z * z) % 65521L
+    (((w * w) % 65519L) % 256L).toInt
   }
   private def expectedHash(fid: Long): Long = {
     var h = 0L
