@@ -52,28 +52,39 @@ object SkewCap {
   /** Log a WARN whenever any `*_cap` observed metric completes a query
     * with rows_dropped > 0 — the runtime signal that a skew cap removed
     * candidate pairs (expected at degenerate-corpus scale, a correctness
-    * alarm at oracle scale). Idempotent per session. */
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    * alarm at oracle scale). Idempotent per session — the registry holds
+    * the session WEAKLY, so a stopped session is not pinned for the JVM
+    * lifetime in a long-lived multi-session process. Emitted through
+    * slf4j (Spark's own logging backend), so the signal lands in the log
+    * stream, not a possibly-redirected stderr. */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.SkewCap")
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   def registerWarnings(spark: SparkSession): Unit =
-    if (registered.add(spark)) {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.endsWith("_cap")) {
+              // The field guard keeps an unrelated observe() node that
+              // happens to end in `_cap` from throwing inside the
+              // listener on every completion.
+              if (name.endsWith("_cap") &&
+                  row.schema.fieldNames.contains("rows_dropped")) {
                 val dropped = Option(row.getAs[Any]("rows_dropped"))
                   .map(_.toString.toLong).getOrElse(0L)
                 if (dropped > 0L) {
-                  val maxB = Option(row.getAs[Any]("max_bucket"))
-                    .map(_.toString).getOrElse("?")
-                  System.err.println(
-                    s"[graft][WARN] skew cap '$name' dropped $dropped " +
-                      s"banded rows (max bucket $maxB) — candidate pairs " +
-                      "agreeing only on dropped buckets are lost")
+                  val maxB =
+                    if (row.schema.fieldNames.contains("max_bucket"))
+                      Option(row.getAs[Any]("max_bucket"))
+                        .map(_.toString).getOrElse("?")
+                    else "?"
+                  log.warn(
+                    s"skew cap '$name' dropped $dropped banded rows " +
+                      s"(max bucket $maxB) — candidate pairs agreeing " +
+                      "only on dropped buckets are lost")
                 }
               }
             }

@@ -257,8 +257,11 @@ object StreamGates {
   private def sliceFixtureRoot(s: SparkSession, ev: DataFrame, nSlices: Int,
       name: String, memoKey: String, sliceName: String = ""): String = {
     val sliceFix = if (sliceName.isEmpty) name else sliceName
+    // nSlices is part of the memo identity: two gates sharing a sliceName
+    // but cutting a different slice count must never consume each other's
+    // fixture (the cut IS the batch/stream boundary under test).
     graft.sources.ScratchDirs.memoized(
-        s"${sliceFix}_slices", memoKey) { r =>
+        s"${sliceFix}_slices_$nSlices", memoKey) { r =>
       val bounds =
         ev.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
       val sliced = ev.crossJoin(bounds).withColumn("_slice",

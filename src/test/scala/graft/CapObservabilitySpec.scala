@@ -24,7 +24,8 @@ class CapObservabilitySpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
-          if (name.endsWith("_cap"))
+          if (name.endsWith("_cap") &&
+              row.schema.fieldNames.contains("rows_dropped"))
             seen.merge(name,
               Option(row.getAs[Any]("rows_dropped"))
                 .map(_.toString.toLong).getOrElse(0L),
@@ -50,6 +51,10 @@ class CapObservabilitySpec extends AnyFunSuite {
 
   test("every capped family reports ZERO drops at oracle scale") {
     listener
+    // Each test reads only the runs IT triggers: drop whatever earlier
+    // suites/tests on the shared session reported under the same metric
+    // names (the max-merge would otherwise return a stale maximum).
+    seen.clear()
     val gates = Seq(
       "q_dedup_simhash" -> "simhash_band_cap",
       "q_mm_phash_neardup" -> "phash_band_cap",
@@ -69,6 +74,7 @@ class CapObservabilitySpec extends AnyFunSuite {
   test("a firing cap is observable: metric reports the removed rows and " +
       "droppedCount agrees") {
     listener
+    seen.clear()
     val spark2 = spark
     import spark2.implicits._
     // degenerate bucket: 50 rows share one key, 3 rows are singletons
