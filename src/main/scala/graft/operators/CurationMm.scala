@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 import graft.sources.TableIO.table
+import graft.sources.{ManagedTable, MergeClauses, ScratchDirs}
 
 /** The multimodal curation CAPSTONE: one corpus manifest over documents
   * carrying image/audio/video attachments, composing every per-modality
@@ -29,17 +30,24 @@ import graft.sources.TableIO.table
   * forms; doc ids are contiguous from 0, so each referenced predecessor
   * artifact exists).
   *
-  * Scale shape: every perceptual input is a PERSISTED artifact (hash /
-  * fingerprint / frame / clip-pair tables — decode paid once per sf
-  * dir); the per-modality cluster closures and the cross-modality group
-  * closure run through the same checkpointed pointer-jumping CC as the
-  * text pipeline (GraphCC — O(log n) rounds, nothing collected); the
-  * manifest itself is one quality scan plus bounded left joins against
-  * drop sets that are tiny next to the corpus. The cross-modality graph
-  * encodes heterogeneous nodes in disjoint strides (doc d → 8d, text
-  * cluster c → 8c+1, image group canon g → 8g+2, audio group canon →
-  * 8g+3, video → 8v+4), so ONE generic CC covers all four modalities
-  * without per-modality plumbing.
+  * Scale shape: every perceptual input is a PERSISTED artifact — hash /
+  * fingerprint / frame / PAIR / CLUSTER-LABEL tables, decode and
+  * per-modality closure each paid once per sf dir — so the capstone's
+  * live work is the one CROSS-MODALITY group closure (checkpointed
+  * pointer-jumping CC, O(log n) rounds, nothing collected) plus bounded
+  * joins against drop sets that are tiny next to the corpus. The
+  * cross-modality graph encodes heterogeneous nodes in disjoint strides
+  * (doc d → 8d, text cluster c → 8c+1, image group canon g → 8g+2,
+  * audio group canon → 8g+3, video → 8v+4), so ONE generic CC covers
+  * all four modalities without per-modality plumbing.
+  *
+  * Beyond the one-shot capstone, [[curationMmIncremental]] is the
+  * PRODUCTION loop: a new document batch merged into the persisted
+  * cluster/manifest state through the table layer — the reference's own
+  * incremental micro-merge shape (union new ∪ curated → re-window →
+  * MERGE, mls_listings_curated.py:132-160) lifted to the curation axis —
+  * and [[curationCdf]] publishes the per-round keep/drop DELTA as the
+  * change-data-feed artifact a downstream training-data consumer polls.
   */
 object CurationMm {
 
@@ -59,108 +67,120 @@ object CurationMm {
           (col("doc_id") - 1) * 2 + 1)
           .otherwise(col("doc_id") * 2))
 
-  /** q_curation_mm_e2e: the manifest — one row per document:
-    * (doc_id, kept, drop_reasons, split, group_id, quality_score,
-    * n_tokens). A document is kept iff NO screen fires; every screen
-    * that fires is listed in `drop_reasons`, comma-joined in screen
-    * order (text_dup, low_quality, image_dup, audio_dup, video_dup,
-    * video_static). `group_id` is the document's cross-modality leakage
-    * component (encoded-node minimum — deterministic, hash-replayable);
-    * the split is the standard salted-hash 90/5/5 draw on it. */
-  def curationMmE2e(s: SparkSession, dir: String): DataFrame = {
-    val att = attachments(s, dir)
-    val docs = table(s, dir, "documents").select(col("doc_id"))
+  /** Everything the manifest assembly and the cross-modality graph need,
+    * decoupled from WHERE the frames come from: the full capstone reads
+    * persisted tables, the incremental base fixture reads id-FILTERED
+    * persisted tables (every per-modality artifact is a pure function of
+    * its endpoints, so a base-corpus replay is a pure id filter), and
+    * the incremental merge path swaps in delta-updated frames. */
+  private final case class MmInputs(
+      att: DataFrame,       // doc_id, img, aud, vid
+      docs: DataFrame,      // doc_id
+      textCl: DataFrame,    // doc_id, cluster_id, is_canonical
+      quality: DataFrame,   // doc_id, quality_score, n_tokens
+      imgMember: DataFrame, // img_id, canon
+      imgPairs: DataFrame,  // canon_a, canon_b
+      imgCl: DataFrame,     // canon, cluster_id
+      audMember: DataFrame, // audio_id, canon
+      audPairs: DataFrame,  // canon_a, canon_b
+      audCl: DataFrame,     // canon, cluster_id
+      vidPairs: DataFrame,  // video_a, video_b
+      vidDup: DataFrame,    // vid
+      vidStatic: DataFrame) // vid
 
-    // --- text: near-dup clusters from the PERSISTED table (the
-    // pipeline the corpus already ran — q_dedup_cc / q_curation_e2e
-    // stay the live legs timing it) + quality bar ---
-    val textCl = s.read.parquet(GraphCC.clusterTablePath(s, dir))
-      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
-    val quality = TextQueries.txtQuality(s, dir)
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
-
-    // --- image: persisted hash/group tables -> banded pairs -> CC ---
-    val imgMember = s.read.parquet(
-        MultimodalQueries.phashHashTablePath(s, dir))
-      .join(MultimodalQueries.phashGroups(s, dir).select("phash", "canon"),
-        "phash")
-      .select(col("img_id"), col("canon"))
-    val imgPairs = MultimodalQueries
-      .phashGroupPairs(MultimodalQueries.phashGroups(s, dir), 3,
-        capMetric = "img_cc_cap")
-      .select(col("canon_a"), col("canon_b"))
-      .localCheckpoint(true) // bounded: near-pair groups
-    val imgCl = GraphCC.connectedComponents(imgPairs, "canon_a", "canon_b")
-      .select(col("node").as("canon"), col("component").as("img_cluster"))
-
-    // --- audio: same pipeline on the fingerprint tables ---
-    val audMember = s.read.parquet(
-        MultimodalQueries.audioFpHashTablePath(s, dir))
-      .join(MultimodalQueries.audioFpGroups(s, dir).select("phash", "canon"),
-        "phash")
-      .select(col("audio_id"), col("canon"))
-    val audPairs = MultimodalQueries
-      .phashGroupPairs(MultimodalQueries.audioFpGroups(s, dir), 3,
-        capMetric = "aud_cc_cap")
-      .select(col("canon_a"), col("canon_b"))
-      .localCheckpoint(true)
-    val audCl = GraphCC.connectedComponents(audPairs, "canon_a", "canon_b")
-      .select(col("node").as("canon"), col("component").as("aud_cluster"))
-
-    // --- video: persisted clip-pair + frame tables (the curation gate's
-    // own inputs, scanned, never recomputed) ---
+  /** Full-corpus inputs: pure FileScans of the persisted per-sf-dir
+    * artifact tables (hash/group/pair/cluster/frame) — no decode, no
+    * banded join, no per-modality CC at capstone time. */
+  private def modalFull(s: SparkSession, dir: String): MmInputs = {
+    val frames = s.read.parquet(
+      MultimodalQueries.videoClipFrameTablePath(s, dir))
     val vidPairs = s.read.parquet(
-      MultimodalQueries.videoClipPairTablePath(s, dir))
+        MultimodalQueries.videoClipPairTablePath(s, dir))
       .select(col("video_a"), col("video_b"))
-    val vidDup = vidPairs.select(col("video_b").as("vid")).distinct()
-      .withColumn("f_vdup", lit(true))
-    val vidStatic = s.read.parquet(
-        MultimodalQueries.videoClipFrameTablePath(s, dir))
-      .groupBy("video_id")
-      .agg(countDistinct(col("phash")).as("nd"))
-      .filter(col("nd") === 1)
-      .select(col("video_id").as("vid"))
-      .withColumn("f_vstatic", lit(true))
+    MmInputs(
+      att = attachments(s, dir),
+      docs = table(s, dir, "documents").select(col("doc_id")),
+      textCl = s.read.parquet(GraphCC.clusterTablePath(s, dir))
+        .select(col("doc_id"), col("cluster_id"), col("is_canonical")),
+      quality = TextQueries.txtQuality(s, dir)
+        .select(col("doc_id"), col("quality_score"), col("n_tokens")),
+      imgMember = s.read.parquet(
+          MultimodalQueries.phashHashTablePath(s, dir))
+        .join(MultimodalQueries.phashGroups(s, dir).select("phash", "canon"),
+          "phash")
+        .select(col("img_id"), col("canon")),
+      imgPairs = s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir)),
+      imgCl = s.read.parquet(MultimodalQueries.phashClusterTablePath(s, dir)),
+      audMember = s.read.parquet(
+          MultimodalQueries.audioFpHashTablePath(s, dir))
+        .join(MultimodalQueries.audioFpGroups(s, dir).select("phash", "canon"),
+          "phash")
+        .select(col("audio_id"), col("canon")),
+      audPairs = s.read.parquet(
+        MultimodalQueries.audioFpPairTablePath(s, dir)),
+      audCl = s.read.parquet(
+        MultimodalQueries.audioFpClusterTablePath(s, dir)),
+      vidPairs = vidPairs,
+      vidDup = vidPairs.select(col("video_b").as("vid")).distinct(),
+      vidStatic = frames.groupBy("video_id")
+        .agg(countDistinct(col("phash")).as("nd"))
+        .filter(col("nd") === 1)
+        .select(col("video_id").as("vid")))
+  }
 
-    // --- per-modality drop sets at the DOCUMENT level ---
-    val textDrop = textCl.filter(col("is_canonical") === 0)
+  /** The cross-modality leakage graph: encoded-node edge list over ONE
+    * id space (strides ×8 — see the object doc). */
+  private def encodedEdges(m: MmInputs): DataFrame = {
+    val doc8 = (col("doc_id") * 8).as("s")
+    m.textCl.select(doc8, (col("cluster_id") * 8 + 1).as("t"))
+      .unionByName(m.att.join(m.imgMember, m.att("img") === m.imgMember("img_id"))
+        .select(doc8, (col("canon") * 8 + 2).as("t")))
+      .unionByName(m.imgPairs.select((col("canon_a") * 8 + 2).as("s"),
+        (col("canon_b") * 8 + 2).as("t")))
+      .unionByName(m.att.join(m.audMember, m.att("aud") === m.audMember("audio_id"))
+        .select(doc8, (col("canon") * 8 + 3).as("t")))
+      .unionByName(m.audPairs.select((col("canon_a") * 8 + 3).as("s"),
+        (col("canon_b") * 8 + 3).as("t")))
+      .unionByName(m.att.select(doc8, (col("vid") * 8 + 4).as("t")))
+      .unionByName(m.vidPairs.select((col("video_a") * 8 + 4).as("s"),
+        (col("video_b") * 8 + 4).as("t")))
+  }
+
+  /** Manifest assembly over prepared inputs: one row per document in
+    * `m.docs` — (doc_id, kept, drop_reasons, split, group_id, group_docs,
+    * quality_score, n_tokens). A document is kept iff NO screen fires;
+    * every screen that fires is listed in `drop_reasons`, comma-joined
+    * in screen order (text_dup, low_quality, image_dup, audio_dup,
+    * video_dup, video_static). `group_id` is the document's
+    * cross-modality leakage component (encoded-node minimum —
+    * deterministic, hash-replayable) and `group_docs` its document count
+    * — the dup-cluster size downstream consumers weight or cap by, and
+    * the column that makes incremental ingest visible on UNMOVED base
+    * docs (their group grew, so their row updates through the merge
+    * feed); the split is the standard salted-hash 90/5/5 draw on the
+    * group. The group window is computed over `m.docs`' own rows, which
+    * is exact for every caller: components never straddle the doc set
+    * (full corpus, base corpus, or the touched-component set — a touched
+    * component's docs are all touched). */
+  private def manifestFrom(m: MmInputs, docGroups: DataFrame): DataFrame = {
+    val textDrop = m.textCl.filter(col("is_canonical") === 0)
       .select(col("doc_id")).withColumn("f_text", lit(true))
     def perceptualDrop(member: DataFrame, idCol: String, attCol: String,
-                       cl: DataFrame, clCol: String, flag: String): DataFrame =
-      att.join(member, att(attCol) === member(idCol))
-        .join(cl, Seq("canon"), "left")
+                       cl: DataFrame, flag: String): DataFrame =
+      m.att.join(member, m.att(attCol) === member(idCol))
+        .join(cl.select(col("canon"), col("cluster_id").as("_cl")),
+          Seq("canon"), "left")
         .filter(col(attCol) =!= col("canon") ||
-          (col(clCol).isNotNull && col(clCol) =!= col("canon")))
+          (col("_cl").isNotNull && col("_cl") =!= col("canon")))
         .select(col("doc_id")).withColumn(flag, lit(true))
-    val imgDrop = perceptualDrop(imgMember, "img_id", "img",
-      imgCl, "img_cluster", "f_img")
-    val audDrop = perceptualDrop(audMember, "audio_id", "aud",
-      audCl, "aud_cluster", "f_aud")
-    val vidDupDrop = att.join(vidDup, Seq("vid")).select("doc_id", "f_vdup")
-    val vidStaticDrop = att.join(vidStatic, Seq("vid"))
-      .select("doc_id", "f_vstatic")
+    val imgDrop = perceptualDrop(m.imgMember, "img_id", "img", m.imgCl, "f_img")
+    val audDrop = perceptualDrop(m.audMember, "audio_id", "aud", m.audCl, "f_aud")
+    val vidDupDrop = m.att.join(m.vidDup, Seq("vid"))
+      .select(col("doc_id")).withColumn("f_vdup", lit(true))
+    val vidStaticDrop = m.att.join(m.vidStatic, Seq("vid"))
+      .select(col("doc_id")).withColumn("f_vstatic", lit(true))
 
-    // --- cross-modality leakage groups: ONE CC over encoded nodes ---
-    val doc8 = (col("doc_id") * 8).as("s")
-    val edges = textCl.select(doc8, (col("cluster_id") * 8 + 1).as("t"))
-      .unionByName(att.join(imgMember, att("img") === imgMember("img_id"))
-        .select(doc8, (col("canon") * 8 + 2).as("t")))
-      .unionByName(imgPairs.select((col("canon_a") * 8 + 2).as("s"),
-        (col("canon_b") * 8 + 2).as("t")))
-      .unionByName(att.join(audMember, att("aud") === audMember("audio_id"))
-        .select(doc8, (col("canon") * 8 + 3).as("t")))
-      .unionByName(audPairs.select((col("canon_a") * 8 + 3).as("s"),
-        (col("canon_b") * 8 + 3).as("t")))
-      .unionByName(att.select(doc8, (col("vid") * 8 + 4).as("t")))
-      .unionByName(vidPairs.select((col("video_a") * 8 + 4).as("s"),
-        (col("video_b") * 8 + 4).as("t")))
-    val docGroups = GraphCC.connectedComponents(edges, "s", "t")
-      .filter(col("node") % 8 === 0)
-      .select(expr("node div 8").as("doc_id"),
-        col("component").as("group_id"))
-
-    // --- the manifest ---
-    docs.join(quality, "doc_id")
+    m.docs.join(m.quality, "doc_id")
       .join(textDrop, Seq("doc_id"), "left")
       .join(imgDrop, Seq("doc_id"), "left")
       .join(audDrop, Seq("doc_id"), "left")
@@ -181,9 +201,352 @@ object CurationMm {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "validation")
           .otherwise("test"))
+      .withColumn("group_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))))
       .select(col("doc_id"), col("kept"), col("drop_reasons"), col("split"),
-        col("group_id"), col("quality_score"), col("n_tokens"))
+        col("group_id"), col("group_docs"), col("quality_score"),
+        col("n_tokens"))
   }
+
+  /** Cross-modality doc groups for a prepared input set: the one live CC
+    * the capstone pays, then doc nodes decoded back out. */
+  private def docGroupsOf(m: MmInputs): DataFrame =
+    GraphCC.connectedComponents(encodedEdges(m), "s", "t")
+      .filter(col("node") % 8 === 0)
+      .select(expr("node div 8").as("doc_id"),
+        col("component").as("group_id"))
+
+  /** q_curation_mm_e2e: the one-shot manifest over the full corpus. */
+  def curationMmE2e(s: SparkSession, dir: String): DataFrame = {
+    val m = modalFull(s, dir)
+    manifestFrom(m, docGroupsOf(m))
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental curation: merge a NEW batch into persisted state
+  // -------------------------------------------------------------------
+
+  /** The base/new cut: the last fifth of the doc id space plays the
+    * incoming batch, everything below it the already-curated corpus.
+    * Pure closed form of the corpus size, so the DuckDB oracle replays
+    * the same cut. */
+  private def baseCut(s: SparkSession, dir: String): Long =
+    table(s, dir, "documents")
+      .agg((expr("4 * (max(doc_id) + 1)") / 5).cast("long")).head().getLong(0)
+  private val baseCutSql = "(SELECT 4 * (MAX(all_docs.doc_id) + 1) // 5 " +
+    "FROM documents all_docs)"
+
+  /** Base-corpus inputs: every per-modality artifact restricted to the
+    * ids the base corpus owns (docs < B ⇒ images < 2B, audios < 4B,
+    * videos < 2B). Pair tables filter EXACTLY to the base run's pairs
+    * because a near-dup pair depends only on its two endpoints and
+    * group canons only shrink as ids grow (new ids are larger, so a
+    * base group's canon is already the global minimum); the per-modality
+    * and cross-modality closures are then recomputed over the filtered
+    * inputs — paid once, at fixture build. */
+  private def modalBase(s: SparkSession, dir: String, b: Long): MmInputs = {
+    val imgHash = s.read.parquet(MultimodalQueries.phashHashTablePath(s, dir))
+      .filter(col("img_id") < 2 * b)
+    val imgGroups = imgHash.groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon"))
+    val imgPairs = s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir))
+      .filter(col("canon_a") < 2 * b && col("canon_b") < 2 * b)
+    val audHash = s.read.parquet(MultimodalQueries.audioFpHashTablePath(s, dir))
+      .filter(col("audio_id") < 4 * b)
+    val audGroups = audHash.groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
+    val audPairs = s.read.parquet(MultimodalQueries.audioFpPairTablePath(s, dir))
+      .filter(col("canon_a") < 4 * b && col("canon_b") < 4 * b)
+    val vidPairs = s.read.parquet(
+        MultimodalQueries.videoClipPairTablePath(s, dir))
+      .filter(col("video_a") < 2 * b && col("video_b") < 2 * b)
+      .select(col("video_a"), col("video_b"))
+    val textPairs = s.read.parquet(GraphCC.pairTablePath(s, dir))
+      .filter(col("doc_b") < b) // doc_a < doc_b, so both endpoints base
+    val textCc = GraphCC.connectedComponents(textPairs, "doc_a", "doc_b")
+    def ccLabels(pairs: DataFrame): DataFrame =
+      GraphCC.connectedComponents(pairs, "canon_a", "canon_b")
+        .select(col("node").as("canon"), col("component").as("cluster_id"))
+    MmInputs(
+      att = attachments(s, dir).filter(col("doc_id") < b),
+      docs = table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < b),
+      textCl = textCc.select(col("node").as("doc_id"),
+        col("component").as("cluster_id"),
+        when(col("node") === col("component"), 1).otherwise(0)
+          .as("is_canonical")),
+      quality = TextQueries.txtQuality(s, dir)
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+        .filter(col("doc_id") < b),
+      imgMember = imgHash.join(imgGroups.select("phash", "canon"), "phash")
+        .select(col("img_id"), col("canon")),
+      imgPairs = imgPairs,
+      imgCl = ccLabels(imgPairs),
+      audMember = audHash.join(audGroups.select("phash", "canon"), "phash")
+        .select(col("audio_id"), col("canon")),
+      audPairs = audPairs,
+      audCl = ccLabels(audPairs),
+      vidPairs = vidPairs,
+      vidDup = vidPairs.select(col("video_b").as("vid")).distinct(),
+      vidStatic = s.read.parquet(
+          MultimodalQueries.videoClipFrameTablePath(s, dir))
+        .filter(col("video_id") < 2 * b)
+        .groupBy("video_id")
+        .agg(countDistinct(col("phash")).as("nd"))
+        .filter(col("nd") === 1)
+        .select(col("video_id").as("vid")))
+  }
+
+  /** Persisted BASE curation state — what a production deployment would
+    * hold between ingests: the published manifest, the encoded-node
+    * component labels, the per-modality cluster labels and group tables,
+    * and the video drop set. Built once per sf dir (the "bootstrap"
+    * run); every incremental invocation consumes it read-only. */
+  private[graft] def baseStateRoot(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_base_fix", dir) { r =>
+      val b = baseCut(s, dir)
+      val m = modalBase(s, dir, b)
+      val labels = GraphCC.connectedComponents(encodedEdges(m), "s", "t")
+        .localCheckpoint() // docGroups + the labels dump share one CC run
+      labels.write.parquet(s"$r/labels")
+      val docGroups = labels.filter(col("node") % 8 === 0)
+        .select(expr("node div 8").as("doc_id"),
+          col("component").as("group_id"))
+      manifestFrom(m, docGroups).write.parquet(s"$r/manifest")
+      m.textCl.select("doc_id", "cluster_id").write.parquet(s"$r/textcl")
+      m.imgCl.write.parquet(s"$r/imgcl")
+      m.audCl.write.parquet(s"$r/audcl")
+      s.read.parquet(MultimodalQueries.phashHashTablePath(s, dir))
+        .filter(col("img_id") < 2 * b).groupBy("phash")
+        .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon"))
+        .write.parquet(s"$r/imggrp")
+      s.read.parquet(MultimodalQueries.audioFpHashTablePath(s, dir))
+        .filter(col("audio_id") < 4 * b).groupBy("phash")
+        .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
+        .write.parquet(s"$r/audgrp")
+      m.vidDup.write.parquet(s"$r/viddup")
+    }
+
+  /** Banded delta pairs over a combined (phash, n_copies, canon) group
+    * frame: every near pair (Hamming ≤ `maxHamming`) with at least one
+    * NEW-group endpoint (`isNew` over `canon`). The corpus side carries
+    * the windowed skew cap ([[SkewCap.dropOverCap]], observable); the
+    * probe side is the new groups only, so cost is O(delta × colliding
+    * band buckets), never corpus². Emitted un-normalized (both
+    * orientations may appear for new-new pairs) — the CC consumer
+    * symmetrizes anyway. */
+  private def deltaHashPairs(groups: DataFrame, isNew: Column,
+                             maxHamming: Int, capMetric: String): DataFrame = {
+    val nBands = maxHamming + 1
+    val chunkBits = (56 + nBands - 1) / nBands
+    val mask = (1L << chunkBits) - 1
+    val banded = groups.select(col("phash"), col("canon"),
+      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> (phash >> (b * $chunkBits)) & $mask)"))
+        .as(Seq("band", "chunk")))
+    val corp = SkewCap.dropOverCap(banded,
+      Seq(col("band"), col("chunk")), 100000, capMetric)
+    val probe = banded.filter(isNew)
+    corp.alias("a")
+      .join(broadcast(probe.alias("b")),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.phash") =!= col("b.phash"))
+      .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"),
+        col("a.canon").as("canon_a"), col("b.canon").as("canon_b"))
+      .distinct()
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
+      .select(col("canon_a"), col("canon_b"))
+  }
+
+  /** The incremental ingest at `root`: bootstrap the table from the
+    * persisted base manifest, then MERGE the recomputed rows of every
+    * TOUCHED component (plus all new docs) — see [[curationMmIncremental]]
+    * for the semantics. Returns the table root (v2 = post-merge, with
+    * the v2 change feed recorded). */
+  private def incrementalRunAt(s: SparkSession, dir: String,
+                               root: String): String = {
+    val b = baseCut(s, dir)
+    val base = baseStateRoot(s, dir)
+    val baseManifest = s.read.parquet(s"$base/manifest")
+    val baseLabels = s.read.parquet(s"$base/labels")
+
+    val att = attachments(s, dir)
+    val newAtt = att.filter(col("doc_id") >= b)
+
+    // --- text: probe the corpus with the new batch's prefixes only ---
+    val deltaTextPairs = TextQueries
+      .incrementalPairsAgainstAll(s, dir, col("doc_id") >= b)
+      .localCheckpoint() // feeds the text CC AND the encoded edges
+    val textLabels = GraphCC.connectedComponents(
+      s.read.parquet(s"$base/textcl")
+        .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+        .unionByName(deltaTextPairs.select(col("doc_a").as("a"),
+          col("doc_b").as("b"))),
+      "a", "b")
+    val textCl = textLabels.select(col("node").as("doc_id"),
+      col("component").as("cluster_id"),
+      when(col("node") === col("component"), 1).otherwise(0)
+        .as("is_canonical"))
+
+    // --- image/audio: group-table MERGE (base groups ∪ new hashes),
+    // then banded delta probe, then label CC over base labels + delta ---
+    def combined(baseGrp: DataFrame, newHash: DataFrame, idCol: String)
+        : DataFrame =
+      baseGrp.select(col("phash"), col("n_copies"), col("canon"))
+        .unionByName(newHash.select(col("phash"), lit(1L).as("n_copies"),
+          col(idCol).as("canon")))
+        .groupBy("phash")
+        .agg(sum(col("n_copies")).as("n_copies"), min(col("canon")).as("canon"))
+    val newImgHash = s.read.parquet(
+        MultimodalQueries.phashHashTablePath(s, dir))
+      .filter(col("img_id") >= 2 * b)
+    val imgGroups = combined(s.read.parquet(s"$base/imggrp"), newImgHash,
+      "img_id")
+    val deltaImgPairs = deltaHashPairs(imgGroups, col("canon") >= 2 * b,
+      3, "img_inc_cap").localCheckpoint()
+    val newAudHash = s.read.parquet(
+        MultimodalQueries.audioFpHashTablePath(s, dir))
+      .filter(col("audio_id") >= 4 * b)
+    val audGroups = combined(s.read.parquet(s"$base/audgrp"), newAudHash,
+      "audio_id")
+    val deltaAudPairs = deltaHashPairs(audGroups, col("canon") >= 4 * b,
+      3, "aud_inc_cap").localCheckpoint()
+    def ccOver(baseCl: DataFrame, delta: DataFrame): DataFrame =
+      GraphCC.connectedComponents(
+        baseCl.select(col("canon").as("canon_a"),
+            col("cluster_id").as("canon_b"))
+          .unionByName(delta), "canon_a", "canon_b")
+        .select(col("node").as("canon"), col("component").as("cluster_id"))
+    val imgCl = ccOver(s.read.parquet(s"$base/imgcl"), deltaImgPairs)
+    val audCl = ccOver(s.read.parquet(s"$base/audcl"), deltaAudPairs)
+
+    // --- video: the persisted clip-pair table IS the probe index — the
+    // new-incident slice is a pure id filter (pairs are normalized
+    // video_a < video_b and new ids are larger, so a new endpoint is
+    // always video_b). In production the same slice falls out of probing
+    // the persisted shingle table with the new clips' shingles. ---
+    val deltaVidPairs = s.read.parquet(
+        MultimodalQueries.videoClipPairTablePath(s, dir))
+      .filter(col("video_b") >= 2 * b)
+      .select(col("video_a"), col("video_b"))
+    val vidDup = s.read.parquet(s"$base/viddup")
+      .unionByName(deltaVidPairs.select(col("video_b").as("vid")))
+      .distinct()
+    val vidStatic = s.read.parquet(
+        MultimodalQueries.videoClipFrameTablePath(s, dir))
+      .groupBy("video_id").agg(countDistinct(col("phash")).as("nd"))
+      .filter(col("nd") === 1).select(col("video_id").as("vid"))
+
+    // --- combined memberships for NEW attachments (may resolve to BASE
+    // canons: a re-uploaded base artifact joins its existing group) ---
+    def memberOf(hashTable: DataFrame, groups: DataFrame,
+                 idCol: String): DataFrame =
+      hashTable.join(groups.select("phash", "canon"), "phash")
+        .select(col(idCol), col("canon"))
+    val imgHashAll = s.read.parquet(
+      MultimodalQueries.phashHashTablePath(s, dir))
+    val audHashAll = s.read.parquet(
+      MultimodalQueries.audioFpHashTablePath(s, dir))
+    val imgMember = memberOf(imgHashAll, imgGroups, "img_id")
+    val audMember = memberOf(audHashAll, audGroups, "audio_id")
+
+    // --- the incremental cross-modality closure: base labels re-enter
+    // as star edges (node → base component), so the CC re-converges in
+    // O(log delta-diameter) rounds over delta-sized new structure ---
+    val doc8 = (col("doc_id") * 8).as("s")
+    val deltaEdges = deltaTextPairs
+      .select((col("doc_a") * 8).as("s"), (col("doc_b") * 8).as("t"))
+      .unionByName(newAtt.join(imgMember, newAtt("img") === imgMember("img_id"))
+        .select(doc8, (col("canon") * 8 + 2).as("t")))
+      .unionByName(deltaImgPairs.select((col("canon_a") * 8 + 2).as("s"),
+        (col("canon_b") * 8 + 2).as("t")))
+      .unionByName(newAtt.join(audMember, newAtt("aud") === audMember("audio_id"))
+        .select(doc8, (col("canon") * 8 + 3).as("t")))
+      .unionByName(deltaAudPairs.select((col("canon_a") * 8 + 3).as("s"),
+        (col("canon_b") * 8 + 3).as("t")))
+      .unionByName(newAtt.select(doc8, (col("vid") * 8 + 4).as("t")))
+      .unionByName(deltaVidPairs.select((col("video_a") * 8 + 4).as("s"),
+        (col("video_b") * 8 + 4).as("t")))
+      .localCheckpoint() // feeds the CC AND the touched-node set
+    val labels = GraphCC.connectedComponents(
+      baseLabels.select(col("node").as("s"), col("component").as("t"))
+        .unionByName(deltaEdges), "s", "t")
+      .localCheckpoint() // read twice: docGroups + touched components
+    val docGroups = labels.filter(col("node") % 8 === 0)
+      .select(expr("node div 8").as("doc_id"), col("component").as("group_id"))
+
+    // --- touched components: everything a delta edge reaches. Docs in
+    // UNtouched components keep their base manifest row verbatim (their
+    // component's node set, edges, minimum, and every drop flag are
+    // provably unchanged), so only touched rows are recomputed and only
+    // CHANGED rows enter the merge feed. ---
+    val touched = deltaEdges.select(col("s").as("node"))
+      .unionByName(deltaEdges.select(col("t").as("node"))).distinct()
+      .join(labels, "node")
+      .select(col("component")).distinct()
+    val touchedDocs = docGroups
+      .join(touched, docGroups("group_id") === touched("component"))
+      .select(col("doc_id"), col("group_id"))
+
+    val mInc = MmInputs(
+      att = att.join(touchedDocs.select("doc_id"), "doc_id"),
+      docs = touchedDocs.select("doc_id"),
+      textCl = textCl,
+      quality = TextQueries.txtQuality(s, dir)
+        .select(col("doc_id"), col("quality_score"), col("n_tokens")),
+      imgMember = imgMember, imgPairs = deltaImgPairs, imgCl = imgCl,
+      audMember = audMember, audPairs = deltaAudPairs, audCl = audCl,
+      vidPairs = deltaVidPairs, vidDup = vidDup, vidStatic = vidStatic)
+    val recomputed = manifestFrom(mInc, touchedDocs)
+
+    // --- publish through the table layer: bootstrap v1 = the base
+    // manifest, v2 = the incremental MERGE (update only when the row
+    // actually changed; insert the new batch) with its change feed ---
+    ManagedTable.createEmpty(s, root, baseManifest)
+    ManagedTable.merge(s, root, baseManifest, Seq("doc_id"))
+    val changedCols = Seq("kept", "drop_reasons", "split", "group_id",
+      "group_docs", "quality_score", "n_tokens")
+    ManagedTable.merge(s, root, recomputed, Seq("doc_id"),
+      MergeClauses.Spec(updateWhen = Some(changedCols
+        .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _))),
+      changeFeed = true)
+    root
+  }
+
+  /** q_curation_mm_incremental: the PRODUCTION curation loop — the last
+    * fifth of the corpus arrives as a new batch and is merged into the
+    * persisted base state: text near-dups probed new-vs-corpus off the
+    * shingle prefixes, image/audio group tables merge-updated and probed
+    * via the banded delta join, video reuse sliced off the persisted
+    * pair index, all closures re-converged INCREMENTALLY (base labels as
+    * star edges + delta edges — never a full-corpus pair join), and the
+    * manifest published by MERGE: update-when-changed for touched base
+    * docs, insert for the batch. The oracle is the FULL-RECOMPUTE
+    * manifest over the combined corpus — hash equality proves the
+    * incremental path converges to exactly the one-shot capstone, and
+    * untouched groups keep their base rows verbatim (split stability;
+    * CurationMmIncSpec pins the no-migration property). */
+  def curationMmIncremental(s: SparkSession, dir: String): DataFrame =
+    ManagedTable.read(s,
+      incrementalRunAt(s, dir, ScratchDirs.fresh("mmcur_inc_live")))
+
+  /** The incremental run's published table, memoized per sf dir — the
+    * read-only fixture the CDF gate (and the spec) consume;
+    * q_curation_mm_incremental stays the live leg that re-runs the whole
+    * ingest per invocation. */
+  private[graft] def incRunShared(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_inc_run", dir)(incrementalRunAt(s, dir, _))
+
+  /** q_curation_mm_cdf: the per-round keep/drop DELTA — the change feed
+    * the incremental MERGE recorded at v2, i.e. exactly the rows a
+    * downstream training-data consumer must act on (new docs admitted,
+    * base docs whose keep/split/group changed), without diffing two
+    * manifest snapshots. Oracle: combined-manifest rows minus the
+    * base-manifest state (insert = not in base, update = differing
+    * row). */
+  def curationCdf(s: SparkSession, dir: String): DataFrame =
+    ManagedTable.changes(s, incRunShared(s, dir), 2)
+      .withColumnRenamed(Merge.ActionCol, "action")
 
   /** PERSISTED manifest: the capstone's output written once per sf dir —
     * the manifest IS the published curation artifact (that is the point
@@ -191,7 +554,7 @@ object CurationMm {
     * FileScan. q_curation_mm_e2e stays the LIVE leg driving the full
     * composition per invocation. */
   private[graft] def manifestTablePath(s: SparkSession, dir: String): String =
-    graft.sources.ScratchDirs.persistedParquet("mm_manifest_fix", dir)(
+    ScratchDirs.persistedParquet("mm_manifest_fix", dir)(
       curationMmE2e(s, dir))
 
   /** q_curation_pack_e2e: the LOADER-READY end of the pipeline — the
@@ -223,6 +586,8 @@ object CurationMm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_mm_e2e" -> (curationMmE2e _),
+    "q_curation_mm_incremental" -> (curationMmIncremental _),
+    "q_curation_mm_cdf" -> (curationCdf _),
     "q_curation_pack_e2e" ->
       ((s: SparkSession, d: String) => curationPackE2e(s, d)))
 
@@ -231,15 +596,22 @@ object CurationMm {
     * (no CTE-name collisions), per-modality transitive closures as
     * recursive CTEs, then the cross-modality closure over the same
     * encoded-node graph the Spark leg builds. An edit to any modality's
-    * bar is an edit to this oracle too. */
-  /** The capstone manifest's oracle SQL — also nested by the pack
-    * oracle (the loader must see exactly the published manifest). */
-  private val manifestOracle: String = {
+    * bar is an edit to this oracle too.
+    *
+    * `docsFilter` restricts the document universe: the manifest is a
+    * pure function of the documents relation (every fixture CTE derives
+    * from it), so the BASE-corpus replay — needed by the CDF delta
+    * oracle — is the same text with every `FROM documents` retargeted at
+    * a filtered `docs_u` CTE (a bare-name substitution, so aliases like
+    * `FROM documents d` survive; the CTE definition is prepended AFTER
+    * the substitution so its own `FROM documents` stays literal). */
+  private def manifestOracleOver(docsFilter: Option[String]): String = {
       val tq = TextQueries.oracles("q_txt_quality")
       val tcc = GraphCC.oracles("q_dedup_cc")
       val im = MultimodalQueries.phashPairCtes
       val au = MultimodalQueries.audioFpCtes
       val vc = MultimodalQueries.videoClipCtes
+      val full =
       s"""WITH RECURSIVE
          |att AS MATERIALIZED (SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 1 THEN (doc_id - 1) * 2 + 1
@@ -302,8 +674,9 @@ object CurationMm {
          |greach(node, r) AS (SELECT s, s FROM ge
          |  UNION SELECT e.s, r.r FROM ge e JOIN greach r ON e.t = r.node),
          |gcc AS MATERIALIZED (SELECT node, MIN(r) AS comp FROM greach GROUP BY node),
-         |gd AS MATERIALIZED (SELECT node // 8 AS doc_id, comp AS group_id FROM gcc
-         |  WHERE node % 8 = 0),
+         |gd AS MATERIALIZED (SELECT node // 8 AS doc_id, comp AS group_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS group_docs
+         |  FROM gcc WHERE node % 8 = 0),
          |rs AS MATERIALIZED (SELECT d.doc_id,
          |    concat_ws(',',
          |      CASE WHEN td.doc_id IS NOT NULL THEN 'text_dup' END,
@@ -327,7 +700,7 @@ object CurationMm {
          |  CASE WHEN b.bucket < 90 THEN 'train'
          |       WHEN b.bucket < 95 THEN 'validation'
          |       ELSE 'test' END AS split,
-         |  gd.group_id, rs.quality_score, rs.n_tokens
+         |  gd.group_id, gd.group_docs, rs.quality_score, rs.n_tokens
          |FROM rs
          |JOIN gd ON gd.doc_id = rs.doc_id
          |JOIN (SELECT doc_id,
@@ -335,10 +708,53 @@ object CurationMm {
          |      AS bucket
          |  FROM gd) b
          |  ON b.doc_id = rs.doc_id""".stripMargin
+      docsFilter match {
+        case None => full
+        case Some(f) =>
+          // Define docs_u once, in the OUTERMOST CTE list only (nested
+          // recursive scopes — the text-cluster oracle — see it through
+          // standard CTE scoping; a second definition would collide).
+          val b = full.replace("FROM documents", "FROM docs_u")
+          val marker = "WITH RECURSIVE\n"
+          val at = b.indexOf(marker) + marker.length
+          b.substring(0, at) +
+            s"docs_u AS MATERIALIZED (SELECT * FROM documents WHERE $f),\n" +
+            b.substring(at)
+      }
   }
+
+  /** The capstone manifest's oracle SQL — also nested by the pack
+    * oracle (the loader must see exactly the published manifest), the
+    * incremental oracle (incremental must equal full recompute), and
+    * the CDF oracle (the delta is combined minus base). */
+  private val manifestOracle: String = manifestOracleOver(None)
+  private val baseManifestOracle: String =
+    manifestOracleOver(Some(s"doc_id < $baseCutSql"))
 
   val oracles: Map[String, String] = Map(
     "q_curation_mm_e2e" -> manifestOracle,
+    // Incremental ingest converges to the one-shot capstone on the
+    // combined corpus — the oracle IS the full-recompute closed form.
+    "q_curation_mm_incremental" -> manifestOracle,
+    // The v2 change feed: combined-manifest rows not present (insert) or
+    // different (update) in the base-manifest state. Post-images, like
+    // the feed; no delete clause fires, so no delete rows.
+    "q_curation_mm_cdf" ->
+      s"""WITH cm AS MATERIALIZED ($manifestOracle),
+         |bm AS MATERIALIZED ($baseManifestOracle)
+         |SELECT cm.doc_id, cm.kept, cm.drop_reasons, cm.split,
+         |  cm.group_id, cm.group_docs, cm.quality_score, cm.n_tokens,
+         |  CASE WHEN bm.doc_id IS NULL THEN 'insert' ELSE 'update' END
+         |    AS action
+         |FROM cm LEFT JOIN bm ON bm.doc_id = cm.doc_id
+         |WHERE bm.doc_id IS NULL
+         |   OR NOT (cm.kept IS NOT DISTINCT FROM bm.kept
+         |       AND cm.drop_reasons IS NOT DISTINCT FROM bm.drop_reasons
+         |       AND cm.split IS NOT DISTINCT FROM bm.split
+         |       AND cm.group_id IS NOT DISTINCT FROM bm.group_id
+         |       AND cm.group_docs IS NOT DISTINCT FROM bm.group_docs
+         |       AND cm.quality_score IS NOT DISTINCT FROM bm.quality_score
+         |       AND cm.n_tokens IS NOT DISTINCT FROM bm.n_tokens)""".stripMargin,
     // Loader-ready packing over the published manifest: kept train-split
     // docs, doc_id-ordered exclusive token prefix sum, 2048-token bins —
     // the q_pack_sequences closed form on the manifest oracle's output.

@@ -1262,6 +1262,23 @@ object MultimodalQueries {
         .groupBy("phash")
         .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon")))
 
+  /** Persisted audio banded near-pair table (canon_a, canon_b) — the
+    * [[phashPairTablePath]] contract on the audio fingerprint axis;
+    * q_mm_audio_neardup stays the live certifying leg. */
+  private[graft] def audioFpPairTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_afprs_fix", dir)(
+      phashGroupPairs(audioFpGroups(s, dir), 3, capMetric = "audio_band_cap")
+        .select(col("canon_a"), col("canon_b")))
+
+  /** Persisted audio cluster-LABEL table (canon, cluster_id) — the
+    * [[phashClusterTablePath]] contract on the audio axis;
+    * q_mm_audio_clusters stays the live certifying leg. */
+  private[graft] def audioFpClusterTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_afcc_fix", dir)(
+      GraphCC.connectedComponents(
+          s.read.parquet(audioFpPairTablePath(s, dir)), "canon_a", "canon_b")
+        .select(col("node").as("canon"), col("component").as("cluster_id")))
+
   def mmAudioNeardup(s: SparkSession, dir: String,
                      maxHamming: Int = 3): DataFrame =
     phashGroupPairs(audioFpGroups(s, dir), maxHamming,
@@ -1661,6 +1678,29 @@ object MultimodalQueries {
       s.read.parquet(phashHashTablePath(s, dir))
         .groupBy("phash")
         .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon")))
+
+  /** Persisted banded near-pair table of the image hash groups
+    * (canon_a, canon_b) — the pair CLOSURE INPUT is itself a
+    * multi-consumer curation artifact (the capstone's image edges, the
+    * image cluster-label table below), so it is written once per sf dir
+    * like the hash/group tables it derives from. q_mm_phash_neardup
+    * stays the LIVE leg certifying the pair computation. */
+  private[graft] def phashPairTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_phprs_fix", dir)(
+      phashGroupPairs(phashGroups(s, dir), 3)
+        .select(col("canon_a"), col("canon_b")))
+
+  /** Persisted image cluster-LABEL table (canon, cluster_id) — the
+    * txt_cc_fix discipline (GraphCC.clusterTablePath) applied to the
+    * image axis: the pairs→clusters closure runs once per sf dir, off
+    * the persisted pair table, and every consumer (the multimodal
+    * curation capstone) pays a FileScan instead of a CC iteration.
+    * q_mm_phash_clusters stays the LIVE leg certifying the closure. */
+  private[graft] def phashClusterTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("mm_phcc_fix", dir)(
+      GraphCC.connectedComponents(
+          s.read.parquet(phashPairTablePath(s, dir)), "canon_a", "canon_b")
+        .select(col("node").as("canon"), col("component").as("cluster_id")))
 
   /** Banded candidate generation + exact-Hamming verify over a
     * (phash, canon, n_copies) group frame — stages 2-3 of the near-dup

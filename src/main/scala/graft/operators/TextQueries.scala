@@ -451,6 +451,51 @@ object TextQueries {
       .select(col("doc_new"), col("doc_existing"), col("jaccard"))
   }
 
+  /** Every exact-Jaccard pair with at least one endpoint in the `isNew`
+    * slice of the corpus — [[dedupIncremental]]'s machinery generalized
+    * to drive an INCREMENTAL ingest (the multimodal curation merge): the
+    * corpus side is ALL documents with `corp.doc_id < new.doc_id`, so
+    * new-vs-existing AND new-vs-new pairs come out of ONE
+    * delta-broadcast join. Because the hash-ordered prefix filter is
+    * lossless and verification is exact, the output is EXACTLY the full
+    * PPJoin pair set ([[dedupJaccardShingle]]) restricted to pairs whose
+    * larger endpoint satisfies `isNew` — which, when new ids are assigned
+    * above all existing ids, is every pair touching the new batch. Cost
+    * is O(delta × colliding corpus prefixes), never corpus². `isNew` is
+    * a predicate over `doc_id`. */
+  private[operators] def incrementalPairsAgainstAll(
+      s: SparkSession, dir: String, isNew: org.apache.spark.sql.Column,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = withTokens(table(s, dir, "documents"))
+      .withColumn("shingles", array_sort(Sketches.hashedShingles(col("toks"))))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .repartition(col("doc_id"))
+    def prefixed(df: DataFrame, idName: String) =
+      df.withColumn("sh", explode(slice(col("shingles"), lit(1),
+          (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))))
+        .select(col("doc_id").as(idName), col("sh"),
+          col("n_sh").as(s"n_$idName"))
+    val delta = prefixed(sh.filter(isNew), "doc_b")
+    val corp = prefixed(sh, "doc_a")
+    val cand = corp.join(broadcast(delta),
+        corp("sh") === delta("sh") &&
+          col("doc_a") < col("doc_b") &&
+          col("n_doc_b") >= col("n_doc_a") * threshold &&
+          col("n_doc_a") >= col("n_doc_b") * threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("nb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** q_dedup_substring: EXACT substring-level deduplication — the pass
     * doc-level dedup misses: text REUSED across otherwise-distinct
     * documents (licence boilerplate, quoted passages, templated spans),

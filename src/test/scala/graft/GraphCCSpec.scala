@@ -45,6 +45,13 @@ class GraphCCSpec extends AnyFunSuite {
     val edges = (0L until 9999L).map(i => (i, i + 1))
     val got = cc(edges)
     assert(got.values.toSet == Set(0L) && got.size == 10000)
+    // The reported round count is the pointer-jumping bound, not the
+    // diameter: each round at least halves pointer depth, so a 10⁴-chain
+    // must close in ~log2(10⁴) ≈ 14 rounds (and certainly > 5 — a chain
+    // is the worst case, not a one-round star).
+    val rounds = GraphCC.lastRunRounds
+    assert(rounds >= 5 && rounds <= 16,
+      s"10^4-chain reported $rounds rounds — outside the O(log n) band")
   }
 
   test("maxIter too small for the diameter fails loudly, not half-merged") {

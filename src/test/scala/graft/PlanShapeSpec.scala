@@ -201,6 +201,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_curation_pack_e2e no longer routes through the persisted manifest")
   }
 
+  test("the multimodal capstone runs ONE live closure: per-modality " +
+      "cluster labels arrive as persisted FileScans") {
+    val plan = SparkEntry.queries("q_curation_mm_e2e")(spark, dir)
+      .queryExecution.executedPlan
+    val planStr = plan.toString
+    // (the persisted PAIR tables feed the cross-modality CC's internal
+    // jobs, behind its checkpoint — only the label tables are visible in
+    // the final manifest plan)
+    for (fix <- Seq("memo_mm_phcc_fix", "memo_mm_afcc_fix",
+        "memo_txt_cc_fix"))
+      assert(planStr.contains(fix),
+        s"capstone no longer reads the persisted $fix table")
+    // exactly one checkpoint scan — the CROSS-modality closure, the only
+    // CC the capstone still pays live; a second one means an image/audio
+    // cluster closure got re-inlined (string form: AQE wraps the tree,
+    // so node collect() does not traverse it)
+    val rddScans = "Scan ExistingRDD".r.findAllIn(planStr).size
+    assert(rddScans == 1,
+      s"capstone expected 1 checkpoint scan (the cross-modality CC), " +
+        s"got $rddScans")
+    // a Generate = the banding explode re-inlined (the pair tables exist
+    // so consumers never pay the banded self-join again)
+    assert(!planStr.contains("Generate "),
+      "capstone re-runs a banding explode")
+  }
+
   test("video curation reads BOTH persisted artifacts (frame + clip-pair " +
       "tables) and never re-runs the shingle pipeline") {
     val plan = SparkEntry.queries("q_mm_video_curation")(spark, dir)
