@@ -584,10 +584,69 @@ object CurationMm {
         (col("cum_before") % budget).as("bin_offset"))
   }
 
+  /** q_mm_bench_contamination: the CROSS-MODAL contamination screen —
+    * the leakage the text n-gram screen (q_txt_contamination) cannot
+    * see: a benchmark IMAGE or AUDIO clip re-used inside the training
+    * corpus. Artifacts with id ≡ 3 (mod 7) stand in for a published
+    * benchmark's media (the doc_id % 20 == 7 precedent on the
+    * attachment axis); every KEPT TRAIN-split document (per the
+    * persisted manifest — the split the model actually trains on) whose
+    * attachment is perceptually within Hamming ≤ 3 of a benchmark
+    * artifact is reported per modality with its benchmark-hit count and
+    * closest distance. Exact re-use is hamming 0; the banded join also
+    * catches re-encodes.
+    *
+    * Scale shape: manifest + hash tables are persisted FileScans; the
+    * benchmark side is small by definition and BROADCASTS banded, so
+    * the screen is one scan of the train-side hashes — the daily-eval
+    * hygiene cost a 100 TB corpus can afford. */
+  def mmBenchContamination(s: SparkSession, dir: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val train = s.read.parquet(manifestTablePath(s, dir))
+      .filter(col("kept") === "true" && col("split") === "train")
+      .select(col("doc_id"))
+    val att = attachments(s, dir).join(train, "doc_id")
+    val nBands = maxHamming + 1
+    val chunkBits = (56 + nBands - 1) / nBands
+    val mask = (1L << chunkBits) - 1
+    def banded(df: DataFrame) = df.select(df.columns.map(col) :+
+      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"b -> (phash >> (b * $chunkBits)) & $mask)"))
+        .as(Seq("band", "chunk")): _*)
+    def leg(hashPath: String, idCol: String, attCol: String,
+            modality: String): DataFrame = {
+      val hash = s.read.parquet(hashPath)
+      val docH = att.select(col("doc_id"), col(attCol).as("aid"))
+        .join(hash.withColumnRenamed(idCol, "aid"), "aid")
+        .select(col("doc_id"), col("phash"))
+      val bench = hash.filter(col(idCol) % 7 === 3)
+        .select(col(idCol).as("bench_id"), col("phash"))
+      banded(docH).alias("a")
+        .join(broadcast(banded(bench).alias("b")),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
+        .withColumn("hamming",
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+            .cast(org.apache.spark.sql.types.IntegerType))
+        .filter(col("hamming") <= maxHamming)
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          min(col("hamming")).as("min_hamming"))
+        .withColumn("modality", lit(modality))
+    }
+    leg(MultimodalQueries.phashHashTablePath(s, dir), "img_id", "img", "image")
+      .unionByName(
+        leg(MultimodalQueries.audioFpHashTablePath(s, dir), "audio_id", "aud",
+          "audio"))
+      .select(col("doc_id"), col("modality"), col("n_bench_hits"),
+        col("min_hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_mm_e2e" -> (curationMmE2e _),
     "q_curation_mm_incremental" -> (curationMmIncremental _),
     "q_curation_mm_cdf" -> (curationCdf _),
+    "q_mm_bench_contamination" ->
+      ((s: SparkSession, d: String) => mmBenchContamination(s, d)),
     "q_curation_pack_e2e" ->
       ((s: SparkSession, d: String) => curationPackE2e(s, d)))
 
@@ -755,6 +814,47 @@ object CurationMm {
          |       AND cm.group_docs IS NOT DISTINCT FROM bm.group_docs
          |       AND cm.quality_score IS NOT DISTINCT FROM bm.quality_score
          |       AND cm.n_tokens IS NOT DISTINCT FROM bm.n_tokens)""".stripMargin,
+    // Train-side attachment hashes (manifest split × closed-form hash
+    // CTEs) banded against the ≡3 (mod 7) benchmark artifacts, exact
+    // Hamming verify, per-(doc, modality) hit count + closest distance.
+    "q_mm_bench_contamination" ->
+      s"""WITH mf AS MATERIALIZED ($manifestOracle),
+         |tr AS MATERIALIZED (SELECT doc_id FROM mf
+         |  WHERE kept = 'true' AND split = 'train'),
+         |ax AS MATERIALIZED (SELECT tr.doc_id,
+         |    CASE WHEN tr.doc_id % 3 = 1 THEN (tr.doc_id - 1) * 2 + 1
+         |         ELSE tr.doc_id * 2 END AS img,
+         |    CASE WHEN tr.doc_id % 5 = 1 THEN (tr.doc_id - 1) * 4 + 3
+         |         ELSE tr.doc_id * 4 END AS aud
+         |  FROM tr),
+         |iph AS MATERIALIZED (SELECT img_id, phash FROM (WITH
+         |  ${MultimodalQueries.phashPairCtes}
+         |  SELECT img_id, phash FROM ph) ipx),
+         |afp AS MATERIALIZED (SELECT audio_id, fh AS phash FROM (WITH
+         |  ${MultimodalQueries.audioFpCtes}
+         |  SELECT audio_id, fh FROM fp) afx),
+         |legs AS (
+         |  SELECT ax.doc_id, 'image' AS modality, ib.img_id AS bench_id,
+         |      bit_count(xor(ia.phash, ib.phash)) AS hamming
+         |    FROM ax JOIN iph ia ON ax.img = ia.img_id
+         |    JOIN iph ib ON ib.img_id % 7 = 3
+         |      AND EXISTS (SELECT 1 FROM range(0, 4) b
+         |        WHERE (ia.phash >> CAST(b.range * 14 AS BIGINT)) & 16383
+         |            = (ib.phash >> CAST(b.range * 14 AS BIGINT)) & 16383)
+         |    WHERE bit_count(xor(ia.phash, ib.phash)) <= 3
+         |  UNION ALL
+         |  SELECT ax.doc_id, 'audio', ab.audio_id,
+         |      bit_count(xor(aa.phash, ab.phash))
+         |    FROM ax JOIN afp aa ON ax.aud = aa.audio_id
+         |    JOIN afp ab ON ab.audio_id % 7 = 3
+         |      AND EXISTS (SELECT 1 FROM range(0, 4) b
+         |        WHERE (aa.phash >> CAST(b.range * 14 AS BIGINT)) & 16383
+         |            = (ab.phash >> CAST(b.range * 14 AS BIGINT)) & 16383)
+         |    WHERE bit_count(xor(aa.phash, ab.phash)) <= 3)
+         |SELECT doc_id, modality,
+         |  CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_hits,
+         |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
+         |FROM legs GROUP BY doc_id, modality""".stripMargin,
     // Loader-ready packing over the published manifest: kept train-split
     // docs, doc_id-ordered exclusive token prefix sum, 2048-token bins —
     // the q_pack_sequences closed form on the manifest oracle's output.

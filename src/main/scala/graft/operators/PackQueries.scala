@@ -135,12 +135,112 @@ object PackQueries {
           .as("chunk_text"))
   }
 
+  /** q_pack_bestfit: the NO-DOCUMENT-SPLITTING packing layout —
+    * first-fit-decreasing (FFD) bin packing of whole documents into
+    * `budget`-token bins, the alternative to concatenate-and-chunk
+    * ([[packSequences]]) when attention must never span a document
+    * boundary. Emits one row per document with its bin and the bin's
+    * fill/waste stats — the waste metric IS the decision input between
+    * the two layouts (chunking wastes zero tokens but fragments
+    * documents; FFD keeps documents whole and pays padding).
+    *
+    * Determinism and scale: global FFD is inherently sequential (every
+    * placement depends on all previous bins), so the distributed form
+    * partitions the (n_tokens DESC, doc_id)-ordered stream into
+    * contiguous rank GROUPS of `groupSize` docs and runs exact FFD
+    * independently inside each group — each group packs a contiguous
+    * size band of the decreasing order, so the packing quality stays in
+    * FFD's regime while groups scale out embarrassingly (at 10⁹ docs,
+    * ~2M independent groups). The global rank comes from the same
+    * distributed two-pass prefix scan as [[packSequences]] (counting
+    * ones), never a single-partition window; the per-group FFD is
+    * bounded imperative state (≤ groupSize open bins) over a sorted
+    * partition — the mapPartitions F1 contract. Bin ids are globally
+    * unique by construction (`grp·groupSize + local`, local < group
+    * size). A document longer than `budget` opens its own over-full bin
+    * (negative waste) rather than being split — the layout's contract.
+    * The oracle replays the exact same greedy: rank, group, then a
+    * recursive CTE stepping doc-by-doc with the open-bin list as state
+    * and a first-fit index per step. */
+  def packBestfit(s: SparkSession, dir: String, budget: Long = 2048L,
+                  groupSize: Int = 512): DataFrame = {
+    require(budget > 0 && groupSize > 0)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("one", lit(1L))
+    val ranked = withExclusivePrefixSum(s, docs,
+        Seq(col("n_tokens").desc, col("doc_id").asc), "one")
+      .withColumn("grp", expr(s"cum_before div $groupSize"))
+      .select(col("doc_id"), col("n_tokens"), col("grp"))
+    val sorted = ranked.repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("n_tokens").desc, col("doc_id").asc)
+    val schema = sorted.schema.add("bin_id", LongType, nullable = false)
+    val assigned = sorted.rdd.mapPartitions { it =>
+      // exact FFD per rank group; a partition holds whole groups (the
+      // repartition hashes grp), so state resets at each group boundary
+      var curGrp = Long.MinValue
+      val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { r =>
+        val grp = r.getLong(2); val tok = r.getLong(1)
+        if (grp != curGrp) { curGrp = grp; remaining.clear() }
+        var j = 0
+        while (j < remaining.length && remaining(j) < tok) j += 1
+        if (j == remaining.length) remaining += (budget - tok)
+        else remaining(j) -= tok
+        Row.fromSeq(r.toSeq :+ (grp * groupSize + j))
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bin_id"))
+    s.createDataFrame(assigned, schema)
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+      .withColumn("bin_docs", count(lit(1)).over(w))
+      .withColumn("bin_fill", sum(col("n_tokens")).over(w))
+      .withColumn("bin_waste", lit(budget) - col("bin_fill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q_chunk_windows" -> ((s: SparkSession, d: String) => chunkWindows(s, d)),
-    "q_pack_stats" -> ((s: SparkSession, d: String) => packStats(s, d)))
+    "q_pack_stats" -> ((s: SparkSession, d: String) => packStats(s, d)),
+    "q_pack_bestfit" -> ((s: SparkSession, d: String) => packBestfit(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // FFD replay: rank/group, then step doc-by-doc per group carrying
+    // the open-bin remaining-capacity list; the LATERAL computes the
+    // 1-based first-fit index (NULL = open a new bin).
+    "q_pack_bestfit" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+        |  FROM d),
+        |g AS (SELECT doc_id, n_tokens, r // 512 AS grp, r % 512 AS i
+        |  FROM ranked),
+        |st(grp, i, doc_id, n_tokens, bin, bins) AS (
+        |  SELECT grp, i, doc_id, n_tokens, 0,
+        |      [CAST(2048 - n_tokens AS BIGINT)]
+        |    FROM g WHERE i = 0
+        |  UNION ALL
+        |  SELECT nd.grp, nd.i, nd.doc_id, nd.n_tokens,
+        |    CASE WHEN fit IS NULL THEN len(s.bins) ELSE fit - 1 END,
+        |    CASE WHEN fit IS NULL
+        |         THEN list_append(s.bins, 2048 - nd.n_tokens)
+        |         ELSE list_transform(s.bins, (x, k) ->
+        |           CASE WHEN k = fit THEN x - nd.n_tokens ELSE x END) END
+        |  FROM st s JOIN g nd ON nd.grp = s.grp AND nd.i = s.i + 1,
+        |  LATERAL (SELECT list_filter(
+        |      list_transform(s.bins,
+        |        (x, k) -> CASE WHEN x >= nd.n_tokens THEN k END),
+        |      y -> y IS NOT NULL)[1] AS fit) f),
+        |asg AS (SELECT doc_id, n_tokens, grp * 512 + bin AS bin_id FROM st)
+        |SELECT doc_id, n_tokens, bin_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS bin_docs,
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS bin_fill,
+        |  CAST(2048 - SUM(n_tokens) OVER w AS BIGINT) AS bin_waste
+        |FROM asg WINDOW w AS (PARTITION BY bin_id)""".stripMargin,
     "q_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |st AS (SELECT doc_id, toks, len(toks) AS n,
