@@ -34,7 +34,7 @@ import graft.sources.{ManagedTable, MergeClauses, ScratchDirs}
   * fingerprint / frame / PAIR / CLUSTER-LABEL tables, decode and
   * per-modality closure each paid once per sf dir — so the capstone's
   * live work is the one CROSS-MODALITY group closure (checkpointed
-  * pointer-jumping CC, O(log n) rounds, nothing collected) plus bounded
+  * star-alternation CC, O(log² n) rounds, nothing collected) plus bounded
   * joins against drop sets that are tiny next to the corpus. The
   * cross-modality graph encodes heterogeneous nodes in disjoint strides
   * (doc d → 8d, text cluster c → 8c+1, image group canon g → 8g+2,
@@ -325,7 +325,42 @@ object CurationMm {
         .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
         .write.parquet(s"$r/audgrp")
       m.vidDup.write.parquet(s"$r/viddup")
+      m.vidStatic.write.parquet(s"$r/vidstatic")
     }
+
+  /** Incremental connected components by SUPERNODE CONTRACTION: the base
+    * run's labels are a complete connectivity summary, so each delta-edge
+    * endpoint is first REPLACED by its base component id (a left join;
+    * genuinely new nodes pass through), the star-alternation CC runs on
+    * the contracted graph — DELTA-sized: only components the new batch
+    * actually touches participate, so rounds AND per-round volume are
+    * independent of corpus size — and one left join expands the result
+    * back over all base nodes (untouched components keep their base
+    * label via the coalesce). Returns (node, component) for every base
+    * node plus every new node incident to a delta edge, exactly equal to
+    * a full CC over base∪delta edges: contraction preserves connectivity
+    * by construction, and minima agree because each contracted node id
+    * is itself the minimum of what it replaced. */
+  private def incrementalCc(baseLabels: DataFrame,
+                            delta: DataFrame): DataFrame = {
+    val bl = baseLabels.select(col("node"), col("component"))
+    val contracted = delta.toDF("a", "b")
+      .join(bl.select(col("node").as("a"), col("component").as("ca")),
+        Seq("a"), "left")
+      .join(bl.select(col("node").as("b"), col("component").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("s"),
+        coalesce(col("cb"), col("b")).as("t"))
+    val small = GraphCC.connectedComponents(contracted, "s", "t")
+    val baseFinal = bl
+      .join(small.select(col("node").as("component"),
+        col("component").as("_final")), Seq("component"), "left")
+      .select(col("node"), coalesce(col("_final"), col("component"))
+        .as("component"))
+    val newFinal = small
+      .join(bl.select(col("node")), Seq("node"), "left_anti")
+    baseFinal.unionByName(newFinal)
+  }
 
   /** Banded delta pairs over a combined (phash, n_copies, canon) group
     * frame: every near pair (Hamming ≤ `maxHamming`) with at least one
@@ -363,9 +398,27 @@ object CurationMm {
     * TOUCHED component (plus all new docs) — see [[curationMmIncremental]]
     * for the semantics. Returns the table root (v2 = post-merge, with
     * the v2 change feed recorded). */
+  /** Stage-timing probe (diagnostic only, env-gated): wraps the eager
+    * points of the incremental run so a bench investigation can see
+    * where per-invocation time goes without a profiler. */
+  private implicit class StagedFrame(df: DataFrame) {
+    def localCheckpointStaged(name: String): DataFrame =
+      staged(name)(df.localCheckpoint())
+  }
+
+  private def staged[T](name: String)(f: => T): T =
+    if (!sys.env.contains("SPARK_GRAFT_STAGE_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(
+        f"[stage] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          s"(cc_rounds=${GraphCC.lastRunRounds})")
+      r
+    }
+
   private def incrementalRunAt(s: SparkSession, dir: String,
                                root: String): String = {
-    val b = baseCut(s, dir)
+    val b = staged("basecut")(baseCut(s, dir))
     val base = baseStateRoot(s, dir)
     val baseManifest = s.read.parquet(s"$base/manifest")
     val baseLabels = s.read.parquet(s"$base/labels")
@@ -373,20 +426,13 @@ object CurationMm {
     val att = attachments(s, dir)
     val newAtt = att.filter(col("doc_id") >= b)
 
-    // --- text: probe the corpus with the new batch's prefixes only ---
-    val deltaTextPairs = TextQueries
-      .incrementalPairsAgainstAll(s, dir, col("doc_id") >= b)
-      .localCheckpoint() // feeds the text CC AND the encoded edges
-    val textLabels = GraphCC.connectedComponents(
-      s.read.parquet(s"$base/textcl")
-        .select(col("doc_id").as("a"), col("cluster_id").as("b"))
-        .unionByName(deltaTextPairs.select(col("doc_a").as("a"),
-          col("doc_b").as("b"))),
-      "a", "b")
-    val textCl = textLabels.select(col("node").as("doc_id"),
-      col("component").as("cluster_id"),
-      when(col("node") === col("component"), 1).otherwise(0)
-        .as("is_canonical"))
+    // --- text: probe the persisted shingle index with the new batch's
+    // prefixes only (materialized below, in ONE barrier with the
+    // image/audio probes) ---
+    val deltaTextPairsLazy = TextQueries
+      .incrementalPairsAgainstAll(s, dir, col("doc_id") >= b,
+        shingleIndex =
+          Some(s.read.parquet(TextQueries.shingleTablePath(s, dir))))
 
     // --- image/audio: group-table MERGE (base groups ∪ new hashes),
     // then banded delta probe, then label CC over base labels + delta ---
@@ -402,23 +448,62 @@ object CurationMm {
       .filter(col("img_id") >= 2 * b)
     val imgGroups = combined(s.read.parquet(s"$base/imggrp"), newImgHash,
       "img_id")
-    val deltaImgPairs = deltaHashPairs(imgGroups, col("canon") >= 2 * b,
-      3, "img_inc_cap").localCheckpoint()
+    val deltaImgPairsLazy = deltaHashPairs(imgGroups, col("canon") >= 2 * b,
+      3, "img_inc_cap")
     val newAudHash = s.read.parquet(
         MultimodalQueries.audioFpHashTablePath(s, dir))
       .filter(col("audio_id") >= 4 * b)
     val audGroups = combined(s.read.parquet(s"$base/audgrp"), newAudHash,
       "audio_id")
-    val deltaAudPairs = deltaHashPairs(audGroups, col("canon") >= 4 * b,
-      3, "aud_inc_cap").localCheckpoint()
-    def ccOver(baseCl: DataFrame, delta: DataFrame): DataFrame =
-      GraphCC.connectedComponents(
-        baseCl.select(col("canon").as("canon_a"),
-            col("cluster_id").as("canon_b"))
-          .unionByName(delta), "canon_a", "canon_b")
-        .select(col("node").as("canon"), col("component").as("cluster_id"))
-    val imgCl = ccOver(s.read.parquet(s"$base/imgcl"), deltaImgPairs)
-    val audCl = ccOver(s.read.parquet(s"$base/audcl"), deltaAudPairs)
+    val deltaAudPairsLazy = deltaHashPairs(audGroups, col("canon") >= 4 * b,
+      3, "aud_inc_cap")
+
+    // --- ONE materialization barrier for all three probes: the probe
+    // pipelines run as parallel stages of a single job (instead of three
+    // driver-synchronized checkpoints), and every downstream consumer
+    // (both closures, the encoded edges, the touched set) reads the
+    // cached blocks ---
+    val deltaPairs = staged("delta_probe")(
+      deltaTextPairsLazy.toDF("a", "b").withColumn("m", lit(0))
+        .unionByName(deltaImgPairsLazy.toDF("a", "b").withColumn("m", lit(1)))
+        .unionByName(deltaAudPairsLazy.toDF("a", "b").withColumn("m", lit(2)))
+        .localCheckpoint())
+    val deltaTextPairs = deltaPairs.filter(col("m") === 0)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val deltaImgPairs = deltaPairs.filter(col("m") === 1)
+      .select(col("a").as("canon_a"), col("b").as("canon_b"))
+    val deltaAudPairs = deltaPairs.filter(col("m") === 2)
+      .select(col("a").as("canon_a"), col("b").as("canon_b"))
+
+    // --- ONE local-closure update for all three per-modality label
+    // sets: text docs, image canons, and audio canons live in disjoint
+    // mod-3 strides of a shared id space (the cross-modality encoding
+    // trick), and the update itself is the CONTRACTED incremental CC —
+    // base labels collapse to supernodes, so the closure graph is
+    // delta-sized regardless of corpus size. Strides never connect, so
+    // component minima decode exactly per stride. ---
+    def enc(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame =
+      df.select((col(aCol) * 3 + k).as("ea"), (col(bCol) * 3 + k).as("eb"))
+    // checkpointed: three decoded consumers sit inside the merge's one
+    // materialized plan — without it the expansion joins run three times
+    val localCl = staged("local_cc")(incrementalCc(
+      enc(s.read.parquet(s"$base/textcl"), "doc_id", "cluster_id", 0)
+        .unionByName(enc(s.read.parquet(s"$base/imgcl"), "canon", "cluster_id", 1))
+        .unionByName(enc(s.read.parquet(s"$base/audcl"), "canon", "cluster_id", 2))
+        .toDF("node", "component"),
+      enc(deltaTextPairs, "doc_a", "doc_b", 0)
+        .unionByName(enc(deltaImgPairs, "canon_a", "canon_b", 1))
+        .unionByName(enc(deltaAudPairs, "canon_a", "canon_b", 2)))
+      .localCheckpoint())
+    def dec(k: Int, idName: String): DataFrame =
+      localCl.filter(col("node") % 3 === k)
+        .select(expr(s"(node - $k) div 3").as(idName),
+          expr(s"(component - $k) div 3").as("cluster_id"))
+    val textCl = dec(0, "doc_id")
+      .withColumn("is_canonical",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+    val imgCl = dec(1, "canon")
+    val audCl = dec(2, "canon")
 
     // --- video: the persisted clip-pair table IS the probe index — the
     // new-incident slice is a pure id filter (pairs are normalized
@@ -432,10 +517,14 @@ object CurationMm {
     val vidDup = s.read.parquet(s"$base/viddup")
       .unionByName(deltaVidPairs.select(col("video_b").as("vid")))
       .distinct()
-    val vidStatic = s.read.parquet(
-        MultimodalQueries.videoClipFrameTablePath(s, dir))
-      .groupBy("video_id").agg(countDistinct(col("phash")).as("nd"))
-      .filter(col("nd") === 1).select(col("video_id").as("vid"))
+    // static flags are per-video and immutable: persisted base set ∪ the
+    // new batch's videos only — a delta-sized aggregation
+    val vidStatic = s.read.parquet(s"$base/vidstatic")
+      .unionByName(s.read.parquet(
+          MultimodalQueries.videoClipFrameTablePath(s, dir))
+        .filter(col("video_id") >= 2 * b)
+        .groupBy("video_id").agg(countDistinct(col("phash")).as("nd"))
+        .filter(col("nd") === 1).select(col("video_id").as("vid")))
 
     // --- combined memberships for NEW attachments (may resolve to BASE
     // canons: a re-uploaded base artifact joins its existing group) ---
@@ -450,9 +539,10 @@ object CurationMm {
     val imgMember = memberOf(imgHashAll, imgGroups, "img_id")
     val audMember = memberOf(audHashAll, audGroups, "audio_id")
 
-    // --- the incremental cross-modality closure: base labels re-enter
-    // as star edges (node → base component), so the CC re-converges in
-    // O(log delta-diameter) rounds over delta-sized new structure ---
+    // --- the incremental cross-modality closure: contracted CC over
+    // the delta edges (base components as supernodes), expanded back
+    // over the base labels — O(log delta-diameter) rounds over a
+    // delta-sized graph ---
     val doc8 = (col("doc_id") * 8).as("s")
     val deltaEdges = deltaTextPairs
       .select((col("doc_a") * 8).as("s"), (col("doc_b") * 8).as("t"))
@@ -467,11 +557,11 @@ object CurationMm {
       .unionByName(newAtt.select(doc8, (col("vid") * 8 + 4).as("t")))
       .unionByName(deltaVidPairs.select((col("video_a") * 8 + 4).as("s"),
         (col("video_b") * 8 + 4).as("t")))
-      .localCheckpoint() // feeds the CC AND the touched-node set
-    val labels = GraphCC.connectedComponents(
-      baseLabels.select(col("node").as("s"), col("component").as("t"))
-        .unionByName(deltaEdges), "s", "t")
-      .localCheckpoint() // read twice: docGroups + touched components
+      .localCheckpointStaged("delta_edges")
+    // checkpointed: the expanded labels feed docGroups AND the
+    // touched-component join, both inside the merge's materialized plan
+    val labels = staged("encoded_cc")(
+      incrementalCc(baseLabels, deltaEdges).localCheckpoint())
     val docGroups = labels.filter(col("node") % 8 === 0)
       .select(expr("node div 8").as("doc_id"), col("component").as("group_id"))
 
@@ -484,9 +574,10 @@ object CurationMm {
       .unionByName(deltaEdges.select(col("t").as("node"))).distinct()
       .join(labels, "node")
       .select(col("component")).distinct()
-    val touchedDocs = docGroups
+    val touchedDocs = staged("touched")(docGroups
       .join(touched, docGroups("group_id") === touched("component"))
       .select(col("doc_id"), col("group_id"))
+      .localCheckpoint()) // small; read by att, docs, and the group join
 
     val mInc = MmInputs(
       att = att.join(touchedDocs.select("doc_id"), "doc_id"),
@@ -500,16 +591,21 @@ object CurationMm {
     val recomputed = manifestFrom(mInc, touchedDocs)
 
     // --- publish through the table layer: bootstrap v1 = the base
-    // manifest, v2 = the incremental MERGE (update only when the row
+    // manifest (a straight publish — no keys to resolve against the
+    // empty v0), v2 = the incremental MERGE (update only when the row
     // actually changed; insert the new batch) with its change feed ---
-    ManagedTable.createEmpty(s, root, baseManifest)
-    ManagedTable.merge(s, root, baseManifest, Seq("doc_id"))
+    staged("bootstrap") {
+      ManagedTable.createEmpty(s, root, baseManifest)
+      ManagedTable.overwrite(root, baseManifest)
+    }
     val changedCols = Seq("kept", "drop_reasons", "split", "group_id",
       "group_docs", "quality_score", "n_tokens")
-    ManagedTable.merge(s, root, recomputed, Seq("doc_id"),
-      MergeClauses.Spec(updateWhen = Some(changedCols
-        .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _))),
-      changeFeed = true)
+    staged("merge") {
+      ManagedTable.merge(s, root, recomputed, Seq("doc_id"),
+        MergeClauses.Spec(updateWhen = Some(changedCols
+          .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _))),
+        changeFeed = true)
+    }
     root
   }
 
@@ -535,7 +631,7 @@ object CurationMm {
     * q_curation_mm_incremental stays the live leg that re-runs the whole
     * ingest per invocation. */
   private[graft] def incRunShared(s: SparkSession, dir: String): String =
-    ScratchDirs.memoized("mmcur_inc_run", dir)(incrementalRunAt(s, dir, _))
+    ScratchDirs.memoized("mmcur_inc_fix", dir)(incrementalRunAt(s, dir, _))
 
   /** q_curation_mm_cdf: the per-round keep/drop DELTA — the change feed
     * the incremental MERGE recorded at v2, i.e. exactly the rows a

@@ -12,32 +12,34 @@ import org.apache.spark.sql.functions._
   * pipeline has no graph step — this is part of the 100 TB extension
   * surface alongside the sketch dedups).
   *
-  * Algorithm: min-label propagation with POINTER JUMPING (the
-  * "hash-to-min" family — Rastogi et al., "Finding Connected Components in
-  * Map-Reduce in Logarithmic Rounds", ICDE 2013; Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each round:
-  * (1) propagate: label'(v) = min label over v's in-neighbors (self-loops
-  * carry v's own label, so labels only decrease); (2) jump: label''(v) =
-  * label'(label'(v)) — label values are always node ids of the same
-  * component, so the label table composes with itself and the pointer
-  * depth roughly halves per round. Propagation alone needs O(diameter)
-  * rounds; with jumping a path graph closes in O(log n) rounds (a 10⁴-node
-  * chain converges in ~14 — covered by GraphCCSpec), so `maxIter` = 25
-  * bounds components up to ~2²⁵ diameter rather than 25 hops. Convergence
-  * is detected from the propagation result alone (a propagation fixed
-  * point is provably fully-converged: the max label in a component at a
-  * fixed point spreads to the whole component, and labels are node ids
-  * bounded below by the component minimum). The old label rides the
-  * aggregation as `self_label`, so no extra join per round, and the
-  * convergence count is read off the SAME driver action that materializes
-  * the round's propagation (persist + one count) — one action per round,
-  * not checkpoint-then-scan.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+  * algorithm behind GraphFrames/Dataproc CC). Large-star points every
+  * neighbor LARGER than a node at the minimum of the node's closed
+  * neighborhood; small-star does the same for the smaller neighbors.
+  * Each operation strictly lowers edge targets, alternation provably
+  * converges in O(log² n) rounds (empirically ~log n) to a FIXED edge
+  * set that is exactly one star per component rooted at the component
+  * minimum — INDEPENDENT of how ids are laid out along the graph.
+  * Earlier forms here were id-layout-sensitive: label propagation with
+  * pointer jumping degraded to Θ(diameter/2) on zig-zag id layouts (13
+  * rounds on a diameter-25 component of the incremental-curation delta
+  * graph), and plain min-contraction degrades to Θ(n) on monotone-id
+  * paths — both make `maxIter` a structure bound rather than a size
+  * bound; star alternation is the form whose bound is honest.
   *
-  * Scale posture: the adjacency is checkpointed once (upstream pair
-  * generation never re-executes), labels are checkpointed per round so the
-  * plan stays constant-size, convergence is one narrow filter-scan on a
-  * monotonically-decreasing label table, and nothing ever collects to the
-  * driver.
+  * Convergence is detected EXACTLY: same edge count AND an empty
+  * one-sided set difference against the previous round (both sides are
+  * checkpoints, so the anti-join is one cheap job) — no checksum
+  * early-stop that could corrupt a hash-exact gate. Labels read
+  * directly off the fixed point (star edges = node → component min); a
+  * final left join restores nodes that only ever had self-edges.
+  *
+  * Scale posture: every round is two groupBy-shaped shuffles over the
+  * current edge set plus a distinct; edge rows only shrink (targets
+  * strictly decrease, stars dedupe); each round's edge set is
+  * checkpointed so plans stay constant-size; nothing collects to the
+  * driver. `maxIter` = 25 bounds component size at ~2²⁵ nodes.
   */
 object GraphCC {
 
@@ -59,92 +61,78 @@ object GraphCC {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val a = col(aCol).as("src"); val b = col(bCol).as("dst")
-    // Symmetric closure + self-loops: one propagation step then reads
-    // min(self, neighbors). Checkpoint so upstream (often a whole sketch
-    // pipeline) runs once, not once per round.
-    val adj = edges.select(a, b)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+
+    // min of the closed neighborhood, riding the per-node window
+    def withMin(e: DataFrame): DataFrame =
+      e.withColumn("m", least(min(col("dst")).over(w), col("src")))
+
+    // large-star: for every node, point each LARGER neighbor at the
+    // neighborhood min. Input symmetric; output oriented (node > target).
+    def largeStar(sym: DataFrame): DataFrame =
+      withMin(sym)
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+
+    // small-star: for every node, point itself and each SMALLER neighbor
+    // at the min of that closed down-neighborhood. Input/output oriented.
+    def smallStar(ori: DataFrame): DataFrame =
+      withMin(ori)
+        .select(explode(array(
+            struct(col("src").as("n"), col("m")),
+            struct(col("dst").as("n"), col("m")))).as("x"))
+        .select(col("x.n").as("src"), col("x.m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+    // Node universe up front (restores self-edge-only nodes at the end).
+    val sym0 = edges.select(a, b)
       .unionByName(edges.select(b.as("src"), a.as("dst")))
-      .unionByName(edges.select(a, a.as("dst")))
-      .unionByName(edges.select(b.as("src"), b.as("dst")))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
-
-    var labels = adj.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("component"))
+    val nodes = sym0.select(col("src").as("node")).distinct()
       .localCheckpoint()
-    var converged = false
+
+    var cur = sym0.filter(col("src") =!= col("dst")) // oriented by lgStar
+    var curCount = -1L
     var rounds = 0
-    var nNodes = 0L
-    var prevRound: Option[DataFrame] = None
+    var converged = false
+    // First large-star consumes the symmetric set; later rounds
+    // re-symmetrize the oriented star edges (cheap union — the star
+    // orientation loses the upward edges large-star needs).
     while (!converged && rounds < maxIter) {
-      // Propagate. The self-loop row (dst==src) carries dst's own current
-      // label through the join, so min() can only lower it AND the group
-      // knows its pre-round label — convergence needs no join against the
-      // previous table.
-      //
-      // ONE driver action per round: the propagation result is persisted
-      // and the not-yet-converged count is read off the SAME job that
-      // materializes it (count() fills the cache as it scans) — previously
-      // this was a checkpoint-materialize job PLUS a separate isEmpty
-      // scan. The plan above the persist stays constant-size because its
-      // inputs (`adj`, `labels`) are themselves checkpoints.
-      val next = adj
-        .join(labels, col("src") === col("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("component")).as("component"),
-          min(when(col("src") === col("dst"), col("component")))
-            .as("self_label"))
-        .persist()
-      // The SAME single action now also reads the node count — the
-      // completion log line costs no extra job.
-      val st = next.agg(
-        count(lit(1)).as("_n"),
-        coalesce(sum(when(col("component") < col("self_label"), lit(1L))
-          .otherwise(lit(0L))), lit(0L)).as("_nc")).head()
-      nNodes = st.getLong(0)
-      converged = st.getLong(1) == 0L
-      labels =
-        if (converged)
-          // Final labels detach from the cache (reading it, so this last
-          // checkpoint job is a cache scan) and the round cache unpins
-          // below — nothing stays persisted after the call.
-          next.select(col("node"), col("component")).localCheckpoint()
-        else {
-          // Pointer jump: label ← label(label). Every label value is a
-          // node id in the same component, so the inner self-join always
-          // matches; checkpoint keeps the next round's plan constant-size.
-          val compact = next.select(col("node"), col("component"))
-          compact.alias("x")
-            .join(compact.select(col("node").as("jn"),
-              col("component").as("jc")).alias("y"),
-              col("x.component") === col("y.jn"))
-            .select(col("x.node").as("node"), col("y.jc").as("component"))
-            .localCheckpoint()
-        }
-      // The previous round's propagation cache is dead once this round's
-      // labels (checkpointed) exist.
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = if (converged) { next.unpersist(blocking = false); None }
-                  else Some(next)
+      val sym =
+        if (rounds == 0) cur
+        else cur.unionByName(cur.select(col("dst").as("src"),
+          col("src").as("dst")))
+      val next = smallStar(largeStar(sym))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).isEmpty
+      if (sys.env.contains("SPARK_GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round=${rounds + 1} edges=$nextCount")
+      cur = next
+      curCount = nextCount
       rounds += 1
     }
     lastRoundsA.set(rounds)
-    if (!converged) {
-      // Drain the last round's cache before failing — a caller catching
-      // the error must not inherit pinned blocks.
-      prevRound.foreach(_.unpersist(blocking = false))
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds - " +
-          "component pointer depth exceeds the bound (~2^maxIter diameter " +
-          "with jumping); raise maxIter")
-    }
-    // One completion line per run — convergence behavior is observable
-    // (the no-silent-caps discipline on the iteration axis). The edge
-    // count is a scan of the already-materialized adjacency checkpoint.
+          "component size exceeds the star-alternation bound; raise maxIter")
+    // Fixed point = one star per component rooted at its minimum.
+    val out = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("rep")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("rep"), col("node")).as("component"))
+      .localCheckpoint()
     log.info(s"connectedComponents converged: rounds=$rounds " +
-      s"nodes=$nNodes edges=${adj.count()}")
-    labels
+      s"nodes=${out.count()}")
+    out
   }
 
   /** q_dedup_cc: exact shingle-Jaccard near-dup pairs (the PPJoin path,

@@ -1764,7 +1764,7 @@ object MultimodalQueries {
     hashGroupClusters(phashGroups(s, dir), maxHamming, "cluster_images")
 
   /** Shared pairs→clusters closure over a (phash, canon, n_copies) group
-    * frame: banded near pairs → checkpointed pointer-jumping CC → one
+    * frame: banded near pairs → checkpointed star-alternation CC → one
     * canonical per perceptual cluster with per-cluster totals — the
     * drop-list stage both the image and audio near-dup families end in.
     * The group frame arrives as a persisted table ([[hashGroupTable]]),

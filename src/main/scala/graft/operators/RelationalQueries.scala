@@ -219,7 +219,7 @@ object RelationalQueries {
     * self-terminating when the chain reaches the root. Scale note: each
     * iteration is one self-equi-join Catalyst plans like any other;
     * total work ∝ closure size (n·log n here) — the same economics as
-    * GraphCC's pointer jumping, expressed in pure SQL. Integer division
+    * GraphCC's logarithmic closure, expressed in pure SQL. Integer division
     * spelled FLOOR(x/2.0) because a plain BIGINT cast of a double rounds
     * half-even in DuckDB but truncates in Spark. */
   def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {

@@ -463,12 +463,28 @@ object TextQueries {
     * above all existing ids, is every pair touching the new batch. Cost
     * is O(delta × colliding corpus prefixes), never corpus². `isNew` is
     * a predicate over `doc_id`. */
+  /** Persisted sorted-shingle index (doc_id, shingles, n_sh) — the
+    * corpus-side artifact an incremental ingest probes (production
+    * maintains it by appending each admitted batch's shingles); built
+    * once per sf dir. q_dedup_incremental stays the live leg certifying
+    * the fresh-shingling probe path. */
+  private[operators] def shingleTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("txt_shgl_fix", dir)(
+      withTokens(table(s, dir, "documents"))
+        .withColumn("shingles", array_sort(Sketches.hashedShingles(col("toks"))))
+        .select(col("doc_id"), col("shingles"),
+          size(col("shingles")).as("n_sh")))
+
   private[operators] def incrementalPairsAgainstAll(
       s: SparkSession, dir: String, isNew: org.apache.spark.sql.Column,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = withTokens(table(s, dir, "documents"))
-      .withColumn("shingles", array_sort(Sketches.hashedShingles(col("toks"))))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      threshold: Double = 0.5,
+      shingleIndex: Option[DataFrame] = None): DataFrame = {
+    val sh = shingleIndex.getOrElse(
+        withTokens(table(s, dir, "documents"))
+          .withColumn("shingles",
+            array_sort(Sketches.hashedShingles(col("toks"))))
+          .select(col("doc_id"), col("shingles"),
+            size(col("shingles")).as("n_sh")))
       .repartition(col("doc_id"))
     def prefixed(df: DataFrame, idName: String) =
       df.withColumn("sh", explode(slice(col("shingles"), lit(1),

@@ -39,19 +39,35 @@ class GraphCCSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
-  test("a 10^4-node path converges within maxIter via pointer jumping") {
+  test("a 10^4-node path converges within maxIter via star alternation") {
     // Diameter 9999 ≫ 25 rounds: pure min-propagation would fail here;
-    // pointer jumping closes it in ~log2(n) rounds.
+    // large-star/small-star alternation closes it in ~log2(n) rounds.
     val edges = (0L until 9999L).map(i => (i, i + 1))
     val got = cc(edges)
     assert(got.values.toSet == Set(0L) && got.size == 10000)
-    // The reported round count is the pointer-jumping bound, not the
-    // diameter: each round at least halves pointer depth, so a 10⁴-chain
-    // must close in ~log2(10⁴) ≈ 14 rounds (and certainly > 5 — a chain
-    // is the worst case, not a one-round star).
+    // The reported round count must sit in the logarithmic band — a
+    // 10⁴-chain closes in ~log2(10⁴) ≈ 14 rounds (measured 15; certainly
+    // > 5, a chain is the worst case, not a one-round star) — never the
+    // Θ(diameter) regime an id-layout-sensitive scheme degrades to.
     val rounds = GraphCC.lastRunRounds
-    assert(rounds >= 5 && rounds <= 16,
+    assert(rounds >= 5 && rounds <= 18,
       s"10^4-chain reported $rounds rounds — outside the O(log n) band")
+  }
+
+  test("a zig-zag-id path (adversarial layout) stays in the log band") {
+    // Ids alternate low/high along the path — the layout that defeated
+    // label-jumping (it degraded to Θ(diameter/2) because a node's label
+    // target was usually a stuck local minimum). Star alternation's
+    // round count must not depend on the layout.
+    val n = 2000
+    val order = (0 until n).map(i => if (i % 2 == 0) (i / 2).toLong
+                                     else (n - 1 - i / 2).toLong)
+    val edges = order.sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = cc(edges)
+    assert(got.values.toSet == Set(0L) && got.size == n)
+    val rounds = GraphCC.lastRunRounds
+    assert(rounds <= 18,
+      s"zig-zag chain reported $rounds rounds — id-layout-sensitive again")
   }
 
   test("maxIter too small for the diameter fails loudly, not half-merged") {
