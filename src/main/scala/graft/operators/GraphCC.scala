@@ -69,11 +69,13 @@ object GraphCC {
 
     // large-star: for every node, point each LARGER neighbor at the
     // neighborhood min. Input symmetric; output oriented (node > target).
+    // No distinct — duplicates cannot change small-star's min and the
+    // exact edge set is re-established by small-star's distinct; skipping
+    // it saves one exchange per round.
     def largeStar(sym: DataFrame): DataFrame =
       withMin(sym)
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
 
     // small-star: for every node, point itself and each SMALLER neighbor
     // at the min of that closed down-neighborhood. Input/output oriented.
@@ -86,14 +88,14 @@ object GraphCC {
         .filter(col("src") =!= col("dst"))
         .distinct()
 
-    // Node universe up front (restores self-edge-only nodes at the end).
+    // Node universe up front (restores self-edge-only nodes at the end;
+    // derived lazily from the checkpointed symmetric set — consumed once).
     val sym0 = edges.select(a, b)
       .unionByName(edges.select(b.as("src"), a.as("dst")))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
     val nodes = sym0.select(col("src").as("node")).distinct()
-      .localCheckpoint()
 
     var cur = sym0.filter(col("src") =!= col("dst")) // oriented by lgStar
     var curCount = -1L
@@ -108,7 +110,6 @@ object GraphCC {
         else cur.unionByName(cur.select(col("dst").as("src"),
           col("src").as("dst")))
       val next = smallStar(largeStar(sym))
-        .repartition(col("src"))
         .localCheckpoint()
       val nextCount = next.count()
       converged = nextCount == curCount &&
@@ -131,7 +132,7 @@ object GraphCC {
       .select(col("node"), coalesce(col("rep"), col("node")).as("component"))
       .localCheckpoint()
     log.info(s"connectedComponents converged: rounds=$rounds " +
-      s"nodes=${out.count()}")
+      s"starEdges=$curCount")
     out
   }
 
