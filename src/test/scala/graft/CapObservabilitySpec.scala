@@ -60,8 +60,12 @@ class CapObservabilitySpec extends AnyFunSuite {
       "q_mm_phash_neardup" -> "phash_band_cap",
       "q_mm_audio_neardup" -> "audio_band_cap",
       "q_mm_video_clip_neardup" -> "clip_shingle_cap",
-      "q_mm_audio_clip_neardup" -> "audio_shingle_cap")
-    gates.foreach { case (gate, _) =>
+      "q_mm_audio_clip_neardup" -> "audio_shingle_cap",
+      // the incremental ingest's banded delta probes (one metric per
+      // modality; one gate drives both)
+      "q_curation_mm_incremental" -> "img_inc_cap",
+      "q_curation_mm_incremental" -> "aud_inc_cap")
+    gates.map(_._1).distinct.foreach { gate =>
       SparkEntry.queries(gate)(spark, dir).count()
     }
     gates.foreach { case (gate, metric) =>
