@@ -232,7 +232,7 @@ object CurationMm {
     * the same cut. */
   private def baseCut(s: SparkSession, dir: String): Long =
     table(s, dir, "documents")
-      .agg((expr("4 * (max(doc_id) + 1)") / 5).cast("long")).head().getLong(0)
+      .agg(expr("4 * (max(doc_id) + 1) div 5")).head().getLong(0)
   private val baseCutSql = "(SELECT 4 * (MAX(all_docs.doc_id) + 1) // 5 " +
     "FROM documents all_docs)"
 
@@ -244,17 +244,24 @@ object CurationMm {
     * base group's canon is already the global minimum); the per-modality
     * and cross-modality closures are then recomputed over the filtered
     * inputs — paid once, at fixture build. */
+  /** Base-restricted hash table + its exact-hash groups — ONE definition
+    * of the (filter, groupBy, canon) rule shared by [[modalBase]] and the
+    * persisted group dumps in [[baseStateRoot]], so the base-cut or canon
+    * rule can never silently diverge between them. */
+  private def baseHashGroups(s: SparkSession, path: String, idCol: String,
+                             maxId: Long): (DataFrame, DataFrame) = {
+    val hash = s.read.parquet(path).filter(col(idCol) < maxId)
+    (hash, hash.groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("canon")))
+  }
+
   private def modalBase(s: SparkSession, dir: String, b: Long): MmInputs = {
-    val imgHash = s.read.parquet(MultimodalQueries.phashHashTablePath(s, dir))
-      .filter(col("img_id") < 2 * b)
-    val imgGroups = imgHash.groupBy("phash")
-      .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon"))
+    val (imgHash, imgGroups) = baseHashGroups(s,
+      MultimodalQueries.phashHashTablePath(s, dir), "img_id", 2 * b)
     val imgPairs = s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir))
       .filter(col("canon_a") < 2 * b && col("canon_b") < 2 * b)
-    val audHash = s.read.parquet(MultimodalQueries.audioFpHashTablePath(s, dir))
-      .filter(col("audio_id") < 4 * b)
-    val audGroups = audHash.groupBy("phash")
-      .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
+    val (audHash, audGroups) = baseHashGroups(s,
+      MultimodalQueries.audioFpHashTablePath(s, dir), "audio_id", 4 * b)
     val audPairs = s.read.parquet(MultimodalQueries.audioFpPairTablePath(s, dir))
       .filter(col("canon_a") < 4 * b && col("canon_b") < 4 * b)
     val vidPairs = s.read.parquet(
@@ -316,14 +323,10 @@ object CurationMm {
       m.textCl.select("doc_id", "cluster_id").write.parquet(s"$r/textcl")
       m.imgCl.write.parquet(s"$r/imgcl")
       m.audCl.write.parquet(s"$r/audcl")
-      s.read.parquet(MultimodalQueries.phashHashTablePath(s, dir))
-        .filter(col("img_id") < 2 * b).groupBy("phash")
-        .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon"))
-        .write.parquet(s"$r/imggrp")
-      s.read.parquet(MultimodalQueries.audioFpHashTablePath(s, dir))
-        .filter(col("audio_id") < 4 * b).groupBy("phash")
-        .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon"))
-        .write.parquet(s"$r/audgrp")
+      baseHashGroups(s, MultimodalQueries.phashHashTablePath(s, dir),
+        "img_id", 2 * b)._2.write.parquet(s"$r/imggrp")
+      baseHashGroups(s, MultimodalQueries.audioFpHashTablePath(s, dir),
+        "audio_id", 4 * b)._2.write.parquet(s"$r/audgrp")
       m.vidDup.write.parquet(s"$r/viddup")
       m.vidStatic.write.parquet(s"$r/vidstatic")
     }
@@ -372,18 +375,17 @@ object CurationMm {
     * symmetrizes anyway. */
   private def deltaHashPairs(groups: DataFrame, isNew: Column,
                              maxHamming: Int, capMetric: String): DataFrame = {
-    val nBands = maxHamming + 1
-    val chunkBits = (56 + nBands - 1) / nBands
-    val mask = (1L << chunkBits) - 1
-    val banded = groups.select(col("phash"), col("canon"),
-      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-          s"b -> (phash >> (b * $chunkBits)) & $mask)"))
-        .as(Seq("band", "chunk")))
+    val banded = MultimodalQueries.bandedHash(
+      groups.select(col("phash"), col("canon")), maxHamming)
     val corp = SkewCap.dropOverCap(banded,
       Seq(col("band"), col("chunk")), 100000, capMetric)
+    // No broadcast hint: the probe side is delta-SIZED, not delta-SMALL
+    // (an ingest batch can be any fraction of the corpus), so the join
+    // strategy is left to the planner — AQE broadcasts a small probe at
+    // runtime and falls back to shuffle join beyond the broadcast limit.
     val probe = banded.filter(isNew)
     corp.alias("a")
-      .join(broadcast(probe.alias("b")),
+      .join(probe.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.phash") =!= col("b.phash"))
       .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"),
@@ -393,11 +395,6 @@ object CurationMm {
       .select(col("canon_a"), col("canon_b"))
   }
 
-  /** The incremental ingest at `root`: bootstrap the table from the
-    * persisted base manifest, then MERGE the recomputed rows of every
-    * TOUCHED component (plus all new docs) — see [[curationMmIncremental]]
-    * for the semantics. Returns the table root (v2 = post-merge, with
-    * the v2 change feed recorded). */
   /** Stage-timing probe (diagnostic only, env-gated): wraps the eager
     * points of the incremental run so a bench investigation can see
     * where per-invocation time goes without a profiler. */
@@ -416,6 +413,11 @@ object CurationMm {
       r
     }
 
+  /** The incremental ingest at `root`: bootstrap the table from the
+    * persisted base manifest, then MERGE the recomputed rows of every
+    * TOUCHED component (plus all new docs) — see [[curationMmIncremental]]
+    * for the semantics. Returns the table root (v2 = post-merge, with
+    * the v2 change feed recorded). */
   private def incrementalRunAt(s: SparkSession, dir: String,
                                root: String): String = {
     val b = staged("basecut")(baseCut(s, dir))
@@ -436,13 +438,14 @@ object CurationMm {
 
     // --- image/audio: group-table MERGE (base groups ∪ new hashes),
     // then banded delta probe, then label CC over base labels + delta ---
+    // (only phash → canon is consumed downstream — the delta probe and
+    // the memberships; copy counts stay in the persisted group tables)
     def combined(baseGrp: DataFrame, newHash: DataFrame, idCol: String)
         : DataFrame =
-      baseGrp.select(col("phash"), col("n_copies"), col("canon"))
-        .unionByName(newHash.select(col("phash"), lit(1L).as("n_copies"),
-          col(idCol).as("canon")))
+      baseGrp.select(col("phash"), col("canon"))
+        .unionByName(newHash.select(col("phash"), col(idCol).as("canon")))
         .groupBy("phash")
-        .agg(sum(col("n_copies")).as("n_copies"), min(col("canon")).as("canon"))
+        .agg(min(col("canon")).as("canon"))
     val newImgHash = s.read.parquet(
         MultimodalQueries.phashHashTablePath(s, dir))
       .filter(col("img_id") >= 2 * b)
@@ -702,13 +705,7 @@ object CurationMm {
       .filter(col("kept") === "true" && col("split") === "train")
       .select(col("doc_id"))
     val att = attachments(s, dir).join(train, "doc_id")
-    val nBands = maxHamming + 1
-    val chunkBits = (56 + nBands - 1) / nBands
-    val mask = (1L << chunkBits) - 1
-    def banded(df: DataFrame) = df.select(df.columns.map(col) :+
-      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-          s"b -> (phash >> (b * $chunkBits)) & $mask)"))
-        .as(Seq("band", "chunk")): _*)
+    def banded(df: DataFrame) = MultimodalQueries.bandedHash(df, maxHamming)
     def leg(hashPath: String, idCol: String, attCol: String,
             modality: String): DataFrame = {
       val hash = s.read.parquet(hashPath)
@@ -717,8 +714,11 @@ object CurationMm {
         .select(col("doc_id"), col("phash"))
       val bench = hash.filter(col(idCol) % 7 === 3)
         .select(col(idCol).as("bench_id"), col("phash"))
+      // no broadcast hint: a REAL benchmark set is fixed-size and would
+      // broadcast on its own; this stand-in scales with the corpus, so
+      // the strategy stays with the planner (AQE broadcasts when small)
       banded(docH).alias("a")
-        .join(broadcast(banded(bench).alias("b")),
+        .join(banded(bench).alias("b"),
           col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk"))
         .withColumn("hamming",
           bit_count(col("a.phash").bitwiseXOR(col("b.phash")))

@@ -39,7 +39,13 @@ import org.apache.spark.sql.functions._
   * current edge set plus a distinct; edge rows only shrink (targets
   * strictly decrease, stars dedupe); each round's edge set is
   * checkpointed so plans stay constant-size; nothing collects to the
-  * driver. `maxIter` = 25 bounds component size at ~2²⁵ nodes.
+  * driver. `maxIter` = 25 is sized for the EMPIRICAL ~log₂ n regime (a
+  * 10⁴-node chain takes 15 rounds; adversarial zig-zag layouts the
+  * same — GraphCCSpec pins both); the PROVABLE guarantee is O(log² n),
+  * so a hostile layout could in principle need more rounds on a large
+  * component — the failure is loud (exception, never a wrong answer),
+  * and the completion log's round count is the early signal to raise
+  * it.
   */
 object GraphCC {
 

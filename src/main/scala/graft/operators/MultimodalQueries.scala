@@ -1714,18 +1714,30 @@ object MultimodalQueries {
     * lost, which is exactly the pathological flat-image cluster the cap
     * exists to exclude (`PhashNeardupSpec` pins both directions on a
     * degenerate fixture). */
-  private[graft] def phashGroupPairs(grp: DataFrame, maxHamming: Int,
-                                     maxBucket: Int = 100000,
-                                     capMetric: String = "phash_band_cap"): DataFrame = {
+  /** Banded (band, chunk) explode of a 56-bit `phash` column for
+    * Hamming ≤ `maxHamming` blocking — pigeonhole-lossless: nBands =
+    * maxHamming + 1 bands of ⌈56 / nBands⌉ bits, maximal per-band key
+    * space. ONE definition for every banded consumer (the group-pair
+    * joins, the incremental ingest's delta probes, the benchmark
+    * contamination screen) and the single mirror of the hardcoded
+    * banding constants in the DuckDB oracles. */
+  private[operators] def bandedHash(df: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 6,
       s"band tolerance must be in [1, 6]; got $maxHamming")
     val nBands = maxHamming + 1
     val chunkBits = (56 + nBands - 1) / nBands
     val mask = (1L << chunkBits) - 1
-    val banded = grp.select(col("phash"), col("canon"), col("n_copies"),
+    df.select(df.columns.map(col) :+
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
           s"b -> (phash >> (b * $chunkBits)) & $mask)"))
-        .as(Seq("band", "chunk")))
+        .as(Seq("band", "chunk")): _*)
+  }
+
+  private[graft] def phashGroupPairs(grp: DataFrame, maxHamming: Int,
+                                     maxBucket: Int = 100000,
+                                     capMetric: String = "phash_band_cap"): DataFrame = {
+    val banded = bandedHash(
+      grp.select(col("phash"), col("canon"), col("n_copies")), maxHamming)
     val capped = SkewCap.dropOverCap(banded,
       Seq(col("band"), col("chunk")), maxBucket, capMetric)
     capped.alias("a")

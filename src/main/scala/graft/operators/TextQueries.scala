@@ -493,7 +493,10 @@ object TextQueries {
           col("n_sh").as(s"n_$idName"))
     val delta = prefixed(sh.filter(isNew), "doc_b")
     val corp = prefixed(sh, "doc_a")
-    val cand = corp.join(broadcast(delta),
+    // join strategy left to the planner: the probe side is delta-SIZED
+    // (any fraction of the corpus), so AQE broadcasts it when small and
+    // falls back to a shuffle join beyond the broadcast limit
+    val cand = corp.join(delta,
         corp("sh") === delta("sh") &&
           col("doc_a") < col("doc_b") &&
           col("n_doc_b") >= col("n_doc_a") * threshold &&

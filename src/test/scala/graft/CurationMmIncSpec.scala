@@ -70,16 +70,21 @@ class CurationMmIncSpec extends AnyFunSuite {
       s"$vacuousUpdates update rows identical to their base row")
   }
 
-  test("updated base docs all sit in components the new batch touched") {
-    // An update implies the doc's group absorbed new structure: its
-    // group_docs grew or its group id moved — never a spontaneous flag
-    // flip on an untouched component.
+  test("updates are driven only by group structure or screen flags") {
+    // quality_score and n_tokens are pure per-doc functions — ingest can
+    // never change them, so every update must differ in the group
+    // columns or the keep/drop columns. (Note a flag CAN flip with both
+    // group_id and group_docs unchanged: a new UNATTACHED artifact
+    // bridging two per-modality clusters inside one component adds only
+    // a non-doc node — so the assertable invariant is the per-doc
+    // purity, not touched-component membership.)
     val bad = feed.filter(col("_action") === "update").alias("u")
       .join(base.alias("b"), col("u.doc_id") === col("b.doc_id"))
-      .filter(col("u.group_docs") === col("b.group_docs") &&
-        col("u.group_id") === col("b.group_id"))
+      .filter(!(col("u.quality_score") <=> col("b.quality_score")) ||
+        !(col("u.n_tokens") <=> col("b.n_tokens")))
       .count()
     assert(bad == 0L,
-      s"$bad updates on components with unchanged membership")
+      s"$bad updates changed a per-doc pure column — ingest corrupted " +
+        "quality/token state")
   }
 }
