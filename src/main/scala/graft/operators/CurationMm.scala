@@ -669,6 +669,32 @@ object CurationMm {
     * manifest FileScan + the parallel prefix sum (range sort + partial
     * sums + broadcast bases — no single-partition window at any corpus
     * size). */
+  /** q_curation_mm_report: the CORPUS CARD of the published manifest —
+    * the one-page summary a data team ships with each curation round
+    * (and the artifact reviewers diff between rounds): per split, the
+    * document/kept counts, the kept token budget, the leakage-group
+    * count with the largest group, and the per-screen drop counts
+    * (reason OCCURRENCES — a multi-reason doc counts once per screen it
+    * failed, the multi-reason attribution made aggregable). One manifest
+    * FileScan + one groupBy; group stats ride the same exchange via
+    * distinct-on-group aggregation. */
+  def curationMmReport(s: SparkSession, dir: String): DataFrame = {
+    val m = s.read.parquet(manifestTablePath(s, dir))
+      .withColumn("reasons", split(col("drop_reasons"), ","))
+    def reason(r: String) =
+      sum(when(array_contains(col("reasons"), r), 1L).otherwise(0L))
+        .as(s"n_$r")
+    m.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept") === "true", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept") === "true", col("n_tokens").cast("long"))
+          .otherwise(0L)).as("kept_tokens"),
+        countDistinct(col("group_id")).as("n_groups"),
+        max(col("group_docs")).as("max_group_docs"),
+        reason("text_dup"), reason("low_quality"), reason("image_dup"),
+        reason("audio_dup"), reason("video_dup"), reason("video_static"))
+  }
+
   def curationPackE2e(s: SparkSession, dir: String,
                       budget: Long = 2048L): DataFrame = {
     val kept = s.read.parquet(manifestTablePath(s, dir))
@@ -743,6 +769,7 @@ object CurationMm {
     "q_curation_mm_cdf" -> (curationCdf _),
     "q_mm_bench_contamination" ->
       ((s: SparkSession, d: String) => mmBenchContamination(s, d)),
+    "q_curation_mm_report" -> (curationMmReport _),
     "q_curation_pack_e2e" ->
       ((s: SparkSession, d: String) => curationPackE2e(s, d)))
 
@@ -910,6 +937,33 @@ object CurationMm {
          |       AND cm.group_docs IS NOT DISTINCT FROM bm.group_docs
          |       AND cm.quality_score IS NOT DISTINCT FROM bm.quality_score
          |       AND cm.n_tokens IS NOT DISTINCT FROM bm.n_tokens)""".stripMargin,
+    // The corpus card: one aggregation over the manifest closed form.
+    "q_curation_mm_report" ->
+      s"""WITH m AS MATERIALIZED ($manifestOracle),
+         |r AS (SELECT split, kept, group_id, group_docs, n_tokens,
+         |    string_split(drop_reasons, ',') AS reasons
+         |  FROM m)
+         |SELECT split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept = 'true' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN kept = 'true' THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens,
+         |  CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+         |  CAST(MAX(group_docs) AS BIGINT) AS max_group_docs,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'text_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'low_quality')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'image_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_image_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'audio_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'video_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_video_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'video_static')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_video_static
+         |FROM r GROUP BY split""".stripMargin,
     // Train-side attachment hashes (manifest split × closed-form hash
     // CTEs) banded against the ≡3 (mod 7) benchmark artifacts, exact
     // Hamming verify, per-(doc, modality) hit count + closest distance.
