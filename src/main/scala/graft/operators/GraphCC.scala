@@ -38,14 +38,19 @@ import org.apache.spark.sql.functions._
   * Scale posture: every round is two groupBy-shaped shuffles over the
   * current edge set plus a distinct; edge rows only shrink (targets
   * strictly decrease, stars dedupe); each round's edge set is
-  * checkpointed so plans stay constant-size; nothing collects to the
-  * driver. `maxIter` = 25 is sized for the EMPIRICAL ~log₂ n regime (a
-  * 10⁴-node chain takes 15 rounds; adversarial zig-zag layouts the
-  * same — GraphCCSpec pins both); the PROVABLE guarantee is O(log² n),
-  * so a hostile layout could in principle need more rounds on a large
-  * component — the failure is loud (exception, never a wrong answer),
-  * and the completion log's round count is the early signal to raise
-  * it.
+  * checkpointed so plans stay constant-size, and the PREVIOUS round's
+  * checkpoint blocks are explicitly unpersisted once the new round is
+  * materialized and compared (so a long session running many closures
+  * holds at most two rounds of edge blocks, not `rounds` of them);
+  * nothing collects to the driver. `maxIter` = 40 is sized for the
+  * EMPIRICAL ~log₂ n regime (a 10⁴-node chain takes 15 rounds;
+  * adversarial zig-zag layouts the same — GraphCCSpec pins both) with
+  * ~2.6× headroom over that band — star alternation converging in
+  * ~log₂(diameter) rounds means 40 covers components of diameter ~2⁴⁰
+  * before the loud exhaustion error, far past any 100 TB corpus; the
+  * PROVABLE guarantee is O(log² n), so the completion log's round count
+  * is the early signal if a hostile layout ever drifts toward the
+  * bound (the failure is an exception, never a wrong answer).
   */
 object GraphCC {
 
@@ -59,13 +64,34 @@ object GraphCC {
   private val lastRoundsA = new java.util.concurrent.atomic.AtomicInteger(-1)
   private[graft] def lastRunRounds: Int = lastRoundsA.get()
 
+  /** Unpersist the block-manager copy behind a frame this object
+    * produced with `.localCheckpoint()` — its analyzed plan is exactly
+    * one LogicalRDD wrapping the checkpointed RDD. Frames not backed by
+    * a checkpoint are left untouched (collectFirst finds nothing). */
+  private def drainCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Components of the undirected graph given by `edges` (two long-typed
     * columns `aCol`, `bCol`; duplicate and self edges are fine). Returns
     * (`node`, `component`) for every node incident to ≥1 edge, where
     * `component` is the smallest node id reachable — deterministic, so
-    * hash-exact oracles can replay it. */
+    * hash-exact oracles can replay it.
+    *
+    * `inputDistinctPairs` skips the round-0 `distinct` (one exchange):
+    * pass true when each UNDIRECTED edge of `edges` appears exactly once
+    * in exactly one orientation (every persisted `*_prs`/`*pairs` table
+    * here — distinct normalized pair sets), whose symmetrized union then
+    * cannot contain duplicates either. The flag is a pure shuffle-count
+    * optimization: a caller passing true on a duplicated input still
+    * converges to the same labels (small-star's distinct re-establishes
+    * the exact edge set from round 1 on), it just carries the duplicate
+    * rows through round 0 — so never pass it for contracted/derived edge
+    * lists where collisions are expected. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 40,
+                          inputDistinctPairs: Boolean = false): DataFrame = {
     val a = col(aCol).as("src"); val b = col(bCol).as("dst")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
 
@@ -95,15 +121,17 @@ object GraphCC {
         .distinct()
 
     // Node universe up front (restores self-edge-only nodes at the end;
-    // derived lazily from the checkpointed symmetric set — consumed once).
-    val sym0 = edges.select(a, b)
+    // derived lazily from the checkpointed symmetric set — consumed once,
+    // so sym0's blocks drain only after the final join materializes).
+    val sym0raw = edges.select(a, b)
       .unionByName(edges.select(b.as("src"), a.as("dst")))
-      .distinct()
+    val sym0 = (if (inputDistinctPairs) sym0raw else sym0raw.distinct())
       .repartition(col("src"))
       .localCheckpoint()
     val nodes = sym0.select(col("src").as("node")).distinct()
 
     var cur = sym0.filter(col("src") =!= col("dst")) // oriented by lgStar
+    var prevCp: Option[DataFrame] = None // checkpoint backing `cur`
     var curCount = -1L
     var rounds = 0
     var converged = false
@@ -121,7 +149,12 @@ object GraphCC {
       converged = nextCount == curCount &&
         next.exceptAll(cur).isEmpty
       if (sys.env.contains("SPARK_GRAFT_CC_TRACE"))
-        System.err.println(s"[cc] round=${rounds + 1} edges=$nextCount")
+        log.info(s"[cc] round=${rounds + 1} edges=$nextCount")
+      // The previous round's blocks are dead once the comparison above
+      // has run — drain them now instead of waiting for ContextCleaner
+      // GC (the old pointer-jumping core's drain discipline).
+      prevCp.foreach(drainCheckpoint)
+      prevCp = Some(next)
       cur = next
       curCount = nextCount
       rounds += 1
@@ -137,6 +170,10 @@ object GraphCC {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("rep"), col("node")).as("component"))
       .localCheckpoint()
+    // `out` is materialized: the symmetric set and the last round's star
+    // edges have no remaining consumer.
+    drainCheckpoint(sym0)
+    prevCp.foreach(drainCheckpoint)
     log.info(s"connectedComponents converged: rounds=$rounds " +
       s"starEdges=$curCount")
     out
@@ -153,7 +190,8 @@ object GraphCC {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = TextQueries.dedupJaccardShingle(s, dir)
       .select(col("doc_a"), col("doc_b"))
-    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    val cc = connectedComponents(pairs, "doc_a", "doc_b",
+      inputDistinctPairs = true) // PPJoin emits distinct a<b pairs
     cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("is_canonical",
@@ -183,7 +221,8 @@ object GraphCC {
   private[operators] def clusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("txt_cc_fix", dir) {
       val cc = connectedComponents(
-        s.read.parquet(pairTablePath(s, dir)), "doc_a", "doc_b")
+        s.read.parquet(pairTablePath(s, dir)), "doc_a", "doc_b",
+        inputDistinctPairs = true)
       cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("n_docs",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

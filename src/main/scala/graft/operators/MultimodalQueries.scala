@@ -676,7 +676,8 @@ object MultimodalQueries {
     * (and certifies) the pair computation itself. */
   private[graft] def videoClipPairTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_clippairs_fix", dir)(
-      mmVideoClipNeardup(s, dir))
+      // failOnDrop: see phashPairTablePath — the exact-pair-set contract.
+      mmVideoClipNeardup(s, dir, failOnDrop = true))
 
   /** q_mm_video_curation: the video DROP-LIST — per-video frame stats
     * joined with the clip near-dup pair set, folded into the keep/drop
@@ -734,9 +735,11 @@ object MultimodalQueries {
     * closed-form frame hashes → the same shingling → the same pair
     * scores, exactly. */
   def mmVideoClipNeardup(s: SparkSession, dir: String,
-                         maxDf: Int = 1000): DataFrame =
+                         maxDf: Int = 1000,
+                         failOnDrop: Boolean = false): DataFrame =
     seqShinglePairs(s.read.parquet(videoClipFrameTablePath(s, dir)),
-        "video_id", "frame_idx", "phash", maxDf, "clip_shingle_cap")
+        "video_id", "frame_idx", "phash", maxDf, "clip_shingle_cap",
+        failOnDrop = failOnDrop)
       .withColumnRenamed("id_a", "video_a")
       .withColumnRenamed("id_b", "video_b")
 
@@ -750,7 +753,7 @@ object MultimodalQueries {
     * ride the pair aggregation — no second pass). */
   private[graft] def seqShinglePairs(seq: DataFrame, idCol: String,
       ordCol: String, valCol: String, maxDf: Int,
-      capMetric: String): DataFrame = {
+      capMetric: String, failOnDrop: Boolean = false): DataFrame = {
     val vs = seq.groupBy(idCol)
       .agg(sort_array(collect_list(struct(col(ordCol), col(valCol))))
         .as("fs"))
@@ -764,7 +767,7 @@ object MultimodalQueries {
       .withColumn("n_sh", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
     val capped = SkewCap.dropOverCap(vs, Seq(col("shingle")), maxDf,
-      capMetric)
+      capMetric, failOnDrop = failOnDrop)
     capped.alias("a")
       .join(capped.alias("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -1267,7 +1270,9 @@ object MultimodalQueries {
     * q_mm_audio_neardup stays the live certifying leg. */
   private[graft] def audioFpPairTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_afprs_fix", dir)(
-      phashGroupPairs(audioFpGroups(s, dir), 3, capMetric = "audio_band_cap")
+      // failOnDrop: see phashPairTablePath — the exact-pair-set contract.
+      phashGroupPairs(audioFpGroups(s, dir), 3, capMetric = "audio_band_cap",
+          failOnDrop = true)
         .select(col("canon_a"), col("canon_b")))
 
   /** Persisted audio cluster-LABEL table (canon, cluster_id) — the
@@ -1276,7 +1281,8 @@ object MultimodalQueries {
   private[graft] def audioFpClusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_afcc_fix", dir)(
       GraphCC.connectedComponents(
-          s.read.parquet(audioFpPairTablePath(s, dir)), "canon_a", "canon_b")
+          s.read.parquet(audioFpPairTablePath(s, dir)), "canon_a", "canon_b",
+          inputDistinctPairs = true)
         .select(col("node").as("canon"), col("component").as("cluster_id")))
 
   def mmAudioNeardup(s: SparkSession, dir: String,
@@ -1687,7 +1693,10 @@ object MultimodalQueries {
     * stays the LIVE leg certifying the pair computation. */
   private[graft] def phashPairTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_phprs_fix", dir)(
-      phashGroupPairs(phashGroups(s, dir), 3)
+      // failOnDrop: downstream base-state replays filter this table by id
+      // and assume it is EXACTLY the uncapped pair set — a firing cap
+      // here must abort the build, not warn (the capless-oracle contract).
+      phashGroupPairs(phashGroups(s, dir), 3, failOnDrop = true)
         .select(col("canon_a"), col("canon_b")))
 
   /** Persisted image cluster-LABEL table (canon, cluster_id) — the
@@ -1699,7 +1708,8 @@ object MultimodalQueries {
   private[graft] def phashClusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_phcc_fix", dir)(
       GraphCC.connectedComponents(
-          s.read.parquet(phashPairTablePath(s, dir)), "canon_a", "canon_b")
+          s.read.parquet(phashPairTablePath(s, dir)), "canon_a", "canon_b",
+          inputDistinctPairs = true)
         .select(col("node").as("canon"), col("component").as("cluster_id")))
 
   /** Banded candidate generation + exact-Hamming verify over a
@@ -1735,11 +1745,13 @@ object MultimodalQueries {
 
   private[graft] def phashGroupPairs(grp: DataFrame, maxHamming: Int,
                                      maxBucket: Int = 100000,
-                                     capMetric: String = "phash_band_cap"): DataFrame = {
+                                     capMetric: String = "phash_band_cap",
+                                     failOnDrop: Boolean = false): DataFrame = {
     val banded = bandedHash(
       grp.select(col("phash"), col("canon"), col("n_copies")), maxHamming)
     val capped = SkewCap.dropOverCap(banded,
-      Seq(col("band"), col("chunk")), maxBucket, capMetric)
+      Seq(col("band"), col("chunk")), maxBucket, capMetric,
+      failOnDrop = failOnDrop)
     capped.alias("a")
       .join(capped.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -1789,7 +1801,8 @@ object MultimodalQueries {
                                 capMetric: String = "phash_band_cap"): DataFrame = {
     val pairs = phashGroupPairs(groups, maxHamming, capMetric = capMetric)
       .select("canon_a", "canon_b")
-    val cc = GraphCC.connectedComponents(pairs, "canon_a", "canon_b")
+    val cc = GraphCC.connectedComponents(pairs, "canon_a", "canon_b",
+      inputDistinctPairs = true) // distinct by (ph_a, ph_b), canon 1:1 phash
     val byCluster = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
     cc.select(col("node").as("canon"), col("component").as("cluster_id"))

@@ -135,7 +135,7 @@ object PackQueries {
           .as("chunk_text"))
   }
 
-  /** q_pack_bestfit: the NO-DOCUMENT-SPLITTING packing layout —
+  /** q_pack_ffd: the NO-DOCUMENT-SPLITTING packing layout —
     * first-fit-decreasing (FFD) bin packing of whole documents into
     * `budget`-token bins, the alternative to concatenate-and-chunk
     * ([[packSequences]]) when attention must never span a document
@@ -162,7 +162,7 @@ object PackQueries {
     * The oracle replays the exact same greedy: rank, group, then a
     * recursive CTE stepping doc-by-doc with the open-bin list as state
     * and a first-fit index per step. */
-  def packBestfit(s: SparkSession, dir: String, budget: Long = 2048L,
+  def packFfd(s: SparkSession, dir: String, budget: Long = 2048L,
                   groupSize: Int = 512): DataFrame = {
     require(budget > 0 && groupSize > 0)
     val docs = table(s, dir, "documents")
@@ -203,13 +203,13 @@ object PackQueries {
     "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q_chunk_windows" -> ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "q_pack_stats" -> ((s: SparkSession, d: String) => packStats(s, d)),
-    "q_pack_bestfit" -> ((s: SparkSession, d: String) => packBestfit(s, d)))
+    "q_pack_ffd" -> ((s: SparkSession, d: String) => packFfd(s, d)))
 
   val oracles: Map[String, String] = Map(
     // FFD replay: rank/group, then step doc-by-doc per group carrying
     // the open-bin remaining-capacity list; the LATERAL computes the
     // 1-based first-fit index (NULL = open a new bin).
-    "q_pack_bestfit" ->
+    "q_pack_ffd" ->
       """WITH RECURSIVE
         |d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -31,16 +31,37 @@ object SkewCap {
   /** Drop rows whose (keys) bucket exceeds `cap`, observing the removal.
     * The windowed count rides the partitionBy(keys) exchange the caller's
     * self-join needs anyway. `metric` must be unique per call site and
-    * end in `_cap` for [[registerWarnings]] to pick it up. */
+    * end in `_cap` for [[registerWarnings]] to pick it up.
+    *
+    * `failOnDrop` turns the cap into a build-time ASSERTION: instead of
+    * silently (well, observably) removing the bucket, the job FAILS on
+    * the first over-cap row. This is the contract for persisted fixture /
+    * base-state builds: their DuckDB oracle replays are CAPLESS, and the
+    * incremental-curation base replay additionally assumes the persisted
+    * pair tables are exactly the uncapped pair set — a cap that fires
+    * during such a build is a correctness divergence, not a skew guard,
+    * so it must stop the build loudly. Zero extra jobs: the assert is an
+    * `assert_true` folded into the row filter of the build's own write
+    * job (the Merge dup-guard idiom). */
   def dropOverCap(df: DataFrame, keys: Seq[Column], cap: Int,
-                  metric: String): DataFrame =
-    df.withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+                  metric: String, failOnDrop: Boolean = false): DataFrame = {
+    val counted = df
+      .withColumn("_bucket_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
       .observe(metric,
         coalesce(sum(when(col("_bucket_n") > cap, lit(1L)).otherwise(lit(0L))),
           lit(0L)).as("rows_dropped"),
         coalesce(max(col("_bucket_n")), lit(0L)).as("max_bucket"))
-      .filter(col("_bucket_n") <= cap)
-      .drop("_bucket_n")
+    val keep =
+      if (!failOnDrop) col("_bucket_n") <= cap
+      // assert_true returns null on pass; folded into the filter so the
+      // optimizer cannot prune the check away.
+      else coalesce(assert_true(col("_bucket_n") <= cap,
+          lit(s"skew cap '$metric' fired during a fixture/base-state " +
+            "build - the capless oracle replay would diverge; raise the " +
+            "cap or shrink the fixture")).cast("boolean"), lit(true)) &&
+        col("_bucket_n") <= cap
+    counted.filter(keep).drop("_bucket_n")
+  }
 
   /** Eager count of the rows [[dropOverCap]] would remove — the
     * oracle-scale assert form (the capless-DuckDB contract). */

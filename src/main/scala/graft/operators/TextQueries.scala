@@ -463,6 +463,17 @@ object TextQueries {
     * above all existing ids, is every pair touching the new batch. Cost
     * is O(delta × colliding corpus prefixes), never corpus². `isNew` is
     * a predicate over `doc_id`. */
+  /** Persisted per-doc quality table (doc_id, quality_score, n_tokens) —
+    * the [[txtQuality]] columns the curation manifest consumes, written
+    * once per sf dir: quality is a pure per-doc scan-side function, so at
+    * 100 TB it is a persisted artifact probed by id like the hash/shingle
+    * tables, never recomputed per curation invocation. q_txt_quality
+    * stays the live leg certifying the scoring itself. */
+  private[graft] def qualityTablePath(s: SparkSession, dir: String): String =
+    graft.sources.ScratchDirs.persistedParquet("txt_qual_fix", dir)(
+      txtQuality(s, dir)
+        .select(col("doc_id"), col("quality_score"), col("n_tokens")))
+
   /** Persisted sorted-shingle index (doc_id, shingles, n_sh) — the
     * corpus-side artifact an incremental ingest probes (production
     * maintains it by appending each admitted batch's shingles); built

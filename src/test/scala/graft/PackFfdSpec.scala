@@ -4,14 +4,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.PackQueries
 
-/** Structural invariants of the no-split FFD packing (q_pack_bestfit)
+/** Structural invariants of the no-split FFD packing (q_pack_ffd)
   * beyond the oracle's exact replay. */
-class PackBestfitSpec extends AnyFunSuite {
+class PackFfdSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
   private val budget = 2048L
 
-  private lazy val packed = PackQueries.packBestfit(spark, dir).cache()
+  private lazy val packed = PackQueries.packFfd(spark, dir).cache()
 
   test("every document lands in exactly one bin; no bin over budget") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -42,7 +42,7 @@ class PackBestfitSpec extends AnyFunSuite {
 
   test("deterministic across invocations") {
     val a = packed.orderBy("doc_id").collect().toSeq
-    val b = PackQueries.packBestfit(spark, dir).orderBy("doc_id")
+    val b = PackQueries.packFfd(spark, dir).orderBy("doc_id")
       .collect().toSeq
     assert(a == b, "re-running the pack produced a different layout")
   }
