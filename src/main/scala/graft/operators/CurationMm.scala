@@ -102,8 +102,7 @@ object CurationMm {
       docs = table(s, dir, "documents").select(col("doc_id")),
       textCl = s.read.parquet(GraphCC.clusterTablePath(s, dir))
         .select(col("doc_id"), col("cluster_id"), col("is_canonical")),
-      quality = TextQueries.txtQuality(s, dir)
-        .select(col("doc_id"), col("quality_score"), col("n_tokens")),
+      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir)),
       imgMember = s.read.parquet(
           MultimodalQueries.phashHashTablePath(s, dir))
         .join(MultimodalQueries.phashGroups(s, dir).select("phash", "canon"),
@@ -226,19 +225,50 @@ object CurationMm {
   // Incremental curation: merge a NEW batch into persisted state
   // -------------------------------------------------------------------
 
-  /** The base/new cut: the last fifth of the doc id space plays the
-    * incoming batch, everything below it the already-curated corpus.
-    * Pure closed form of the corpus size, so the DuckDB oracle replays
-    * the same cut. */
-  private def baseCut(s: SparkSession, dir: String): Long =
+  /** max(doc_id) + 1 — the exclusive top of the contiguous doc id space;
+    * every cut below is a pure closed form of it, so the DuckDB oracle
+    * replays the same cuts. */
+  private def corpusTop(s: SparkSession, dir: String): Long =
     table(s, dir, "documents")
-      .agg(expr("4 * (max(doc_id) + 1) div 5")).head().getLong(0)
+      .agg(max(col("doc_id")) + 1).head().getLong(0)
+
+  /** The base/new cut: the last fifth of the doc id space plays the
+    * incoming batch, everything below it the already-curated corpus. */
+  private def baseCut(s: SparkSession, dir: String): Long =
+    4L * corpusTop(s, dir) / 5L
   private val baseCutSql = "(SELECT 4 * (MAX(all_docs.doc_id) + 1) // 5 " +
     "FROM documents all_docs)"
 
+  /** The chain's first cut (a 60/20/20 layout: base < 3N/5, batch 1 =
+    * [3N/5, 4N/5), batch 2 = [4N/5, N) — so the chain's final state is
+    * the FULL corpus and the one-shot manifest oracle applies). */
+  private def chainCut(s: SparkSession, dir: String): Long =
+    3L * corpusTop(s, dir) / 5L
+
   /** Base-corpus inputs: every per-modality artifact restricted to the
     * ids the base corpus owns (docs < B ⇒ images < 2B, audios < 4B,
-    * videos < 2B). Pair tables filter EXACTLY to the base run's pairs
+    * videos < 2B).
+    *
+    * THE CUTS ARE EXACT, including at the batch boundary: the fixture id
+    * scheme encodes the GENERATING document into the artifact id (doc d
+    * generates images {2d} ∪ {2d+1 | d ≡ 0 mod 3}, audio {4d, +1 | d≡0
+    * mod 3, +2 | d≡0 mod 4, +3 | d≡0 mod 5}, videos {2d} ∪ {2d+1 | d ≡
+    * 0,2 mod 4}), so generating-doc(a) = a div 2 (images/videos) or
+    * a div 4 (audio), and `a < 2B ⟺ a div 2 < B ⟺ generated by a base
+    * doc` — no gap, no overlap. The boundary twins 2B−1 / 4B−1 LOOK like
+    * new-batch artifacts because the first new doc B ATTACHES them (doc
+    * B ≡ 1 mod 3/5, or odd, attaches its predecessor's twin), but they
+    * are GENERATED by base doc B−1 — the attachment model's "every
+    * referenced predecessor artifact exists" guarantee is exactly this
+    * fact — and a standalone base-corpus run would therefore contain
+    * them and their pairs. The DuckDB base replay agrees: its artifact
+    * CTEs derive ids from the filtered documents relation (docs_u),
+    * which generates exactly the same universe. CurationMmCutSpec pins
+    * the equivalence mechanically against a PHYSICALLY truncated corpus
+    * at an adversarial cut B ≡ 1 (mod 60) — every boundary-twin class
+    * at once.
+    *
+    * Pair tables filter EXACTLY to the base run's pairs
     * because a near-dup pair depends only on its two endpoints and
     * group canons only shrink as ids grow (new ids are larger, so a
     * base group's canon is already the global minimum); the per-modality
@@ -282,8 +312,7 @@ object CurationMm {
         col("component").as("cluster_id"),
         when(col("node") === col("component"), 1).otherwise(0)
           .as("is_canonical")),
-      quality = TextQueries.txtQuality(s, dir)
-        .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir))
         .filter(col("doc_id") < b),
       imgMember = imgHash.join(imgGroups.select("phash", "canon"), "phash")
         .select(col("img_id"), col("canon")),
@@ -304,32 +333,41 @@ object CurationMm {
         .select(col("video_id").as("vid")))
   }
 
-  /** Persisted BASE curation state — what a production deployment would
-    * hold between ingests: the published manifest, the encoded-node
-    * component labels, the per-modality cluster labels and group tables,
-    * and the video drop set. Built once per sf dir (the "bootstrap"
-    * run); every incremental invocation consumes it read-only. */
+  /** Build the persisted curation STATE at doc cut `b` into `r` — what a
+    * production deployment holds between ingests: the published
+    * manifest, the encoded-node component labels, the per-modality
+    * cluster labels and group tables, and the video drop sets. This is
+    * the layout [[ingestAt]] consumes read-only AND (via its `stateOut`)
+    * republishes after an ingest — one format for bootstrap state and
+    * post-ingest state is what makes the loop CHAIN: batch n+1 runs off
+    * batch n's published state, never off t=0. */
+  private[graft] def buildBaseState(s: SparkSession, dir: String, b: Long,
+                                    r: String): Unit = {
+    val m = modalBase(s, dir, b)
+    val labels = GraphCC.connectedComponents(encodedEdges(m), "s", "t")
+      .localCheckpoint() // docGroups + the labels dump share one CC run
+    labels.write.parquet(s"$r/labels")
+    val docGroups = labels.filter(col("node") % 8 === 0)
+      .select(expr("node div 8").as("doc_id"),
+        col("component").as("group_id"))
+    manifestFrom(m, docGroups).write.parquet(s"$r/manifest")
+    m.textCl.select("doc_id", "cluster_id").write.parquet(s"$r/textcl")
+    m.imgCl.write.parquet(s"$r/imgcl")
+    m.audCl.write.parquet(s"$r/audcl")
+    baseHashGroups(s, MultimodalQueries.phashHashTablePath(s, dir),
+      "img_id", 2 * b)._2.write.parquet(s"$r/imggrp")
+    baseHashGroups(s, MultimodalQueries.audioFpHashTablePath(s, dir),
+      "audio_id", 4 * b)._2.write.parquet(s"$r/audgrp")
+    m.vidDup.write.parquet(s"$r/viddup")
+    m.vidStatic.write.parquet(s"$r/vidstatic")
+  }
+
+  /** Persisted BASE curation state at the standard 4/5 cut, built once
+    * per sf dir (the "bootstrap" run); every single-ingest invocation
+    * consumes it read-only. */
   private[graft] def baseStateRoot(s: SparkSession, dir: String): String =
-    ScratchDirs.memoized("mmcur_base_fix", dir) { r =>
-      val b = baseCut(s, dir)
-      val m = modalBase(s, dir, b)
-      val labels = GraphCC.connectedComponents(encodedEdges(m), "s", "t")
-        .localCheckpoint() // docGroups + the labels dump share one CC run
-      labels.write.parquet(s"$r/labels")
-      val docGroups = labels.filter(col("node") % 8 === 0)
-        .select(expr("node div 8").as("doc_id"),
-          col("component").as("group_id"))
-      manifestFrom(m, docGroups).write.parquet(s"$r/manifest")
-      m.textCl.select("doc_id", "cluster_id").write.parquet(s"$r/textcl")
-      m.imgCl.write.parquet(s"$r/imgcl")
-      m.audCl.write.parquet(s"$r/audcl")
-      baseHashGroups(s, MultimodalQueries.phashHashTablePath(s, dir),
-        "img_id", 2 * b)._2.write.parquet(s"$r/imggrp")
-      baseHashGroups(s, MultimodalQueries.audioFpHashTablePath(s, dir),
-        "audio_id", 4 * b)._2.write.parquet(s"$r/audgrp")
-      m.vidDup.write.parquet(s"$r/viddup")
-      m.vidStatic.write.parquet(s"$r/vidstatic")
-    }
+    ScratchDirs.memoized("mmcur_base_fix", dir)(
+      buildBaseState(s, dir, baseCut(s, dir), _))
 
   /** Incremental connected components by SUPERNODE CONTRACTION: the base
     * run's labels are a complete connectivity summary, so each delta-edge
@@ -403,62 +441,92 @@ object CurationMm {
       staged(name)(df.localCheckpoint())
   }
 
+  private lazy val stageLog =
+    org.slf4j.LoggerFactory.getLogger("graft.CurationMm")
+
   private def staged[T](name: String)(f: => T): T =
     if (!sys.env.contains("SPARK_GRAFT_STAGE_TIMING")) f
     else {
       val t0 = System.nanoTime(); val r = f
-      System.err.println(
+      stageLog.info(
         f"[stage] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
           s"(cc_rounds=${GraphCC.lastRunRounds})")
       r
     }
 
-  /** The incremental ingest at `root`: bootstrap the table from the
-    * persisted base manifest, then MERGE the recomputed rows of every
-    * TOUCHED component (plus all new docs) — see [[curationMmIncremental]]
-    * for the semantics. Returns the table root (v2 = post-merge, with
-    * the v2 change feed recorded). */
-  private def incrementalRunAt(s: SparkSession, dir: String,
-                               root: String): String = {
-    val b = staged("basecut")(baseCut(s, dir))
-    val base = baseStateRoot(s, dir)
-    val baseManifest = s.read.parquet(s"$base/manifest")
+  /** The ingest base-state root consumed by the most recent [[ingestAt]]
+    * in this JVM — the observable CurationMmChainSpec pins: a chained
+    * round must consume the PREVIOUS round's published state root, never
+    * the t=0 bootstrap fixture. Diagnostic only: concurrent runs
+    * last-write-win. */
+  private val lastIngestBaseA =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private[graft] def lastIngestBase: String = lastIngestBaseA.get()
+
+  /** ONE incremental ingest: merge the document batch [`lo`, `hi`) into
+    * the persisted curation state at `baseRoot` (the [[buildBaseState]]
+    * layout), publishing through the managed table at `root`.
+    *
+    *  - `bootstrap` = true first initializes the table from the base
+    *    manifest (v1 = base state, v2 = the merge); false merges into
+    *    the table's current snapshot — a CHAINED round.
+    *  - `stateOut` = Some(dir) republishes the POST-ingest state in the
+    *    SAME layout, closing the production loop: the next batch runs
+    *    off this ingest's output with no access to t=0 state (the chain
+    *    gate proves a second batch converges off it, hash-equal to the
+    *    full recompute).
+    *
+    * The batch's artifact ids are [stride·lo, stride·hi) — exact by the
+    * generating-doc id encoding (see [[modalBase]]). All label closures
+    * run as ONE fused contracted CC: the cross-modality component graph
+    * (even ids) and the three per-modality cluster-label graphs (odd
+    * ids, mod-3 strides inside) are disjoint id spaces, so a single
+    * incremental CC re-converges every label set in one run — halving
+    * the fixed per-round driver cost the two sequential closures paid. */
+  private def ingestAt(s: SparkSession, dir: String, root: String,
+                       baseRoot: String, lo: Long, hi: Long,
+                       bootstrap: Boolean,
+                       stateOut: Option[String] = None): Unit = {
+    lastIngestBaseA.set(baseRoot)
+    val base = baseRoot
     val baseLabels = s.read.parquet(s"$base/labels")
 
     val att = attachments(s, dir)
-    val newAtt = att.filter(col("doc_id") >= b)
+    val inBatch = col("doc_id") >= lo && col("doc_id") < hi
+    val newAtt = att.filter(inBatch)
 
     // --- text: probe the persisted shingle index with the new batch's
     // prefixes only (materialized below, in ONE barrier with the
     // image/audio probes) ---
     val deltaTextPairsLazy = TextQueries
-      .incrementalPairsAgainstAll(s, dir, col("doc_id") >= b,
+      .incrementalPairsAgainstAll(s, dir, inBatch,
         shingleIndex =
           Some(s.read.parquet(TextQueries.shingleTablePath(s, dir))))
 
     // --- image/audio: group-table MERGE (base groups ∪ new hashes),
-    // then banded delta probe, then label CC over base labels + delta ---
-    // (only phash → canon is consumed downstream — the delta probe and
-    // the memberships; copy counts stay in the persisted group tables)
+    // then banded delta probe, then the fused label closure below.
+    // n_copies rides the same groupBy so the republished state keeps the
+    // [[buildBaseState]] group-table schema. ---
     def combined(baseGrp: DataFrame, newHash: DataFrame, idCol: String)
         : DataFrame =
-      baseGrp.select(col("phash"), col("canon"))
-        .unionByName(newHash.select(col("phash"), col(idCol).as("canon")))
+      baseGrp.select(col("phash"), col("n_copies"), col("canon"))
+        .unionByName(newHash.select(col("phash"),
+          lit(1L).as("n_copies"), col(idCol).as("canon")))
         .groupBy("phash")
-        .agg(min(col("canon")).as("canon"))
+        .agg(sum(col("n_copies")).as("n_copies"), min(col("canon")).as("canon"))
     val newImgHash = s.read.parquet(
         MultimodalQueries.phashHashTablePath(s, dir))
-      .filter(col("img_id") >= 2 * b)
+      .filter(col("img_id") >= 2 * lo && col("img_id") < 2 * hi)
     val imgGroups = combined(s.read.parquet(s"$base/imggrp"), newImgHash,
       "img_id")
-    val deltaImgPairsLazy = deltaHashPairs(imgGroups, col("canon") >= 2 * b,
+    val deltaImgPairsLazy = deltaHashPairs(imgGroups, col("canon") >= 2 * lo,
       3, "img_inc_cap")
     val newAudHash = s.read.parquet(
         MultimodalQueries.audioFpHashTablePath(s, dir))
-      .filter(col("audio_id") >= 4 * b)
+      .filter(col("audio_id") >= 4 * lo && col("audio_id") < 4 * hi)
     val audGroups = combined(s.read.parquet(s"$base/audgrp"), newAudHash,
       "audio_id")
-    val deltaAudPairsLazy = deltaHashPairs(audGroups, col("canon") >= 4 * b,
+    val deltaAudPairsLazy = deltaHashPairs(audGroups, col("canon") >= 4 * lo,
       3, "aud_inc_cap")
 
     // --- ONE materialization barrier for all three probes: the probe
@@ -478,44 +546,14 @@ object CurationMm {
     val deltaAudPairs = deltaPairs.filter(col("m") === 2)
       .select(col("a").as("canon_a"), col("b").as("canon_b"))
 
-    // --- ONE local-closure update for all three per-modality label
-    // sets: text docs, image canons, and audio canons live in disjoint
-    // mod-3 strides of a shared id space (the cross-modality encoding
-    // trick), and the update itself is the CONTRACTED incremental CC —
-    // base labels collapse to supernodes, so the closure graph is
-    // delta-sized regardless of corpus size. Strides never connect, so
-    // component minima decode exactly per stride. ---
-    def enc(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame =
-      df.select((col(aCol) * 3 + k).as("ea"), (col(bCol) * 3 + k).as("eb"))
-    // checkpointed: three decoded consumers sit inside the merge's one
-    // materialized plan — without it the expansion joins run three times
-    val localCl = staged("local_cc")(incrementalCc(
-      enc(s.read.parquet(s"$base/textcl"), "doc_id", "cluster_id", 0)
-        .unionByName(enc(s.read.parquet(s"$base/imgcl"), "canon", "cluster_id", 1))
-        .unionByName(enc(s.read.parquet(s"$base/audcl"), "canon", "cluster_id", 2))
-        .toDF("node", "component"),
-      enc(deltaTextPairs, "doc_a", "doc_b", 0)
-        .unionByName(enc(deltaImgPairs, "canon_a", "canon_b", 1))
-        .unionByName(enc(deltaAudPairs, "canon_a", "canon_b", 2)))
-      .localCheckpoint())
-    def dec(k: Int, idName: String): DataFrame =
-      localCl.filter(col("node") % 3 === k)
-        .select(expr(s"(node - $k) div 3").as(idName),
-          expr(s"(component - $k) div 3").as("cluster_id"))
-    val textCl = dec(0, "doc_id")
-      .withColumn("is_canonical",
-        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
-    val imgCl = dec(1, "canon")
-    val audCl = dec(2, "canon")
-
     // --- video: the persisted clip-pair table IS the probe index — the
-    // new-incident slice is a pure id filter (pairs are normalized
-    // video_a < video_b and new ids are larger, so a new endpoint is
+    // batch-incident slice is a pure id filter (pairs are normalized
+    // video_a < video_b and new ids are larger, so a batch endpoint is
     // always video_b). In production the same slice falls out of probing
     // the persisted shingle table with the new clips' shingles. ---
     val deltaVidPairs = s.read.parquet(
         MultimodalQueries.videoClipPairTablePath(s, dir))
-      .filter(col("video_b") >= 2 * b)
+      .filter(col("video_b") >= 2 * lo && col("video_b") < 2 * hi)
       .select(col("video_a"), col("video_b"))
     val vidDup = s.read.parquet(s"$base/viddup")
       .unionByName(deltaVidPairs.select(col("video_b").as("vid")))
@@ -525,7 +563,7 @@ object CurationMm {
     val vidStatic = s.read.parquet(s"$base/vidstatic")
       .unionByName(s.read.parquet(
           MultimodalQueries.videoClipFrameTablePath(s, dir))
-        .filter(col("video_id") >= 2 * b)
+        .filter(col("video_id") >= 2 * lo && col("video_id") < 2 * hi)
         .groupBy("video_id").agg(countDistinct(col("phash")).as("nd"))
         .filter(col("nd") === 1).select(col("video_id").as("vid")))
 
@@ -542,10 +580,8 @@ object CurationMm {
     val imgMember = memberOf(imgHashAll, imgGroups, "img_id")
     val audMember = memberOf(audHashAll, audGroups, "audio_id")
 
-    // --- the incremental cross-modality closure: contracted CC over
-    // the delta edges (base components as supernodes), expanded back
-    // over the base labels — O(log delta-diameter) rounds over a
-    // delta-sized graph ---
+    // --- the cross-modality delta edges (8-stride encoding): contracted
+    // against base components inside the fused closure below ---
     val doc8 = (col("doc_id") * 8).as("s")
     val deltaEdges = deltaTextPairs
       .select((col("doc_a") * 8).as("s"), (col("doc_b") * 8).as("t"))
@@ -561,10 +597,51 @@ object CurationMm {
       .unionByName(deltaVidPairs.select((col("video_a") * 8 + 4).as("s"),
         (col("video_b") * 8 + 4).as("t")))
       .localCheckpointStaged("delta_edges")
-    // checkpointed: the expanded labels feed docGroups AND the
-    // touched-component join, both inside the merge's materialized plan
-    val labels = staged("encoded_cc")(
-      incrementalCc(baseLabels, deltaEdges).localCheckpoint())
+
+    // --- ONE FUSED incremental closure for EVERY label set: the
+    // cross-modality component graph rides the EVEN ids (node → 2·node)
+    // and the three per-modality cluster-label graphs ride the ODD ids
+    // (text docs / image canons / audio canons in mod-3 strides, then
+    // node → 2·node + 1). Parities never connect and both encodings are
+    // monotone, so one contracted CC — base labels collapse to
+    // supernodes, cost scales with the DELTA — re-converges all four
+    // label sets in a single run (one driver loop instead of two), and
+    // component minima decode exactly per parity/stride. ---
+    def enc3(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame =
+      df.select((col(aCol) * 3 + k).as("ea"), (col(bCol) * 3 + k).as("eb"))
+    val baseLocal = enc3(s.read.parquet(s"$base/textcl"), "doc_id", "cluster_id", 0)
+      .unionByName(enc3(s.read.parquet(s"$base/imgcl"), "canon", "cluster_id", 1))
+      .unionByName(enc3(s.read.parquet(s"$base/audcl"), "canon", "cluster_id", 2))
+    val deltaLocal = enc3(deltaTextPairs, "doc_a", "doc_b", 0)
+      .unionByName(enc3(deltaImgPairs, "canon_a", "canon_b", 1))
+      .unionByName(enc3(deltaAudPairs, "canon_a", "canon_b", 2))
+    // checkpointed: the decoded consumers (docGroups, the touched join,
+    // three cluster-label frames) all sit inside the merge's one
+    // materialized plan — without it the expansion joins re-run per leg
+    val fused = staged("fused_cc")(incrementalCc(
+      baseLabels.select((col("node") * 2).as("node"),
+          (col("component") * 2).as("component"))
+        .unionByName(baseLocal.select((col("ea") * 2 + 1).as("node"),
+          (col("eb") * 2 + 1).as("component"))),
+      deltaEdges.select((col("s") * 2).as("s"), (col("t") * 2).as("t"))
+        .unionByName(deltaLocal.select((col("ea") * 2 + 1).as("s"),
+          (col("eb") * 2 + 1).as("t"))))
+      .localCheckpoint())
+    val labels = fused.filter(col("node") % 2 === 0)
+      .select(expr("node div 2").as("node"),
+        expr("component div 2").as("component"))
+    val localCl = fused.filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").as("node"),
+        expr("(component - 1) div 2").as("component"))
+    def dec(k: Int, idName: String): DataFrame =
+      localCl.filter(col("node") % 3 === k)
+        .select(expr(s"(node - $k) div 3").as(idName),
+          expr(s"(component - $k) div 3").as("cluster_id"))
+    val textCl = dec(0, "doc_id")
+      .withColumn("is_canonical",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+    val imgCl = dec(1, "canon")
+    val audCl = dec(2, "canon")
     val docGroups = labels.filter(col("node") % 8 === 0)
       .select(expr("node div 8").as("doc_id"), col("component").as("group_id"))
 
@@ -586,8 +663,8 @@ object CurationMm {
       att = att.join(touchedDocs.select("doc_id"), "doc_id"),
       docs = touchedDocs.select("doc_id"),
       textCl = textCl,
-      quality = TextQueries.txtQuality(s, dir)
-        .select(col("doc_id"), col("quality_score"), col("n_tokens")),
+      // persisted per-doc artifact, probed by id like every other input
+      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir)),
       imgMember = imgMember, imgPairs = deltaImgPairs, imgCl = imgCl,
       audMember = audMember, audPairs = deltaAudPairs, audCl = audCl,
       vidPairs = deltaVidPairs, vidDup = vidDup, vidStatic = vidStatic)
@@ -595,9 +672,10 @@ object CurationMm {
 
     // --- publish through the table layer: bootstrap v1 = the base
     // manifest (a straight publish — no keys to resolve against the
-    // empty v0), v2 = the incremental MERGE (update only when the row
+    // empty v0), then the incremental MERGE (update only when the row
     // actually changed; insert the new batch) with its change feed ---
-    staged("bootstrap") {
+    if (bootstrap) staged("bootstrap") {
+      val baseManifest = s.read.parquet(s"$base/manifest")
       ManagedTable.createEmpty(s, root, baseManifest)
       ManagedTable.overwrite(root, baseManifest)
     }
@@ -609,6 +687,32 @@ object CurationMm {
           .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _))),
         changeFeed = true)
     }
+    // --- republish the post-ingest state for the NEXT batch (the chain
+    // contract: same layout [[buildBaseState]] bootstraps, so a chained
+    // round never reaches back to t=0) ---
+    stateOut.foreach { out =>
+      staged("state_out") {
+        labels.write.parquet(s"$out/labels")
+        ManagedTable.read(s, root).write.parquet(s"$out/manifest")
+        textCl.select("doc_id", "cluster_id").write.parquet(s"$out/textcl")
+        imgCl.write.parquet(s"$out/imgcl")
+        audCl.write.parquet(s"$out/audcl")
+        imgGroups.write.parquet(s"$out/imggrp")
+        audGroups.write.parquet(s"$out/audgrp")
+        vidDup.write.parquet(s"$out/viddup")
+        vidStatic.write.parquet(s"$out/vidstatic")
+      }
+    }
+  }
+
+  /** The standard single-ingest run: last fifth of the corpus merged
+    * into the bootstrap base state. Returns the table root (v2 =
+    * post-merge, with the v2 change feed recorded). */
+  private def incrementalRunAt(s: SparkSession, dir: String,
+                               root: String): String = {
+    ingestAt(s, dir, root, baseStateRoot(s, dir),
+      staged("basecut")(baseCut(s, dir)), corpusTop(s, dir),
+      bootstrap = true)
     root
   }
 
@@ -645,6 +749,323 @@ object CurationMm {
     * row). */
   def curationCdf(s: SparkSession, dir: String): DataFrame =
     ManagedTable.changes(s, incRunShared(s, dir), 2)
+      .withColumnRenamed(Merge.ActionCol, "action")
+
+  /** The CHAINED incremental run, memoized per sf dir — TWO successive
+    * ingests over a 60/20/20 corpus cut: base state built at 3N/5,
+    * batch 1 = [3N/5, 4N/5) ingested WITH post-state republication,
+    * batch 2 = [4N/5, N) ingested OFF BATCH 1'S PUBLISHED STATE — the
+    * second round has no access to the t=0 bootstrap. Layout under the
+    * memo root: `state0` (bootstrap), `state1` (batch 1's republished
+    * state), `table` (v1 = base manifest, v2 = post-batch-1, v3 =
+    * post-batch-2, with change feeds at v2 and v3). */
+  private[graft] def chainShared(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_chain_fix", dir) { r =>
+      val top = corpusTop(s, dir)
+      val b1 = chainCut(s, dir); val b2 = baseCut(s, dir)
+      buildBaseState(s, dir, b1, s"$r/state0")
+      ingestAt(s, dir, s"$r/table", s"$r/state0", b1, b2,
+        bootstrap = true, stateOut = Some(s"$r/state1"))
+      ingestAt(s, dir, s"$r/table", s"$r/state1", b2, top,
+        bootstrap = false)
+    }
+
+  /** q_curation_mm_chain: the COMPOSITIONALITY gate — the property a
+    * production loop actually relies on: an ingest's republished state
+    * is sufficient base state for the NEXT ingest. The LIVE leg re-runs
+    * round 2 per invocation off the memoized round-1 output state (a
+    * read-only fixture — built by an INGEST, not by the from-scratch
+    * bootstrap), publishing to a fresh table. The oracle is the
+    * FULL-RECOMPUTE manifest: hash equality proves base(60%) → +batch1
+    * → +batch2 converges to the one-shot capstone, i.e. incremental
+    * ingest composes. CurationMmChainSpec additionally pins that round
+    * 2 consumed round 1's state root (never the t=0 fixture) and that
+    * state1's manifest is byte-identical to the chain table's v2. */
+  def curationMmChain(s: SparkSession, dir: String): DataFrame = {
+    val chain = chainShared(s, dir)
+    val root = ScratchDirs.fresh("mmcur_chain_live")
+    ingestAt(s, dir, root, s"$chain/state1", baseCut(s, dir),
+      corpusTop(s, dir), bootstrap = true)
+    ManagedTable.read(s, root)
+  }
+
+  /** q_curation_mm_chain_cdf: the chain table's v3 change feed — exactly
+    * the ROUND-2 delta (batch-2 docs as inserts, post-batch-1 rows whose
+    * group/keep state changed as updates). The oracle is the same closed
+    * form as q_curation_mm_cdf: round 2's pre-state (post-batch-1, cut
+    * 4N/5) is hash-equal to a from-scratch base at that cut — the
+    * compositionality claim restated on the feed itself. */
+  def curationChainCdf(s: SparkSession, dir: String): DataFrame =
+    ManagedTable.changes(s, s"${chainShared(s, dir)}/table", 3)
+      .withColumnRenamed(Merge.ActionCol, "action")
+
+  // -------------------------------------------------------------------
+  // Retraction: the right-to-forget path through the curation axis
+  // -------------------------------------------------------------------
+
+  /** The retraction batch's closed form (every 23rd document, offset 4 —
+    * includes text-cluster minima and video-pair canons at fixture
+    * scale, so canon re-election is exercised, and the DuckDB oracle
+    * replays the same predicate). A RETRACTED document vanishes from the
+    * corpus along with every artifact it GENERATED (id div stride ∈ R —
+    * the takedown removes the upload's media; another document's
+    * attachment to that media dangles, exactly like the closed-form
+    * oracle world where the artifact CTEs derive only from surviving
+    * documents). */
+  private val retractMod = 23L
+  private val retractRes = 4L
+  private def retracted(c: Column): Column = c % retractMod === retractRes
+  private val retractKeepSql = s"doc_id % $retractMod <> $retractRes"
+
+  /** Persisted FULL-corpus curation state (the [[buildBaseState]] layout
+    * at cut N) — what a production deployment holds after the whole
+    * corpus is ingested, and therefore the state a retraction batch
+    * mutates. Built once per sf dir. */
+  private[graft] def fullStateRoot(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_full_fix", dir)(
+      buildBaseState(s, dir, corpusTop(s, dir), _))
+
+  /** One RETRACTION pass against the full-corpus state, published
+    * through the managed table at `root` (v1 = the pre-retraction
+    * manifest, v2 = the retraction MERGE: matched-DELETE for retracted
+    * docs, update-when-changed for surviving docs of touched components,
+    * with the change feed recording delete pre-images and update
+    * post-images).
+    *
+    * Deletion is the direction incremental ingest cannot express:
+    * removing a node can SPLIT a component, shrink clusters, and
+    * re-elect canons (including when the retracted doc owned the
+    * canonical copy), so touched components re-converge FROM SCRATCH —
+    * but ONLY touched components. The touched set is exact: a manifest
+    * row can change only through (a) a retracted doc's own component
+    * (its text pairs and attachment edges vanish there), (b) the
+    * component of a removed artifact's group canon (membership, canon
+    * election, and the group's pair edges change there — every doc
+    * attached to such a group is co-component with the canon node by its
+    * attachment edge), or (c) the component of a removed video node
+    * (clip-pair dup status and static flags — attachers are
+    * co-component via their vid edge). Components containing none of
+    * those nodes keep their rows verbatim.
+    *
+    * Scale shape: seeds and probes are id filters + joins against the
+    * persisted full-state tables (the generating-doc id encoding makes
+    * "artifacts of retracted docs" a pure filter); the surviving group
+    * tables are one groupBy over the distinct-hash-sized hash tables
+    * (production would instead MERGE-delete members out of the persisted
+    * group tables); old pair tables REMAP through phash to post-election
+    * canons (a pair is a property of its two hashes, so the pair set
+    * only shrinks — no banded join re-runs); and every closure (text,
+    * image, audio cluster labels AND the cross-modality groups) runs as
+    * ONE fused from-scratch CC over the touched subgraph only — raw text
+    * pairs stand in for the cluster-hub edges (transitively identical
+    * connectivity, and cluster nodes 8c+1 can never be component minima
+    * since their cluster's min doc 8c is smaller). */
+  private[graft] def retractAt(s: SparkSession, dir: String, root: String,
+                               pred: Column => Column = retracted): Unit = {
+    val full = fullStateRoot(s, dir)
+    val labels = s.read.parquet(s"$full/labels")
+    val manifest = s.read.parquet(s"$full/manifest")
+    val retractedDocs = table(s, dir, "documents").select(col("doc_id"))
+      .filter(pred(col("doc_id")))
+
+    val imgHashAll = s.read.parquet(
+      MultimodalQueries.phashHashTablePath(s, dir))
+    val audHashAll = s.read.parquet(
+      MultimodalQueries.audioFpHashTablePath(s, dir))
+    def removedOf(hash: DataFrame, idCol: String, stride: Int): DataFrame =
+      hash.filter(pred(expr(s"$idCol div $stride")))
+    def survivingOf(hash: DataFrame, idCol: String, stride: Int): DataFrame =
+      hash.filter(!pred(expr(s"$idCol div $stride")))
+
+    // --- seed nodes → touched components (see the contract above).
+    // Seeds absent from the labels (never had an edge) cannot affect any
+    // manifest row, so the inner join is the correct semantics. ---
+    val seedNodes = retractedDocs.select((col("doc_id") * 8).as("node"))
+      .unionByName(removedOf(imgHashAll, "img_id", 2)
+        .join(s.read.parquet(s"$full/imggrp").select("phash", "canon"), "phash")
+        .select((col("canon") * 8 + 2).as("node")))
+      .unionByName(removedOf(audHashAll, "audio_id", 4)
+        .join(s.read.parquet(s"$full/audgrp").select("phash", "canon"), "phash")
+        .select((col("canon") * 8 + 3).as("node")))
+      .unionByName(s.read.parquet(
+          MultimodalQueries.videoClipFrameTablePath(s, dir))
+        .select(col("video_id")).distinct()
+        .filter(pred(expr("video_id div 2")))
+        .select((col("video_id") * 8 + 4).as("node")))
+      .distinct()
+    val touchedComps = labels.join(seedNodes, "node")
+      .select(col("component")).distinct()
+    val touchedLabeled = labels
+      .join(touchedComps, Seq("component")).localCheckpoint()
+    val touchedDocs = touchedLabeled.filter(col("node") % 8 === 0)
+      .select(expr("node div 8").as("doc_id"))
+    val survivors = touchedDocs.filter(!pred(col("doc_id")))
+    def touchedArt(k: Int, idName: String): DataFrame =
+      touchedLabeled.filter(col("node") % 8 === k)
+        .select(expr(s"(node - $k) div 8").as(idName))
+
+    val att = attachments(s, dir)
+    val attT = att.join(survivors, "doc_id")
+
+    // --- text: surviving pairs among touched docs (pairs never cross
+    // components, and a pair to a retracted doc dies with it) ---
+    val textPairsT = s.read.parquet(GraphCC.pairTablePath(s, dir))
+      .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+
+    // --- image/audio: post-retraction group tables (surviving members,
+    // min-id canon re-election), old pairs remapped through phash to the
+    // new canons, restricted to touched components ---
+    def survGroups(hash: DataFrame, idCol: String, stride: Int): DataFrame =
+      survivingOf(hash, idCol, stride)
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canon"))
+    val imgGroupsS = survGroups(imgHashAll, "img_id", 2)
+    val audGroupsS = survGroups(audHashAll, "audio_id", 4)
+    def remapPairs(oldPairs: DataFrame, oldGrp: DataFrame,
+                   newGrp: DataFrame, touchedCanon: DataFrame): DataFrame =
+      oldPairs
+        .join(touchedCanon.select(col("id").as("canon_a")), Seq("canon_a"))
+        .join(oldGrp.select(col("canon").as("canon_a"),
+          col("phash").as("ph_a")), Seq("canon_a"))
+        .join(oldGrp.select(col("canon").as("canon_b"),
+          col("phash").as("ph_b")), Seq("canon_b"))
+        .join(newGrp.select(col("phash").as("ph_a"),
+          col("canon").as("na")), Seq("ph_a"))
+        .join(newGrp.select(col("phash").as("ph_b"),
+          col("canon").as("nb")), Seq("ph_b"))
+        .select(col("na").as("canon_a"), col("nb").as("canon_b"))
+    val imgPairsT = remapPairs(
+      s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir)),
+      s.read.parquet(s"$full/imggrp"), imgGroupsS, touchedArt(2, "id"))
+    val audPairsT = remapPairs(
+      s.read.parquet(MultimodalQueries.audioFpPairTablePath(s, dir)),
+      s.read.parquet(s"$full/audgrp"), audGroupsS, touchedArt(3, "id"))
+    def memberOfS(hash: DataFrame, groups: DataFrame, idCol: String,
+                  stride: Int): DataFrame =
+      survivingOf(hash, idCol, stride)
+        .join(groups.select("phash", "canon"), "phash")
+        .select(col(idCol), col("canon"))
+    val imgMemberS = memberOfS(imgHashAll, imgGroupsS, "img_id", 2)
+    val audMemberS = memberOfS(audHashAll, audGroupsS, "audio_id", 4)
+
+    // --- video: surviving pairs (endpoints are artifacts — both must
+    // survive), touched-scoped; static flags filter the persisted set ---
+    val vidPairsT = s.read.parquet(
+        MultimodalQueries.videoClipPairTablePath(s, dir))
+      .join(touchedArt(4, "id").select(col("id").as("video_a")),
+        Seq("video_a"))
+      .filter(!pred(expr("video_a div 2")) &&
+        !pred(expr("video_b div 2")))
+      .select(col("video_a"), col("video_b"))
+    val vidDupT = vidPairsT.select(col("video_b").as("vid")).distinct()
+    val vidStaticT = s.read.parquet(s"$full/vidstatic")
+      .filter(!pred(expr("vid div 2")))
+
+    // --- ONE fused from-scratch closure over the touched subgraph:
+    // cross-modality groups on EVEN ids (raw text pairs as doc-doc
+    // edges), the three per-modality cluster-label graphs on ODD ids
+    // (mod-3 strides) — the incremental path's fusion, without
+    // contraction (deletion re-converges from scratch) ---
+    val doc8 = (col("doc_id") * 8).as("s")
+    val crossEdges = textPairsT
+      .select((col("doc_a") * 8).as("s"), (col("doc_b") * 8).as("t"))
+      .unionByName(attT.join(imgMemberS, attT("img") === imgMemberS("img_id"))
+        .select(doc8, (col("canon") * 8 + 2).as("t")))
+      .unionByName(imgPairsT.select((col("canon_a") * 8 + 2).as("s"),
+        (col("canon_b") * 8 + 2).as("t")))
+      .unionByName(attT.join(audMemberS, attT("aud") === audMemberS("audio_id"))
+        .select(doc8, (col("canon") * 8 + 3).as("t")))
+      .unionByName(audPairsT.select((col("canon_a") * 8 + 3).as("s"),
+        (col("canon_b") * 8 + 3).as("t")))
+      .unionByName(attT.select(doc8, (col("vid") * 8 + 4).as("t")))
+      .unionByName(vidPairsT.select((col("video_a") * 8 + 4).as("s"),
+        (col("video_b") * 8 + 4).as("t")))
+    def enc3(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame =
+      df.select((col(aCol) * 3 + k).as("ea"), (col(bCol) * 3 + k).as("eb"))
+    val localEdges = enc3(textPairsT, "doc_a", "doc_b", 0)
+      .unionByName(enc3(imgPairsT, "canon_a", "canon_b", 1))
+      .unionByName(enc3(audPairsT, "canon_a", "canon_b", 2))
+    val fused = GraphCC.connectedComponents(
+      crossEdges.select((col("s") * 2).as("s"), (col("t") * 2).as("t"))
+        .unionByName(localEdges.select((col("ea") * 2 + 1).as("s"),
+          (col("eb") * 2 + 1).as("t"))),
+      "s", "t", inputDistinctPairs = true)
+      .withColumnRenamed("node", "n").withColumnRenamed("component", "c")
+      .localCheckpoint()
+    // group ids live in the 8-stride encoded space (the full manifest's
+    // convention), so the fused (×2) component min decodes by div 2.
+    // Every doc carries an unconditional vid edge, so the inner join
+    // covers all survivors.
+    val docGroupsT = survivors.join(
+      fused.filter(col("n") % 16 === 0)
+        .select(expr("n div 16").as("doc_id"), expr("c div 2").as("group_id")),
+      Seq("doc_id"))
+    val localCl = fused.filter(col("n") % 2 === 1)
+      .select(expr("(n - 1) div 2").as("node"),
+        expr("(c - 1) div 2").as("component"))
+    def dec(k: Int, idName: String): DataFrame =
+      localCl.filter(col("node") % 3 === k)
+        .select(expr(s"(node - $k) div 3").as(idName),
+          expr(s"(component - $k) div 3").as("cluster_id"))
+    val textClT = dec(0, "doc_id")
+      .withColumn("is_canonical",
+        when(col("doc_id") === col("cluster_id"), 1).otherwise(0))
+
+    val mT = MmInputs(
+      att = attT,
+      docs = survivors,
+      textCl = textClT,
+      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir)),
+      imgMember = imgMemberS, imgPairs = imgPairsT, imgCl = dec(1, "canon"),
+      audMember = audMemberS, audPairs = audPairsT, audCl = dec(2, "canon"),
+      vidPairs = vidPairsT, vidDup = vidDupT, vidStatic = vidStaticT)
+    val recomputed = manifestFrom(mT, docGroupsT)
+
+    // --- publish: v1 = the pre-retraction manifest, v2 = the retraction
+    // MERGE — matched-DELETE on the retraction flag (the reference's
+    // hist delete-clause semantics), update-when-changed for touched
+    // survivors, change feed on ---
+    ManagedTable.createEmpty(s, root, manifest)
+    ManagedTable.overwrite(root, manifest)
+    val changedCols = Seq("kept", "drop_reasons", "split", "group_id",
+      "group_docs", "quality_score", "n_tokens")
+    val src = recomputed.withColumn("_retract", lit(false))
+      .unionByName(manifest.join(retractedDocs, Seq("doc_id"))
+        .withColumn("_retract", lit(true)))
+    ManagedTable.merge(s, root, src, Seq("doc_id"),
+      MergeClauses.Spec(
+        updateWhen = Some(!col("s._retract") && changedCols
+          .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)),
+        deleteWhen = Some(col("s._retract"))),
+      changeFeed = true)
+  }
+
+  /** q_curation_mm_retract: the RIGHT-TO-FORGET gate — a retraction
+    * batch (every 23rd doc) removed from the published full-corpus
+    * manifest through the table layer's matched-DELETE clause, with
+    * touched components re-converged from scratch (cluster shrinkage,
+    * canon re-election — including minima the retracted docs owned —
+    * and component splits all land). The oracle is the full recompute
+    * over `documents` minus the retracted set. */
+  def curationMmRetract(s: SparkSession, dir: String): DataFrame = {
+    val root = ScratchDirs.fresh("mmcur_retract_live")
+    retractAt(s, dir, root)
+    ManagedTable.read(s, root)
+  }
+
+  /** The retraction run's published table, memoized per sf dir — the
+    * read-only fixture the retraction CDF gate (and the spec) consume;
+    * q_curation_mm_retract stays the live leg. */
+  private[graft] def retractShared(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_retract_fix", dir)(retractAt(s, dir, _))
+
+  /** q_curation_mm_retract_cdf: the retraction's change feed — DELETE
+    * rows carrying the pre-image of every retracted manifest row (the
+    * record a right-to-forget audit consumes) plus update post-images
+    * for surviving rows whose group/keep state changed. */
+  def curationRetractCdf(s: SparkSession, dir: String): DataFrame =
+    ManagedTable.changes(s, retractShared(s, dir), 2)
       .withColumnRenamed(Merge.ActionCol, "action")
 
   /** PERSISTED manifest: the capstone's output written once per sf dir —
@@ -709,6 +1130,32 @@ object CurationMm {
         (col("cum_before") % budget).as("bin_offset"))
   }
 
+  /** q_curation_pack_screened: the contamination screen CONSUMED — the
+    * packing input is the kept train split ANTI-JOINED against the
+    * cross-modal benchmark-contamination quarantine
+    * ([[mmBenchContamination]]'s hit set): a document whose image or
+    * audio perceptually matches a benchmark artifact never reaches a
+    * training sequence, closing the loop q_mm_bench_contamination only
+    * reported. Scale shape: the quarantine is benchmark-hit-sized (tiny
+    * by definition), so the anti-join broadcasts; everything else is the
+    * [[curationPackE2e]] prefix-sum layout over the screened stream. */
+  def curationPackScreened(s: SparkSession, dir: String,
+                           budget: Long = 2048L): DataFrame = {
+    val kept = s.read.parquet(manifestTablePath(s, dir))
+      .filter(col("kept") === "true" && col("split") === "train")
+      .select(col("doc_id"),
+        col("n_tokens").cast(org.apache.spark.sql.types.LongType)
+          .as("n_tokens"))
+    val quarantine = mmBenchContamination(s, dir)
+      .select(col("doc_id")).distinct()
+    val clean = kept.join(quarantine, Seq("doc_id"), "left_anti")
+    PackQueries.withExclusivePrefixSum(s, clean,
+        Seq(col("doc_id").asc), "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("bin_id"),
+        (col("cum_before") % budget).as("bin_offset"))
+  }
+
   /** q_mm_bench_contamination: the CROSS-MODAL contamination screen —
     * the leakage the text n-gram screen (q_txt_contamination) cannot
     * see: a benchmark IMAGE or AUDIO clip re-used inside the training
@@ -767,11 +1214,17 @@ object CurationMm {
     "q_curation_mm_e2e" -> (curationMmE2e _),
     "q_curation_mm_incremental" -> (curationMmIncremental _),
     "q_curation_mm_cdf" -> (curationCdf _),
+    "q_curation_mm_chain" -> (curationMmChain _),
+    "q_curation_mm_chain_cdf" -> (curationChainCdf _),
+    "q_curation_mm_retract" -> (curationMmRetract _),
+    "q_curation_mm_retract_cdf" -> (curationRetractCdf _),
     "q_mm_bench_contamination" ->
       ((s: SparkSession, d: String) => mmBenchContamination(s, d)),
     "q_curation_mm_report" -> (curationMmReport _),
     "q_curation_pack_e2e" ->
-      ((s: SparkSession, d: String) => curationPackE2e(s, d)))
+      ((s: SparkSession, d: String) => curationPackE2e(s, d)),
+    "q_curation_pack_screened" ->
+      ((s: SparkSession, d: String) => curationPackScreened(s, d)))
 
   /** Composition oracle: every stage is its own gate's closed form —
     * the per-modality CTE prefixes replayed in isolated subquery scopes
@@ -912,63 +1365,43 @@ object CurationMm {
   private val manifestOracle: String = manifestOracleOver(None)
   private val baseManifestOracle: String =
     manifestOracleOver(Some(s"doc_id < $baseCutSql"))
+  /** The post-retraction world: the manifest is a pure function of the
+    * documents relation, so right-to-forget is the same docsFilter
+    * machinery with the keep predicate. */
+  private val retractManifestOracle: String =
+    manifestOracleOver(Some(retractKeepSql))
 
-  val oracles: Map[String, String] = Map(
-    "q_curation_mm_e2e" -> manifestOracle,
-    // Incremental ingest converges to the one-shot capstone on the
-    // combined corpus — the oracle IS the full-recompute closed form.
-    "q_curation_mm_incremental" -> manifestOracle,
-    // The v2 change feed: combined-manifest rows not present (insert) or
-    // different (update) in the base-manifest state. Post-images, like
-    // the feed; no delete clause fires, so no delete rows.
-    "q_curation_mm_cdf" ->
-      s"""WITH cm AS MATERIALIZED ($manifestOracle),
-         |bm AS MATERIALIZED ($baseManifestOracle)
-         |SELECT cm.doc_id, cm.kept, cm.drop_reasons, cm.split,
-         |  cm.group_id, cm.group_docs, cm.quality_score, cm.n_tokens,
-         |  CASE WHEN bm.doc_id IS NULL THEN 'insert' ELSE 'update' END
-         |    AS action
-         |FROM cm LEFT JOIN bm ON bm.doc_id = cm.doc_id
-         |WHERE bm.doc_id IS NULL
-         |   OR NOT (cm.kept IS NOT DISTINCT FROM bm.kept
-         |       AND cm.drop_reasons IS NOT DISTINCT FROM bm.drop_reasons
-         |       AND cm.split IS NOT DISTINCT FROM bm.split
-         |       AND cm.group_id IS NOT DISTINCT FROM bm.group_id
-         |       AND cm.group_docs IS NOT DISTINCT FROM bm.group_docs
-         |       AND cm.quality_score IS NOT DISTINCT FROM bm.quality_score
-         |       AND cm.n_tokens IS NOT DISTINCT FROM bm.n_tokens)""".stripMargin,
-    // The corpus card: one aggregation over the manifest closed form.
-    "q_curation_mm_report" ->
-      s"""WITH m AS MATERIALIZED ($manifestOracle),
-         |r AS (SELECT split, kept, group_id, group_docs, n_tokens,
-         |    string_split(drop_reasons, ',') AS reasons
-         |  FROM m)
-         |SELECT split,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(CASE WHEN kept = 'true' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_kept,
-         |  CAST(SUM(CASE WHEN kept = 'true' THEN n_tokens ELSE 0 END)
-         |    AS BIGINT) AS kept_tokens,
-         |  CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
-         |  CAST(MAX(group_docs) AS BIGINT) AS max_group_docs,
-         |  CAST(SUM(CASE WHEN list_contains(reasons, 'text_dup')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
-         |  CAST(SUM(CASE WHEN list_contains(reasons, 'low_quality')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
-         |  CAST(SUM(CASE WHEN list_contains(reasons, 'image_dup')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_image_dup,
-         |  CAST(SUM(CASE WHEN list_contains(reasons, 'audio_dup')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_dup,
-         |  CAST(SUM(CASE WHEN list_contains(reasons, 'video_dup')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_video_dup,
-         |  CAST(SUM(CASE WHEN list_contains(reasons, 'video_static')
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_video_static
-         |FROM r GROUP BY split""".stripMargin,
-    // Train-side attachment hashes (manifest split × closed-form hash
-    // CTEs) banded against the ≡3 (mod 7) benchmark artifacts, exact
-    // Hamming verify, per-(doc, modality) hit count + closest distance.
-    "q_mm_bench_contamination" ->
-      s"""WITH mf AS MATERIALIZED ($manifestOracle),
+  /** The change-feed closed form shared by the single-ingest CDF gate
+    * and the chain's v3 CDF gate: combined-manifest rows not present
+    * (insert) or different (update) in the pre-state — which for BOTH
+    * gates is the base manifest at the 4N/5 cut (the chain's round-2
+    * pre-state is hash-equal to it; that equality IS the chain claim).
+    * Post-images, like the feed; no delete clause fires, so no delete
+    * rows. */
+  private lazy val cdfOracle: String =
+    s"""WITH cm AS MATERIALIZED ($manifestOracle),
+       |bm AS MATERIALIZED ($baseManifestOracle)
+       |SELECT cm.doc_id, cm.kept, cm.drop_reasons, cm.split,
+       |  cm.group_id, cm.group_docs, cm.quality_score, cm.n_tokens,
+       |  CASE WHEN bm.doc_id IS NULL THEN 'insert' ELSE 'update' END
+       |    AS action
+       |FROM cm LEFT JOIN bm ON bm.doc_id = cm.doc_id
+       |WHERE bm.doc_id IS NULL
+       |   OR NOT (cm.kept IS NOT DISTINCT FROM bm.kept
+       |       AND cm.drop_reasons IS NOT DISTINCT FROM bm.drop_reasons
+       |       AND cm.split IS NOT DISTINCT FROM bm.split
+       |       AND cm.group_id IS NOT DISTINCT FROM bm.group_id
+       |       AND cm.group_docs IS NOT DISTINCT FROM bm.group_docs
+       |       AND cm.quality_score IS NOT DISTINCT FROM bm.quality_score
+       |       AND cm.n_tokens IS NOT DISTINCT FROM bm.n_tokens)""".stripMargin
+
+  /** Train-side attachment hashes (manifest split x closed-form hash
+    * CTEs) banded against the ≡3 (mod 7) benchmark artifacts, exact
+    * Hamming verify, per-(doc, modality) hit count + closest distance
+    * (the q_mm_bench_contamination closed form) — a val because the
+    * screened-pack oracle nests it as the quarantine set. */
+  private lazy val benchContaminationOracle: String =
+    s"""WITH mf AS MATERIALIZED ($manifestOracle),
          |tr AS MATERIALIZED (SELECT doc_id FROM mf
          |  WHERE kept = 'true' AND split = 'train'),
          |ax AS MATERIALIZED (SELECT tr.doc_id,
@@ -1004,7 +1437,93 @@ object CurationMm {
          |SELECT doc_id, modality,
          |  CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_hits,
          |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
-         |FROM legs GROUP BY doc_id, modality""".stripMargin,
+         |FROM legs GROUP BY doc_id, modality""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_curation_mm_e2e" -> manifestOracle,
+    // Incremental ingest converges to the one-shot capstone on the
+    // combined corpus — the oracle IS the full-recompute closed form.
+    "q_curation_mm_incremental" -> manifestOracle,
+    // The chained run converges to the same closed form: base(60%) +
+    // batch1 + batch2, round 2 running off round 1's republished state.
+    "q_curation_mm_chain" -> manifestOracle,
+    "q_curation_mm_cdf" -> cdfOracle,
+    "q_curation_mm_chain_cdf" -> cdfOracle,
+    // Retraction converges to the one-shot manifest over the surviving
+    // documents — right-to-forget as a docsFilter of the closed form.
+    "q_curation_mm_retract" -> retractManifestOracle,
+    // The retraction feed: delete rows carry the PRE-image (the full
+    // manifest's retracted rows); update rows the post-image of every
+    // surviving row that changed.
+    "q_curation_mm_retract_cdf" ->
+      s"""WITH cm AS MATERIALIZED ($retractManifestOracle),
+         |fm AS MATERIALIZED ($manifestOracle)
+         |SELECT fm.doc_id, fm.kept, fm.drop_reasons, fm.split,
+         |  fm.group_id, fm.group_docs, fm.quality_score, fm.n_tokens,
+         |  'delete' AS action
+         |FROM fm WHERE NOT (${retractKeepSql.replace("doc_id", "fm.doc_id")})
+         |UNION ALL
+         |SELECT cm.doc_id, cm.kept, cm.drop_reasons, cm.split,
+         |  cm.group_id, cm.group_docs, cm.quality_score, cm.n_tokens,
+         |  'update' AS action
+         |FROM cm JOIN fm ON fm.doc_id = cm.doc_id
+         |WHERE NOT (cm.kept IS NOT DISTINCT FROM fm.kept
+         |       AND cm.drop_reasons IS NOT DISTINCT FROM fm.drop_reasons
+         |       AND cm.split IS NOT DISTINCT FROM fm.split
+         |       AND cm.group_id IS NOT DISTINCT FROM fm.group_id
+         |       AND cm.group_docs IS NOT DISTINCT FROM fm.group_docs
+         |       AND cm.quality_score IS NOT DISTINCT FROM fm.quality_score
+         |       AND cm.n_tokens IS NOT DISTINCT FROM fm.n_tokens)""".stripMargin,
+    // The corpus card: one aggregation over the manifest closed form.
+    "q_curation_mm_report" ->
+      s"""WITH m AS MATERIALIZED ($manifestOracle),
+         |r AS (SELECT split, kept, group_id, group_docs, n_tokens,
+         |    string_split(drop_reasons, ',') AS reasons
+         |  FROM m)
+         |SELECT split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept = 'true' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN kept = 'true' THEN n_tokens ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens,
+         |  CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+         |  CAST(MAX(group_docs) AS BIGINT) AS max_group_docs,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'text_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_text_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'low_quality')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'image_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_image_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'audio_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_audio_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'video_dup')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_video_dup,
+         |  CAST(SUM(CASE WHEN list_contains(reasons, 'video_static')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_video_static
+         |FROM r GROUP BY split""".stripMargin,
+    // Train-side attachment hashes (manifest split × closed-form hash
+    // CTEs) banded against the ≡3 (mod 7) benchmark artifacts, exact
+    // Hamming verify, per-(doc, modality) hit count + closest distance.
+    "q_mm_bench_contamination" -> benchContaminationOracle,
+    // The screen CONSUMED: the pack stream minus the quarantine —
+    // the loader-ready closed form over the anti-joined doc set.
+    "q_curation_pack_screened" ->
+      s"""WITH cq AS MATERIALIZED (SELECT DISTINCT doc_id FROM
+         |  ($benchContaminationOracle) cqx),
+         |m AS MATERIALIZED (SELECT doc_id,
+         |    CAST(n_tokens AS BIGINT) AS n_tokens
+         |  FROM ($manifestOracle) mm
+         |  WHERE kept = 'true' AND split = 'train'
+         |    AND doc_id NOT IN (SELECT doc_id FROM cq)),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM m)
+         |SELECT doc_id, n_tokens,
+         |  cum_before // 2048 AS bin_id,
+         |  cum_before % 2048 AS bin_offset
+         |FROM c""".stripMargin,
     // Loader-ready packing over the published manifest: kept train-split
     // docs, doc_id-ordered exclusive token prefix sum, 2048-token bins —
     // the q_pack_sequences closed form on the manifest oracle's output.

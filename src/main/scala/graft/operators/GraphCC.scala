@@ -218,7 +218,7 @@ object GraphCC {
     * stays the LIVE leg — it times (and certifies) the cluster
     * computation itself; so does q_curation_e2e, the text pipeline's own
     * composed gate. */
-  private[operators] def clusterTablePath(s: SparkSession, dir: String): String =
+  private[graft] def clusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("txt_cc_fix", dir) {
       val cc = connectedComponents(
         s.read.parquet(pairTablePath(s, dir)), "doc_a", "doc_b",

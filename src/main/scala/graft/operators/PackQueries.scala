@@ -199,48 +199,138 @@ object PackQueries {
       .withColumn("bin_waste", lit(budget) - col("bin_fill"))
   }
 
+  /** q_pack_report: the packing DECISION table — one row per candidate
+    * token budget (512/1024/2048/4096) joining the two layouts' cost
+    * metrics: concatenate-and-chunk's FRAGMENTATION (bins, boundary
+    * straddlers, straddle fraction — [[packStats]]) against no-split
+    * FFD's PADDING (bins, padded tokens, over-budget singleton bins,
+    * padding fraction of the padded stream — [[packFfd]]). This is the
+    * table a training team actually reads to pick sequence length and
+    * layout: as the budget grows, chunk fragmentation falls while FFD
+    * padding rises — the report exposes the trade at each point. Scale
+    * shape: per budget, one prefix-sum pass + one grouped-FFD pass, each
+    * fully parallel; the per-budget outputs are single rows, so the
+    * final union is driver-trivial. */
+  def packReport(s: SparkSession, dir: String,
+                 budgets: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)): DataFrame =
+    budgets.map { b =>
+      val chunk = packStats(s, dir, b)
+        .select(lit(b).as("budget"), col("total_tokens"),
+          col("n_bins").as("chunk_bins"),
+          col("n_crossing").as("chunk_crossing"),
+          col("crossing_frac").as("chunk_crossing_frac"))
+      val ffd = packFfd(s, dir, b)
+        .select(col("bin_id"), col("bin_waste")).distinct()
+        .agg(count(lit(1)).as("ffd_bins"),
+          sum(greatest(col("bin_waste"), lit(0L))).as("ffd_padding_tokens"),
+          sum(when(col("bin_waste") < 0, 1L).otherwise(0L))
+            .as("ffd_overfull_bins"))
+      chunk.crossJoin(ffd) // both sides are single aggregate rows
+    }.reduce(_ unionByName _)
+      .withColumn("ffd_padding_frac",
+        col("ffd_padding_tokens").cast("double") /
+          (col("ffd_padding_tokens") + col("total_tokens")).cast("double"))
+      .select(col("budget"), col("total_tokens"), col("chunk_bins"),
+        col("chunk_crossing"), col("chunk_crossing_frac"), col("ffd_bins"),
+        col("ffd_padding_tokens"), col("ffd_overfull_bins"),
+        col("ffd_padding_frac"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "q_chunk_windows" -> ((s: SparkSession, d: String) => chunkWindows(s, d)),
     "q_pack_stats" -> ((s: SparkSession, d: String) => packStats(s, d)),
-    "q_pack_ffd" -> ((s: SparkSession, d: String) => packFfd(s, d)))
+    "q_pack_ffd" -> ((s: SparkSession, d: String) => packFfd(s, d)),
+    "q_pack_report" -> ((s: SparkSession, d: String) => packReport(s, d)))
+
+  /** The FFD replay closed form at a given token budget: rank/group,
+    * then step doc-by-doc per group carrying the open-bin
+    * remaining-capacity list; the LATERAL computes the 1-based
+    * first-fit index (NULL = open a new bin). Parameterized so the
+    * packing decision report can replay several budgets. */
+  private[operators] def ffdOracleSql(budget: Long): String =
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |ranked AS (SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+       |  FROM d),
+       |g AS (SELECT doc_id, n_tokens, r // 512 AS grp, r % 512 AS i
+       |  FROM ranked),
+       |st(grp, i, doc_id, n_tokens, bin, bins) AS (
+       |  SELECT grp, i, doc_id, n_tokens, 0,
+       |      [CAST($budget - n_tokens AS BIGINT)]
+       |    FROM g WHERE i = 0
+       |  UNION ALL
+       |  SELECT nd.grp, nd.i, nd.doc_id, nd.n_tokens,
+       |    CASE WHEN fit IS NULL THEN len(s.bins) ELSE fit - 1 END,
+       |    CASE WHEN fit IS NULL
+       |         THEN list_append(s.bins, $budget - nd.n_tokens)
+       |         ELSE list_transform(s.bins, (x, k) ->
+       |           CASE WHEN k = fit THEN x - nd.n_tokens ELSE x END) END
+       |  FROM st s JOIN g nd ON nd.grp = s.grp AND nd.i = s.i + 1,
+       |  LATERAL (SELECT list_filter(
+       |      list_transform(s.bins,
+       |        (x, k) -> CASE WHEN x >= nd.n_tokens THEN k END),
+       |      y -> y IS NOT NULL)[1] AS fit) f),
+       |asg AS (SELECT doc_id, n_tokens, grp * 512 + bin AS bin_id FROM st)
+       |SELECT doc_id, n_tokens, bin_id,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS bin_docs,
+       |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS bin_fill,
+       |  CAST($budget - SUM(n_tokens) OVER w AS BIGINT) AS bin_waste
+       |FROM asg WINDOW w AS (PARTITION BY bin_id)""".stripMargin
+
+  /** The concatenate-and-chunk stats closed form at a given budget
+    * (the q_pack_stats shape, parameterized for the report). */
+  private[operators] def chunkStatsOracleSql(budget: Long): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM t),
+       |p AS (SELECT doc_id, n_tokens,
+       |    cum_before // $budget AS bin_id,
+       |    cum_before % $budget AS bin_offset
+       |  FROM c),
+       |a AS (SELECT
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN bin_offset + n_tokens > $budget
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+       |  FROM p)
+       |SELECT n_docs, total_tokens,
+       |  (total_tokens + ${budget - 1}) // $budget AS n_bins,
+       |  n_crossing,
+       |  CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_frac
+       |FROM a""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // FFD replay: rank/group, then step doc-by-doc per group carrying
-    // the open-bin remaining-capacity list; the LATERAL computes the
-    // 1-based first-fit index (NULL = open a new bin).
-    "q_pack_ffd" ->
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |ranked AS (SELECT doc_id, n_tokens,
-        |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
-        |  FROM d),
-        |g AS (SELECT doc_id, n_tokens, r // 512 AS grp, r % 512 AS i
-        |  FROM ranked),
-        |st(grp, i, doc_id, n_tokens, bin, bins) AS (
-        |  SELECT grp, i, doc_id, n_tokens, 0,
-        |      [CAST(2048 - n_tokens AS BIGINT)]
-        |    FROM g WHERE i = 0
-        |  UNION ALL
-        |  SELECT nd.grp, nd.i, nd.doc_id, nd.n_tokens,
-        |    CASE WHEN fit IS NULL THEN len(s.bins) ELSE fit - 1 END,
-        |    CASE WHEN fit IS NULL
-        |         THEN list_append(s.bins, 2048 - nd.n_tokens)
-        |         ELSE list_transform(s.bins, (x, k) ->
-        |           CASE WHEN k = fit THEN x - nd.n_tokens ELSE x END) END
-        |  FROM st s JOIN g nd ON nd.grp = s.grp AND nd.i = s.i + 1,
-        |  LATERAL (SELECT list_filter(
-        |      list_transform(s.bins,
-        |        (x, k) -> CASE WHEN x >= nd.n_tokens THEN k END),
-        |      y -> y IS NOT NULL)[1] AS fit) f),
-        |asg AS (SELECT doc_id, n_tokens, grp * 512 + bin AS bin_id FROM st)
-        |SELECT doc_id, n_tokens, bin_id,
-        |  CAST(COUNT(*) OVER w AS BIGINT) AS bin_docs,
-        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS bin_fill,
-        |  CAST(2048 - SUM(n_tokens) OVER w AS BIGINT) AS bin_waste
-        |FROM asg WINDOW w AS (PARTITION BY bin_id)""".stripMargin,
+    "q_pack_ffd" -> ffdOracleSql(2048L),
+    // The packing DECISION report: for each candidate budget, the
+    // fragmentation cost of concatenate-and-chunk next to the padding
+    // cost of no-split FFD — both replayed from their own closed forms.
+    "q_pack_report" ->
+      Seq(512L, 1024L, 2048L, 4096L).map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS budget, cs.total_tokens,
+           |  cs.n_bins AS chunk_bins, cs.n_crossing AS chunk_crossing,
+           |  cs.crossing_frac AS chunk_crossing_frac,
+           |  fd.ffd_bins, fd.ffd_padding_tokens, fd.ffd_overfull_bins,
+           |  CAST(fd.ffd_padding_tokens AS DOUBLE) /
+           |    CAST(fd.ffd_padding_tokens + cs.total_tokens AS DOUBLE)
+           |    AS ffd_padding_frac
+           |FROM (${chunkStatsOracleSql(b)}) cs
+           |CROSS JOIN (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS ffd_bins,
+           |    CAST(SUM(GREATEST(bin_waste, 0)) AS BIGINT)
+           |      AS ffd_padding_tokens,
+           |    CAST(SUM(CASE WHEN bin_waste < 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ffd_overfull_bins
+           |  FROM (SELECT DISTINCT bin_id, bin_waste
+           |        FROM (${ffdOracleSql(b)}) fx) fb) fd""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |st AS (SELECT doc_id, toks, len(toks) AS n,
@@ -253,30 +343,7 @@ object PackQueries {
         |  array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ')
         |    AS chunk_text
         |FROM st""".stripMargin,
-    "q_pack_stats" ->
-      """WITH t AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS cum_before
-        |  FROM t),
-        |p AS (SELECT doc_id, n_tokens,
-        |    cum_before // 2048 AS bin_id,
-        |    cum_before % 2048 AS bin_offset
-        |  FROM c),
-        |a AS (SELECT
-        |    COUNT(*) AS n_docs,
-        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-        |    CAST(SUM(CASE WHEN bin_offset + n_tokens > 2048 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_crossing
-        |  FROM p)
-        |SELECT n_docs, total_tokens,
-        |  (total_tokens + 2047) // 2048 AS n_bins,
-        |  n_crossing,
-        |  CAST(n_crossing AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_frac
-        |FROM a""".stripMargin,
+    "q_pack_stats" -> chunkStatsOracleSql(2048L),
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
