@@ -227,10 +227,14 @@ object CurationMm {
 
   /** max(doc_id) + 1 — the exclusive top of the contiguous doc id space;
     * every cut below is a pure closed form of it, so the DuckDB oracle
-    * replays the same cuts. */
+    * replays the same cuts. Memoized per dir (the corpus is a read-only
+    * fixture): a live gate otherwise pays this driver-blocking scalar
+    * aggregation twice per invocation. */
+  private val topMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
   private def corpusTop(s: SparkSession, dir: String): Long =
-    table(s, dir, "documents")
-      .agg(max(col("doc_id")) + 1).head().getLong(0)
+    topMemo.getOrElseUpdate(dir,
+      table(s, dir, "documents")
+        .agg(max(col("doc_id")) + 1).head().getLong(0))
 
   /** The base/new cut: the last fifth of the doc id space plays the
     * incoming batch, everything below it the already-curated corpus. */
@@ -441,8 +445,14 @@ object CurationMm {
       staged(name)(df.localCheckpoint())
   }
 
-  private lazy val stageLog =
+  private lazy val stageLog = {
+    // The probe is env-gated diagnostics: when explicitly requested,
+    // force the graft logger past Spark's post-init WARN default so the
+    // lines actually land in the log stream.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft.CurationMm", org.apache.logging.log4j.Level.INFO)
     org.slf4j.LoggerFactory.getLogger("graft.CurationMm")
+  }
 
   private def staged[T](name: String)(f: => T): T =
     if (!sys.env.contains("SPARK_GRAFT_STAGE_TIMING")) f
@@ -896,7 +906,8 @@ object CurationMm {
     val touchedComps = labels.join(seedNodes, "node")
       .select(col("component")).distinct()
     val touchedLabeled = labels
-      .join(touchedComps, Seq("component")).localCheckpoint()
+      .join(touchedComps, Seq("component"))
+      .localCheckpointStaged("r_touched")
     val touchedDocs = touchedLabeled.filter(col("node") % 8 === 0)
       .select(expr("node div 8").as("doc_id"))
     val survivors = touchedDocs.filter(!pred(col("doc_id")))
@@ -986,13 +997,13 @@ object CurationMm {
     val localEdges = enc3(textPairsT, "doc_a", "doc_b", 0)
       .unionByName(enc3(imgPairsT, "canon_a", "canon_b", 1))
       .unionByName(enc3(audPairsT, "canon_a", "canon_b", 2))
-    val fused = GraphCC.connectedComponents(
+    val fused = staged("r_fused_cc")(GraphCC.connectedComponents(
       crossEdges.select((col("s") * 2).as("s"), (col("t") * 2).as("t"))
         .unionByName(localEdges.select((col("ea") * 2 + 1).as("s"),
           (col("eb") * 2 + 1).as("t"))),
       "s", "t", inputDistinctPairs = true)
       .withColumnRenamed("node", "n").withColumnRenamed("component", "c")
-      .localCheckpoint()
+      .localCheckpoint())
     // group ids live in the 8-stride encoded space (the full manifest's
     // convention), so the fused (×2) component min decodes by div 2.
     // Every doc carries an unconditional vid edge, so the inner join
@@ -1026,19 +1037,23 @@ object CurationMm {
     // MERGE — matched-DELETE on the retraction flag (the reference's
     // hist delete-clause semantics), update-when-changed for touched
     // survivors, change feed on ---
-    ManagedTable.createEmpty(s, root, manifest)
-    ManagedTable.overwrite(root, manifest)
+    staged("r_bootstrap") {
+      ManagedTable.createEmpty(s, root, manifest)
+      ManagedTable.overwrite(root, manifest)
+    }
     val changedCols = Seq("kept", "drop_reasons", "split", "group_id",
       "group_docs", "quality_score", "n_tokens")
     val src = recomputed.withColumn("_retract", lit(false))
       .unionByName(manifest.join(retractedDocs, Seq("doc_id"))
         .withColumn("_retract", lit(true)))
-    ManagedTable.merge(s, root, src, Seq("doc_id"),
-      MergeClauses.Spec(
-        updateWhen = Some(!col("s._retract") && changedCols
-          .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)),
-        deleteWhen = Some(col("s._retract"))),
-      changeFeed = true)
+    staged("r_merge") {
+      ManagedTable.merge(s, root, src, Seq("doc_id"),
+        MergeClauses.Spec(
+          updateWhen = Some(!col("s._retract") && changedCols
+            .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)),
+          deleteWhen = Some(col("s._retract"))),
+        changeFeed = true)
+    }
   }
 
   /** q_curation_mm_retract: the RIGHT-TO-FORGET gate — a retraction

@@ -130,6 +130,11 @@ object GraphCC {
       .localCheckpoint()
     val nodes = sym0.select(col("src").as("node")).distinct()
 
+    // (Round-18 experiment, kept as a note: disabling AQE for the
+    // iteration looked like a fixed-overhead win but measured 2.5x
+    // SLOWER on the contracted incremental closure — AQE's post-shuffle
+    // coalescing is what keeps each tiny round's sort/window tasks few;
+    // the replan barriers are cheaper than 32-partition rounds.)
     var cur = sym0.filter(col("src") =!= col("dst")) // oriented by lgStar
     var prevCp: Option[DataFrame] = None // checkpoint backing `cur`
     var curCount = -1L
@@ -143,8 +148,12 @@ object GraphCC {
         if (rounds == 0) cur
         else cur.unionByName(cur.select(col("dst").as("src"),
           col("src").as("dst")))
+      // lazy checkpoint + count: the count() action materializes the
+      // checkpoint blocks, so each round pays ONE job for
+      // materialization-plus-size instead of two (eager checkpoint runs
+      // its own internal count).
       val next = smallStar(largeStar(sym))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       converged = nextCount == curCount &&
         next.exceptAll(cur).isEmpty
