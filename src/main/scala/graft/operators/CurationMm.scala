@@ -496,7 +496,13 @@ object CurationMm {
   private def ingestAt(s: SparkSession, dir: String, root: String,
                        baseRoot: String, lo: Long, hi: Long,
                        bootstrap: Boolean,
-                       stateOut: Option[String] = None): Unit = {
+                       stateOut: Option[String] = None,
+                       aliveDoc: Column => Column = _ => lit(true)): Unit = {
+    // `aliveDoc` marks which corpus documents still EXIST (post-
+    // retraction ingest): corpus-side probe inputs — the shingle index,
+    // the artifact hash tables, the video pair slice — filter through it
+    // so an ingest can never resurrect a retracted document's pairs or
+    // artifacts. Default: everything alive (the plain ingest).
     lastIngestBaseA.set(baseRoot)
     val base = baseRoot
     val baseLabels = s.read.parquet(s"$base/labels")
@@ -511,7 +517,8 @@ object CurationMm {
     val deltaTextPairsLazy = TextQueries
       .incrementalPairsAgainstAll(s, dir, inBatch,
         shingleIndex =
-          Some(s.read.parquet(TextQueries.shingleTablePath(s, dir))))
+          Some(s.read.parquet(TextQueries.shingleTablePath(s, dir))
+            .filter(aliveDoc(col("doc_id")))))
 
     // --- image/audio: group-table MERGE (base groups ∪ new hashes),
     // then banded delta probe, then the fused label closure below.
@@ -527,6 +534,7 @@ object CurationMm {
     val newImgHash = s.read.parquet(
         MultimodalQueries.phashHashTablePath(s, dir))
       .filter(col("img_id") >= 2 * lo && col("img_id") < 2 * hi)
+      .filter(aliveDoc(expr("img_id div 2")))
     val imgGroups = combined(s.read.parquet(s"$base/imggrp"), newImgHash,
       "img_id")
     val deltaImgPairsLazy = deltaHashPairs(imgGroups, col("canon") >= 2 * lo,
@@ -534,6 +542,7 @@ object CurationMm {
     val newAudHash = s.read.parquet(
         MultimodalQueries.audioFpHashTablePath(s, dir))
       .filter(col("audio_id") >= 4 * lo && col("audio_id") < 4 * hi)
+      .filter(aliveDoc(expr("audio_id div 4")))
     val audGroups = combined(s.read.parquet(s"$base/audgrp"), newAudHash,
       "audio_id")
     val deltaAudPairsLazy = deltaHashPairs(audGroups, col("canon") >= 4 * lo,
@@ -564,6 +573,8 @@ object CurationMm {
     val deltaVidPairs = s.read.parquet(
         MultimodalQueries.videoClipPairTablePath(s, dir))
       .filter(col("video_b") >= 2 * lo && col("video_b") < 2 * hi)
+      .filter(aliveDoc(expr("video_a div 2")) &&
+        aliveDoc(expr("video_b div 2")))
       .select(col("video_a"), col("video_b"))
     val vidDup = s.read.parquet(s"$base/viddup")
       .unionByName(deltaVidPairs.select(col("video_b").as("vid")))
@@ -574,6 +585,7 @@ object CurationMm {
       .unionByName(s.read.parquet(
           MultimodalQueries.videoClipFrameTablePath(s, dir))
         .filter(col("video_id") >= 2 * lo && col("video_id") < 2 * hi)
+        .filter(aliveDoc(expr("video_id div 2")))
         .groupBy("video_id").agg(countDistinct(col("phash")).as("nd"))
         .filter(col("nd") === 1).select(col("video_id").as("vid")))
 
@@ -584,9 +596,11 @@ object CurationMm {
       hashTable.join(groups.select("phash", "canon"), "phash")
         .select(col(idCol), col("canon"))
     val imgHashAll = s.read.parquet(
-      MultimodalQueries.phashHashTablePath(s, dir))
+        MultimodalQueries.phashHashTablePath(s, dir))
+      .filter(aliveDoc(expr("img_id div 2")))
     val audHashAll = s.read.parquet(
-      MultimodalQueries.audioFpHashTablePath(s, dir))
+        MultimodalQueries.audioFpHashTablePath(s, dir))
+      .filter(aliveDoc(expr("audio_id div 4")))
     val imgMember = memberOf(imgHashAll, imgGroups, "img_id")
     val audMember = memberOf(audHashAll, audGroups, "audio_id")
 
@@ -871,21 +885,33 @@ object CurationMm {
     * connectivity, and cluster nodes 8c+1 can never be component minima
     * since their cluster's min doc 8c is smaller). */
   private[graft] def retractAt(s: SparkSession, dir: String, root: String,
-                               pred: Column => Column = retracted): Unit = {
-    val full = fullStateRoot(s, dir)
+                               pred: Column => Column = retracted,
+                               baseRoot: Option[String] = None,
+                               docTop: Option[Long] = None,
+                               bootstrap: Boolean = true,
+                               stateOut: Option[String] = None): Unit = {
+    // `baseRoot`/`docTop` retarget the retraction at ANY published state
+    // (default: the full-corpus state) — the lifecycle-cycle composition
+    // retracts from a mid-chain ingest's output. `docTop` bounds the
+    // state's doc-id universe so globally recomputed artifacts (group
+    // tables) never pull in not-yet-ingested ids; `stateOut` republishes
+    // the post-retraction state in the [[buildBaseState]] layout so the
+    // NEXT ingest can consume it.
+    val full = baseRoot.getOrElse(fullStateRoot(s, dir))
+    val top = docTop.getOrElse(corpusTop(s, dir))
     val labels = s.read.parquet(s"$full/labels")
     val manifest = s.read.parquet(s"$full/manifest")
     val retractedDocs = table(s, dir, "documents").select(col("doc_id"))
-      .filter(pred(col("doc_id")))
+      .filter(pred(col("doc_id")) && col("doc_id") < top)
 
     val imgHashAll = s.read.parquet(
       MultimodalQueries.phashHashTablePath(s, dir))
     val audHashAll = s.read.parquet(
       MultimodalQueries.audioFpHashTablePath(s, dir))
     def removedOf(hash: DataFrame, idCol: String, stride: Int): DataFrame =
-      hash.filter(pred(expr(s"$idCol div $stride")))
+      hash.filter(pred(expr(s"$idCol div $stride")) && col(idCol) < stride * top)
     def survivingOf(hash: DataFrame, idCol: String, stride: Int): DataFrame =
-      hash.filter(!pred(expr(s"$idCol div $stride")))
+      hash.filter(!pred(expr(s"$idCol div $stride")) && col(idCol) < stride * top)
 
     // --- seed nodes → touched components (see the contract above).
     // Seeds absent from the labels (never had an edge) cannot affect any
@@ -967,7 +993,7 @@ object CurationMm {
       .join(touchedArt(4, "id").select(col("id").as("video_a")),
         Seq("video_a"))
       .filter(!pred(expr("video_a div 2")) &&
-        !pred(expr("video_b div 2")))
+        !pred(expr("video_b div 2")) && col("video_b") < 2 * top)
       .select(col("video_a"), col("video_b"))
     val vidDupT = vidPairsT.select(col("video_b").as("vid")).distinct()
     val vidStaticT = s.read.parquet(s"$full/vidstatic")
@@ -1037,7 +1063,7 @@ object CurationMm {
     // MERGE — matched-DELETE on the retraction flag (the reference's
     // hist delete-clause semantics), update-when-changed for touched
     // survivors, change feed on ---
-    staged("r_bootstrap") {
+    if (bootstrap) staged("r_bootstrap") {
       ManagedTable.createEmpty(s, root, manifest)
       ManagedTable.overwrite(root, manifest)
     }
@@ -1053,6 +1079,39 @@ object CurationMm {
             .map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)),
           deleteWhen = Some(col("s._retract"))),
         changeFeed = true)
+    }
+    // --- republish the post-retraction state: untouched components keep
+    // their base rows verbatim (their nodes, labels, clusters, and drop
+    // sets are provably unchanged), touched components carry the
+    // re-converged values, removed nodes appear in neither — stitched in
+    // the same [[buildBaseState]] layout so the next ingest composes. ---
+    stateOut.foreach { out =>
+      staged("r_state_out") {
+        labels.join(touchedComps, Seq("component"), "left_anti")
+          .unionByName(fused.filter(col("n") % 2 === 0)
+            .select(expr("n div 2").as("node"), expr("c div 2").as("component")))
+          .write.parquet(s"$out/labels")
+        ManagedTable.read(s, root).write.parquet(s"$out/manifest")
+        s.read.parquet(s"$full/textcl")
+          .join(touchedDocs, Seq("doc_id"), "left_anti")
+          .unionByName(textClT.select("doc_id", "cluster_id"))
+          .write.parquet(s"$out/textcl")
+        s.read.parquet(s"$full/imgcl")
+          .join(touchedArt(2, "canon"), Seq("canon"), "left_anti")
+          .unionByName(dec(1, "canon"))
+          .write.parquet(s"$out/imgcl")
+        s.read.parquet(s"$full/audcl")
+          .join(touchedArt(3, "canon"), Seq("canon"), "left_anti")
+          .unionByName(dec(2, "canon"))
+          .write.parquet(s"$out/audcl")
+        imgGroupsS.write.parquet(s"$out/imggrp")
+        audGroupsS.write.parquet(s"$out/audgrp")
+        s.read.parquet(s"$full/viddup")
+          .join(touchedArt(4, "vid"), Seq("vid"), "left_anti")
+          .unionByName(vidDupT)
+          .write.parquet(s"$out/viddup")
+        vidStaticT.write.parquet(s"$out/vidstatic")
+      }
     }
   }
 
@@ -1082,6 +1141,49 @@ object CurationMm {
   def curationRetractCdf(s: SparkSession, dir: String): DataFrame =
     ManagedTable.changes(s, retractShared(s, dir), 2)
       .withColumnRenamed(Merge.ActionCol, "action")
+
+  // -------------------------------------------------------------------
+  // The full lifecycle: ingest → retract → ingest, each step off the
+  // previous step's republished state
+  // -------------------------------------------------------------------
+
+  /** The LIFECYCLE fixture, memoized per sf dir: the chain's post-batch-1
+    * state (docs < 4N/5) suffers a RETRACTION (every 23rd doc of the
+    * ingested corpus), then batch 2 = [4N/5, N) ingests off the
+    * POST-RETRACTION state — three different operations, each consuming
+    * the previous one's published state, one table recording it all
+    * (v1 = post-batch-1 manifest, v2 = the retraction merge with delete
+    * rows, v3 = the batch-2 merge with inserts). The batch-2 ingest runs
+    * with the `aliveDoc` screen so retracted documents' pairs and
+    * artifacts can never be resurrected by corpus-side probes. */
+  private[graft] def cycleShared(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_cycle_fix", dir) { r =>
+      val top = corpusTop(s, dir); val b2 = baseCut(s, dir)
+      val chain = chainShared(s, dir)
+      retractAt(s, dir, s"$r/table", retracted,
+        baseRoot = Some(s"$chain/state1"), docTop = Some(b2),
+        bootstrap = true, stateOut = Some(s"$r/state2"))
+      ingestAt(s, dir, s"$r/table", s"$r/state2", b2, top,
+        bootstrap = false,
+        aliveDoc = c => !(retracted(c) && c < b2))
+    }
+
+  /** q_curation_mm_cycle: the FULL-LIFECYCLE gate — ingest composes with
+    * retraction: the live leg ingests batch 2 off the memoized
+    * POST-RETRACTION state (itself the product of bootstrap → ingest →
+    * retract, each step consuming the previous step's output), and the
+    * oracle is the one-shot capstone over the cycle's surviving world
+    * (documents minus the docs retracted mid-stream). Hash equality
+    * proves the three state-republishing operations compose in any
+    * order a production loop would run them. */
+  def curationMmCycle(s: SparkSession, dir: String): DataFrame = {
+    val cyc = cycleShared(s, dir)
+    val b2 = baseCut(s, dir)
+    val root = ScratchDirs.fresh("mmcur_cycle_live")
+    ingestAt(s, dir, root, s"$cyc/state2", b2, corpusTop(s, dir),
+      bootstrap = true, aliveDoc = c => !(retracted(c) && c < b2))
+    ManagedTable.read(s, root)
+  }
 
   /** PERSISTED manifest: the capstone's output written once per sf dir —
     * the manifest IS the published curation artifact (that is the point
@@ -1233,6 +1335,7 @@ object CurationMm {
     "q_curation_mm_chain_cdf" -> (curationChainCdf _),
     "q_curation_mm_retract" -> (curationMmRetract _),
     "q_curation_mm_retract_cdf" -> (curationRetractCdf _),
+    "q_curation_mm_cycle" -> (curationMmCycle _),
     "q_mm_bench_contamination" ->
       ((s: SparkSession, d: String) => mmBenchContamination(s, d)),
     "q_curation_mm_report" -> (curationMmReport _),
@@ -1467,6 +1570,11 @@ object CurationMm {
     // Retraction converges to the one-shot manifest over the surviving
     // documents — right-to-forget as a docsFilter of the closed form.
     "q_curation_mm_retract" -> retractManifestOracle,
+    // The full lifecycle's surviving world: everything except the docs
+    // retracted mid-stream (they had been ingested — doc_id below the
+    // second batch's cut — and were removed before batch 2 arrived).
+    "q_curation_mm_cycle" -> manifestOracleOver(Some(
+      s"(doc_id % $retractMod <> $retractRes OR doc_id >= $baseCutSql)")),
     // The retraction feed: delete rows carry the PRE-image (the full
     // manifest's retracted rows); update rows the post-image of every
     // surviving row that changed.
