@@ -242,6 +242,8 @@ object CurationMm {
     4L * corpusTop(s, dir) / 5L
   private val baseCutSql = "(SELECT 4 * (MAX(all_docs.doc_id) + 1) // 5 " +
     "FROM documents all_docs)"
+  private val chainCutSql = "(SELECT 3 * (MAX(all_docs.doc_id) + 1) // 5 " +
+    "FROM documents all_docs)"
 
   /** The chain's first cut (a 60/20/20 layout: base < 3N/5, batch 1 =
     * [3N/5, 4N/5), batch 2 = [4N/5, N) — so the chain's final state is
@@ -340,9 +342,13 @@ object CurationMm {
   /** Build the persisted curation STATE at doc cut `b` into `r` — what a
     * production deployment holds between ingests: the published
     * manifest, the encoded-node component labels, the per-modality
-    * cluster labels and group tables, and the video drop sets. This is
-    * the layout [[ingestAt]] consumes read-only AND (via its `stateOut`)
-    * republishes after an ingest — one format for bootstrap state and
+    * cluster labels and group tables, and the video drop sets. The state
+    * is published through [[CurationState]] — the managed-table layer,
+    * so every lifecycle step is a VERSION (v1 = this bootstrap) with
+    * history, time travel, restore, and optimistic concurrency, exactly
+    * like the manifest table. [[ingestAt]] consumes the state read-only
+    * at a pinned version AND (via its `stateOut`) republishes the next
+    * version after an ingest — one format for bootstrap state and
     * post-ingest state is what makes the loop CHAIN: batch n+1 runs off
     * batch n's published state, never off t=0. */
   private[graft] def buildBaseState(s: SparkSession, dir: String, b: Long,
@@ -350,20 +356,21 @@ object CurationMm {
     val m = modalBase(s, dir, b)
     val labels = GraphCC.connectedComponents(encodedEdges(m), "s", "t")
       .localCheckpoint() // docGroups + the labels dump share one CC run
-    labels.write.parquet(s"$r/labels")
     val docGroups = labels.filter(col("node") % 8 === 0)
       .select(expr("node div 8").as("doc_id"),
         col("component").as("group_id"))
-    manifestFrom(m, docGroups).write.parquet(s"$r/manifest")
-    m.textCl.select("doc_id", "cluster_id").write.parquet(s"$r/textcl")
-    m.imgCl.write.parquet(s"$r/imgcl")
-    m.audCl.write.parquet(s"$r/audcl")
-    baseHashGroups(s, MultimodalQueries.phashHashTablePath(s, dir),
-      "img_id", 2 * b)._2.write.parquet(s"$r/imggrp")
-    baseHashGroups(s, MultimodalQueries.audioFpHashTablePath(s, dir),
-      "audio_id", 4 * b)._2.write.parquet(s"$r/audgrp")
-    m.vidDup.write.parquet(s"$r/viddup")
-    m.vidStatic.write.parquet(s"$r/vidstatic")
+    CurationState.publish(s, r, Map(
+      "labels" -> labels,
+      "textcl" -> m.textCl.select("doc_id", "cluster_id"),
+      "imgcl" -> m.imgCl,
+      "audcl" -> m.audCl,
+      "imggrp" -> baseHashGroups(s,
+        MultimodalQueries.phashHashTablePath(s, dir), "img_id", 2 * b)._2,
+      "audgrp" -> baseHashGroups(s,
+        MultimodalQueries.audioFpHashTablePath(s, dir), "audio_id", 4 * b)._2,
+      "viddup" -> m.vidDup,
+      "vidstatic" -> m.vidStatic),
+      manifestFrom(m, docGroups))
   }
 
   /** Persisted BASE curation state at the standard 4/5 cut, built once
@@ -464,11 +471,11 @@ object CurationMm {
       r
     }
 
-  /** The ingest base-state root consumed by the most recent [[ingestAt]]
-    * in this JVM — the observable CurationMmChainSpec pins: a chained
-    * round must consume the PREVIOUS round's published state root, never
-    * the t=0 bootstrap fixture. Diagnostic only: concurrent runs
-    * last-write-win. */
+  /** The ingest base-state ref (root@version) consumed by the most
+    * recent [[ingestAt]] in this JVM — the observable
+    * CurationMmChainSpec pins: a chained round must consume the PREVIOUS
+    * round's published state, never the t=0 bootstrap fixture.
+    * Diagnostic only: concurrent runs last-write-win. */
   private val lastIngestBaseA =
     new java.util.concurrent.atomic.AtomicReference[String]("")
   private[graft] def lastIngestBase: String = lastIngestBaseA.get()
@@ -480,11 +487,15 @@ object CurationMm {
     *  - `bootstrap` = true first initializes the table from the base
     *    manifest (v1 = base state, v2 = the merge); false merges into
     *    the table's current snapshot — a CHAINED round.
-    *  - `stateOut` = Some(dir) republishes the POST-ingest state in the
-    *    SAME layout, closing the production loop: the next batch runs
-    *    off this ingest's output with no access to t=0 state (the chain
-    *    gate proves a second batch converges off it, hash-equal to the
-    *    full recompute).
+    *  - `stateOut` = Some(root) republishes the POST-ingest state as the
+    *    next VERSION of the [[CurationState]] table at that root,
+    *    closing the production loop: the next batch runs off this
+    *    ingest's output with no access to t=0 state (the chain gate
+    *    proves a second batch converges off it, hash-equal to the full
+    *    recompute). When the out root IS the base root, the publish is
+    *    an optimistic CAS against the version this ingest read — a
+    *    concurrent writer (a racing retraction) makes the publish abort
+    *    loudly instead of silently overwriting its effects.
     *
     * The batch's artifact ids are [stride·lo, stride·hi) — exact by the
     * generating-doc id encoding (see [[modalBase]]). All label closures
@@ -494,7 +505,7 @@ object CurationMm {
     * incremental CC re-converges every label set in one run — halving
     * the fixed per-round driver cost the two sequential closures paid. */
   private def ingestAt(s: SparkSession, dir: String, root: String,
-                       baseRoot: String, lo: Long, hi: Long,
+                       baseState: StateRef, lo: Long, hi: Long,
                        bootstrap: Boolean,
                        stateOut: Option[String] = None,
                        aliveDoc: Column => Column = _ => lit(true)): Unit = {
@@ -503,9 +514,13 @@ object CurationMm {
     // the artifact hash tables, the video pair slice — filter through it
     // so an ingest can never resurrect a retracted document's pairs or
     // artifacts. Default: everything alive (the plain ingest).
-    lastIngestBaseA.set(baseRoot)
-    val base = baseRoot
-    val baseLabels = s.read.parquet(s"$base/labels")
+    //
+    // Pin the state version ONCE: every family read below sees one
+    // consistent snapshot even if a writer publishes mid-ingest, and the
+    // pinned version is the CAS base for this ingest's own state publish.
+    val base = baseState.pin
+    lastIngestBaseA.set(base.describe)
+    val baseLabels = base.fam(s, "labels")
 
     val att = attachments(s, dir)
     val inBatch = col("doc_id") >= lo && col("doc_id") < hi
@@ -535,7 +550,7 @@ object CurationMm {
         MultimodalQueries.phashHashTablePath(s, dir))
       .filter(col("img_id") >= 2 * lo && col("img_id") < 2 * hi)
       .filter(aliveDoc(expr("img_id div 2")))
-    val imgGroups = combined(s.read.parquet(s"$base/imggrp"), newImgHash,
+    val imgGroups = combined(base.fam(s, "imggrp"), newImgHash,
       "img_id")
     val deltaImgPairsLazy = deltaHashPairs(imgGroups, col("canon") >= 2 * lo,
       3, "img_inc_cap")
@@ -543,7 +558,7 @@ object CurationMm {
         MultimodalQueries.audioFpHashTablePath(s, dir))
       .filter(col("audio_id") >= 4 * lo && col("audio_id") < 4 * hi)
       .filter(aliveDoc(expr("audio_id div 4")))
-    val audGroups = combined(s.read.parquet(s"$base/audgrp"), newAudHash,
+    val audGroups = combined(base.fam(s, "audgrp"), newAudHash,
       "audio_id")
     val deltaAudPairsLazy = deltaHashPairs(audGroups, col("canon") >= 4 * lo,
       3, "aud_inc_cap")
@@ -576,12 +591,12 @@ object CurationMm {
       .filter(aliveDoc(expr("video_a div 2")) &&
         aliveDoc(expr("video_b div 2")))
       .select(col("video_a"), col("video_b"))
-    val vidDup = s.read.parquet(s"$base/viddup")
+    val vidDup = base.fam(s, "viddup")
       .unionByName(deltaVidPairs.select(col("video_b").as("vid")))
       .distinct()
     // static flags are per-video and immutable: persisted base set ∪ the
     // new batch's videos only — a delta-sized aggregation
-    val vidStatic = s.read.parquet(s"$base/vidstatic")
+    val vidStatic = base.fam(s, "vidstatic")
       .unionByName(s.read.parquet(
           MultimodalQueries.videoClipFrameTablePath(s, dir))
         .filter(col("video_id") >= 2 * lo && col("video_id") < 2 * hi)
@@ -633,9 +648,9 @@ object CurationMm {
     // component minima decode exactly per parity/stride. ---
     def enc3(df: DataFrame, aCol: String, bCol: String, k: Int): DataFrame =
       df.select((col(aCol) * 3 + k).as("ea"), (col(bCol) * 3 + k).as("eb"))
-    val baseLocal = enc3(s.read.parquet(s"$base/textcl"), "doc_id", "cluster_id", 0)
-      .unionByName(enc3(s.read.parquet(s"$base/imgcl"), "canon", "cluster_id", 1))
-      .unionByName(enc3(s.read.parquet(s"$base/audcl"), "canon", "cluster_id", 2))
+    val baseLocal = enc3(base.fam(s, "textcl"), "doc_id", "cluster_id", 0)
+      .unionByName(enc3(base.fam(s, "imgcl"), "canon", "cluster_id", 1))
+      .unionByName(enc3(base.fam(s, "audcl"), "canon", "cluster_id", 2))
     val deltaLocal = enc3(deltaTextPairs, "doc_a", "doc_b", 0)
       .unionByName(enc3(deltaImgPairs, "canon_a", "canon_b", 1))
       .unionByName(enc3(deltaAudPairs, "canon_a", "canon_b", 2))
@@ -699,7 +714,7 @@ object CurationMm {
     // empty v0), then the incremental MERGE (update only when the row
     // actually changed; insert the new batch) with its change feed ---
     if (bootstrap) staged("bootstrap") {
-      val baseManifest = s.read.parquet(s"$base/manifest")
+      val baseManifest = base.manifest(s)
       ManagedTable.createEmpty(s, root, baseManifest)
       ManagedTable.overwrite(root, baseManifest)
     }
@@ -712,19 +727,23 @@ object CurationMm {
         changeFeed = true)
     }
     // --- republish the post-ingest state for the NEXT batch (the chain
-    // contract: same layout [[buildBaseState]] bootstraps, so a chained
-    // round never reaches back to t=0) ---
+    // contract: same versioned table [[buildBaseState]] bootstraps, so a
+    // chained round never reaches back to t=0). Same-root publishes CAS
+    // against the version this ingest READ — a concurrent writer makes
+    // the publish fail loudly instead of silently losing its update. ---
     stateOut.foreach { out =>
       staged("state_out") {
-        labels.write.parquet(s"$out/labels")
-        ManagedTable.read(s, root).write.parquet(s"$out/manifest")
-        textCl.select("doc_id", "cluster_id").write.parquet(s"$out/textcl")
-        imgCl.write.parquet(s"$out/imgcl")
-        audCl.write.parquet(s"$out/audcl")
-        imgGroups.write.parquet(s"$out/imggrp")
-        audGroups.write.parquet(s"$out/audgrp")
-        vidDup.write.parquet(s"$out/viddup")
-        vidStatic.write.parquet(s"$out/vidstatic")
+        CurationState.publish(s, out, Map(
+          "labels" -> labels,
+          "textcl" -> textCl.select("doc_id", "cluster_id"),
+          "imgcl" -> imgCl,
+          "audcl" -> audCl,
+          "imggrp" -> imgGroups,
+          "audgrp" -> audGroups,
+          "viddup" -> vidDup,
+          "vidstatic" -> vidStatic),
+          ManagedTable.read(s, root),
+          expectedVersion = if (out == base.root) base.version else None)
       }
     }
   }
@@ -734,7 +753,7 @@ object CurationMm {
     * post-merge, with the v2 change feed recorded). */
   private def incrementalRunAt(s: SparkSession, dir: String,
                                root: String): String = {
-    ingestAt(s, dir, root, baseStateRoot(s, dir),
+    ingestAt(s, dir, root, StateRef(baseStateRoot(s, dir)),
       staged("basecut")(baseCut(s, dir)), corpusTop(s, dir),
       bootstrap = true)
     root
@@ -776,21 +795,24 @@ object CurationMm {
       .withColumnRenamed(Merge.ActionCol, "action")
 
   /** The CHAINED incremental run, memoized per sf dir — TWO successive
-    * ingests over a 60/20/20 corpus cut: base state built at 3N/5,
-    * batch 1 = [3N/5, 4N/5) ingested WITH post-state republication,
-    * batch 2 = [4N/5, N) ingested OFF BATCH 1'S PUBLISHED STATE — the
-    * second round has no access to the t=0 bootstrap. Layout under the
-    * memo root: `state0` (bootstrap), `state1` (batch 1's republished
-    * state), `table` (v1 = base manifest, v2 = post-batch-1, v3 =
-    * post-batch-2, with change feeds at v2 and v3). */
+    * ingests over a 60/20/20 corpus cut against ONE versioned state
+    * table: base state built at 3N/5 (state v1), batch 1 = [3N/5, 4N/5)
+    * ingested with post-state republication (state v2), batch 2 =
+    * [4N/5, N) ingested OFF STATE v2 — the second round has no access
+    * to the t=0 bootstrap, and every lifecycle step is a state VERSION
+    * aligned with the run table's versions (state v1 pairs with table
+    * v1 = the base manifest, state v2 with table v2 = post-batch-1).
+    * Layout under the memo root: `state` (the [[CurationState]] root),
+    * `table` (v1 = base manifest, v2 = post-batch-1, v3 = post-batch-2,
+    * with change feeds at v2 and v3). */
   private[graft] def chainShared(s: SparkSession, dir: String): String =
     ScratchDirs.memoized("mmcur_chain_fix", dir) { r =>
       val top = corpusTop(s, dir)
       val b1 = chainCut(s, dir); val b2 = baseCut(s, dir)
-      buildBaseState(s, dir, b1, s"$r/state0")
-      ingestAt(s, dir, s"$r/table", s"$r/state0", b1, b2,
-        bootstrap = true, stateOut = Some(s"$r/state1"))
-      ingestAt(s, dir, s"$r/table", s"$r/state1", b2, top,
+      buildBaseState(s, dir, b1, s"$r/state")
+      ingestAt(s, dir, s"$r/table", StateRef(s"$r/state"), b1, b2,
+        bootstrap = true, stateOut = Some(s"$r/state"))
+      ingestAt(s, dir, s"$r/table", StateRef(s"$r/state"), b2, top,
         bootstrap = false)
     }
 
@@ -804,12 +826,15 @@ object CurationMm {
     * → +batch2 converges to the one-shot capstone, i.e. incremental
     * ingest composes. CurationMmChainSpec additionally pins that round
     * 2 consumed round 1's state root (never the t=0 fixture) and that
-    * state1's manifest is byte-identical to the chain table's v2. */
+    * the state table's v2 manifest is row-identical to the chain
+    * table's v2. */
   def curationMmChain(s: SparkSession, dir: String): DataFrame = {
     val chain = chainShared(s, dir)
     val root = ScratchDirs.fresh("mmcur_chain_live")
-    ingestAt(s, dir, root, s"$chain/state1", baseCut(s, dir),
-      corpusTop(s, dir), bootstrap = true)
+    // pinned at v2 = batch 1's republished state (time travel: the live
+    // head is also v2, but the pin documents WHICH step round 2 builds on)
+    ingestAt(s, dir, root, StateRef(s"$chain/state", Some(2)),
+      baseCut(s, dir), corpusTop(s, dir), bootstrap = true)
     ManagedTable.read(s, root)
   }
 
@@ -849,6 +874,34 @@ object CurationMm {
     ScratchDirs.memoized("mmcur_full_fix", dir)(
       buildBaseState(s, dir, corpusTop(s, dir), _))
 
+  /** Post-retraction group-table maintenance, INCREMENTAL form — the
+    * merge-delete discipline on the persisted group state instead of a
+    * corpus-wide re-derivation: the AFFECTED phashes are exactly the
+    * removed members' hashes (retraction-batch-sized), groups not
+    * holding a removed member carry their persisted row over verbatim
+    * (an anti-join — no aggregation), and only the affected phashes
+    * re-aggregate their SURVIVING members to re-elect the canon (min
+    * over survivors; a group whose last member died yields no row and
+    * vanishes). Equal to the full `groupBy(phash)` over survivors by
+    * construction — CurationMmRetractSpec pins the equality AND that
+    * the only corpus-relation aggregate in the plan sits above the
+    * affected-phash join. */
+  private[graft] def incrementalSurvivorGroups(
+      hash: DataFrame, idCol: String, stride: Int, top: Long,
+      pred: Column => Column, oldGrp: DataFrame): DataFrame = {
+    val gen = expr(s"$idCol div $stride")
+    val bounded = col(idCol) < stride * top
+    val affected = hash.filter(pred(gen) && bounded)
+      .select(col("phash")).distinct()
+    val reagg = hash.filter(!pred(gen) && bounded)
+      .join(affected, Seq("phash")) // removed-batch-sized probe
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canon"))
+    oldGrp.select(col("phash"), col("n_copies"), col("canon"))
+      .join(affected, Seq("phash"), "left_anti")
+      .unionByName(reagg)
+  }
+
   /** One RETRACTION pass against the full-corpus state, published
     * through the managed table at `root` (v1 = the pre-retraction
     * manifest, v2 = the retraction MERGE: matched-DELETE for retracted
@@ -874,9 +927,11 @@ object CurationMm {
     * Scale shape: seeds and probes are id filters + joins against the
     * persisted full-state tables (the generating-doc id encoding makes
     * "artifacts of retracted docs" a pure filter); the surviving group
-    * tables are one groupBy over the distinct-hash-sized hash tables
-    * (production would instead MERGE-delete members out of the persisted
-    * group tables); old pair tables REMAP through phash to post-election
+    * tables are maintained INCREMENTALLY off the persisted state
+    * ([[incrementalSurvivorGroups]] — unaffected groups carry over by
+    * anti-join, only removed members' phashes re-aggregate, so group
+    * maintenance scales with the retraction batch, not the corpus);
+    * old pair tables REMAP through phash to post-election
     * canons (a pair is a property of its two hashes, so the pair set
     * only shrinks — no banded join re-runs); and every closure (text,
     * image, audio cluster labels AND the cross-modality groups) runs as
@@ -886,21 +941,22 @@ object CurationMm {
     * since their cluster's min doc 8c is smaller). */
   private[graft] def retractAt(s: SparkSession, dir: String, root: String,
                                pred: Column => Column = retracted,
-                               baseRoot: Option[String] = None,
+                               baseState: Option[StateRef] = None,
                                docTop: Option[Long] = None,
                                bootstrap: Boolean = true,
                                stateOut: Option[String] = None): Unit = {
-    // `baseRoot`/`docTop` retarget the retraction at ANY published state
+    // `baseState`/`docTop` retarget the retraction at ANY published state
     // (default: the full-corpus state) — the lifecycle-cycle composition
     // retracts from a mid-chain ingest's output. `docTop` bounds the
     // state's doc-id universe so globally recomputed artifacts (group
     // tables) never pull in not-yet-ingested ids; `stateOut` republishes
-    // the post-retraction state in the [[buildBaseState]] layout so the
-    // NEXT ingest can consume it.
-    val full = baseRoot.getOrElse(fullStateRoot(s, dir))
+    // the post-retraction state as the next [[CurationState]] version so
+    // the NEXT ingest can consume it (same-root publishes CAS against
+    // the version this retraction read, like [[ingestAt]]).
+    val full = baseState.getOrElse(StateRef(fullStateRoot(s, dir))).pin
     val top = docTop.getOrElse(corpusTop(s, dir))
-    val labels = s.read.parquet(s"$full/labels")
-    val manifest = s.read.parquet(s"$full/manifest")
+    val labels = full.fam(s, "labels")
+    val manifest = full.manifest(s)
     val retractedDocs = table(s, dir, "documents").select(col("doc_id"))
       .filter(pred(col("doc_id")) && col("doc_id") < top)
 
@@ -918,10 +974,10 @@ object CurationMm {
     // manifest row, so the inner join is the correct semantics. ---
     val seedNodes = retractedDocs.select((col("doc_id") * 8).as("node"))
       .unionByName(removedOf(imgHashAll, "img_id", 2)
-        .join(s.read.parquet(s"$full/imggrp").select("phash", "canon"), "phash")
+        .join(full.fam(s, "imggrp").select("phash", "canon"), "phash")
         .select((col("canon") * 8 + 2).as("node")))
       .unionByName(removedOf(audHashAll, "audio_id", 4)
-        .join(s.read.parquet(s"$full/audgrp").select("phash", "canon"), "phash")
+        .join(full.fam(s, "audgrp").select("phash", "canon"), "phash")
         .select((col("canon") * 8 + 3).as("node")))
       .unionByName(s.read.parquet(
           MultimodalQueries.videoClipFrameTablePath(s, dir))
@@ -950,15 +1006,18 @@ object CurationMm {
       .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"))
       .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"))
 
-    // --- image/audio: post-retraction group tables (surviving members,
-    // min-id canon re-election), old pairs remapped through phash to the
-    // new canons, restricted to touched components ---
-    def survGroups(hash: DataFrame, idCol: String, stride: Int): DataFrame =
-      survivingOf(hash, idCol, stride)
-        .groupBy("phash")
-        .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canon"))
-    val imgGroupsS = survGroups(imgHashAll, "img_id", 2)
-    val audGroupsS = survGroups(audHashAll, "audio_id", 4)
+    // --- image/audio: post-retraction group tables maintained
+    // INCREMENTALLY off the persisted state (the MERGE-delete shape):
+    // groups whose phash lost no member carry over verbatim, only the
+    // affected phashes re-aggregate their survivors — the only
+    // aggregated relation is removed-member-derived, so the cost scales
+    // with the retraction batch, never the corpus. Old pairs then remap
+    // through phash to the re-elected canons, restricted to touched
+    // components ---
+    val imgGroupsS = incrementalSurvivorGroups(imgHashAll, "img_id", 2,
+      top, pred, full.fam(s, "imggrp"))
+    val audGroupsS = incrementalSurvivorGroups(audHashAll, "audio_id", 4,
+      top, pred, full.fam(s, "audgrp"))
     def remapPairs(oldPairs: DataFrame, oldGrp: DataFrame,
                    newGrp: DataFrame, touchedCanon: DataFrame): DataFrame =
       oldPairs
@@ -974,10 +1033,10 @@ object CurationMm {
         .select(col("na").as("canon_a"), col("nb").as("canon_b"))
     val imgPairsT = remapPairs(
       s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir)),
-      s.read.parquet(s"$full/imggrp"), imgGroupsS, touchedArt(2, "id"))
+      full.fam(s, "imggrp"), imgGroupsS, touchedArt(2, "id"))
     val audPairsT = remapPairs(
       s.read.parquet(MultimodalQueries.audioFpPairTablePath(s, dir)),
-      s.read.parquet(s"$full/audgrp"), audGroupsS, touchedArt(3, "id"))
+      full.fam(s, "audgrp"), audGroupsS, touchedArt(3, "id"))
     def memberOfS(hash: DataFrame, groups: DataFrame, idCol: String,
                   stride: Int): DataFrame =
       survivingOf(hash, idCol, stride)
@@ -996,7 +1055,7 @@ object CurationMm {
         !pred(expr("video_b div 2")) && col("video_b") < 2 * top)
       .select(col("video_a"), col("video_b"))
     val vidDupT = vidPairsT.select(col("video_b").as("vid")).distinct()
-    val vidStaticT = s.read.parquet(s"$full/vidstatic")
+    val vidStaticT = full.fam(s, "vidstatic")
       .filter(!pred(expr("vid div 2")))
 
     // --- ONE fused from-scratch closure over the touched subgraph:
@@ -1087,30 +1146,28 @@ object CurationMm {
     // the same [[buildBaseState]] layout so the next ingest composes. ---
     stateOut.foreach { out =>
       staged("r_state_out") {
-        labels.join(touchedComps, Seq("component"), "left_anti")
-          .unionByName(fused.filter(col("n") % 2 === 0)
-            .select(expr("n div 2").as("node"), expr("c div 2").as("component")))
-          .write.parquet(s"$out/labels")
-        ManagedTable.read(s, root).write.parquet(s"$out/manifest")
-        s.read.parquet(s"$full/textcl")
-          .join(touchedDocs, Seq("doc_id"), "left_anti")
-          .unionByName(textClT.select("doc_id", "cluster_id"))
-          .write.parquet(s"$out/textcl")
-        s.read.parquet(s"$full/imgcl")
-          .join(touchedArt(2, "canon"), Seq("canon"), "left_anti")
-          .unionByName(dec(1, "canon"))
-          .write.parquet(s"$out/imgcl")
-        s.read.parquet(s"$full/audcl")
-          .join(touchedArt(3, "canon"), Seq("canon"), "left_anti")
-          .unionByName(dec(2, "canon"))
-          .write.parquet(s"$out/audcl")
-        imgGroupsS.write.parquet(s"$out/imggrp")
-        audGroupsS.write.parquet(s"$out/audgrp")
-        s.read.parquet(s"$full/viddup")
-          .join(touchedArt(4, "vid"), Seq("vid"), "left_anti")
-          .unionByName(vidDupT)
-          .write.parquet(s"$out/viddup")
-        vidStaticT.write.parquet(s"$out/vidstatic")
+        CurationState.publish(s, out, Map(
+          "labels" -> labels.join(touchedComps, Seq("component"), "left_anti")
+            .unionByName(fused.filter(col("n") % 2 === 0)
+              .select(expr("n div 2").as("node"),
+                expr("c div 2").as("component"))),
+          "textcl" -> full.fam(s, "textcl")
+            .join(touchedDocs, Seq("doc_id"), "left_anti")
+            .unionByName(textClT.select("doc_id", "cluster_id")),
+          "imgcl" -> full.fam(s, "imgcl")
+            .join(touchedArt(2, "canon"), Seq("canon"), "left_anti")
+            .unionByName(dec(1, "canon")),
+          "audcl" -> full.fam(s, "audcl")
+            .join(touchedArt(3, "canon"), Seq("canon"), "left_anti")
+            .unionByName(dec(2, "canon")),
+          "imggrp" -> imgGroupsS,
+          "audgrp" -> audGroupsS,
+          "viddup" -> full.fam(s, "viddup")
+            .join(touchedArt(4, "vid"), Seq("vid"), "left_anti")
+            .unionByName(vidDupT),
+          "vidstatic" -> vidStaticT),
+          ManagedTable.read(s, root),
+          expectedVersion = if (out == full.root) full.version else None)
       }
     }
   }
@@ -1160,10 +1217,15 @@ object CurationMm {
     ScratchDirs.memoized("mmcur_cycle_fix", dir) { r =>
       val top = corpusTop(s, dir); val b2 = baseCut(s, dir)
       val chain = chainShared(s, dir)
+      // shallow-clone the chain's post-batch-1 state (live = v2) into
+      // this fixture's own version line: clone v0 = chain v2 content —
+      // the cycle's history stays self-contained and the chain fixture
+      // is never mutated by a downstream composition
+      CurationState.cloneTo(s, s"$chain/state", s"$r/state")
       retractAt(s, dir, s"$r/table", retracted,
-        baseRoot = Some(s"$chain/state1"), docTop = Some(b2),
-        bootstrap = true, stateOut = Some(s"$r/state2"))
-      ingestAt(s, dir, s"$r/table", s"$r/state2", b2, top,
+        baseState = Some(StateRef(s"$r/state")), docTop = Some(b2),
+        bootstrap = true, stateOut = Some(s"$r/state")) // CAS v0 -> v1
+      ingestAt(s, dir, s"$r/table", StateRef(s"$r/state", Some(1)), b2, top,
         bootstrap = false,
         aliveDoc = c => !(retracted(c) && c < b2))
     }
@@ -1180,8 +1242,107 @@ object CurationMm {
     val cyc = cycleShared(s, dir)
     val b2 = baseCut(s, dir)
     val root = ScratchDirs.fresh("mmcur_cycle_live")
-    ingestAt(s, dir, root, s"$cyc/state2", b2, corpusTop(s, dir),
+    // v1 = the post-retraction state version the fixture published
+    ingestAt(s, dir, root, StateRef(s"$cyc/state", Some(1)), b2,
+      corpusTop(s, dir),
       bootstrap = true, aliveDoc = c => !(retracted(c) && c < b2))
+    ManagedTable.read(s, root)
+  }
+
+  /** Spec-only window onto [[ingestAt]]: replay the standard batch-2
+    * ingest off an arbitrary state ref (CurationRestoreSpec re-runs the
+    * rolled-back batch and pins state-replay determinism;
+    * CurationConcurrencySpec drives a STALE ref into the CAS). */
+  private[graft] def ingestReplayForSpec(s: SparkSession, dir: String,
+      root: String, base: StateRef, stateOut: Option[String] = None,
+      bootstrap: Boolean = true): Unit =
+    ingestAt(s, dir, root, base, baseCut(s, dir), corpusTop(s, dir),
+      bootstrap = bootstrap, stateOut = stateOut)
+
+  /** The ROLLBACK fixture, memoized per sf dir: the chain's post-batch-1
+    * state is shallow-cloned into its own version line (v0), batch 2 is
+    * ingested WITH state republication (v1 = post-batch-2 — playing the
+    * "bad ingest" a production loop wants to undo), and the state is
+    * RESTORED to v0 (v2 = the rollback — itself a versioned event with
+    * linear history, so the bad ingest stays auditable at v1). The run
+    * table records v1 = post-batch-1 manifest, v2 = the batch-2 merge. */
+  private[graft] def restoreShared(s: SparkSession, dir: String): String =
+    ScratchDirs.memoized("mmcur_restore_fix", dir) { r =>
+      val chain = chainShared(s, dir)
+      CurationState.cloneTo(s, s"$chain/state", s"$r/state") // v0 = post-b1
+      ingestAt(s, dir, s"$r/table", StateRef(s"$r/state"), baseCut(s, dir),
+        corpusTop(s, dir), bootstrap = true,
+        stateOut = Some(s"$r/state"))                        // v1 = post-b2
+      CurationState.restore(s, s"$r/state", 0)               // v2 = rollback
+    }
+
+  /** q_curation_mm_restore: the RESTORE-AND-REPLAY gate — the property
+    * that makes VERSIONED curation state operationally useful: a
+    * production loop rolls back a bad ingest by restoring the state to
+    * the pre-ingest version and re-running the batch. The live leg
+    * ingests batch 2 off the ROLLED-BACK state head (v2 = restored
+    * pre-batch-2 content) and the oracle is the one-shot capstone over
+    * the full corpus: hash equality proves the restored state is
+    * sufficient to replay the ingest to exactly the same answer.
+    * CurationRestoreSpec additionally pins restored-content equality
+    * (v2 == v0), state-replay determinism, and core/manifest version
+    * alignment at every step. */
+  def curationMmRestore(s: SparkSession, dir: String): DataFrame = {
+    val r = restoreShared(s, dir)
+    val root = ScratchDirs.fresh("mmcur_restore_live")
+    ingestAt(s, dir, root, StateRef(s"$r/state"), baseCut(s, dir),
+      corpusTop(s, dir), bootstrap = true)
+    ManagedTable.read(s, root)
+  }
+
+  /** q_curation_mm_retract_b1: retraction at CHAIN scale — the takedown
+    * batch lies ENTIRELY inside the most recently INGESTED batch
+    * (batch 1 = [3N/5, 4N/5)): the retracted docs' artifacts sit in
+    * groups the chain's own ingest merge-updated and in components its
+    * contracted closure created, so the touched-set machinery, canon
+    * re-election and pair remaps run against state the INGEST admitted,
+    * not bootstrap-built state. Runs read-only off the chain's
+    * post-batch-1 state (pinned v2). Oracle: the one-shot capstone over
+    * docs < 4N/5 minus the batch-1 takedown residue (docsFilter closed
+    * form). */
+  def curationMmRetractB1(s: SparkSession, dir: String): DataFrame = {
+    val chain = chainShared(s, dir)
+    val root = ScratchDirs.fresh("mmcur_retractb1_live")
+    val b1 = chainCut(s, dir)
+    retractAt(s, dir, root, c => c % 17 === 2 && c >= b1,
+      baseState = Some(StateRef(s"$chain/state", Some(2))),
+      docTop = Some(baseCut(s, dir)))
+    ManagedTable.read(s, root)
+  }
+
+  /** Persisted TAKEDOWN table: the id list a production right-to-forget
+    * request actually arrives as (a takedown names documents, not an
+    * arithmetic residue). Synthesized once per sf dir from a closed form
+    * so the DuckDB oracle can replay the set — the ENGINE only ever
+    * reads the table. */
+  private[graft] def takedownTablePath(s: SparkSession, dir: String): String =
+    ScratchDirs.persistedParquet("mm_takedown_fix", dir)(
+      table(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 31 === 5))
+
+  /** q_curation_mm_retract_list: the LIST-DRIVEN retraction twin — the
+    * persisted takedown TABLE, not an arithmetic predicate, drives
+    * [[retractAt]]: the id list is collected (bounded: takedown lists
+    * are human-issued and hit-sized — hard-capped, loudly) and pushed
+    * into every seed/filter site as a broadcast-literal `isin` (Spark
+    * compiles >10 ids to an InSet, so the predicate travels with the
+    * task closures and applies at the scan — no join, no shuffle),
+    * proving the retraction path does not depend on pushdown of an
+    * arithmetic form. Same touched-set machinery as the residue twin;
+    * the oracle replays the takedown set's closed form. */
+  def curationMmRetractList(s: SparkSession, dir: String): DataFrame = {
+    val ids = s.read.parquet(takedownTablePath(s, dir))
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.length <= 100000,
+      s"takedown list of ${ids.length} ids exceeds the driver-side bound " +
+        "— route bulk deletions through the residue/join form instead")
+    val root = ScratchDirs.fresh("mmcur_retractlist_live")
+    retractAt(s, dir, root, c => c.isInCollection(ids))
     ManagedTable.read(s, root)
   }
 
@@ -1273,6 +1434,27 @@ object CurationMm {
         (col("cum_before") % budget).as("bin_offset"))
   }
 
+  /** q_curation_pack_chosen: the packing DECISION CONSUMED — the analog
+    * of the screen-consumption gate one level up: q_pack_report
+    * tabulates the fragmentation-vs-padding trade per candidate budget;
+    * this gate PICKS the waste-minimizing budget (argmin of
+    * chunk_crossing_frac + ffd_padding_frac, ties to the smaller
+    * budget) and emits the screened train stream packed at it, with the
+    * chosen budget riding along as a column. The argmin is a
+    * driver-side read of the 4-row report (bounded by the candidate
+    * list — a config decision, not a data collect); everything else is
+    * the [[curationPackScreened]] prefix-sum layout. The oracle
+    * composes the report's closed form, the same argmin, and the
+    * screened pack closed form parameterized by the chosen budget. */
+  def curationPackChosen(s: SparkSession, dir: String): DataFrame = {
+    val rep = PackQueries.packReport(s, dir)
+      .select(col("budget"),
+        (col("chunk_crossing_frac") + col("ffd_padding_frac")).as("w"))
+      .collect() // one row per candidate budget — bounded by the list
+    val best = rep.map(r => (r.getDouble(1), r.getLong(0))).min._2
+    curationPackScreened(s, dir, best).withColumn("budget", lit(best))
+  }
+
   /** q_mm_bench_contamination: the CROSS-MODAL contamination screen —
     * the leakage the text n-gram screen (q_txt_contamination) cannot
     * see: a benchmark IMAGE or AUDIO clip re-used inside the training
@@ -1336,13 +1518,17 @@ object CurationMm {
     "q_curation_mm_retract" -> (curationMmRetract _),
     "q_curation_mm_retract_cdf" -> (curationRetractCdf _),
     "q_curation_mm_cycle" -> (curationMmCycle _),
+    "q_curation_mm_restore" -> (curationMmRestore _),
+    "q_curation_mm_retract_b1" -> (curationMmRetractB1 _),
+    "q_curation_mm_retract_list" -> (curationMmRetractList _),
     "q_mm_bench_contamination" ->
       ((s: SparkSession, d: String) => mmBenchContamination(s, d)),
     "q_curation_mm_report" -> (curationMmReport _),
     "q_curation_pack_e2e" ->
       ((s: SparkSession, d: String) => curationPackE2e(s, d)),
     "q_curation_pack_screened" ->
-      ((s: SparkSession, d: String) => curationPackScreened(s, d)))
+      ((s: SparkSession, d: String) => curationPackScreened(s, d)),
+    "q_curation_pack_chosen" -> (curationPackChosen _))
 
   /** Composition oracle: every stage is its own gate's closed form —
     * the per-modality CTE prefixes replayed in isolated subquery scopes
@@ -1557,6 +1743,28 @@ object CurationMm {
          |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
          |FROM legs GROUP BY doc_id, modality""".stripMargin
 
+  /** The screened-pack closed form, parameterized over the bin budget
+    * (a literal for the fixed-budget gate, a scalar subquery for the
+    * report-argmin gate) — one text, so the two gates cannot drift. */
+  private def screenedPackOracle(prefix: String, budgetExpr: String,
+                                 budgetCol: Option[String]): String =
+    s"""WITH ${prefix}cq AS MATERIALIZED (SELECT DISTINCT doc_id FROM
+       |  ($benchContaminationOracle) cqx),
+       |m AS MATERIALIZED (SELECT doc_id,
+       |    CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM ($manifestOracle) mm
+       |  WHERE kept = 'true' AND split = 'train'
+       |    AND doc_id NOT IN (SELECT doc_id FROM cq)),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM m)
+       |SELECT doc_id, n_tokens,
+       |  cum_before // $budgetExpr AS bin_id,
+       |  cum_before % $budgetExpr AS bin_offset${budgetCol.map(c => ",\n  " + c).getOrElse("")}
+       |FROM c""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_curation_mm_e2e" -> manifestOracle,
     // Incremental ingest converges to the one-shot capstone on the
@@ -1565,6 +1773,9 @@ object CurationMm {
     // The chained run converges to the same closed form: base(60%) +
     // batch1 + batch2, round 2 running off round 1's republished state.
     "q_curation_mm_chain" -> manifestOracle,
+    // Restore-and-replay converges to the same closed form: the rolled-
+    // back state replays batch 2 to exactly the one-shot capstone.
+    "q_curation_mm_restore" -> manifestOracle,
     "q_curation_mm_cdf" -> cdfOracle,
     "q_curation_mm_chain_cdf" -> cdfOracle,
     // Retraction converges to the one-shot manifest over the surviving
@@ -1575,6 +1786,15 @@ object CurationMm {
     // second batch's cut — and were removed before batch 2 arrived).
     "q_curation_mm_cycle" -> manifestOracleOver(Some(
       s"(doc_id % $retractMod <> $retractRes OR doc_id >= $baseCutSql)")),
+    // Chain-scale retraction: the post-batch-1 world (docs < 4N/5)
+    // minus a takedown batch lying entirely inside batch 1.
+    "q_curation_mm_retract_b1" -> manifestOracleOver(Some(
+      s"doc_id < $baseCutSql AND NOT (doc_id % 17 = 2 " +
+        s"AND doc_id >= $chainCutSql)")),
+    // List-driven retraction: the oracle replays the persisted takedown
+    // table's closed form (the engine consumes only the table).
+    "q_curation_mm_retract_list" ->
+      manifestOracleOver(Some("doc_id % 31 <> 5")),
     // The retraction feed: delete rows carry the PRE-image (the full
     // manifest's retracted rows); update rows the post-image of every
     // surviving row that changed.
@@ -1630,23 +1850,17 @@ object CurationMm {
     "q_mm_bench_contamination" -> benchContaminationOracle,
     // The screen CONSUMED: the pack stream minus the quarantine —
     // the loader-ready closed form over the anti-joined doc set.
-    "q_curation_pack_screened" ->
-      s"""WITH cq AS MATERIALIZED (SELECT DISTINCT doc_id FROM
-         |  ($benchContaminationOracle) cqx),
-         |m AS MATERIALIZED (SELECT doc_id,
-         |    CAST(n_tokens AS BIGINT) AS n_tokens
-         |  FROM ($manifestOracle) mm
-         |  WHERE kept = 'true' AND split = 'train'
-         |    AND doc_id NOT IN (SELECT doc_id FROM cq)),
-         |c AS (SELECT doc_id, n_tokens,
-         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS BIGINT) AS cum_before
-         |  FROM m)
-         |SELECT doc_id, n_tokens,
-         |  cum_before // 2048 AS bin_id,
-         |  cum_before % 2048 AS bin_offset
-         |FROM c""".stripMargin,
+    "q_curation_pack_screened" -> screenedPackOracle("", "2048", None),
+    // The decision CONSUMED: the report's argmin budget (in SQL) drives
+    // the same screened pack closed form.
+    "q_curation_pack_chosen" -> screenedPackOracle(
+      s"""rep AS MATERIALIZED (${PackQueries.oracles("q_pack_report")}),
+         |chosen AS MATERIALIZED (SELECT budget FROM rep
+         |  ORDER BY chunk_crossing_frac + ffd_padding_frac, budget
+         |  LIMIT 1),
+         |""".stripMargin,
+      "(SELECT budget FROM chosen)",
+      Some("(SELECT budget FROM chosen) AS budget")),
     // Loader-ready packing over the published manifest: kept train-split
     // docs, doc_id-ordered exclusive token prefix sum, 2048-token bins —
     // the q_pack_sequences closed form on the manifest oracle's output.

@@ -1671,7 +1671,7 @@ object MultimodalQueries {
     * phash) — the decode runs once, here; the group table and any
     * membership consumer (the curation capstone joins an attached image
     * to its group) read it back. */
-  private[operators] def phashHashTablePath(s: SparkSession, dir: String): String =
+  private[graft] def phashHashTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_phnh_fix", dir)(
       phashFrame(s, dir))
 

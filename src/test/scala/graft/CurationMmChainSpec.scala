@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.CurationMm
+import graft.operators.{CurationMm, CurationState}
 import graft.sources.{ManagedTable, ScratchDirs}
 
 /** The CHAIN contract (q_curation_mm_chain / q_curation_mm_chain_cdf)
@@ -10,14 +10,15 @@ import graft.sources.{ManagedTable, ScratchDirs}
   * loop relies on:
   *
   *  - ROUND 2 CONSUMES ROUND 1'S PUBLISHED STATE: the live chain gate's
-  *    ingest reads the `state1` root the first ingest republished, and
-  *    NEVER touches the t=0 bootstrap fixture (`mmcur_base_fix`) — the
-  *    "a second batch cannot re-derive from t=0" requirement, pinned on
-  *    the observable base-root record and on the fixture request
-  *    counters.
-  *  - THE REPUBLISHED STATE IS THE PUBLISHED TABLE: `state1/manifest` is
-  *    row-identical to the chain table's v2 snapshot (what batch 1
-  *    published IS what batch 2 consumed — no side channel).
+  *    ingest reads state VERSION 2 — the version the first ingest
+  *    republished — and NEVER touches the t=0 bootstrap fixture
+  *    (`mmcur_base_fix`): the "a second batch cannot re-derive from t=0"
+  *    requirement, pinned on the observable base-ref record and on the
+  *    fixture request counters.
+  *  - THE REPUBLISHED STATE IS THE PUBLISHED TABLE: the state table's
+  *    manifest at v2 is row-identical to the chain table's v2 snapshot
+  *    (what batch 1 published IS what batch 2 consumed — no side
+  *    channel), and likewise v1 with v1: state and table versions ALIGN.
   *  - THE CHAIN CONVERGES: the live round-2 result equals the one-shot
   *    full-corpus capstone exactly (the oracle also pins this by hash;
   *    here it is pinned engine-side with no DuckDB in the loop).
@@ -32,14 +33,21 @@ class CurationMmChainSpec extends AnyFunSuite {
   private lazy val chain = CurationMm.chainShared(spark, dir)
   private lazy val table = s"$chain/table"
 
-  test("state1's manifest is exactly the chain table's v2 snapshot") {
-    val st = spark.read.parquet(s"$chain/state1/manifest")
+  test("state versions align with table versions: state@v2 manifest is " +
+      "exactly the chain table's v2 snapshot (and v1 with v1)") {
+    assert(CurationState.version(s"$chain/state") == 2,
+      "chain fixture must leave the state at v2 (bootstrap=1, batch 1=2)")
+    val st = CurationState.manifest(spark, s"$chain/state", Some(2))
     val v2 = ManagedTable.readVersion(spark, table, 2)
     assert(st.exceptAll(v2).isEmpty && v2.exceptAll(st).isEmpty,
       "republished state manifest diverges from the published v2 snapshot")
+    val st1 = CurationState.manifest(spark, s"$chain/state", Some(1))
+    val v1 = ManagedTable.readVersion(spark, table, 1)
+    assert(st1.exceptAll(v1).isEmpty && v1.exceptAll(st1).isEmpty,
+      "bootstrap state manifest diverges from the table's v1 snapshot")
   }
 
-  test("live round 2 consumes state1, never the t=0 fixture, and " +
+  test("live round 2 consumes state@v2, never the t=0 fixture, and " +
       "converges to the one-shot capstone") {
     val baseFixBefore = ScratchDirs.requestedMemoCounts
       .getOrElse("mmcur_base_fix", 0L)
@@ -47,9 +55,9 @@ class CurationMmChainSpec extends AnyFunSuite {
     val full = CurationMm.curationMmE2e(spark, dir)
     assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
       "chained ingest does not converge to the full recompute")
-    assert(CurationMm.lastIngestBase == s"$chain/state1",
+    assert(CurationMm.lastIngestBase == s"$chain/state@v2",
       s"round 2 ran off '${CurationMm.lastIngestBase}', not round 1's " +
-        "republished state")
+        "republished state version")
     val baseFixAfter = ScratchDirs.requestedMemoCounts
       .getOrElse("mmcur_base_fix", 0L)
     assert(baseFixAfter == baseFixBefore,

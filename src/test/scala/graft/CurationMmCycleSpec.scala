@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.CurationMm
+import graft.operators.{CurationMm, CurationState}
 import graft.sources.{ManagedTable, ScratchDirs}
 
 /** The LIFECYCLE contract (q_curation_mm_cycle) beyond the oracle hash:
@@ -38,9 +38,13 @@ class CurationMmCycleSpec extends AnyFunSuite {
     val got = CurationMm.curationMmCycle(spark, dir)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "lifecycle result diverges from the surviving-world recompute")
-    assert(CurationMm.lastIngestBase == s"$cyc/state2",
+    assert(CurationMm.lastIngestBase == s"$cyc/state@v1",
       s"batch 2 ran off '${CurationMm.lastIngestBase}', not the " +
-        "post-retraction state")
+        "post-retraction state version")
+    // the cycle's own state history: v0 = cloned post-batch-1 snapshot,
+    // v1 = post-retraction — core and manifest twins aligned
+    assert(CurationState.version(s"$cyc/state") == 1,
+      "cycle fixture must leave the state at v1 (clone=0, retraction=1)")
   }
 
   test("the table's feeds record the lifecycle: deletes at v2, " +

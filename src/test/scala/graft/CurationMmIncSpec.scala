@@ -26,7 +26,8 @@ class CurationMmIncSpec extends AnyFunSuite {
 
   private lazy val baseRoot = CurationMm.baseStateRoot(spark, dir)
   private lazy val runRoot = CurationMm.incRunShared(spark, dir)
-  private lazy val base = spark.read.parquet(s"$baseRoot/manifest")
+  private lazy val base =
+    graft.operators.CurationState.manifest(spark, baseRoot)
   private lazy val fin = ManagedTable.read(spark, runRoot)
   private lazy val feed = ManagedTable.changes(spark, runRoot, 2)
 

@@ -69,6 +69,42 @@ class CurationMmRetractSpec extends AnyFunSuite {
       s"$changedOutsideFeed rows changed without a feed record")
   }
 
+  test("group maintenance is incremental: equal to the full survivor " +
+      "groupBy, with the only corpus aggregate above the affected join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val top = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(max(col("doc_id")) + 1).head().getLong(0)
+    val hash = spark.read.parquet(
+      graft.operators.MultimodalQueries.phashHashTablePath(spark, dir))
+    val oldGrp = graft.operators.CurationState.fam(spark,
+      CurationMm.fullStateRoot(spark, dir), "imggrp")
+    val pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => c % 23 === 4
+    val inc = CurationMm.incrementalSurvivorGroups(hash, "img_id", 2,
+      top, pred, oldGrp)
+    val full = hash
+      .filter(!pred(expr("img_id div 2")) && col("img_id") < 2 * top)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_copies"), min(col("img_id")).as("canon"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental group maintenance diverges from the full re-derivation")
+    // plan shape: two aggregates — the affected-phash distinct (over the
+    // REMOVED members only: its subtree filters on the retraction
+    // residue) and the re-aggregation, which sits ABOVE the affected
+    // join; no aggregate consumes the unfiltered survivor relation
+    val aggs = inc.queryExecution.optimizedPlan.collect {
+      case a: Aggregate => a }
+    val (joined, removedOnly) =
+      aggs.partition(a => a.child.collect { case j: Join => j }.nonEmpty)
+    assert(joined.size == 1,
+      s"exactly one aggregate must sit above the affected-phash join, " +
+        s"got ${joined.size}")
+    assert(removedOnly.nonEmpty && removedOnly.forall(
+      _.toString.contains("% 23")),
+      "every join-free aggregate must range over the removed members " +
+        "only — a full-survivor groupBy leaked back in")
+  }
+
   test("retracting a text cluster's minimum re-elects the survivor") {
     // discover a 2+-doc text cluster from the persisted cluster table,
     // retract its MINIMUM (the canonical doc), and watch the next
