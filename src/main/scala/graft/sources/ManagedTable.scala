@@ -1455,6 +1455,42 @@ object ManagedTable extends VersionedLayout {
     * base's files, so the base must outlive every DV version that
     * references it even when the base itself has aged out.
     * Reference: DeltaTable.vacuum (mls_listings_curated.py:366-368). */
+  /** Right-to-forget COMPLETION for a retained change feed: a retraction
+    * merge's feed carries the retracted rows' PRE-IMAGES (the audit
+    * record a downstream consumer replays), so even after [[vacuum]]
+    * drops the pre-retraction snapshots, the deleted BYTES survive in
+    * `_changes/v<version>` for as long as that feed is retained. This
+    * rewrites the feed in place, reducing every row matching `where`
+    * (typically `_action = 'delete'`) to a key + action TOMBSTONE —
+    * payload columns nulled, schema unchanged, so feed consumers still
+    * see which keys left at which version (the replication contract)
+    * without the data itself. Non-matching rows (update/insert
+    * post-images — surviving documents) pass through untouched. The
+    * rewrite stages next to the feed and swaps via rename, same
+    * publish-then-swap discipline as everything else in the layout. */
+  def redactChangeFeed(spark: SparkSession, root: String, version: Int,
+                       keyCols: Seq[String],
+                       where: org.apache.spark.sql.Column): Unit = {
+    val feedDir = Paths.get(root, "_changes", s"v$version")
+    require(Files.exists(feedDir),
+      s"no change feed for version $version of $root")
+    val feed = spark.read.parquet(feedDir.toString)
+    val keep = (keyCols :+ graft.operators.Merge.ActionCol).toSet
+    val redacted = feed.select(feed.schema.fields.map { f =>
+      if (keep(f.name)) col(f.name)
+      else when(where, lit(null).cast(f.dataType)).otherwise(col(f.name))
+        .as(f.name)
+    }.toIndexedSeq: _*)
+    val stage = Paths.get(root, "_changes", s".v$version.redact")
+    ScratchDirs.deleteRecursively(stage)
+    redacted.write.parquet(stage.toString)
+    val old = Paths.get(root, "_changes", s".v$version.old")
+    ScratchDirs.deleteRecursively(old)
+    Files.move(feedDir, old)
+    Files.move(stage, feedDir)
+    ScratchDirs.deleteRecursively(old)
+  }
+
   def vacuum(root: String, keep: Int = 1): Unit = {
     val live = currentVersion(root)
     vacuumRetaining(root, (math.max(0, live - keep + 1) to live)
