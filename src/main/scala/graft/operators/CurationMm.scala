@@ -437,11 +437,14 @@ object CurationMm {
       .join(probe.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.phash") =!= col("b.phash"))
-      .select(col("a.phash").as("ph_a"), col("b.phash").as("ph_b"),
-        col("a.canon").as("canon_a"), col("b.canon").as("canon_b"))
+      // Hamming filter BEFORE the distinct (guide §2.3 — filter is
+      // per-row codegen, the distinct is an exchange): band collisions
+      // that fail the radius never reach the shuffle, and duplicates of
+      // surviving pairs are dropped by the same distinct as before.
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        <= maxHamming)
+      .select(col("a.canon").as("canon_a"), col("b.canon").as("canon_b"))
       .distinct()
-      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= maxHamming)
-      .select(col("canon_a"), col("canon_b"))
   }
 
   /** Stage-timing probe (diagnostic only, env-gated): wraps the eager

@@ -130,55 +130,86 @@ object GraphCC {
       .localCheckpoint()
     val nodes = sym0.select(col("src").as("node")).distinct()
 
-    // (Round-18 experiment, kept as a note: disabling AQE for the
-    // iteration looked like a fixed-overhead win but measured 2.5x
-    // SLOWER on the contracted incremental closure — AQE's post-shuffle
-    // coalescing is what keeps each tiny round's sort/window tasks few;
-    // the replan barriers are cheaper than 32-partition rounds.)
+    // The loop's shuffles are sized from the MEASURED byte size of the
+    // materialized edge set (block-manager size of the round-0
+    // checkpoint), targeting the session's AQE advisory partition size —
+    // the scale-adaptive form of "fewer, larger reduce partitions"
+    // (optimization guide §2.2): a 100 TB edge set gets bytes/advisory
+    // partitions, a contracted delta graph gets 1. With partitions sized
+    // up front, AQE has nothing left to do inside the loop (rounds have
+    // no joins to replan and window skew is outside AQE's reach), so it
+    // is disabled for the loop's scope: each round then runs without
+    // per-stage replan barriers. (This subsumes the round-18 AQE-off
+    // experiment, which kept the session's 32 shuffle partitions and
+    // measured 2.5x slower — the win was never AQE-vs-not, it was
+    // partition count; measured in OPTIMIZATION_r19.md.)
+    val spark = sym0.sparkSession
+    val sym0Bytes = sym0.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(s => s.memSize + s.diskSize).getOrElse(0L)
+    val advisory = spark.conf
+      .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    val advisoryBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(advisory)
+    val loopParts = math.max(1L,
+      (sym0Bytes + advisoryBytes - 1) / advisoryBytes).toString
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevParts = spark.conf.get(partsKey)
+    val prevAqe = spark.conf.get(aqeKey)
+
     var cur = sym0.filter(col("src") =!= col("dst")) // oriented by lgStar
     var prevCp: Option[DataFrame] = None // checkpoint backing `cur`
     var curCount = -1L
     var rounds = 0
     var converged = false
-    // First large-star consumes the symmetric set; later rounds
-    // re-symmetrize the oriented star edges (cheap union — the star
-    // orientation loses the upward edges large-star needs).
-    while (!converged && rounds < maxIter) {
-      val sym =
-        if (rounds == 0) cur
-        else cur.unionByName(cur.select(col("dst").as("src"),
-          col("src").as("dst")))
-      // lazy checkpoint + count: the count() action materializes the
-      // checkpoint blocks, so each round pays ONE job for
-      // materialization-plus-size instead of two (eager checkpoint runs
-      // its own internal count).
-      val next = smallStar(largeStar(sym))
-        .localCheckpoint(eager = false)
-      val nextCount = next.count()
-      converged = nextCount == curCount &&
-        next.exceptAll(cur).isEmpty
-      if (sys.env.contains("SPARK_GRAFT_CC_TRACE"))
-        log.info(s"[cc] round=${rounds + 1} edges=$nextCount")
-      // The previous round's blocks are dead once the comparison above
-      // has run — drain them now instead of waiting for ContextCleaner
-      // GC (the old pointer-jumping core's drain discipline).
-      prevCp.foreach(drainCheckpoint)
-      prevCp = Some(next)
-      cur = next
-      curCount = nextCount
-      rounds += 1
+    val out = try {
+      spark.conf.set(partsKey, loopParts)
+      spark.conf.set(aqeKey, "false")
+      // First large-star consumes the symmetric set; later rounds
+      // re-symmetrize the oriented star edges (cheap union — the star
+      // orientation loses the upward edges large-star needs).
+      while (!converged && rounds < maxIter) {
+        val sym =
+          if (rounds == 0) cur
+          else cur.unionByName(cur.select(col("dst").as("src"),
+            col("src").as("dst")))
+        // lazy checkpoint + count: the count() action materializes the
+        // checkpoint blocks, so each round pays ONE job for
+        // materialization-plus-size instead of two (eager checkpoint runs
+        // its own internal count).
+        val next = smallStar(largeStar(sym))
+          .localCheckpoint(eager = false)
+        val nextCount = next.count()
+        converged = nextCount == curCount &&
+          next.exceptAll(cur).isEmpty
+        if (sys.env.contains("SPARK_GRAFT_CC_TRACE"))
+          log.info(s"[cc] round=${rounds + 1} edges=$nextCount")
+        // The previous round's blocks are dead once the comparison above
+        // has run — drain them now instead of waiting for ContextCleaner
+        // GC (the old pointer-jumping core's drain discipline).
+        prevCp.foreach(drainCheckpoint)
+        prevCp = Some(next)
+        cur = next
+        curCount = nextCount
+        rounds += 1
+      }
+      lastRoundsA.set(rounds)
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds - " +
+            "component size exceeds the star-alternation bound; raise maxIter")
+      // Fixed point = one star per component rooted at its minimum.
+      nodes
+        .join(cur.select(col("src").as("node"), col("dst").as("rep")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("rep"), col("node")).as("component"))
+        .localCheckpoint()
+    } finally {
+      spark.conf.set(partsKey, prevParts)
+      spark.conf.set(aqeKey, prevAqe)
     }
-    lastRoundsA.set(rounds)
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds - " +
-          "component size exceeds the star-alternation bound; raise maxIter")
-    // Fixed point = one star per component rooted at its minimum.
-    val out = nodes
-      .join(cur.select(col("src").as("node"), col("dst").as("rep")),
-        Seq("node"), "left")
-      .select(col("node"), coalesce(col("rep"), col("node")).as("component"))
-      .localCheckpoint()
     // `out` is materialized: the symmetric set and the last round's star
     // edges have no remaining consumer.
     drainCheckpoint(sym0)

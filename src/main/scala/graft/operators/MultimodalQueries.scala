@@ -17,6 +17,15 @@ import graft.sources.TableIO.table
   */
 object MultimodalQueries {
 
+  // ImageIO's default ImageInputStream cache backs every read with a
+  // synchronized temp FILE — under partition-parallel decode the tasks
+  // serialize on temp-file creation/deletion (measured as multi-second
+  // pass-to-pass variance on the video-frame gate once the payload
+  // fixtures were sharded). Payloads here are in-memory byte arrays;
+  // the memory-backed stream is strictly better. JVM-global, set where
+  // the decode closures load (this object initializes on executors).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Binary metadata extraction: byte length, SHA-256 content address,
     * magic-byte sniff — the catalog/integrity pass every media pipeline
     * runs before decode. Pure built-ins, fully pushdown/codegen friendly. */
@@ -119,10 +128,24 @@ object MultimodalQueries {
     * parquet exists once and every consumer reads it. All per-doc media
     * fixtures (PNG, WAV, video container) go through here; the near-dup
     * fixture has its own builder (it emits variant twins under img_id). */
+  /** Doc-id frame for a media-fixture build, SHARDED to the session's
+    * parallelism: the sf-dir documents table is one file, so without the
+    * repartition every fixture lands as ONE parquet file and every
+    * downstream real-decode pass (mapPartitions over the scan — the
+    * zero-shuffle F1 contract) runs on a single core. A production media
+    * table arrives sharded by its writers (guide §6: output file sizing
+    * IS downstream scan parallelism); the fixture mirrors that shape.
+    * Locally that is `defaultParallelism` small files; at scale the same
+    * table is written by however many tasks produced it — the decode
+    * gates themselves stay shuffle-free either way. */
+  private def fixtureIds(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+
   private def payloadFixture(s: SparkSession, dir: String, name: String)
                             (encode: Long => Array[Byte]): String = {
     val root = graft.sources.ScratchDirs.memoized(name, dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val ids = fixtureIds(s, dir)
       val rows = ids.rdd.mapPartitions(_.map { row =>
         val id = row.getLong(0)
         Row(id, encode(id))
@@ -629,7 +652,7 @@ object MultimodalQueries {
 
   private[operators] def videoClipFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_gftv2_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val ids = fixtureIds(s, dir)
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         val base = Row(id * 2, encodeVideoClip(id, twin = false))
@@ -897,7 +920,7 @@ object MultimodalQueries {
     * provably misses. */
   private[operators] def wavDupFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_wavdup_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val ids = fixtureIds(s, dir)
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         // tagId stamps the doc id into the PCM so streams are
@@ -1138,7 +1161,7 @@ object MultimodalQueries {
 
   private[graft] def wavNearFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_wavnear_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val ids = fixtureIds(s, dir)
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         val out = Vector.newBuilder[Row]
@@ -1377,7 +1400,7 @@ object MultimodalQueries {
 
   private[graft] def wavSpliceFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_wavsplice_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val ids = fixtureIds(s, dir)
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         val base = Row(id * 2, encodeWavSplice(id, twin = false))
@@ -1590,7 +1613,7 @@ object MultimodalQueries {
     * read-only memoization contract as [[pngFixture]]. */
   private[operators] def pngNearFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_pngnear_fix", dir) { r =>
-      val ids = table(s, dir, "documents").select(col("doc_id"))
+      val ids = fixtureIds(s, dir)
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         val base = Row(id * 2, encodePngBanded(id, 0))

@@ -165,6 +165,21 @@ object PackQueries {
   def packFfd(s: SparkSession, dir: String, budget: Long = 2048L,
                   groupSize: Int = 512): DataFrame = {
     require(budget > 0 && groupSize > 0)
+    val assigned = ffdAssign(s, ffdSorted(s, dir, groupSize), budget, groupSize)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bin_id"))
+    assigned
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+      .withColumn("bin_docs", count(lit(1)).over(w))
+      .withColumn("bin_fill", sum(col("n_tokens")).over(w))
+      .withColumn("bin_waste", lit(budget) - col("bin_fill"))
+  }
+
+  /** The budget-INDEPENDENT half of FFD: the (n_tokens desc, doc_id)
+    * global rank (distributed prefix scan), the contiguous rank grouping,
+    * and the grp-partitioned in-partition sort the greedy walks. Factored
+    * out so [[packReport]] pays it once across every candidate budget. */
+  private def ffdSorted(s: SparkSession, dir: String,
+                        groupSize: Int): DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
@@ -173,8 +188,15 @@ object PackQueries {
         Seq(col("n_tokens").desc, col("doc_id").asc), "one")
       .withColumn("grp", expr(s"cum_before div $groupSize"))
       .select(col("doc_id"), col("n_tokens"), col("grp"))
-    val sorted = ranked.repartition(col("grp"))
+    ranked.repartition(col("grp"))
       .sortWithinPartitions(col("grp"), col("n_tokens").desc, col("doc_id").asc)
+  }
+
+  /** The per-budget greedy over a [[ffdSorted]] stream (grp-partitioned,
+    * (grp, n_tokens desc, doc_id)-sorted — a localCheckpoint of one
+    * preserves both, partitions materialize as-is). */
+  private def ffdAssign(s: SparkSession, sorted: DataFrame, budget: Long,
+                        groupSize: Int): DataFrame = {
     val schema = sorted.schema.add("bin_id", LongType, nullable = false)
     val assigned = sorted.rdd.mapPartitions { it =>
       // exact FFD per rank group; a partition holds whole groups (the
@@ -191,12 +213,7 @@ object PackQueries {
         Row.fromSeq(r.toSeq :+ (grp * groupSize + j))
       }
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bin_id"))
     s.createDataFrame(assigned, schema)
-      .select(col("doc_id"), col("n_tokens"), col("bin_id"))
-      .withColumn("bin_docs", count(lit(1)).over(w))
-      .withColumn("bin_fill", sum(col("n_tokens")).over(w))
-      .withColumn("bin_waste", lit(budget) - col("bin_fill"))
   }
 
   /** q_pack_report: the packing DECISION table — one row per candidate
@@ -212,15 +229,39 @@ object PackQueries {
     * fully parallel; the per-budget outputs are single rows, so the
     * final union is driver-trivial. */
   def packReport(s: SparkSession, dir: String,
-                 budgets: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)): DataFrame =
+                 budgets: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)): DataFrame = {
+    require(budgets.nonEmpty)
+    val groupSize = 512
+    // Both layouts' expensive passes are budget-INDEPENDENT — the doc_id-
+    // ordered prefix sum (chunk side) and the rank/group/sort stream (FFD
+    // side) — so each is paid ONCE and every candidate budget derives
+    // from it: per-budget chunk crossing counts ride one aggregation over
+    // the prefix-summed stream (doc crosses at budget b iff
+    // cum_before % b + n_tokens > b — exactly packStats' predicate), and
+    // each budget's greedy walks the same checkpointed sorted stream.
+    // Previously every budget re-ran both prefix scans from the raw
+    // corpus: 4x the passes for identical rows.
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val seqd = withExclusivePrefixSum(s, docs, Seq(col("doc_id").asc),
+      "n_tokens")
+    val aggCols =
+      Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens")) ++
+        budgets.map(b => sum(when((col("cum_before") % b) + col("n_tokens") > b,
+          1L).otherwise(0L)).as(s"crossing_$b"))
+    // one row; checkpointed so the per-budget selects below are free
+    val chunkRow = seqd.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+    val sorted = ffdSorted(s, dir, groupSize).localCheckpoint()
     budgets.map { b =>
-      val chunk = packStats(s, dir, b)
-        .select(lit(b).as("budget"), col("total_tokens"),
-          col("n_bins").as("chunk_bins"),
-          col("n_crossing").as("chunk_crossing"),
-          col("crossing_frac").as("chunk_crossing_frac"))
-      val ffd = packFfd(s, dir, b)
-        .select(col("bin_id"), col("bin_waste")).distinct()
+      val chunk = chunkRow.select(lit(b).as("budget"), col("total_tokens"),
+        expr(s"(total_tokens + ${b - 1}) div $b").as("chunk_bins"),
+        col(s"crossing_$b").as("chunk_crossing"),
+        (col(s"crossing_$b").cast("double") / col("n_docs").cast("double"))
+          .as("chunk_crossing_frac"))
+      val ffd = ffdAssign(s, sorted, b, groupSize)
+        .groupBy(col("bin_id")).agg(sum(col("n_tokens")).as("fill"))
+        .select(col("bin_id"), (lit(b) - col("fill")).as("bin_waste"))
         .agg(count(lit(1)).as("ffd_bins"),
           sum(greatest(col("bin_waste"), lit(0L))).as("ffd_padding_tokens"),
           sum(when(col("bin_waste") < 0, 1L).otherwise(0L))
@@ -234,6 +275,7 @@ object PackQueries {
         col("chunk_crossing"), col("chunk_crossing_frac"), col("ffd_bins"),
         col("ffd_padding_tokens"), col("ffd_overfull_bins"),
         col("ffd_padding_frac"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
