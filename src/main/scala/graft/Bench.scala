@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: runs every gate query on SPARK_GRAFT_SF_DIR and prints
   * ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...},
   * also written to SPARK_GRAFT_BENCH_OUT (default `bench_out.json`) so the
@@ -55,45 +53,20 @@ object Bench {
     // Comma-separated allowlist for isolation experiments (empty = all).
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    val builder = SparkSession.builder()
+    // Shared engine defaults (constraint-prop off, codegen cache sized,
+    // SPARK_GRAFT_SQL_CONF passthrough) live in GraftSession so Bench,
+    // Verify and the CLI entrypoints run the same engine configuration —
+    // a bench number is then a number about the ENGINE, not about a
+    // bench-only session. Bench adds only its own master/parallelism.
+    val builder = GraftSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Optimizer-COST knob, results unaffected (it gates constraint
-      // COLLECTION, i.e. how hard the planner works inferring redundant/
-      // null filters — a pass that is superlinear in plan width and runs
-      // on the driver, serially, per query): the 133/134-column MLS
-      // plans are planning-bound and measured 11-24% faster with it off
-      // (q_job1_e2e 4.44→3.38 s, q_job2_e2e 5.21→4.47 s, q_job3_e2e
-      // 4.87→4.33 s, same window), and the full-suite re-run showed no
-      // gate regressing — this engine's joins key on engineered non-null
-      // ids and every null-sensitive filter is explicit in the queries,
-      // so InferFiltersFromConstraints had nothing load-bearing to add.
-      // Overridable per run via SPARK_GRAFT_SQL_CONF below.
-      .config("spark.sql.constraintPropagation.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
-      // The generated-class cache defaults to 100 entries; a ~300-plan
-      // suite cycles it every pass, so codegen recompiles per TIMED pass
-      // — exactly the one-time cost the untimed warmup exists to absorb
-      // (same session-isolation argument as ReservedCodeCacheSize above
-      // and the inter-query cleanup: a production cluster runs one job
-      // per JVM, or a long-lived service whose hot plans stay cached).
-      // Measured: -10 s suite-wide (curation/e2e gates -0.4..-1.8 s
-      // each, two quiet windows, no regression outside window noise).
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
-    // A/B hook for session-conf experiments (e.g. optimizer-cost knobs):
-    // semicolon-separated key=value pairs applied verbatim.
-    sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(";")
-      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-      })
+    // Re-apply the A/B passthrough LAST so an experiment can override
+    // the bench-specific configs above as well.
+    GraftSession.applyEnvConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.operators.SkewCap.registerWarnings(spark)

@@ -566,23 +566,6 @@ object CurationMm {
     val deltaAudPairsLazy = deltaHashPairs(audGroups, col("canon") >= 4 * lo,
       3, "aud_inc_cap")
 
-    // --- ONE materialization barrier for all three probes: the probe
-    // pipelines run as parallel stages of a single job (instead of three
-    // driver-synchronized checkpoints), and every downstream consumer
-    // (both closures, the encoded edges, the touched set) reads the
-    // cached blocks ---
-    val deltaPairs = staged("delta_probe")(
-      deltaTextPairsLazy.toDF("a", "b").withColumn("m", lit(0))
-        .unionByName(deltaImgPairsLazy.toDF("a", "b").withColumn("m", lit(1)))
-        .unionByName(deltaAudPairsLazy.toDF("a", "b").withColumn("m", lit(2)))
-        .localCheckpoint())
-    val deltaTextPairs = deltaPairs.filter(col("m") === 0)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
-    val deltaImgPairs = deltaPairs.filter(col("m") === 1)
-      .select(col("a").as("canon_a"), col("b").as("canon_b"))
-    val deltaAudPairs = deltaPairs.filter(col("m") === 2)
-      .select(col("a").as("canon_a"), col("b").as("canon_b"))
-
     // --- video: the persisted clip-pair table IS the probe index — the
     // batch-incident slice is a pure id filter (pairs are normalized
     // video_a < video_b and new ids are larger, so a batch endpoint is
@@ -622,23 +605,54 @@ object CurationMm {
     val imgMember = memberOf(imgHashAll, imgGroups, "img_id")
     val audMember = memberOf(audHashAll, audGroups, "audio_id")
 
-    // --- the cross-modality delta edges (8-stride encoding): contracted
-    // against base components inside the fused closure below ---
-    val doc8 = (col("doc_id") * 8).as("s")
-    val deltaEdges = deltaTextPairs
-      .select((col("doc_a") * 8).as("s"), (col("doc_b") * 8).as("t"))
-      .unionByName(newAtt.join(imgMember, newAtt("img") === imgMember("img_id"))
-        .select(doc8, (col("canon") * 8 + 2).as("t")))
-      .unionByName(deltaImgPairs.select((col("canon_a") * 8 + 2).as("s"),
-        (col("canon_b") * 8 + 2).as("t")))
-      .unionByName(newAtt.join(audMember, newAtt("aud") === audMember("audio_id"))
-        .select(doc8, (col("canon") * 8 + 3).as("t")))
-      .unionByName(deltaAudPairs.select((col("canon_a") * 8 + 3).as("s"),
-        (col("canon_b") * 8 + 3).as("t")))
-      .unionByName(newAtt.select(doc8, (col("vid") * 8 + 4).as("t")))
-      .unionByName(deltaVidPairs.select((col("video_a") * 8 + 4).as("s"),
-        (col("video_b") * 8 + 4).as("t")))
-      .localCheckpointStaged("delta_edges")
+    // --- batch-incident edge legs that do NOT derive from the probe
+    // outputs (attachment→canon membership, attachment→video, the
+    // persisted video pair slice), pre-encoded to the 8-stride edge
+    // space so they ride the SAME materialization barrier as the probes
+    // (m = 3 below) — previously a second driver-synchronized checkpoint
+    // per ingest whose only NEW work was exactly these legs (guide §2.4:
+    // one explicit barrier, not two; no exchange-reuse dependence — the
+    // probe legs and these legs are disjoint subtrees of one job) ---
+    val doc8 = col("doc_id") * 8
+    val edgeExtrasLazy =
+      newAtt.join(imgMember, newAtt("img") === imgMember("img_id"))
+        .select(doc8.as("a"), (col("canon") * 8 + 2).as("b"))
+      .unionByName(newAtt.join(audMember,
+          newAtt("aud") === audMember("audio_id"))
+        .select(doc8.as("a"), (col("canon") * 8 + 3).as("b")))
+      .unionByName(newAtt.select(doc8.as("a"), (col("vid") * 8 + 4).as("b")))
+      .unionByName(deltaVidPairs.select((col("video_a") * 8 + 4).as("a"),
+        (col("video_b") * 8 + 4).as("b")))
+
+    // --- ONE materialization barrier for the three probes AND the edge
+    // extras: the pipelines run as parallel stages of a single job
+    // (instead of driver-synchronized checkpoints), and every downstream
+    // consumer (both closures, the encoded edges, the touched set) reads
+    // the cached blocks through cheap per-row re-encodings ---
+    val deltaPairs = staged("delta_probe")(
+      deltaTextPairsLazy.toDF("a", "b").withColumn("m", lit(0))
+        .unionByName(deltaImgPairsLazy.toDF("a", "b").withColumn("m", lit(1)))
+        .unionByName(deltaAudPairsLazy.toDF("a", "b").withColumn("m", lit(2)))
+        .unionByName(edgeExtrasLazy.withColumn("m", lit(3)))
+        .localCheckpoint())
+    val deltaTextPairs = deltaPairs.filter(col("m") === 0)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val deltaImgPairs = deltaPairs.filter(col("m") === 1)
+      .select(col("a").as("canon_a"), col("b").as("canon_b"))
+    val deltaAudPairs = deltaPairs.filter(col("m") === 2)
+      .select(col("a").as("canon_a"), col("b").as("canon_b"))
+
+    // --- the cross-modality delta edges (8-stride encoding): pair legs
+    // re-encode per-row off the checkpointed blocks, the m=3 legs are
+    // already encoded — no second materialization ---
+    val deltaEdges = deltaPairs.filter(col("m") === 0)
+      .select((col("a") * 8).as("s"), (col("b") * 8).as("t"))
+      .unionByName(deltaPairs.filter(col("m") === 1)
+        .select((col("a") * 8 + 2).as("s"), (col("b") * 8 + 2).as("t")))
+      .unionByName(deltaPairs.filter(col("m") === 2)
+        .select((col("a") * 8 + 3).as("s"), (col("b") * 8 + 3).as("t")))
+      .unionByName(deltaPairs.filter(col("m") === 3)
+        .select(col("a").as("s"), col("b").as("t")))
 
     // --- ONE FUSED incremental closure for EVERY label set: the
     // cross-modality component graph rides the EVEN ids (node → 2·node)

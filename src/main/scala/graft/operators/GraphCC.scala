@@ -73,6 +73,38 @@ object GraphCC {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Loop shuffle-partition count for a MATERIALIZED (localCheckpoint'd)
+    * edge set: measured block-manager bytes over the session's AQE
+    * advisory partition size (a 100 TB edge set gets bytes/advisory
+    * partitions, a contracted delta graph gets 1). When the storage-info
+    * lookup MISSES (non-LogicalRDD plan, evicted/unregistered blocks),
+    * the fallback is the SESSION's shuffle-partition count, never 1 — a
+    * miss on a large edge set would otherwise silently run every loop
+    * shuffle in one partition, a scale-killer with no error. Each path
+    * logs which sizing fired. */
+  private[graft] def loopPartitions(sym0: DataFrame): String = {
+    val spark = sym0.sparkSession
+    val measured: Option[Long] = sym0.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(s => s.memSize + s.diskSize)
+    measured match {
+      case Some(bytes) =>
+        val advisory = spark.conf
+          .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        val advisoryBytes = org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(advisory)
+        val parts = math.max(1L, (bytes + advisoryBytes - 1) / advisoryBytes)
+        log.info(s"loop sizing: measured ${bytes}B -> $parts partitions")
+        parts.toString
+      case None =>
+        val fallback = spark.conf.get("spark.sql.shuffle.partitions")
+        log.warn("loop sizing: storage-info lookup missed for the round-0 " +
+          s"edge set; falling back to session shuffle partitions=$fallback")
+        fallback
+    }
+  }
+
   /** Components of the undirected graph given by `edges` (two long-typed
     * columns `aCol`, `bCol`; duplicate and self edges are fine). Returns
     * (`node`, `component`) for every node incident to ≥1 edge, where
@@ -144,16 +176,7 @@ object GraphCC {
     // measured 2.5x slower — the win was never AQE-vs-not, it was
     // partition count; measured in OPTIMIZATION_r19.md.)
     val spark = sym0.sparkSession
-    val sym0Bytes = sym0.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
-      .map(s => s.memSize + s.diskSize).getOrElse(0L)
-    val advisory = spark.conf
-      .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
-    val advisoryBytes = org.apache.spark.network.util.JavaUtils
-      .byteStringAsBytes(advisory)
-    val loopParts = math.max(1L,
-      (sym0Bytes + advisoryBytes - 1) / advisoryBytes).toString
+    val loopParts = loopPartitions(sym0)
     val partsKey = "spark.sql.shuffle.partitions"
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevParts = spark.conf.get(partsKey)

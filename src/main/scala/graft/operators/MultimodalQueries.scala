@@ -142,10 +142,41 @@ object MultimodalQueries {
     table(s, dir, "documents").select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
 
-  private def payloadFixture(s: SparkSession, dir: String, name: String)
+  /** Fixture ids sharded by ESTIMATED OUTPUT BYTES (guide §6 — small
+    * files hurt twice: driver listing and per-file open): the byte-bound
+    * fixtures (PCM audio: decode is a linear byte read, not pixel work)
+    * take a production table layout — `targetBytes` per file, capped at
+    * the session's parallelism — instead of raw defaultParallelism,
+    * which left the sub-second audio gates paying 32 footer opens for
+    * <1 MB of data (the one code-correlated regression of r19). The
+    * pixel-decode fixtures keep [[fixtureIds]]' compute-parallel
+    * sharding: their gates are decode-bound, not open-bound, and the
+    * parallel decode is the r19 16× win. `bytesOf(doc_id)` estimates the
+    * TOTAL bytes the builder emits for that document (closed-form for
+    * every synthesized waveform; layout sizing needs no exactness). */
+  private def fixtureIdsSizedBy(s: SparkSession, dir: String,
+                                bytesOf: Long => Long,
+                                targetBytes: Long = 4L << 20): DataFrame = {
+    val ids = table(s, dir, "documents").select(col("doc_id"))
+    val total = ids.rdd.map(r => bytesOf(r.getLong(0))).fold(0L)(_ + _)
+    val parts = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      (total + targetBytes - 1) / targetBytes)).toInt
+    ids.repartition(parts)
+  }
+
+  /** Estimated RIFF size of [[audioParams]]' waveform (header + 16-bit
+    * PCM frames; tag/info variants differ by tens of bytes). */
+  private def wavBytesOf(id: Long): Long = {
+    val (n, _, _, _, c) = audioParams(id)
+    44L + 2L * n * c
+  }
+
+  private def payloadFixture(s: SparkSession, dir: String, name: String,
+                             sizedBy: Option[Long => Long] = None)
                             (encode: Long => Array[Byte]): String = {
     val root = graft.sources.ScratchDirs.memoized(name, dir) { r =>
-      val ids = fixtureIds(s, dir)
+      val ids = sizedBy.fold(fixtureIds(s, dir))(fixtureIdsSizedBy(s, dir, _))
       val rows = ids.rdd.mapPartitions(_.map { row =>
         val id = row.getLong(0)
         Row(id, encode(id))
@@ -910,7 +941,7 @@ object MultimodalQueries {
   /** WAV payload table, synthesized distributed once per sf dir — the
     * [[pngFixture]] contract for the audio modality. */
   private[operators] def wavFixture(s: SparkSession, dir: String): String =
-    payloadFixture(s, dir, "mm_wav_fix")(encodeWav)
+    payloadFixture(s, dir, "mm_wav_fix", sizedBy = Some(wavBytesOf))(encodeWav)
 
   /** Audio-dedup fixture: one clean WAV per document (audio_id =
     * 2·doc_id) plus, for every fifth document, a RE-CONTAINERED twin
@@ -920,7 +951,8 @@ object MultimodalQueries {
     * provably misses. */
   private[operators] def wavDupFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_wavdup_fix", dir) { r =>
-      val ids = fixtureIds(s, dir)
+      val ids = fixtureIdsSizedBy(s, dir,
+        id => wavBytesOf(id) * (if (id % 5 == 0) 2 else 1))
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         // tagId stamps the doc id into the PCM so streams are
@@ -975,7 +1007,8 @@ object MultimodalQueries {
     (((id >> (14 * k)) & 0x3FFF) + 1).toShort
 
   private[operators] def wavGapFixture(s: SparkSession, dir: String): String =
-    payloadFixture(s, dir, "mm_wavgap_fix")(encodeWavGapped)
+    payloadFixture(s, dir, "mm_wavgap_fix",
+      sizedBy = Some(wavBytesOf))(encodeWavGapped)
 
   /** q_mm_audio_segments: SILENCE-SPLIT segmentation — the speech-pause
     * pass an audio curation pipeline runs before per-utterance dedup,
@@ -1161,7 +1194,12 @@ object MultimodalQueries {
 
   private[graft] def wavNearFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_wavnear_fix", dir) { r =>
-      val ids = fixtureIds(s, dir)
+      val ids = fixtureIdsSizedBy(s, dir, { id =>
+        // base + 2× resampled (id%3) + gain (id%4) + swap (id%5) twins
+        val one = 44L + 2L * (57 * (2 + id % 6)) * (1 + id % 2)
+        one * (1 + (if (id % 3 == 0) 2L else 0L) +
+          (if (id % 4 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L))
+      })
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         val out = Vector.newBuilder[Row]
@@ -1400,7 +1438,12 @@ object MultimodalQueries {
 
   private[graft] def wavSpliceFixture(s: SparkSession, dir: String): String = {
     val root = graft.sources.ScratchDirs.memoized("mm_wavsplice_fix", dir) { r =>
-      val ids = fixtureIds(s, dir)
+      val ids = fixtureIdsSizedBy(s, dir, { id =>
+        // ns segments of segLen frames + 2-frame gaps, ≤2 channels;
+        // the id%4 twin re-embeds the base plus head/tail segments
+        val one = 44L + 4L * ((10 + id % 5) * (10 + 4 * (id % 2)))
+        one * (if (id % 4 == 0) 2L else 1L)
+      })
       val rows = ids.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getLong(0)
         val base = Row(id * 2, encodeWavSplice(id, twin = false))

@@ -31,12 +31,9 @@ object CurationDemo {
       sys.exit(1)
     }
     val Array(sfDir, outDir) = args.take(2)
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir)

@@ -148,12 +148,9 @@ object JobsDemo {
   def main(args: Array[String]): Unit = {
     if (args.headOption.exists(_.startsWith("--"))) {
       val cli = JobsCli.parse(args.toIndexedSeq)
-      val spark = SparkSession.builder()
+      val spark = graft.GraftSession.builder()
         .master("local[4]")
         .config("spark.sql.shuffle.partitions", cli.shufflePartitions.toString)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
       spark.sparkContext.setLogLevel(if (cli.debug) "INFO" else "WARN")
       val report = run(spark, cli)
@@ -163,12 +160,9 @@ object JobsDemo {
       return
     }
     val Array(sfDir, outDir) = args.take(2)
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

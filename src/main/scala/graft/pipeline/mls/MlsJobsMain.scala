@@ -347,11 +347,11 @@ object MlsJobsMain {
 
   def main(argv: Array[String]): Unit = {
     val a = JobsCli.parse(argv.toIndexedSeq)
-    val spark = SparkSession.builder()
+    // Shared engine defaults (graft.GraftSession) so the production CLI
+    // runs the same engine configuration Bench times and Verify certifies.
+    val spark = graft.GraftSession.builder()
       .appName("MLS Listings Curated")
       .config("spark.sql.shuffle.partitions", a.shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (a.debug) "INFO" else "WARN")
     val root = runJob1(spark, a)

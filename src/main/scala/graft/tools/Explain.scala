@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan-inspection tool: dumps the formatted physical plan of each named
   * gate query (or all, with no args) so shuffle counts, broadcast choices,
   * pushed filters, and WholeStageCodegen spans can be reviewed.
@@ -21,13 +19,14 @@ object Explain {
         s"known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
-    val spark = SparkSession.builder()
+    // Shared engine defaults (GraftSession), so dumped plans reflect the
+    // configuration Bench times — and SPARK_GRAFT_SQL_CONF A/Bs (e.g. the
+    // constraint-propagation plan audit) apply here too.
+    val spark = graft.GraftSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

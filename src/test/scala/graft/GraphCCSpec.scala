@@ -75,4 +75,24 @@ class GraphCCSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](cc(edges, maxIter = 2))
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("loop sizing falls back to session partitions on a lookup miss, never 1") {
+    // A frame that is NOT localCheckpoint-backed has no LogicalRDD to
+    // measure: the sizing must degrade to the session's shuffle-partition
+    // count (scale-safe), never to 1 partition (the silent scale-killer).
+    val notCheckpointed = (1L to 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(GraphCC.loopPartitions(notCheckpointed) ===
+      spark.conf.get("spark.sql.shuffle.partitions"))
+  }
+
+  test("loop sizing uses measured bytes when the checkpoint lookup hits") {
+    // A tiny materialized edge set measures far below the advisory
+    // partition size: exactly 1 loop partition.
+    val cp = (1L to 10L).map(i => (i, i + 1)).toDF("src", "dst")
+      .localCheckpoint()
+    try assert(GraphCC.loopPartitions(cp) === "1")
+    finally cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+  }
 }
