@@ -92,32 +92,32 @@ object CurationMm {
     * artifact tables (hash/group/pair/cluster/frame) — no decode, no
     * banded join, no per-modality CC at capstone time. */
   private def modalFull(s: SparkSession, dir: String): MmInputs = {
-    val frames = s.read.parquet(
+    val frames = graft.sources.TableIO.readStatic(s, 
       MultimodalQueries.videoClipFrameTablePath(s, dir))
-    val vidPairs = s.read.parquet(
+    val vidPairs = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.videoClipPairTablePath(s, dir))
       .select(col("video_a"), col("video_b"))
     MmInputs(
       att = attachments(s, dir),
       docs = table(s, dir, "documents").select(col("doc_id")),
-      textCl = s.read.parquet(GraphCC.clusterTablePath(s, dir))
+      textCl = graft.sources.TableIO.readStatic(s, GraphCC.clusterTablePath(s, dir))
         .select(col("doc_id"), col("cluster_id"), col("is_canonical")),
-      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir)),
-      imgMember = s.read.parquet(
+      quality = graft.sources.TableIO.readStatic(s, TextQueries.qualityTablePath(s, dir)),
+      imgMember = graft.sources.TableIO.readStatic(s, 
           MultimodalQueries.phashHashTablePath(s, dir))
         .join(MultimodalQueries.phashGroups(s, dir).select("phash", "canon"),
           "phash")
         .select(col("img_id"), col("canon")),
-      imgPairs = s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir)),
-      imgCl = s.read.parquet(MultimodalQueries.phashClusterTablePath(s, dir)),
-      audMember = s.read.parquet(
+      imgPairs = graft.sources.TableIO.readStatic(s, MultimodalQueries.phashPairTablePath(s, dir)),
+      imgCl = graft.sources.TableIO.readStatic(s, MultimodalQueries.phashClusterTablePath(s, dir)),
+      audMember = graft.sources.TableIO.readStatic(s, 
           MultimodalQueries.audioFpHashTablePath(s, dir))
         .join(MultimodalQueries.audioFpGroups(s, dir).select("phash", "canon"),
           "phash")
         .select(col("audio_id"), col("canon")),
-      audPairs = s.read.parquet(
+      audPairs = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.audioFpPairTablePath(s, dir)),
-      audCl = s.read.parquet(
+      audCl = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.audioFpClusterTablePath(s, dir)),
       vidPairs = vidPairs,
       vidDup = vidPairs.select(col("video_b").as("vid")).distinct(),
@@ -286,7 +286,7 @@ object CurationMm {
     * rule can never silently diverge between them. */
   private def baseHashGroups(s: SparkSession, path: String, idCol: String,
                              maxId: Long): (DataFrame, DataFrame) = {
-    val hash = s.read.parquet(path).filter(col(idCol) < maxId)
+    val hash = graft.sources.TableIO.readStatic(s, path).filter(col(idCol) < maxId)
     (hash, hash.groupBy("phash")
       .agg(count(lit(1)).as("n_copies"), min(idCol).as("canon")))
   }
@@ -294,17 +294,17 @@ object CurationMm {
   private def modalBase(s: SparkSession, dir: String, b: Long): MmInputs = {
     val (imgHash, imgGroups) = baseHashGroups(s,
       MultimodalQueries.phashHashTablePath(s, dir), "img_id", 2 * b)
-    val imgPairs = s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir))
+    val imgPairs = graft.sources.TableIO.readStatic(s, MultimodalQueries.phashPairTablePath(s, dir))
       .filter(col("canon_a") < 2 * b && col("canon_b") < 2 * b)
     val (audHash, audGroups) = baseHashGroups(s,
       MultimodalQueries.audioFpHashTablePath(s, dir), "audio_id", 4 * b)
-    val audPairs = s.read.parquet(MultimodalQueries.audioFpPairTablePath(s, dir))
+    val audPairs = graft.sources.TableIO.readStatic(s, MultimodalQueries.audioFpPairTablePath(s, dir))
       .filter(col("canon_a") < 4 * b && col("canon_b") < 4 * b)
-    val vidPairs = s.read.parquet(
+    val vidPairs = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.videoClipPairTablePath(s, dir))
       .filter(col("video_a") < 2 * b && col("video_b") < 2 * b)
       .select(col("video_a"), col("video_b"))
-    val textPairs = s.read.parquet(GraphCC.pairTablePath(s, dir))
+    val textPairs = graft.sources.TableIO.readStatic(s, GraphCC.pairTablePath(s, dir))
       .filter(col("doc_b") < b) // doc_a < doc_b, so both endpoints base
     val textCc = GraphCC.connectedComponents(textPairs, "doc_a", "doc_b")
     def ccLabels(pairs: DataFrame): DataFrame =
@@ -318,7 +318,7 @@ object CurationMm {
         col("component").as("cluster_id"),
         when(col("node") === col("component"), 1).otherwise(0)
           .as("is_canonical")),
-      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir))
+      quality = graft.sources.TableIO.readStatic(s, TextQueries.qualityTablePath(s, dir))
         .filter(col("doc_id") < b),
       imgMember = imgHash.join(imgGroups.select("phash", "canon"), "phash")
         .select(col("img_id"), col("canon")),
@@ -330,7 +330,7 @@ object CurationMm {
       audCl = ccLabels(audPairs),
       vidPairs = vidPairs,
       vidDup = vidPairs.select(col("video_b").as("vid")).distinct(),
-      vidStatic = s.read.parquet(
+      vidStatic = graft.sources.TableIO.readStatic(s, 
           MultimodalQueries.videoClipFrameTablePath(s, dir))
         .filter(col("video_id") < 2 * b)
         .groupBy("video_id")
@@ -535,7 +535,7 @@ object CurationMm {
     val deltaTextPairsLazy = TextQueries
       .incrementalPairsAgainstAll(s, dir, inBatch,
         shingleIndex =
-          Some(s.read.parquet(TextQueries.shingleTablePath(s, dir))
+          Some(graft.sources.TableIO.readStatic(s, TextQueries.shingleTablePath(s, dir))
             .filter(aliveDoc(col("doc_id")))))
 
     // --- image/audio: group-table MERGE (base groups ∪ new hashes),
@@ -549,7 +549,7 @@ object CurationMm {
           lit(1L).as("n_copies"), col(idCol).as("canon")))
         .groupBy("phash")
         .agg(sum(col("n_copies")).as("n_copies"), min(col("canon")).as("canon"))
-    val newImgHash = s.read.parquet(
+    val newImgHash = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.phashHashTablePath(s, dir))
       .filter(col("img_id") >= 2 * lo && col("img_id") < 2 * hi)
       .filter(aliveDoc(expr("img_id div 2")))
@@ -557,7 +557,7 @@ object CurationMm {
       "img_id")
     val deltaImgPairsLazy = deltaHashPairs(imgGroups, col("canon") >= 2 * lo,
       3, "img_inc_cap")
-    val newAudHash = s.read.parquet(
+    val newAudHash = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.audioFpHashTablePath(s, dir))
       .filter(col("audio_id") >= 4 * lo && col("audio_id") < 4 * hi)
       .filter(aliveDoc(expr("audio_id div 4")))
@@ -571,7 +571,7 @@ object CurationMm {
     // video_a < video_b and new ids are larger, so a batch endpoint is
     // always video_b). In production the same slice falls out of probing
     // the persisted shingle table with the new clips' shingles. ---
-    val deltaVidPairs = s.read.parquet(
+    val deltaVidPairs = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.videoClipPairTablePath(s, dir))
       .filter(col("video_b") >= 2 * lo && col("video_b") < 2 * hi)
       .filter(aliveDoc(expr("video_a div 2")) &&
@@ -583,7 +583,7 @@ object CurationMm {
     // static flags are per-video and immutable: persisted base set ∪ the
     // new batch's videos only — a delta-sized aggregation
     val vidStatic = base.fam(s, "vidstatic")
-      .unionByName(s.read.parquet(
+      .unionByName(graft.sources.TableIO.readStatic(s, 
           MultimodalQueries.videoClipFrameTablePath(s, dir))
         .filter(col("video_id") >= 2 * lo && col("video_id") < 2 * hi)
         .filter(aliveDoc(expr("video_id div 2")))
@@ -596,10 +596,10 @@ object CurationMm {
                  idCol: String): DataFrame =
       hashTable.join(groups.select("phash", "canon"), "phash")
         .select(col(idCol), col("canon"))
-    val imgHashAll = s.read.parquet(
+    val imgHashAll = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.phashHashTablePath(s, dir))
       .filter(aliveDoc(expr("img_id div 2")))
-    val audHashAll = s.read.parquet(
+    val audHashAll = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.audioFpHashTablePath(s, dir))
       .filter(aliveDoc(expr("audio_id div 4")))
     val imgMember = memberOf(imgHashAll, imgGroups, "img_id")
@@ -720,7 +720,7 @@ object CurationMm {
       docs = touchedDocs.select("doc_id"),
       textCl = textCl,
       // persisted per-doc artifact, probed by id like every other input
-      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir)),
+      quality = graft.sources.TableIO.readStatic(s, TextQueries.qualityTablePath(s, dir)),
       imgMember = imgMember, imgPairs = deltaImgPairs, imgCl = imgCl,
       audMember = audMember, audPairs = deltaAudPairs, audCl = audCl,
       vidPairs = deltaVidPairs, vidDup = vidDup, vidStatic = vidStatic)
@@ -977,9 +977,9 @@ object CurationMm {
     val retractedDocs = table(s, dir, "documents").select(col("doc_id"))
       .filter(pred(col("doc_id")) && col("doc_id") < top)
 
-    val imgHashAll = s.read.parquet(
+    val imgHashAll = graft.sources.TableIO.readStatic(s, 
       MultimodalQueries.phashHashTablePath(s, dir))
-    val audHashAll = s.read.parquet(
+    val audHashAll = graft.sources.TableIO.readStatic(s, 
       MultimodalQueries.audioFpHashTablePath(s, dir))
     def removedOf(hash: DataFrame, idCol: String, stride: Int): DataFrame =
       hash.filter(pred(expr(s"$idCol div $stride")) && col(idCol) < stride * top)
@@ -996,7 +996,7 @@ object CurationMm {
       .unionByName(removedOf(audHashAll, "audio_id", 4)
         .join(full.fam(s, "audgrp").select("phash", "canon"), "phash")
         .select((col("canon") * 8 + 3).as("node")))
-      .unionByName(s.read.parquet(
+      .unionByName(graft.sources.TableIO.readStatic(s, 
           MultimodalQueries.videoClipFrameTablePath(s, dir))
         .select(col("video_id")).distinct()
         .filter(pred(expr("video_id div 2")))
@@ -1019,7 +1019,7 @@ object CurationMm {
 
     // --- text: surviving pairs among touched docs (pairs never cross
     // components, and a pair to a retracted doc dies with it) ---
-    val textPairsT = s.read.parquet(GraphCC.pairTablePath(s, dir))
+    val textPairsT = graft.sources.TableIO.readStatic(s, GraphCC.pairTablePath(s, dir))
       .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"))
       .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"))
 
@@ -1049,10 +1049,10 @@ object CurationMm {
           col("canon").as("nb")), Seq("ph_b"))
         .select(col("na").as("canon_a"), col("nb").as("canon_b"))
     val imgPairsT = remapPairs(
-      s.read.parquet(MultimodalQueries.phashPairTablePath(s, dir)),
+      graft.sources.TableIO.readStatic(s, MultimodalQueries.phashPairTablePath(s, dir)),
       full.fam(s, "imggrp"), imgGroupsS, touchedArt(2, "id"))
     val audPairsT = remapPairs(
-      s.read.parquet(MultimodalQueries.audioFpPairTablePath(s, dir)),
+      graft.sources.TableIO.readStatic(s, MultimodalQueries.audioFpPairTablePath(s, dir)),
       full.fam(s, "audgrp"), audGroupsS, touchedArt(3, "id"))
     def memberOfS(hash: DataFrame, groups: DataFrame, idCol: String,
                   stride: Int): DataFrame =
@@ -1064,7 +1064,7 @@ object CurationMm {
 
     // --- video: surviving pairs (endpoints are artifacts — both must
     // survive), touched-scoped; static flags filter the persisted set ---
-    val vidPairsT = s.read.parquet(
+    val vidPairsT = graft.sources.TableIO.readStatic(s, 
         MultimodalQueries.videoClipPairTablePath(s, dir))
       .join(touchedArt(4, "id").select(col("id").as("video_a")),
         Seq("video_a"))
@@ -1129,7 +1129,7 @@ object CurationMm {
       att = attT,
       docs = survivors,
       textCl = textClT,
-      quality = s.read.parquet(TextQueries.qualityTablePath(s, dir)),
+      quality = graft.sources.TableIO.readStatic(s, TextQueries.qualityTablePath(s, dir)),
       imgMember = imgMemberS, imgPairs = imgPairsT, imgCl = dec(1, "canon"),
       audMember = audMemberS, audPairs = audPairsT, audCl = dec(2, "canon"),
       vidPairs = vidPairsT, vidDup = vidDupT, vidStatic = vidStaticT)
@@ -1353,7 +1353,7 @@ object CurationMm {
     * arithmetic form. Same touched-set machinery as the residue twin;
     * the oracle replays the takedown set's closed form. */
   def curationMmRetractList(s: SparkSession, dir: String): DataFrame = {
-    val ids = s.read.parquet(takedownTablePath(s, dir))
+    val ids = graft.sources.TableIO.readStatic(s, takedownTablePath(s, dir))
       .collect().map(_.getLong(0)).toSeq
     require(ids.length <= 100000,
       s"takedown list of ${ids.length} ids exceeds the driver-side bound " +
@@ -1395,7 +1395,7 @@ object CurationMm {
     * FileScan + one groupBy; group stats ride the same exchange via
     * distinct-on-group aggregation. */
   def curationMmReport(s: SparkSession, dir: String): DataFrame = {
-    val m = s.read.parquet(manifestTablePath(s, dir))
+    val m = graft.sources.TableIO.readStatic(s, manifestTablePath(s, dir))
       .withColumn("reasons", split(col("drop_reasons"), ","))
     def reason(r: String) =
       sum(when(array_contains(col("reasons"), r), 1L).otherwise(0L))
@@ -1413,7 +1413,7 @@ object CurationMm {
 
   def curationPackE2e(s: SparkSession, dir: String,
                       budget: Long = 2048L): DataFrame = {
-    val kept = s.read.parquet(manifestTablePath(s, dir))
+    val kept = graft.sources.TableIO.readStatic(s, manifestTablePath(s, dir))
       .filter(col("kept") === "true" && col("split") === "train")
       .select(col("doc_id"),
         col("n_tokens").cast(org.apache.spark.sql.types.LongType)
@@ -1436,7 +1436,7 @@ object CurationMm {
     * [[curationPackE2e]] prefix-sum layout over the screened stream. */
   def curationPackScreened(s: SparkSession, dir: String,
                            budget: Long = 2048L): DataFrame = {
-    val kept = s.read.parquet(manifestTablePath(s, dir))
+    val kept = graft.sources.TableIO.readStatic(s, manifestTablePath(s, dir))
       .filter(col("kept") === "true" && col("split") === "train")
       .select(col("doc_id"),
         col("n_tokens").cast(org.apache.spark.sql.types.LongType)
@@ -1490,14 +1490,14 @@ object CurationMm {
     * hygiene cost a 100 TB corpus can afford. */
   def mmBenchContamination(s: SparkSession, dir: String,
                            maxHamming: Int = 3): DataFrame = {
-    val train = s.read.parquet(manifestTablePath(s, dir))
+    val train = graft.sources.TableIO.readStatic(s, manifestTablePath(s, dir))
       .filter(col("kept") === "true" && col("split") === "train")
       .select(col("doc_id"))
     val att = attachments(s, dir).join(train, "doc_id")
     def banded(df: DataFrame) = MultimodalQueries.bandedHash(df, maxHamming)
     def leg(hashPath: String, idCol: String, attCol: String,
             modality: String): DataFrame = {
-      val hash = s.read.parquet(hashPath)
+      val hash = graft.sources.TableIO.readStatic(s, hashPath)
       val docH = att.select(col("doc_id"), col(attCol).as("aid"))
         .join(hash.withColumnRenamed(idCol, "aid"), "aid")
         .select(col("doc_id"), col("phash"))

@@ -284,7 +284,7 @@ object GraphCC {
   private[graft] def clusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("txt_cc_fix", dir) {
       val cc = connectedComponents(
-        s.read.parquet(pairTablePath(s, dir)), "doc_a", "doc_b",
+        graft.sources.TableIO.readStatic(s, pairTablePath(s, dir)), "doc_a", "doc_b",
         inputDistinctPairs = true)
       cc.select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .withColumn("n_docs",

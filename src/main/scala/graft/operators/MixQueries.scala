@@ -298,7 +298,7 @@ object MixQueries {
   def splitLeakage(s: SparkSession, dir: String): DataFrame =
     splitLeakageFrom(
       table(s, dir, "documents").select(col("doc_id")),
-      s.read.parquet(GraphCC.clusterTablePath(s, dir))
+      graft.sources.TableIO.readStatic(s, GraphCC.clusterTablePath(s, dir))
         .select(col("doc_id"), col("cluster_id")))
 
   /** Split assignment from an EXISTING cluster labeling — lets a pipeline

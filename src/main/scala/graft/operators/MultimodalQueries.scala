@@ -209,7 +209,7 @@ object MultimodalQueries {
     * against the fixture generator's closed forms — a wrong decode (or a
     * fake one) mismatches immediately. */
   def mmDecodeFeatures(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(pngFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, pngFixture(s, dir))
     val rows = src.rdd.mapPartitions(_.map { r =>
       val (w, h, c, luma) = decodePng(r.getAs[Array[Byte]]("payload"))
       Row(r.getAs[Long]("doc_id"), w, h, c, luma)
@@ -318,7 +318,7 @@ object MultimodalQueries {
     * decode→resize→encode→re-decode all run where the bytes are — zero
     * shuffle, the F1 mapPartitions contract. */
   def mmResize(s: SparkSession, dir: String, box: Int = 256): DataFrame = {
-    val src = s.read.parquet(pngFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, pngFixture(s, dir))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("width", IntegerType),
@@ -424,7 +424,7 @@ object MultimodalQueries {
     * 8-byte hash. q_mm_decode_features stays the live-decode certifying
     * gate for this fixture. */
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    s.read.parquet(graft.sources.ScratchDirs.persistedParquet(
+    graft.sources.TableIO.readStatic(s, graft.sources.ScratchDirs.persistedParquet(
         "mm_phash_fix", dir)(dHashFrame(s, pngFixture(s, dir), "doc_id")))
       .groupBy("phash")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_doc_id"))
@@ -497,7 +497,7 @@ object MultimodalQueries {
   }
 
   def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(videoFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, videoFixture(s, dir))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", IntegerType),
@@ -527,7 +527,7 @@ object MultimodalQueries {
     * this table (PlanShapeSpec), never a second decode. */
   private[graft] def videoFrameTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_frames_fix", dir) {
-      val src = s.read.parquet(videoFixture(s, dir))
+      val src = graft.sources.TableIO.readStatic(s, videoFixture(s, dir))
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("frame_idx", IntegerType),
@@ -564,7 +564,7 @@ object MultimodalQueries {
     * map-side-combined exchange on the 8-byte hash; cross-video-ness is
     * a count-distinct over the video id riding the same exchange. */
   def mmVideoFrameDedup(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(videoFrameTablePath(s, dir))
+    graft.sources.TableIO.readStatic(s, videoFrameTablePath(s, dir))
       .groupBy("phash")
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("doc_id")).as("n_videos"),
@@ -581,7 +581,7 @@ object MultimodalQueries {
     * and the within-video hash collisions replay from the generator.
     * One FileScan + one map-side-combined groupBy on the video id. */
   def mmVideoStats(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(videoFrameTablePath(s, dir))
+    graft.sources.TableIO.readStatic(s, videoFrameTablePath(s, dir))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("phash")).as("n_distinct_frames"),
@@ -705,7 +705,7 @@ object MultimodalQueries {
     * as [[videoFrameTablePath]], minimal (video, frame, phash) schema. */
   private[graft] def videoClipFrameTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_frames2_fix", dir) {
-      val src = s.read.parquet(videoClipFixture(s, dir))
+      val src = graft.sources.TableIO.readStatic(s, videoClipFixture(s, dir))
       val rows = src.rdd.mapPartitions(_.flatMap { row =>
         val id = row.getAs[Long]("video_id")
         videoFrameIter(id, row.getAs[Array[Byte]]("payload")).map {
@@ -751,11 +751,11 @@ object MultimodalQueries {
     * self-join was paid once when the pair table was built
     * (q_mm_video_clip_neardup stays the live leg timing it). */
   def mmVideoCuration(s: SparkSession, dir: String): DataFrame = {
-    val frames = s.read.parquet(videoClipFrameTablePath(s, dir))
+    val frames = graft.sources.TableIO.readStatic(s, videoClipFrameTablePath(s, dir))
     val stats = frames.groupBy("video_id")
       .agg(count(lit(1)).as("n_frames"),
         countDistinct(col("phash")).as("n_distinct_frames"))
-    val drops = s.read.parquet(videoClipPairTablePath(s, dir))
+    val drops = graft.sources.TableIO.readStatic(s, videoClipPairTablePath(s, dir))
       .select(col("video_b").as("video_id")).distinct()
       .withColumn("is_dup", lit(true))
     stats.join(drops, Seq("video_id"), "left")
@@ -791,7 +791,7 @@ object MultimodalQueries {
   def mmVideoClipNeardup(s: SparkSession, dir: String,
                          maxDf: Int = 1000,
                          failOnDrop: Boolean = false): DataFrame =
-    seqShinglePairs(s.read.parquet(videoClipFrameTablePath(s, dir)),
+    seqShinglePairs(graft.sources.TableIO.readStatic(s, videoClipFrameTablePath(s, dir)),
         "video_id", "frame_idx", "phash", maxDf, "clip_shingle_cap",
         failOnDrop = failOnDrop)
       .withColumnRenamed("id_a", "video_a")
@@ -1025,7 +1025,7 @@ object MultimodalQueries {
     * replays it exactly — a decoder that misses a gap, merges across
     * one, or mis-counts a truncated tail mismatches immediately. */
   def mmAudioSegments(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(wavGapFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, wavGapFixture(s, dir))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("seg_idx", IntegerType),
@@ -1083,7 +1083,7 @@ object MultimodalQueries {
     * so a decode that reads container bytes into the PCM stream, or
     * misses the twin's identical samples, mismatches immediately. */
   def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(wavDupFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, wavDupFixture(s, dir))
     val schema = StructType(Seq(
       StructField("audio_id", LongType),
       StructField("pcm_sha", StringType),
@@ -1270,7 +1270,7 @@ object MultimodalQueries {
     * the banded candidate machinery is shared verbatim with the image
     * gates. */
   private[graft] def audioFingerprintFrame(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(wavNearFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, wavNearFixture(s, dir))
     val rows = src.rdd.mapPartitions(_.map { r =>
       Row(r.getLong(0), audioFingerprint56(r.getAs[Array[Byte]]("payload")))
     })
@@ -1307,7 +1307,7 @@ object MultimodalQueries {
     * FileScan (distinct-hash-sized — tiny next to the corpus). */
   private def hashGroupTable(s: SparkSession, dir: String, name: String)
                             (build: => DataFrame): DataFrame =
-    s.read.parquet(graft.sources.ScratchDirs.persistedParquet(name, dir)(build))
+    graft.sources.TableIO.readStatic(s, graft.sources.ScratchDirs.persistedParquet(name, dir)(build))
 
   /** Persisted per-clip fingerprint table of the audio near-dup fixture
     * (audio_id, phash) — the [[phashHashTablePath]] contract on the
@@ -1322,7 +1322,7 @@ object MultimodalQueries {
     * persisted fingerprint table (one decode pass total). */
   private[operators] def audioFpGroups(s: SparkSession, dir: String): DataFrame =
     hashGroupTable(s, dir, "mm_afpgrp_fix")(
-      s.read.parquet(audioFpHashTablePath(s, dir))
+      graft.sources.TableIO.readStatic(s, audioFpHashTablePath(s, dir))
         .groupBy("phash")
         .agg(count(lit(1)).as("n_copies"), min("audio_id").as("canon")))
 
@@ -1342,7 +1342,7 @@ object MultimodalQueries {
   private[graft] def audioFpClusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_afcc_fix", dir)(
       GraphCC.connectedComponents(
-          s.read.parquet(audioFpPairTablePath(s, dir)), "canon_a", "canon_b",
+          graft.sources.TableIO.readStatic(s, audioFpPairTablePath(s, dir)), "canon_a", "canon_b",
           inputDistinctPairs = true)
         .select(col("node").as("canon"), col("component").as("cluster_id")))
 
@@ -1470,7 +1470,7 @@ object MultimodalQueries {
     * oracle) as mean₀ · 32768 + mean₁. */
   private[graft] def audioSegTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_aseg_fix", dir) {
-      val src = s.read.parquet(wavSpliceFixture(s, dir))
+      val src = graft.sources.TableIO.readStatic(s, wavSpliceFixture(s, dir))
       val rows = src.rdd.mapPartitions(_.flatMap { row =>
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload")))
@@ -1536,7 +1536,7 @@ object MultimodalQueries {
     * pair scores, exactly. */
   def mmAudioClipNeardup(s: SparkSession, dir: String,
                          maxDf: Int = 1000): DataFrame =
-    seqShinglePairs(s.read.parquet(audioSegTablePath(s, dir)),
+    seqShinglePairs(graft.sources.TableIO.readStatic(s, audioSegTablePath(s, dir)),
         "audio_id", "seg_idx", "sig", maxDf, "audio_shingle_cap")
       .withColumnRenamed("id_a", "audio_a")
       .withColumnRenamed("id_b", "audio_b")
@@ -1555,7 +1555,7 @@ object MultimodalQueries {
     * multimodal intake pass (language/music screen thresholds consume
     * exactly these features). */
   def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
-    val src = s.read.parquet(wavFixture(s, dir))
+    val src = graft.sources.TableIO.readStatic(s, wavFixture(s, dir))
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("channels", IntegerType),
@@ -1675,7 +1675,7 @@ object MultimodalQueries {
     * `javax.imageio` decode where the bytes are (no shuffle). Shared by
     * both phash gates (and the near-dup spec). */
   private def dHashFrame(s: SparkSession, path: String, idCol: String): DataFrame = {
-    val src = s.read.parquet(path)
+    val src = graft.sources.TableIO.readStatic(s, path)
     val hashSchema = StructType(Seq(
       StructField(idCol, LongType),
       StructField("phash", LongType)))
@@ -1747,7 +1747,7 @@ object MultimodalQueries {
     * (one decode pass total). */
   private[operators] def phashGroups(s: SparkSession, dir: String): DataFrame =
     hashGroupTable(s, dir, "mm_phgrp_fix")(
-      s.read.parquet(phashHashTablePath(s, dir))
+      graft.sources.TableIO.readStatic(s, phashHashTablePath(s, dir))
         .groupBy("phash")
         .agg(count(lit(1)).as("n_copies"), min("img_id").as("canon")))
 
@@ -1774,7 +1774,7 @@ object MultimodalQueries {
   private[graft] def phashClusterTablePath(s: SparkSession, dir: String): String =
     graft.sources.ScratchDirs.persistedParquet("mm_phcc_fix", dir)(
       GraphCC.connectedComponents(
-          s.read.parquet(phashPairTablePath(s, dir)), "canon_a", "canon_b",
+          graft.sources.TableIO.readStatic(s, phashPairTablePath(s, dir)), "canon_a", "canon_b",
           inputDistinctPairs = true)
         .select(col("node").as("canon"), col("component").as("cluster_id")))
 

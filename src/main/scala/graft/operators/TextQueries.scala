@@ -665,7 +665,7 @@ object TextQueries {
       r =>
         noveltyFirstWriters(b1(grams)).write.parquet(s"$r/known")
     }
-    val known = s.read.parquet(s"$knownRoot/known")
+    val known = graft.sources.TableIO.readStatic(s, s"$knownRoot/known")
     val out1 = noveltyScoreSelf(b1(grams), known)
     val out2 = noveltyScoreDelta(b2(grams), known,
       noveltyFirstWriters(b2(grams)))
@@ -753,7 +753,7 @@ object TextQueries {
     * is an append of anti-joined novel grams. */
   private[graft] def noveltyKnownMerge(s: SparkSession, dir: String,
                                        k: Int = 5): DataFrame = {
-    val known1 = s.read.parquet(rollingKnownPath(s, dir, k))
+    val known1 = graft.sources.TableIO.readStatic(s, rollingKnownPath(s, dir, k))
     val cuts = noveltyCuts(s, dir, k)
     val first2 = noveltyFirstWriters(
       noveltyBatch(noveltyGrams(s, dir, k), cuts)(
@@ -786,7 +786,7 @@ object TextQueries {
   def txtNoveltyRolling(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     def g = noveltyGrams(s, dir, k)
     val cuts = noveltyCuts(s, dir, k)
-    val known1 = s.read.parquet(rollingKnownPath(s, dir, k))
+    val known1 = graft.sources.TableIO.readStatic(s, rollingKnownPath(s, dir, k))
     def b2(df: DataFrame) = noveltyBatch(df, cuts)(
       col("doc_id") > col("t1") && col("doc_id") <= col("t2"))
     def b3(df: DataFrame) = noveltyBatch(df, cuts)(col("doc_id") > col("t2"))
@@ -993,7 +993,7 @@ object TextQueries {
         .write.parquet(s"$r/merges") // k rows — the trained artifact
     }
     bpeMergeCache.computeIfAbsent(root, _ =>
-      s.read.parquet(s"$root/merges").orderBy("merge_rank").collect()
+      graft.sources.TableIO.readStatic(s, s"$root/merges").orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))))
   }
 

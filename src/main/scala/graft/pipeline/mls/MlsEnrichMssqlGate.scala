@@ -47,7 +47,7 @@ object MlsEnrichMssqlGate {
     "CASE WHEN k % 7 < 4 THEN '2022-01-01' ELSE CAST(NULL AS STRING) END AS asgtimestamp")
 
   def enrichMssql(s: SparkSession, dir: String): DataFrame = {
-    val ks = s.read.parquet(s"$dir/customer.parquet")
+    val ks = graft.sources.TableIO.readStatic(s, s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
     val listings = ks.selectExpr(listingExprs: _*)
     val ldt = ks.filter("k % 7 <> 0").selectExpr(ldtExprs: _*)

@@ -196,7 +196,7 @@ object MlsJob1Gate {
   private[mls] def rawBase(s: SparkSession, dir: String, b: Int, loadDate: String,
                            tag: String, soadTs: String = defaultSoad,
                            kFilter: Option[String] = None): DataFrame = {
-    val ks = s.read.parquet(s"$dir/customer.parquet")
+    val ks = graft.sources.TableIO.readStatic(s, s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
     kFilter.fold(ks)(ks.filter)
       .selectExpr("k", s"$b AS b", s"'$loadDate' AS ld",
@@ -232,7 +232,7 @@ object MlsJob1Gate {
     val root = graft.sources.ScratchDirs.memoized(s"${name}_raw", dir) { r =>
       build.write.parquet(s"$r/raw")
     }
-    s.read.parquet(s"$root/raw")
+    graft.sources.TableIO.readStatic(s, s"$root/raw")
       .repartition(s.sparkContext.defaultParallelism)
   }
 
@@ -282,7 +282,7 @@ object MlsJob1Gate {
     * recomputes the whole leg including the reference's three-condition
     * status decode (the intentional AddedToPmDate quirk is branch d=2). */
   def enrichLookup(s: SparkSession, dir: String): DataFrame = {
-    val listings = s.read.parquet(s"$dir/customer.parquet").selectExpr(
+    val listings = graft.sources.TableIO.readStatic(s, s"$dir/customer.parquet").selectExpr(
       "'MLS' || CAST(c_custkey % 3 AS STRING) AS mls",
       "'L' || CAST(c_custkey AS STRING) AS mls_listing_id",
       "'ADDR ' || CAST(c_custkey % 40 AS STRING) AS street_address",
@@ -305,7 +305,7 @@ object MlsJob1Gate {
   def enrichHttp(s: SparkSession, dir: String): DataFrame = {
     val server = new graft.enrich.StubPropertyServer()
     try {
-      val listings = s.read.parquet(s"$dir/customer.parquet").selectExpr(
+      val listings = graft.sources.TableIO.readStatic(s, s"$dir/customer.parquet").selectExpr(
         "'MLS' || CAST(c_custkey % 3 AS STRING) AS mls",
         "'L' || CAST(c_custkey AS STRING) AS mls_listing_id",
         "'ADDR ' || CAST(c_custkey % 40 AS STRING) AS street_address",

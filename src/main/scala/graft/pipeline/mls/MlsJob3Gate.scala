@@ -187,7 +187,7 @@ object MlsJob3Gate {
     }
     // Bootstrap: the ORC mirror lacks the asg_* columns, so the first run
     // adds them and publishes the frame as the managed table (backfill:77-98).
-    val boot = addAsgPlaceholders(s.read.orc(s"$orcRoot/orc"))
+    val boot = addAsgPlaceholders(graft.sources.TableIO.readStatic(s, s"$orcRoot/orc", "orc"))
       .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     ManagedTable.overwrite(s"$root/delta", boot)
     runOnce(s, s"$root/delta", Some(("2024-01-01", "2024-01-31")),
@@ -202,7 +202,7 @@ object MlsJob3Gate {
   // instead of running on the source's single tiny split (see
   // MlsJob1Gate.synthesize).
   private[mls] def ks(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/customer.parquet")
+    graft.sources.TableIO.readStatic(s, s"$dir/customer.parquet")
       .selectExpr("CAST(c_custkey AS BIGINT) AS k")
       .repartition(s.sparkContext.defaultParallelism)
 

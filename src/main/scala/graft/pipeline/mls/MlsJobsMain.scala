@@ -114,12 +114,12 @@ object MlsJobsMain {
 
     // ---- read inputs (curated.py:70-96) --------------------------------
     val listings = readWindowedListings(spark, a)
-    val boards = spark.read.orc(a.inputDirBoards.get)
-    val states = spark.read.orc(a.inputDirStates.get)
-    val zipcodes = spark.read.orc(a.inputDirZipcodes.get)
-    val psub = spark.read.orc(a.inputDirPropertySubTypes.get)
-    val counties = spark.read.orc(a.inputDirCounties.get)
-    val geoIds = spark.read.orc(a.inputDirGeoIds.get)
+    val boards = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirBoards.get)
+    val states = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirStates.get)
+    val zipcodes = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirZipcodes.get)
+    val psub = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirPropertySubTypes.get)
+    val counties = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirCounties.get)
+    val geoIds = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirGeoIds.get)
     val targetSchema = SchemaLoader.fromFile(a.targetSchemaFile.get)
 
     // ---- validate + transform (curated.py:110-117) ---------------------
@@ -170,8 +170,8 @@ object MlsJobsMain {
               a.propertyIdApiBatchSize)
           case "MSSQL" =>
             MlsEnrich.lookupPropertyIdsFromMssql(toLookup,
-              spark.read.orc(a.inputDirListingsMssql.get),
-              spark.read.orc(a.inputDirPropertyMasterMssql.get))
+              graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirListingsMssql.get),
+              graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirPropertyMasterMssql.get))
         }
         // Inner-joining the FULL latest set against the lookup rows
         // touches exactly the budgeted keys (lkp keys ⊆ toLookup keys),
@@ -212,7 +212,7 @@ object MlsJobsMain {
   private def readWindowedListings(spark: SparkSession,
                                    a: JobsCliArgs): DataFrame =
     a.inputDirListings.map { d =>
-      val df = spark.read.orc(d).filter(
+      val df = graft.sources.TableIO.readStatic(spark, format = "orc", path = d).filter(
         col("load_date").between(lit(a.fromDateIso), lit(a.toDateIso)))
       a.inputMlsList.fold(df)(codes => df.filter(col("mls").isin(codes: _*)))
     }.reduce(_ union _)
@@ -235,12 +235,12 @@ object MlsJobsMain {
       throw new IllegalArgumentException("missing --listings_hist_output_dir"))
     val deltaRoot = deltaDirOf(histOut)
     val listings = readWindowedListings(spark, a)
-    val boards = spark.read.orc(a.inputDirBoards.get)
-    val states = spark.read.orc(a.inputDirStates.get)
-    val zipcodes = spark.read.orc(a.inputDirZipcodes.get)
-    val psub = spark.read.orc(a.inputDirPropertySubTypes.get)
-    val counties = spark.read.orc(a.inputDirCounties.get)
-    val geoIds = spark.read.orc(a.inputDirGeoIds.get)
+    val boards = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirBoards.get)
+    val states = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirStates.get)
+    val zipcodes = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirZipcodes.get)
+    val psub = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirPropertySubTypes.get)
+    val counties = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirCounties.get)
+    val geoIds = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirGeoIds.get)
     val targetSchema = SchemaLoader.fromFile(a.targetSchemaFile.get)
 
     val (good, _) = MlsValidate.validateListings(
@@ -252,7 +252,7 @@ object MlsJobsMain {
 
     // hist:109-116 — try the mirror, fall back to new-only on first run.
     val curated: Option[DataFrame] =
-      scala.util.Try(spark.read.orc(histOut)
+      scala.util.Try(graft.sources.TableIO.readStatic(spark, format = "orc", path = histOut)
         .select(targetSchema.fieldNames.toIndexedSeq.map(col): _*)).toOption
     val source = MlsJob2Gate.histFinal(fresh, curated,
         targetSchema.fieldNames.toSeq)
@@ -293,7 +293,7 @@ object MlsJobsMain {
       throw new IllegalArgumentException("missing --listings_delta_dir"))
     val targetSchema = SchemaLoader.fromFile(a.targetSchemaFile.get)
     if (!ManagedTable.exists(deltaRoot)) {
-      val orc0 = spark.read.orc(a.listingsOrcDir.get)
+      val orc0 = graft.sources.TableIO.readStatic(spark, format = "orc", path = a.listingsOrcDir.get)
       val boot0 =
         if (orc0.columns.contains("asg_primary_id")) orc0
         else MlsJob3Gate.addAsgPlaceholders(orc0)
@@ -324,8 +324,8 @@ object MlsJobsMain {
           a.propertyIdApiBatchSize)
       case "MSSQL" =>
         MlsEnrich.lookupPropertyIdsFromMssql(cand,
-          spark.read.orc(a.inputDirListingsMssql.get),
-          spark.read.orc(a.inputDirPropertyMasterMssql.get))
+          graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirListingsMssql.get),
+          graft.sources.TableIO.readStatic(spark, format = "orc", path = a.inputDirPropertyMasterMssql.get))
     }
     val enriched = MlsJob3Gate.attach(cand,
       lookup.getOrElse(throw new IllegalStateException(

@@ -69,14 +69,14 @@ object ManagedTable extends VersionedLayout {
       // a DV version can never carry a mapping (vectorized ops refuse
       // mapped bases), so only the full-snapshot branch applies one
       case None =>
-        applyColmap(spark.read.parquet(dir.toString), colmapOf(root, version))
+        applyColmap(TableIO.readStatic(spark, dir.toString), colmapOf(root, version))
       case Some(base) =>
-        val dv = spark.read.parquet(s"$root/v$version/_dv")
+        val dv = TableIO.readStatic(spark, s"$root/v$version/_dv")
         val baseRows = addressed(spark, s"$root/v$base")
           .join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol)
         appDirOf(root, version).fold(baseRows)(d =>
-          baseRows.unionByName(spark.read.parquet(d)))
+          baseRows.unionByName(TableIO.readStatic(spark, d)))
     }
   }
 
@@ -152,7 +152,7 @@ object ManagedTable extends VersionedLayout {
     require(dvBaseOf(root, live).isEmpty,
       s"renameColumn: v$live is a merge-on-read version — OPTIMIZE first")
     val m0 = colmapOf(root, live)
-    val phys = spark.read.parquet(s"$root/v$live").schema.fieldNames.toSeq
+    val phys = TableIO.readStatic(spark, s"$root/v$live").schema.fieldNames.toSeq
     val logical = phys.map(p => m0.getOrElse(p, p))
     require(logical.contains(oldName),
       s"renameColumn: no column '$oldName' in ${logical.mkString(",")}")
@@ -201,7 +201,7 @@ object ManagedTable extends VersionedLayout {
   /** The base snapshot with each row's stable (file, position) address
     * attached — the join side every deletion-vector read/write uses. */
   private def addressed(spark: SparkSession, baseDir: String): DataFrame =
-    spark.read.parquet(baseDir)
+    TableIO.readStatic(spark, baseDir)
       .withColumn(DvFileCol,
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -474,9 +474,9 @@ object ManagedTable extends VersionedLayout {
     dvBaseOf(root, live) match {
       case None => (base, addr, None, None)
       case Some(_) =>
-        val dv = spark.read.parquet(s"$root/v$live/_dv")
+        val dv = TableIO.readStatic(spark, s"$root/v$live/_dv")
         (base, addr.join(dv, Seq(DvFileCol, DvPosCol), "left_anti"),
-          Some(dv), appDirOf(root, live).map(spark.read.parquet))
+          Some(dv), appDirOf(root, live).map(TableIO.readStatic(spark, _)))
     }
   }
 
@@ -566,7 +566,7 @@ object ManagedTable extends VersionedLayout {
       s"analyzeBloom: v$live is a deletion-vector version — OPTIMIZE first " +
         "to purge the vectors into a full snapshot, then index")
     require(nWords > 0 && k > 0, s"analyzeBloom: nWords=$nWords k=$k")
-    val snap = applyColmap(spark.read.parquet(s"$root/v$live"),
+    val snap = applyColmap(TableIO.readStatic(spark, s"$root/v$live"),
       colmapOf(root, live))
     val m = nWords * 64L
     statsCols.foreach(c => require(snap.columns.contains(c),
@@ -624,11 +624,11 @@ object ManagedTable extends VersionedLayout {
         val minus = df.withColumn(DvFileCol,
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn(DvPosCol, col("_metadata.row_index"))
-          .join(spark.read.parquet(s"$root/v$live/_dv"),
+          .join(TableIO.readStatic(spark, s"$root/v$live/_dv"),
             Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol)
         appDirOf(root, live).fold(minus)(d =>
-          minus.unionByName(spark.read.parquet(d)))
+          minus.unionByName(TableIO.readStatic(spark, d)))
     }
     val cmap = colmapOf(root, dvBase.getOrElse(live))
     def mapped(df: DataFrame): DataFrame = applyColmap(df, cmap)
@@ -638,8 +638,8 @@ object ManagedTable extends VersionedLayout {
     val eq = col(c) === lit(value)
     val bloomPath = Paths.get(dir, "_bloom.tsv")
     if (!Files.exists(bloomPath))
-      return mapped(overlay(spark.read.parquet(dir))).where(eq)
-    val dt = spark.read.parquet(dir).schema(physC).dataType
+      return mapped(overlay(TableIO.readStatic(spark, dir))).where(eq)
+    val dt = TableIO.readStatic(spark, dir).schema(physC).dataType
     val hr = spark.range(1).select(xxh(lit(value).cast(dt), 42L).as("h1"),
       xxh(lit(value).cast(dt), 9001L).as("h2")).head()
     val (h1, h2) = (hr.getLong(0), hr.getLong(1))
@@ -667,7 +667,7 @@ object ManagedTable extends VersionedLayout {
         case _ => ()
       }
     } finally lineStream.close()
-    if (!indexedAny) return mapped(overlay(spark.read.parquet(dir))).where(eq)
+    if (!indexedAny) return mapped(overlay(TableIO.readStatic(spark, dir))).where(eq)
     val listing = Files.list(Paths.get(dir))
     val allFiles =
       try listing.iterator().asScala.map(_.getFileName.toString)
@@ -676,7 +676,7 @@ object ManagedTable extends VersionedLayout {
     val keep = allFiles.filterNot(prunedOut)
     // Even with every base file pruned, appended rows can still match.
     if (keep.isEmpty)
-      mapped(overlay(spark.read.parquet(dir).where(lit(false)))).where(eq)
+      mapped(overlay(TableIO.readStatic(spark, dir).where(lit(false)))).where(eq)
     else mapped(overlay(spark.read.parquet(keep.map(f => s"$dir/$f"): _*))).where(eq)
   }
 
@@ -1235,7 +1235,7 @@ object ManagedTable extends VersionedLayout {
         "the vectors into a full snapshot, then analyze")
     // read through the column mapping: stats record LOGICAL names, the
     // names readWhere's range predicates are written in
-    val snap = applyColmap(spark.read.parquet(s"$root/v$live"),
+    val snap = applyColmap(TableIO.readStatic(spark, s"$root/v$live"),
       colmapOf(root, live))
     val numericTypes = Set("byte", "short", "int", "integer", "long",
       "float", "double", "date") // date: days-since-epoch ordering
@@ -1365,17 +1365,17 @@ object ManagedTable extends VersionedLayout {
         val minus = df.withColumn(DvFileCol,
             element_at(split(col("_metadata.file_path"), "/"), -1))
           .withColumn(DvPosCol, col("_metadata.row_index"))
-          .join(spark.read.parquet(s"$root/v$live/_dv"),
+          .join(TableIO.readStatic(spark, s"$root/v$live/_dv"),
             Seq(DvFileCol, DvPosCol), "left_anti")
           .drop(DvFileCol, DvPosCol)
         appDirOf(root, live).fold(minus)(d =>
-          minus.unionByName(spark.read.parquet(d)))
+          minus.unionByName(TableIO.readStatic(spark, d)))
     }
     val pred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     val statsPath = Paths.get(dir, "_stats.tsv")
     if (!Files.exists(statsPath))
-      return subtractDv(spark.read.parquet(dir)).where(pred)
+      return subtractDv(TableIO.readStatic(spark, dir)).where(pred)
     // Manifest pruning, two execution strategies with ONE semantics:
     // a file is pruned when ANY range column's recorded span cannot
     // intersect ("null\tnull" = the file is all-null for that column —
@@ -1444,7 +1444,7 @@ object ManagedTable extends VersionedLayout {
     val keep = allFiles.filterNot(pruned)
     // Even with every base file pruned, appended rows can still match.
     if (keep.isEmpty)
-      subtractDv(spark.read.parquet(dir).where(lit(false))).where(pred)
+      subtractDv(TableIO.readStatic(spark, dir).where(lit(false))).where(pred)
     else subtractDv(spark.read.parquet(keep.map(f => s"$dir/$f"): _*))
       .where(pred)
   }

@@ -14,9 +14,39 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object TableIO {
 
+  /** Per-path parquet SCHEMA cache for IMMUTABLE inputs (the sf-dir
+    * source tables and the write-once memoized fixture tables). A bare
+    * `spark.read.parquet(path)` re-infers the schema from file footers
+    * on the DRIVER on every call — measured ~65-75 ms per call at
+    * local[32] (tools/FloorProbe), i.e. 1-3 × that per gate per bench
+    * pass across the ~190 sub-second gates, roughly half their floor.
+    * Supplying the schema explicitly skips inference entirely; caching
+    * it per path is metadata-only (no rows, no results — every query
+    * still scans the parquet), and models the production shape, where
+    * tables live in a catalog with known schemas instead of being
+    * footer-sniffed per query (guide §6's argument for manifest-backed
+    * table formats, applied to the schema axis). MUTABLE paths (managed
+    * table versions, per-invocation scratch outputs) must NOT use this —
+    * they keep bare `spark.read.parquet`. */
+  private val staticSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a write-once path with the schema cached per (format, path,
+    * dir mtime): the mtime key makes a wiped-and-rewritten path (the
+    * gate harness's fresh() cycle) re-infer instead of serving a stale
+    * schema — one stat call per read, ~μs against the ~65 ms saved. */
+  def readStatic(spark: SparkSession, path: String,
+                 format: String = "parquet"): DataFrame = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis catch { case _: Exception => -1L }
+    val sc = staticSchemas.computeIfAbsent(s"$format:$path@$mtime",
+      _ => spark.read.format(format).load(path).schema)
+    spark.read.schema(sc).format(format).load(path)
+  }
+
   /** Read one testdata table (`<dir>/<name>.parquet`). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readStatic(spark, s"$dir/$name.parquet")
 
   /** Schema-adaptive epoch-µs derivation for an event-time column. Parquet
     * writers have shipped the events `ts` column as TIMESTAMP(NANOS) (which

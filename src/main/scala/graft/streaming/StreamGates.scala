@@ -101,7 +101,7 @@ object StreamGates {
     }
     val root = graft.sources.ScratchDirs.fresh("stream_neardup")
     val index = CorpusStream.explodePrefixIndex(
-      s.read.parquet(s"$fixt/index")).persist()
+      graft.sources.TableIO.readStatic(s, s"$fixt/index")).persist()
     try {
       val incoming = s.readStream
         .schema(docs.schema)
@@ -146,7 +146,7 @@ object StreamGates {
     }
     val root = graft.sources.ScratchDirs.fresh("stream_emb_neardup")
     val index = CorpusStream.explodeBandIndex(
-      s.read.parquet(s"$fixt/index")).persist()
+      graft.sources.TableIO.readStatic(s, s"$fixt/index")).persist()
     try {
       val incoming = s.readStream
         .schema(vecs.schema)
@@ -468,7 +468,7 @@ object StreamGates {
     withRocksDBProvider(s) {
       val ev = eventsNarrow(s, dir)
       val slicesRoot = sliceFixtureRoot(s, ev, nSlices = 3, "stream_sess", dir)
-      val slice0 = s.read.parquet(s"$slicesRoot/slices/_slice=0")
+      val slice0 = graft.sources.TableIO.readStatic(s, s"$slicesRoot/slices/_slice=0")
       // batch leg: the historical table's own output rows...
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"), col("event_type"))
@@ -676,8 +676,8 @@ object StreamGates {
     }
     val root = ScratchDirs.fresh("stream_view")
     val viewRoot = s"$root/view"
-    ManagedTable.overwrite(viewRoot, s.read.parquet(s"$fixt/init_view"))
-    val feedSchema = s.read.parquet(s"$fixt/fact/_changes/v1").schema
+    ManagedTable.overwrite(viewRoot, graft.sources.TableIO.readStatic(s, s"$fixt/init_view"))
+    val feedSchema = graft.sources.TableIO.readStatic(s, s"$fixt/fact/_changes/v1").schema
     (1 to 2).foreach { v =>
       linkParquet(s"$fixt/fact/_changes/v$v",
         java.nio.file.Paths.get(s"$root/in"), s"v${v}_")
