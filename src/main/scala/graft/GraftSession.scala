@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    ids and every null-sensitive filter is written explicitly in the
   *    queries, so the pass has nothing load-bearing to add; the
   *    133/134-column MLS plans measured 11-24% faster with it off. The
-  *    232-plan corpus diff (plans/r20/constraint_prop_plan_audit.md)
-  *    shows no scan loses a PushedFilters entry with it off.
+  *    232-plan corpus diff (plans/r20/constraint_prop_plan_audit.md):
+  *    no scan loses an EXPLICIT pushed filter with it off; 64 queries
+  *    lose only inferred IsNotNull entries on engineered non-null id
+  *    columns, which select nothing here (oracle-certified identical).
   *  - `spark.sql.codegen.cache.maxEntries=10000` (default 100): the
   *    engine ships ~300 distinct codegen units; any long-lived session
   *    running more than a handful of its operators cycles a 100-entry
